@@ -1,0 +1,246 @@
+"""§2.4 Aggregation operators.
+
+Scale notes: every groupBy here compiles to HashAggregate with
+map-side partial aggregation (verified in tests/test_plans.py), so the
+shuffle carries only per-group partials — at 100 TB the shuffle volume
+is O(groups × partitions), not O(rows). Money-scale double sums go
+through DECIMAL(38,10) for engine-exact results (see _util.dsum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+from ._util import dsum, osum, r4
+
+
+@query(
+    "agg_global",
+    oracle=f"""
+    SELECT count(*) AS n_rows,
+           {osum('l_quantity')} AS sum_qty,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           {osum('l_extendedprice')} AS sum_price,
+           min(l_shipdate) AS first_ship,
+           max(l_shipdate) AS last_ship
+    FROM lineitem
+    """,
+)
+def agg_global(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.lineitem.agg(
+        F.count("*").alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@query(
+    "agg_hash_groupby",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {osum('l_quantity')} AS sum_qty,
+           {osum('l_extendedprice')} AS sum_base_price,
+           {osum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {osum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_hash_groupby(spark, sf_dir):
+    """TPC-H Q1 pricing summary (public TPC-H spec shape)."""
+    t = Tables(spark, sf_dir)
+    price, disc, tax = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+    return (
+        t.lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum(price).alias("sum_base_price"),
+            dsum(price * (1 - disc)).alias("sum_disc_price"),
+            dsum(price * (1 - disc) * (1 + tax)).alias("sum_charge"),
+            r4(F.avg("l_quantity")).alias("avg_qty"),
+            r4(F.avg("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_count_distinct(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+@query("agg_approx_count_distinct")  # rows-only: HLL sketches are engine-specific
+def agg_approx_count_distinct(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {osum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return t.lineitem.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(dsum(rev).alias("revenue"), F.count("*").alias("n"))
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {osum('l_quantity')} AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT event_type, user_id % 5 AS user_bucket,
+           count(*) AS n, {osum('value')} AS sum_value
+    FROM events GROUP BY CUBE (event_type, user_bucket)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    e = t.events.withColumn("user_bucket", F.col("user_id") % 5)
+    return e.cube("event_type", "user_bucket").agg(
+        F.count("*").alias("n"), dsum("value").alias("sum_value")
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT o_custkey,
+           list_sort(list(CAST(year(o_orderdate) AS BIGINT))) AS order_years
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_collect_sorted(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.orders.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list(F.year("o_orderdate").cast("bigint"))).alias(
+            "order_years"
+        )
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        r4(F.stddev_samp("l_quantity")).alias("sd_qty"),
+        r4(F.var_samp("l_quantity")).alias("var_qty"),
+        r4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        r4(F.covar_samp("l_quantity", "l_discount")).alias("cov_qty_disc"),
+    )
+
+
+@query(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_percentile_exact(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.orders.groupBy("o_orderstatus").agg(
+        r4(F.percentile("o_totalprice", 0.5)).alias("median_price"),
+        r4(F.percentile("o_totalprice", 0.9)).alias("p90_price"),
+    )
+
+
+@query("agg_percentile_approx")  # rows-only: sketch-based, engine-specific
+def agg_percentile_approx(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.orders.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5).alias("approx_median"),
+        F.percentile_approx("o_totalprice", 0.9).alias("approx_p90"),
+    )
+
+
+@query(
+    "pivot_status_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS f_orders,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS o_orders,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS p_orders
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def pivot_status_by_segment(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    joined = t.orders.join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+    piv = (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL for empty cells; the CASE-sum oracle yields 0
+    return piv.select(
+        "c_mktsegment",
+        F.coalesce(F.col("F"), F.lit(0)).alias("f_orders"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("o_orders"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("p_orders"),
+    )

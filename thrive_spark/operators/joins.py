@@ -1,0 +1,318 @@
+"""§2.3 Join operators.
+
+Strategy notes (enforced/verified in tests/test_plans.py):
+
+- Dimension joins use explicit ``F.broadcast`` → BroadcastHashJoin: no
+  shuffle of the fact side, the single biggest win at 100 TB.
+- Fact-fact joins (lineitem × orders) rely on SortMergeJoin over
+  hash-partitioned keys; AQE handles skew splitting at runtime.
+- The band (theta) join uses the bucketing rewrite from
+  ``plans.band_join`` — naive theta joins plan as nested-loop /
+  cartesian, which is O(n²) shuffle at scale; bucketing turns it into
+  an equi join on ``floor(price/width)`` with ±1-bucket expansion.
+- The as-of join is the window formulation (no native Spark as-of):
+  one shuffle on the partition key, then a running max — linear, and
+  it reuses the same partitioning a downstream per-user op would need.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..plans.band_join import band_self_join
+from ..registry import query
+from ..tables import Tables
+from ._util import dsum, osum
+
+
+@query(
+    "join_inner_broadcast",
+    oracle=f"""
+    SELECT c_mktsegment, count(*) AS n_orders,
+           {osum('o_totalprice')} AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_inner_broadcast(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+@query(
+    "join_inner_shuffle",
+    oracle=f"""
+    SELECT o_orderstatus, count(*) AS n_lines,
+           {osum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_inner_shuffle(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_lines"), dsum(rev).alias("revenue"))
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    WITH per_order AS (
+        SELECT o_orderkey, count(l_orderkey) AS n_lines
+        FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey
+    )
+    SELECT n_lines, count(*) AS n_orders FROM per_order GROUP BY n_lines
+    """,
+)
+def join_left_outer(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("n_lines"))
+        .groupBy("n_lines")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    WITH per_order AS (
+        SELECT o_orderkey, count(l_orderkey) AS n_lines
+        FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderkey
+    )
+    SELECT n_lines, count(*) AS n_orders FROM per_order GROUP BY n_lines
+    """,
+)
+def join_right_outer(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"), "right")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("n_lines"))
+        .groupBy("n_lines")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH lo AS (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0),
+         hi AS (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey % 3 = 0)
+    SELECT count(*) FILTER (WHERE c_custkey IS NOT NULL AND o_custkey IS NOT NULL) AS n_both,
+           count(*) FILTER (WHERE o_custkey IS NULL) AS n_left_only,
+           count(*) FILTER (WHERE c_custkey IS NULL) AS n_right_only
+    FROM lo FULL OUTER JOIN hi ON c_custkey = o_custkey
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    lo = t.customer.filter(F.col("c_custkey") % 2 == 0).select("c_custkey")
+    hi = (
+        t.orders.filter(F.col("o_custkey") % 3 == 0)
+        .select("o_custkey")
+        .dropDuplicates()
+    )
+    j = lo.join(hi, F.col("c_custkey") == F.col("o_custkey"), "full")
+    return j.agg(
+        F.count(
+            F.when(F.col("c_custkey").isNotNull() & F.col("o_custkey").isNotNull(), 1)
+        ).alias("n_both"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n_left_only"),
+        F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("n_right_only"),
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def join_left_semi(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    urgent = t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return t.customer.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def join_left_anti(spark, sf_dir):
+    """Customers with no urgent order (every customer has *some* order
+    in this corpus, so anti-joining on all orders would be vacuous)."""
+    t = Tables(spark, sf_dir)
+    urgent = t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return t.customer.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.region.select("r_name").crossJoin(t.nation.select("n_name"))
+
+
+@query(
+    "join_theta_band",
+    oracle="""
+    SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+           round(abs(a.p_retailprice - b.p_retailprice), 4) AS price_gap
+    FROM part a JOIN part b
+      ON a.p_partkey < b.p_partkey
+     AND abs(a.p_retailprice - b.p_retailprice) < 1.0
+    """,
+)
+def join_theta_band(spark, sf_dir):
+    """Band join via the bucketing rewrite (plans/band_join.py) — an
+    equi join on floor(price/width) with ±1 expansion instead of a
+    nested-loop theta join. Same result set, shuffle-joinable at scale.
+    """
+    t = Tables(spark, sf_dir)
+    pairs = band_self_join(
+        t.part, key="p_partkey", value="p_retailprice", width=1.0
+    )
+    return pairs.select(
+        F.col("a_key"),
+        F.col("b_key"),
+        F.round(F.abs(F.col("a_val") - F.col("b_val")), 4).alias("price_gap"),
+    )
+
+
+@query(
+    "join_asof_backward",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           max(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_signup_ts
+    FROM events
+    """,
+)
+def join_asof_backward(spark, sf_dir):
+    """As-of (backward) join: each event matched to the user's most
+    recent strictly-prior 'signup' event. Window formulation — one
+    shuffle on user_id, running max; no native as-of join needed.
+    """
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return t.events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.max(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w).alias(
+            "prev_signup_ts"
+        ),
+    )
+
+
+@query(
+    "join_interval_point",
+    oracle="""
+    SELECT s.event_id AS signup_id,
+           count(e.event_id) AS n_events_within_hour
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    LEFT JOIN events e
+      ON e.user_id = s.user_id
+     AND e.ts >= s.ts
+     AND e.ts < s.ts + INTERVAL 1 HOUR
+     AND e.event_id <> s.event_id
+    GROUP BY s.event_id
+    """,
+)
+def join_interval_point(spark, sf_dir):
+    """Point-in-interval join: events falling in [signup_ts, +1h) per
+    user. The user_id equi-key keeps this a hash join with a residual
+    range predicate — no nested loop at scale.
+    """
+    t = Tables(spark, sf_dir)
+    e = t.events
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("s_ts"),
+    )
+    j = s.join(
+        e,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("ts") >= F.col("s_ts"))
+        & (F.col("ts") < F.col("s_ts") + F.expr("INTERVAL 1 HOUR"))
+        & (F.col("event_id") != F.col("signup_id")),
+        "left",
+    )
+    return j.groupBy("signup_id").agg(
+        F.count("event_id").alias("n_events_within_hour")
+    )
+
+
+@query(
+    "join_star_multiway",
+    oracle=f"""
+    SELECT n_name, {osum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def join_star_multiway(spark, sf_dir):
+    """5-way star join (TPC-H Q5 shape, public spec): dims broadcast,
+    facts joined largest-last so the fact table is only touched once.
+    """
+    t = Tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dims = (
+        t.region.filter(F.col("r_name") == "ASIA")
+        .join(t.nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(t.customer, F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        t.lineitem.join(
+            orders.join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("n_name")
+        .agg(dsum(rev).alias("revenue"))
+    )

@@ -1,0 +1,80 @@
+"""SparkSession factory with scale-tuned defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default all cores);
+the same configs are what we would ship to a 1000-executor cluster,
+minus the driver-memory knob which only matters in local mode.
+
+Two layers:
+
+- :func:`get_spark` builds a session (used by tests/bench).
+- :func:`prepare` applies the *runtime-settable* SQL confs to an
+  externally-provided session (the driver constructs its own
+  SparkSession and passes it to ``queries()`` callables, so anything
+  we require beyond builder-time defaults must be settable here).
+  Verified runtime-settable on Spark 4.1.2: ``spark.sql.legacy.
+  parquet.nanosAsLong``, ``spark.sql.session.timeZone``, AQE flags,
+  ``spark.sql.shuffle.partitions``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: SQL confs that are runtime-settable and required for correctness.
+_RUNTIME_CONFS: dict[str, str] = {
+    # events.parquet stores TIMESTAMP(NANOS); Spark 4 refuses it unless
+    # read as long (SURVEY.md §2 notes). tables.load_events converts back.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # DuckDB (the oracle) uses UTC-naive timestamps; pin the session TZ
+    # so collected timestamps and date functions agree bit-for-bit.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime re-planning (partition coalescing, skew-join split,
+    # broadcast conversion) — essential at 100 TB, harmless at sf0.001.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def _n_cpus() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return max(1, int(env))
+    return os.cpu_count() or 8
+
+
+def prepare(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (idempotent)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # a locked-down conf is better than a crashed query
+    return spark
+
+
+def get_spark(app_name: str = "thrive_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Shuffle partitions default to the core count: at local test scale
+    200 partitions would mean 200 tiny tasks per shuffle; on a real
+    cluster this is overridden per-deployment (AQE coalescing makes the
+    initial number less critical).
+    """
+    cpus = _n_cpus()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return prepare(spark)

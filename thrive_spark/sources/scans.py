@@ -1,0 +1,166 @@
+"""§2.1 Scan operators: parquet, CSV roundtrip, JSON flatten/corrupt,
+incremental dirlist ingestion.
+
+JSON parsing is the reference's core mapper semantics (SURVEY §2.1 [R]:
+thrive's streaming mapper flattens JSON events to columns); here it is
+``from_json`` with an explicit schema — JVM-side, codegen'd, no Python.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators._util import dsum, osum
+from ..registry import query
+from ..tables import Tables
+from .incremental import IncrementalLoader, run_incremental
+
+
+@query(
+    "scan_parquet",
+    oracle=f"""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT l_orderkey) AS n_orders,
+           {osum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    """,
+)
+def scan_parquet(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.lineitem.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )
+
+
+@query(
+    "scan_csv_roundtrip",
+    oracle=f"""
+    SELECT l_returnflag, count(*) AS n, {osum('l_extendedprice')} AS sum_price
+    FROM lineitem WHERE l_orderkey % 10 = 0
+    GROUP BY l_returnflag
+    """,
+)
+def scan_csv_roundtrip(spark, sf_dir):
+    """Write a lineitem slice as CSV, read it back with an explicit
+    StructType (never inferSchema in production — one extra full pass),
+    and aggregate. Doubles survive the roundtrip exactly: Spark writes
+    shortest-roundtrip decimal representations.
+    """
+    t = Tables(spark, sf_dir)
+    slice_df = t.lineitem.filter(F.col("l_orderkey") % 10 == 0).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    out = tempfile.mkdtemp(prefix="thrive_csv_")
+    try:
+        slice_df.write.mode("overwrite").option("header", "true").csv(out)
+        schema = T.StructType(
+            [
+                T.StructField("l_orderkey", T.LongType()),
+                T.StructField("l_linenumber", T.IntegerType()),
+                T.StructField("l_returnflag", T.StringType()),
+                T.StructField("l_extendedprice", T.DoubleType()),
+            ]
+        )
+        back = spark.read.schema(schema).option("header", "true").csv(out)
+        return (
+            back.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"), dsum("l_extendedprice").alias("sum_price"))
+            .localCheckpoint()  # materialize before the temp dir vanishes
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "scan_json_flatten",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def scan_json_flatten(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    parsed = t.events.withColumn(
+        "p", F.from_json("props", "k BIGINT")
+    ).withColumn("k", F.col("p.k"))
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("k").alias("sum_k")
+    )
+
+
+@query(
+    "scan_json_corrupt",
+    oracle="""
+    WITH d AS (
+        SELECT CASE WHEN event_id % 7 = 0 THEN 'x' || props ELSE props END AS raw
+        FROM events
+    )
+    SELECT count(*) FILTER (WHERE json_valid(raw)) AS n_good,
+           count(*) FILTER (WHERE NOT json_valid(raw)) AS n_bad
+    FROM d
+    """,
+)
+def scan_json_corrupt(spark, sf_dir):
+    """Malformed-row diversion (the reference's parse-error quarantine
+    [R]): PERMISSIVE from_json yields NULL for unparseable input; rows
+    split into good/bad counts instead of failing the job.
+    """
+    t = Tables(spark, sf_dir)
+    # leading garbage — Spark's Jackson parser tolerates *trailing*
+    # junk in PERMISSIVE mode, so corrupt the front to fail both engines
+    raw = F.when(
+        F.col("event_id") % 7 == 0, F.concat(F.lit("x"), F.col("props"))
+    ).otherwise(F.col("props"))
+    d = t.events.select(F.from_json(raw, "k BIGINT").alias("p"))
+    return d.agg(
+        F.count(F.when(F.col("p").isNotNull() & F.col("p.k").isNotNull(), 1)).alias(
+            "n_good"
+        ),
+        F.count(F.when(F.col("p").isNull() | F.col("p.k").isNull(), 1)).alias("n_bad"),
+    )
+
+
+@query("incremental_dir_scan")  # rows-only: stateful ledger semantics
+def incremental_dir_scan(spark, sf_dir):
+    """Dirlist semantics end-to-end: run 1 sees dirs {d1,d2,d3} and
+    processes all; d4 appears before run 2, which processes ONLY d4.
+    Output: one row per (run, dir) actually processed — 4 rows total.
+    """
+    t = Tables(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="thrive_incr_")
+    try:
+        orders = t.orders
+        for i in range(3):
+            orders.filter(F.col("o_orderkey") % 3 == i).write.mode(
+                "overwrite"
+            ).parquet(f"{root}/d{i + 1}")
+        ledger = f"{root}/_ledger"
+        loader = IncrementalLoader(spark, ledger)
+        sink = lambda df: df.count()  # noqa: E731 — audit-count sink
+        rows = []
+        r1 = run_incremental(
+            spark, loader, [f"{root}/d{i + 1}" for i in range(3)], sink
+        )
+        rows += [(1, name, n) for name, n in r1]
+        # new directory lands between runs
+        orders.filter(F.col("o_orderkey") < 100).write.mode("overwrite").parquet(
+            f"{root}/d4"
+        )
+        r2 = run_incremental(
+            spark, loader, [f"{root}/d{i + 1}" for i in range(4)], sink
+        )
+        rows += [(2, name, n) for name, n in r2]
+        return spark.createDataFrame(
+            sorted(rows), "run int, dir string, n_rows long"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1,0 +1,127 @@
+"""§2.1 Sink operators: Hive-style partitioned parquet, catalog table,
+and the Vertica-role database sink.
+
+Partitioned parquet (``partitionBy``) is the Hive-partition layout the
+reference targets with ``ALTER TABLE ADD PARTITION`` [R] — in Spark the
+layout IS the partitioning, and downstream reads get static + dynamic
+partition pruning for free.
+"""
+
+from __future__ import annotations
+
+import shutil
+import sqlite3
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..operators._util import dsum, osum
+from ..registry import query
+from ..tables import Tables
+
+
+@query(
+    "sink_parquet_partitioned",
+    oracle=f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS dt, count(*) AS n, {osum('value')} AS sum_value
+    FROM events GROUP BY dt
+    """,
+)
+def sink_parquet_partitioned(spark, sf_dir):
+    """Write events partitioned by event date (Hive layout), read the
+    partitioned copy back, aggregate per partition. At scale the write
+    is a single shuffle-free pass and readers prune partitions."""
+    t = Tables(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="thrive_part_")
+    try:
+        t.events.withColumn("dt", F.col("ts").cast("date")).write.mode(
+            "overwrite"
+        ).partitionBy("dt").parquet(out)
+        back = spark.read.parquet(out)
+        return (
+            back.groupBy(F.col("dt").cast("date").cast("string").alias("dt"))
+            .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@query("sink_hive_table")  # rows-only: catalog state, not SQL-expressible
+def sink_hive_table(spark, sf_dir):
+    """saveAsTable into the session catalog, read back via spark.table.
+    Uses an explicit external path so the warehouse location of the
+    hosting session does not matter."""
+    t = Tables(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="thrive_tbl_")
+    try:
+        spark.sql("DROP TABLE IF EXISTS thrive_sink_check")
+        t.nation.write.mode("overwrite").option("path", f"{out}/tbl").saveAsTable(
+            "thrive_sink_check"
+        )
+        back = spark.table("thrive_sink_check")
+        return (
+            back.groupBy("n_regionkey")
+            .agg(F.count("*").alias("n_nations"))
+            .localCheckpoint()
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS thrive_sink_check")
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def dbapi_sink(df, db_path: str, table: str, columns: list[str]) -> None:
+    """Vertica-role database sink (the reference's vsql COPY [R]).
+
+    If a JDBC driver jar is on the classpath, ``df.write.jdbc`` is the
+    right call; this container ships none, so the fallback is a
+    partition-parallel DBAPI writer: each partition batch-inserts via
+    executemany. sqlite serializes writers with a busy timeout — a real
+    MPP target (Vertica/Postgres) takes the parallel inserts directly.
+    """
+    cols = ", ".join(columns)
+    ph = ", ".join(["?"] * len(columns))
+    insert = f"INSERT INTO {table} ({cols}) VALUES ({ph})"
+
+    def write_partition(rows):
+        con = sqlite3.connect(db_path, timeout=60)
+        try:
+            con.execute("PRAGMA busy_timeout=60000")
+            batch = [tuple(r[c] for c in columns) for r in rows]
+            if batch:
+                con.executemany(insert, batch)
+                con.commit()
+        finally:
+            con.close()
+
+    df.foreachPartition(write_partition)
+
+
+@query("sink_jdbc")  # rows-only: external DB state
+def sink_jdbc(spark, sf_dir):
+    """Round-trip through the database sink: write an orders slice,
+    read back aggregate counts per status."""
+    t = Tables(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="thrive_db_")
+    db = f"{tmp}/sink.db"
+    try:
+        con = sqlite3.connect(db)
+        con.execute(
+            "CREATE TABLE orders_sink (o_orderkey INTEGER, o_orderstatus TEXT, o_totalprice REAL)"
+        )
+        con.commit()
+        con.close()
+        slice_df = t.orders.filter(F.col("o_orderkey") % 4 == 0).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        dbapi_sink(slice_df, db, "orders_sink", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+        con = sqlite3.connect(db)
+        rows = con.execute(
+            "SELECT o_orderstatus, count(*) FROM orders_sink GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        ).fetchall()
+        con.close()
+        return spark.createDataFrame(
+            [(s, int(n)) for s, n in rows], "o_orderstatus string, n long"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

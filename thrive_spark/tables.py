@@ -1,0 +1,70 @@
+"""Corpus loaders for the ten-table test schema (FIXTURES.md).
+
+Every ``queries()`` callable goes through :class:`Tables` so the
+events TIMESTAMP(NANOS) workaround and session preparation are applied
+uniformly no matter which SparkSession the driver hands us.
+
+Scale note: these are plain ``spark.read.parquet`` scans — Catalyst
+pushes filters/projections into the vectorized parquet reader, so
+loading "the whole table" here is lazy and free; only referenced
+columns/row-groups are read at execution time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import prepare
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+class Tables:
+    """Lazy per-(session, sf_dir) table accessor.
+
+    ``Tables(spark, sf).lineitem`` returns the DataFrame for
+    ``{sf}/lineitem.parquet``; ``events`` additionally converts the
+    nanos-as-long ``ts`` column back to a microsecond timestamp
+    (SURVEY.md §2 notes — verified to match DuckDB to the microsecond).
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = prepare(spark)
+        self.sf_dir = sf_dir.rstrip("/")
+        self._cache: dict[str, DataFrame] = {}
+
+    def path(self, name: str) -> str:
+        return f"{self.sf_dir}/{name}.parquet"
+
+    def load(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            df = self.spark.read.parquet(self.path(name))
+            if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+                # TIMESTAMP(NANOS) read as long via nanosAsLong: ns → µs.
+                # Integer division — ns epochs (~1.7e18) overflow double
+                # precision, so `/ 1000` would be off by ±hundreds of ns.
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            self._cache[name] = df
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLE_NAMES:
+            return self.load(name)
+        raise AttributeError(name)
+
+    def register_views(self) -> None:
+        """Register all tables as temp views (for the SQL entry point)."""
+        for name in TABLE_NAMES:
+            self.load(name).createOrReplaceTempView(name)
