@@ -1,1 +1,338 @@
-"""Placeholder — filled in a later milestone."""
+"""§2.8 Scalar function banks.
+
+One wide-projection query per bank so the whole function inventory is
+oracle-checked without dozens of micro-queries. All functions are
+built-in ``pyspark.sql.functions`` — JVM-side, whole-stage-codegen'd;
+no Python in any hot path. Cross-engine alignment notes are inline
+(DuckDB's dayofweek is 0-based, its regexp_replace needs the 'g'
+flag, its ceil/floor return doubles, etc.).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators._util import r4
+from ..registry import query
+from ..tables import Tables
+
+
+@query(
+    "fn_string_bank",
+    oracle="""
+    SELECT p_partkey,
+           p_name || '|' || p_brand AS c_concat,
+           substr(p_name, 1, 5) AS c_substr,
+           upper(p_name) AS c_upper,
+           lower(p_brand) AS c_lower,
+           trim('  ' || p_name || '  ') AS c_trim,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS c_lpad,
+           CAST(length(p_name) AS BIGINT) AS c_length,
+           CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_tokens,
+           regexp_extract(p_name, '([aeiou][a-z]+)', 1) AS c_re_extract,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS c_re_replace,
+           CAST(strpos(p_name, 'a') AS BIGINT) AS c_instr,
+           translate(p_name, 'abc', 'xyz') AS c_translate,
+           reverse(p_brand) AS c_reverse,
+           repeat('ab', 3) AS c_repeat
+    FROM part
+    """,
+)
+def fn_string_bank(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.part.select(
+        "p_partkey",
+        F.concat("p_name", F.lit("|"), "p_brand").alias("c_concat"),
+        F.substring("p_name", 1, 5).alias("c_substr"),
+        F.upper("p_name").alias("c_upper"),
+        F.lower("p_brand").alias("c_lower"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("c_trim"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("c_lpad"),
+        F.length("p_name").cast("bigint").alias("c_length"),
+        F.size(F.split("p_name", " ")).cast("bigint").alias("n_tokens"),
+        F.regexp_extract("p_name", "([aeiou][a-z]+)", 1).alias("c_re_extract"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("c_re_replace"),
+        F.instr("p_name", "a").cast("bigint").alias("c_instr"),
+        F.translate("p_name", "abc", "xyz").alias("c_translate"),
+        F.reverse("p_brand").alias("c_reverse"),
+        F.repeat(F.lit("ab"), 3).alias("c_repeat"),
+    )
+
+
+@query(
+    "fn_date_bank",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS c_year,
+           CAST(month(o_orderdate) AS BIGINT) AS c_month,
+           CAST(dayofmonth(o_orderdate) AS BIGINT) AS c_day,
+           date_trunc('month', o_orderdate) AS c_trunc_month,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS c_plus_30d,
+           CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS BIGINT)
+               AS c_days_to_y2k,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS c_last_day,
+           CAST(dayofweek(o_orderdate) AS BIGINT) AS c_dow0,
+           epoch_us(o_orderdate) AS c_epoch_us,
+           strftime(o_orderdate, '%Y-%m') AS c_ym
+    FROM orders
+    """,
+)
+def fn_date_bank(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    d = F.col("o_orderdate").cast("date")
+    return t.orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("c_year"),
+        F.month("o_orderdate").cast("bigint").alias("c_month"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("c_day"),
+        F.date_trunc("month", "o_orderdate").alias("c_trunc_month"),
+        F.date_add(d, 30).cast("string").alias("c_plus_30d"),
+        # Spark datediff(end, start); DuckDB datediff('day', start, end)
+        F.datediff(F.lit("2000-01-01").cast("date"), d).cast("bigint").alias(
+            "c_days_to_y2k"
+        ),
+        F.last_day(d).cast("string").alias("c_last_day"),
+        # Spark dayofweek is 1-based (Sunday=1); DuckDB is 0-based
+        (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("c_dow0"),
+        # o_orderdate is TIMESTAMP_NTZ in parquet; unix_micros needs TIMESTAMP
+        # (the session TZ is pinned to UTC, so the cast is value-preserving)
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("c_epoch_us"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("c_ym"),
+    )
+
+
+@query(
+    "fn_math_bank",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice, 2) AS c_round,
+           round(abs(o_totalprice - 150000.0), 4) AS c_abs,
+           CAST(ceil(o_totalprice) AS BIGINT) AS c_ceil,
+           CAST(floor(o_totalprice) AS BIGINT) AS c_floor,
+           round(pow(o_totalprice / 100000.0, 2), 4) AS c_pow,
+           round(sqrt(o_totalprice), 4) AS c_sqrt,
+           round(ln(o_totalprice), 4) AS c_ln,
+           round(log10(o_totalprice), 4) AS c_log10,
+           round(exp(o_totalprice / 400000.0), 4) AS c_exp,
+           CAST(sign(o_totalprice - 150000.0) AS BIGINT) AS c_sign,
+           CAST(((o_orderkey - 1000) % 13 + 13) % 13 AS BIGINT) AS c_pmod
+    FROM orders
+    """,
+)
+def fn_math_bank(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    p = F.col("o_totalprice")
+    return t.orders.select(
+        "o_orderkey",
+        F.round(p, 2).alias("c_round"),
+        r4(F.abs(p - 150000.0)).alias("c_abs"),
+        F.ceil(p).cast("bigint").alias("c_ceil"),
+        F.floor(p).cast("bigint").alias("c_floor"),
+        r4(F.pow(p / 100000.0, 2)).alias("c_pow"),
+        r4(F.sqrt(p)).alias("c_sqrt"),
+        r4(F.log(p)).alias("c_ln"),
+        r4(F.log10(p)).alias("c_log10"),
+        r4(F.exp(p / 400000.0)).alias("c_exp"),
+        F.signum(p - 150000.0).cast("bigint").alias("c_sign"),
+        F.pmod(F.col("o_orderkey") - 1000, F.lit(13)).cast("bigint").alias("c_pmod"),
+    )
+
+
+@query(
+    "fn_conditional_bank",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 100000.0 THEN 'low'
+                WHEN o_totalprice < 250000.0 THEN 'mid'
+                ELSE 'high' END AS c_case,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS c_coalesce,
+           nullif(o_orderstatus, 'P') AS c_nullif,
+           round(greatest(o_totalprice, 200000.0), 4) AS c_greatest,
+           round(least(o_totalprice, 200000.0), 4) AS c_least,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS c_if
+    FROM orders
+    """,
+)
+def fn_conditional_bank(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    p = F.col("o_totalprice")
+    return t.orders.select(
+        "o_orderkey",
+        F.when(p < 100000.0, "low")
+        .when(p < 250000.0, "mid")
+        .otherwise("high")
+        .alias("c_case"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "c_coalesce"
+        ),
+        F.nullif("o_orderstatus", F.lit("P")).alias("c_nullif"),
+        r4(F.greatest(p, F.lit(200000.0))).alias("c_greatest"),
+        r4(F.least(p, F.lit(200000.0))).alias("c_least"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("c_if"),
+    )
+
+
+@query(
+    "fn_array_bank",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS c_size,
+           round(CAST(embedding[1] AS DOUBLE), 4) AS c_first,
+           embedding[1:3] AS c_slice,
+           list_sort(list_distinct([label, (label * 2) % 10, label])) AS c_int_arr,
+           list_transform(embedding[1:3],
+                          x -> round(CAST(x AS DOUBLE) * 2, 4)) AS c_doubled,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4)
+               AS c_sum,
+           list_contains(embedding, embedding[1]) AS c_contains,
+           round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                'max'), 4) AS c_max,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS c_n_pos
+    FROM embeddings
+    """,
+)
+def fn_array_bank(spark, sf_dir):
+    """Array + higher-order functions over the embedding column. The
+    fold/transform/filter lambdas run inside codegen — this is also
+    the building block of the cosine similarity operators (§2.11)."""
+    t = Tables(spark, sf_dir)
+    emb = F.col("embedding")
+    dbl = F.transform(emb, lambda x: x.cast("double"))
+    return t.embeddings.select(
+        "vec_id",
+        F.size(emb).cast("bigint").alias("c_size"),
+        F.round(F.element_at(emb, 1).cast("double"), 4).alias("c_first"),
+        F.slice(emb, 1, 3).alias("c_slice"),
+        F.sort_array(
+            F.array_distinct(
+                F.array(F.col("label"), (F.col("label") * 2) % 10, F.col("label"))
+            )
+        ).alias("c_int_arr"),
+        F.transform(
+            F.slice(emb, 1, 3), lambda x: F.round(x.cast("double") * 2, 4)
+        ).alias("c_doubled"),
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("c_sum"),
+        F.array_contains(emb, F.element_at(emb, 1)).alias("c_contains"),
+        F.round(F.array_max(dbl), 4).alias("c_max"),
+        F.size(F.filter(emb, lambda x: x > 0)).cast("bigint").alias("c_n_pos"),
+    )
+
+
+@query(
+    "fn_array_explode",
+    oracle="""
+    SELECT vec_id, CAST(i AS BIGINT) AS pos,
+           round(CAST(embedding[i] AS DOUBLE), 4) AS val
+    FROM embeddings, generate_series(1, 4) AS s(i)
+    WHERE vec_id < 50 AND i <= len(embedding)
+    """,
+)
+def fn_array_explode(spark, sf_dir):
+    """posexplode of an array slice (1-based pos to align with SQL)."""
+    t = Tables(spark, sf_dir)
+    sliced = t.embeddings.filter(F.col("vec_id") < 50).select(
+        "vec_id", F.posexplode(F.slice("embedding", 1, 4)).alias("pos0", "v")
+    )
+    return sliced.select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.round(F.col("v").cast("double"), 4).alias("val"),
+    )
+
+
+@query(
+    "fn_map_bank",
+    oracle="""
+    WITH m AS (
+        SELECT event_id,
+               map(['k', 'etype'],
+                   [CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR),
+                    event_type]) AS mp
+        FROM events
+    )
+    SELECT event_id,
+           mp['k'][1] AS k_val,
+           mp['etype'][1] AS etype_val,
+           CAST(cardinality(mp) AS BIGINT) AS n_keys,
+           list_contains(map_keys(mp), 'k') AS has_k
+    FROM m
+    """,
+)
+def fn_map_bank(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    mp = F.create_map(
+        F.lit("k"),
+        F.get_json_object("props", "$.k").cast("bigint").cast("string"),
+        F.lit("etype"),
+        F.col("event_type"),
+    )
+    d = t.events.select("event_id", mp.alias("mp"))
+    return d.select(
+        "event_id",
+        F.element_at("mp", "k").alias("k_val"),
+        F.element_at("mp", "etype").alias("etype_val"),
+        F.size(F.map_keys("mp")).cast("bigint").alias("n_keys"),
+        F.array_contains(F.map_keys("mp"), "k").alias("has_k"),
+    )
+
+
+@query(
+    "fn_json_bank",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           to_json(struct_pack(id := event_id, t := event_type)) AS c_to_json,
+           CAST(json_keys(props) AS VARCHAR[]) AS c_keys,
+           json_valid(props) AS c_valid
+    FROM events
+    """,
+)
+def fn_json_bank(spark, sf_dir):
+    """The reference's core mapper surface [R]: JSON extraction into
+    typed columns, plus re-serialization."""
+    t = Tables(spark, sf_dir)
+    return t.events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.from_json("props", "k BIGINT").getField("k").alias("k_int"),
+        F.to_json(
+            F.struct(F.col("event_id").alias("id"), F.col("event_type").alias("t"))
+        ).alias("c_to_json"),
+        F.json_object_keys("props").alias("c_keys"),
+        F.get_json_object("props", "$").isNotNull().alias("c_valid"),
+    )
+
+
+@query(
+    "fn_hash_bank",
+    oracle="""
+    SELECT doc_id, md5(text) AS c_md5, sha256(text) AS c_sha256
+    FROM documents
+    """,
+)
+def fn_hash_bank(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.md5("text").alias("c_md5"),
+        F.sha2("text", 256).alias("c_sha256"),
+    )
+
+
+@query("fn_hash_spark")  # rows-only: Spark-seeded hash functions have
+# no cross-engine twin (xxhash64 seed=42, Murmur3 seed=42)
+def fn_hash_spark(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.xxhash64("text").alias("c_xxhash64"),
+        F.hash("text").alias("c_murmur3"),
+        F.crc32(F.encode("text", "utf-8")).alias("c_crc32"),
+        F.sha1("text").alias("c_sha1"),
+    )

@@ -1,0 +1,32 @@
+"""Vector math over array<float> embedding columns.
+
+All pure built-in higher-order functions (zip_with / aggregate /
+transform) — JVM-side, no Python, no UDF. These are the kernels for
+the §2.11 similarity operators and are reused by the LSH scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def to_double(arr: Column) -> Column:
+    """array<float> → array<double> (float32 arithmetic drifts from
+    DuckDB's double path; always widen before math — SURVEY §2)."""
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double arrays."""
+    return dot(a, b) / (norm(a) * norm(b))

@@ -1,1 +1,358 @@
-"""Placeholder — filled in a later milestone."""
+"""§2.11 LLM-data-pipeline operators: dedup, similarity search,
+multimodal join, text analysis.
+
+Scale designs (SCALE.md has the full notes):
+
+- Exact dedup: hash-groupBy — one shuffle on md5(text), map-side
+  partial. At 100 TB, hash first so the shuffle carries 16-byte keys,
+  never the documents.
+- MinHash near-dup: shingle→minhash→band→bucket-join. The band join
+  only pairs documents sharing a band signature — candidate count is
+  ~linear for realistic corpora vs O(n²) all-pairs. Verification
+  (exact Jaccard) runs only on candidates.
+- Similarity: brute-force cosine against a *broadcast* query set is
+  the exact baseline (linear scans scale fine when the query side is
+  small); threshold all-pairs search is label-blocked (the provided
+  cluster key) so comparisons stay within blocks — the same structure
+  an IVF/LSH index gives.
+- tf-idf: two hash aggregations + a broadcast join of the (tiny)
+  document-frequency table + one per-doc window for top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, norm, to_double
+from ..registry import query
+from ..tables import Tables
+from ._util import r4
+
+#: test-scale threshold: the synthetic 64-dim embeddings have
+#: same-label cosines up to ~0.47 (probed at sf0.01); production
+#: near-dup thresholds (0.8+) would be vacuous on this corpus.
+COSINE_THRESHOLD = 0.3
+JACCARD_THRESHOLD = 0.8
+
+
+@query(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_hash(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.documents.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+@query("dedup_fuzzy_minhash")  # rows-only: Spark xxhash64 seeds are not
+# reproducible in DuckDB; the candidate generation is engine-specific
+def dedup_fuzzy_minhash(spark, sf_dir):
+    """Near-duplicate detection: word 3-shingles → 16 minhashes →
+    4 bands × 4 rows → band-bucket candidate pairs → exact-Jaccard
+    verification ≥ 0.8. Returns verified pairs (a < b) with their
+    Jaccard. All JVM-side: xxhash64 + higher-order fns, two shuffles
+    (minhash agg, band self-join)."""
+    t = Tables(spark, sf_dir)
+    n_hashes, n_bands, rows_per_band = 16, 4, 4
+
+    toks = F.split("text", " ")
+    shingle_idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1)))
+    docs = t.documents.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                shingle_idx,
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
+            )
+        ).alias("shingle"),
+    ).dropDuplicates(["doc_id", "shingle"])
+
+    # 16 seeded minhashes per doc (seed folded into the hash input)
+    mh = docs.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    # band signature = hash of its 4 minhash rows
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .dropDuplicates()
+    )
+
+    # exact-Jaccard verification on candidates only
+    sizes = docs.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(docs.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            docs.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            r4(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+@query(
+    "sim_knn_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 20),
+    pairs AS (
+        SELECT query_id, vec_id AS neighbor_id,
+               round(list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])), 4) AS sim
+        FROM embeddings CROSS JOIN q
+        WHERE vec_id <> query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rn
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, sim, rn FROM ranked WHERE rn <= 5
+    """,
+)
+def sim_knn_cosine_topk(spark, sf_dir):
+    """Exact top-5 cosine neighbors for each query vector (vec_id<20).
+    Query set broadcast; candidates streamed — one scan, no shuffle of
+    the big side; per-query top-k via window on the (tiny) pair set.
+    Ranking uses the ROUNDED sim (+ id tiebreak) so ordering is
+    deterministic across engines."""
+    t = Tables(spark, sf_dir)
+    q = t.embeddings.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), to_double("embedding").alias("qe")
+    )
+    c = t.embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), to_double("embedding").alias("ce")
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            r4(cosine(F.col("qe"), F.col("ce"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    )
+
+
+@query(
+    "sim_pairs_threshold",
+    oracle=f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[]))
+          >= {COSINE_THRESHOLD}
+    """,
+)
+def sim_pairs_threshold(spark, sf_dir):
+    """All same-label pairs with cosine ≥ threshold. The label is the
+    blocking key (the IVF-cell / LSH-bucket role): comparisons never
+    cross blocks, so work is Σ|block|² not n²."""
+    t = Tables(spark, sf_dir)
+    a = t.embeddings.select(
+        F.col("label").alias("lbl"),
+        F.col("vec_id").alias("a_id"),
+        to_double("embedding").alias("ea"),
+    )
+    b = t.embeddings.select(
+        F.col("label").alias("lbl"),
+        F.col("vec_id").alias("b_id"),
+        to_double("embedding").alias("eb"),
+    )
+    sim = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, "lbl")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(sim >= COSINE_THRESHOLD)
+        .select("a_id", "b_id", r4(sim).alias("sim"))
+    )
+
+
+@query(
+    "multimodal_join_text_vec",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           round(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                  x -> x * x)))), 4) AS avg_norm,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents JOIN embeddings ON doc_id = vec_id
+    GROUP BY lang
+    """,
+)
+def multimodal_join_text_vec(spark, sf_dir):
+    """Text ⋈ vector modality join (doc_id = vec_id) with per-language
+    embedding stats — the canonical multimodal columnar pattern."""
+    t = Tables(spark, sf_dir)
+    j = t.documents.join(
+        t.embeddings, F.col("doc_id") == F.col("vec_id")
+    )
+    return j.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        r4(F.avg(norm(to_double("embedding")))).alias("avg_norm"),
+        r4(F.avg("n_chars")).alias("avg_chars"),
+    )
+
+
+@query(
+    "text_tokenize_stats",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    )
+    SELECT lang,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_tokens,
+           count(DISTINCT token) AS n_distinct_tokens,
+           round(avg(length(token)), 4) AS avg_token_len
+    FROM tok WHERE token <> '' GROUP BY lang
+    """,
+)
+def text_tokenize_stats(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    tok = t.documents.select(
+        "lang", "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    return tok.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct_tokens"),
+        r4(F.avg(F.length("token"))).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE term <> '' GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS dfn FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS nd FROM documents),
+    scored AS (
+        SELECT doc_id, term,
+               tf * (ln((nd + 1.0) / (dfn + 1.0)) + 1.0) AS s
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, s,
+               row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS rn
+        FROM scored
+    )
+    SELECT doc_id, term, round(s, 4) AS tfidf, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def text_tfidf_topterms(spark, sf_dir):
+    """tf-idf with the pinned smooth-idf formula ln((N+1)/(df+1))+1;
+    top-3 terms per doc, ties broken lexically. df table is tiny →
+    broadcast join; at 100 TB swap explode+groupBy for HashingTF
+    only if vocab explodes."""
+    t = Tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfn"))
+    n_docs = t.documents.count()  # scalar, parquet-metadata cheap
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("tf")
+            * (F.log((F.lit(n_docs) + 1.0) / (F.col("dfn") + 1.0)) + 1.0)
+        ).alias("s"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("s").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", r4(F.col("s")).alias("tfidf"), "rn")
+    )
+
+
+@query(
+    "text_lang_distribution",
+    oracle="""
+    WITH med AS (
+        SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS median_chars
+        FROM documents GROUP BY lang
+    )
+    SELECT d.lang, d.source, count(*) AS n_docs, m.median_chars
+    FROM documents d JOIN med m ON d.lang = m.lang
+    GROUP BY d.lang, d.source, m.median_chars
+    """,
+)
+def text_lang_distribution(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    med = t.documents.groupBy("lang").agg(
+        r4(F.percentile("n_chars", 0.5)).alias("median_chars")
+    )
+    return (
+        t.documents.groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"))
+        .join(F.broadcast(med), "lang")
+        .select("lang", "source", "n_docs", "median_chars")
+    )

@@ -1,1 +1,86 @@
-"""Placeholder — filled in a later milestone."""
+"""§2.7 Set operations.
+
+UNION/INTERSECT/EXCEPT with distinct semantics shuffle on the full
+row; EXCEPT ALL additionally tracks multiplicities. All compile to
+hash-based aggregation/join plans — linear shuffle volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+
+
+def _slices(t):
+    a = t.customer.filter(F.col("c_nationkey") < 13).select(
+        "c_custkey", "c_mktsegment"
+    )
+    b = t.customer.filter(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY")
+    ).select("c_custkey", "c_mktsegment")
+    return a, b
+
+
+@query(
+    "union_all_dedup",
+    oracle="""
+    WITH a AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_nationkey < 13),
+         b AS (SELECT c_custkey, c_mktsegment FROM customer
+               WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY'))
+    SELECT 'union_all' AS mode, count(*) AS n FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+    UNION ALL
+    SELECT 'union_distinct' AS mode, count(*) AS n FROM (SELECT * FROM a UNION SELECT * FROM b)
+    """,
+)
+def union_all_dedup(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    a, b = _slices(t)
+    n_all = a.unionByName(b).count()
+    n_distinct = a.unionByName(b).distinct().count()
+    return spark.createDataFrame(
+        [("union_all", n_all), ("union_distinct", n_distinct)], "mode string, n long"
+    )
+
+
+@query(
+    "intersect_except",
+    oracle="""
+    WITH o_open AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+         o_done AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    SELECT 'intersect' AS op, o_custkey FROM (SELECT * FROM o_open INTERSECT SELECT * FROM o_done)
+    UNION ALL
+    SELECT 'except' AS op, o_custkey FROM (SELECT * FROM o_open EXCEPT SELECT * FROM o_done)
+    """,
+)
+def intersect_except(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    o_open = (
+        t.orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    )
+    o_done = (
+        t.orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    )
+    both = o_open.intersect(o_done).select(F.lit("intersect").alias("op"), "o_custkey")
+    only_open = o_open.subtract(o_done).select(F.lit("except").alias("op"), "o_custkey")
+    return both.unionByName(only_open)
+
+
+@query(
+    "except_all_multiset",
+    oracle="""
+    SELECT l_returnflag FROM (
+        SELECT l_returnflag FROM lineitem WHERE l_quantity > 25
+        EXCEPT ALL
+        SELECT l_returnflag FROM lineitem WHERE l_discount > 0.05
+    )
+    """,
+)
+def except_all_multiset(spark, sf_dir):
+    """EXCEPT ALL keeps multiplicity: a flag appearing x times on the
+    left and y on the right survives max(x-y, 0) times."""
+    t = Tables(spark, sf_dir)
+    left = t.lineitem.filter(F.col("l_quantity") > 25).select("l_returnflag")
+    right = t.lineitem.filter(F.col("l_discount") > 0.05).select("l_returnflag")
+    return left.exceptAll(right)

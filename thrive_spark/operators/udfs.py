@@ -1,1 +1,156 @@
-"""Placeholder — filled in a later milestone."""
+"""§2.10 UDF / UDAF / UDTF surface.
+
+Hierarchy, fastest first: built-in functions (everything else in this
+engine) → Arrow-vectorized pandas UDFs (these) → row-at-a-time Python
+UDFs (one deliberately included as the slow-path exhibit). Each UDF
+here has a built-in twin as its oracle, demonstrating when NOT to use
+a UDF: the only legitimate uses are logic the built-ins cannot
+express (custom science code, model inference), not arithmetic.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from ..tables import Tables
+
+
+@query(
+    "udf_python_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 100000.0 THEN 'low'
+                WHEN o_totalprice < 250000.0 THEN 'mid'
+                ELSE 'high' END AS band
+    FROM orders
+    """,
+)
+def udf_python_scalar(spark, sf_dir):
+    """Row-at-a-time Python UDF (the slow path — serde per row; kept
+    as the API-surface exhibit, never for hot paths)."""
+    t = Tables(spark, sf_dir)
+
+    @F.udf(returnType=T.StringType())
+    def band(p: float) -> str:
+        if p < 100000.0:
+            return "low"
+        if p < 250000.0:
+            return "mid"
+        return "high"
+
+    return t.orders.select("o_orderkey", band("o_totalprice").alias("band"))
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS net_price
+    FROM lineitem
+    """,
+)
+def udf_pandas_scalar(spark, sf_dir):
+    """Arrow-vectorized scalar pandas UDF; rounding stays Spark-side
+    (F.round) so both engines round identically."""
+    t = Tables(spark, sf_dir)
+
+    @F.pandas_udf(T.DoubleType())
+    def net(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1.0 - disc)
+
+    return t.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(net("l_extendedprice", "l_discount"), 4).alias("net_price"),
+    )
+
+
+@query(
+    "udf_pandas_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38,10)))
+                      / sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE), 4)
+               AS weighted_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udf_pandas_grouped_agg(spark, sf_dir):
+    """UDAF via GROUPED_AGG pandas UDF: quantity-weighted mean price.
+    math.fsum gives an exactly-rounded sum, matching the oracle's
+    decimal-exact arithmetic to the final double."""
+    t = Tables(spark, sf_dir)
+
+    @F.pandas_udf(T.DoubleType(), F.PandasUDFType.GROUPED_AGG)
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return math.fsum(price * qty) / math.fsum(qty)
+
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.round(wavg("l_extendedprice", "l_quantity"), 4).alias(
+            "weighted_avg_price"
+        )
+    )
+
+
+@query(
+    "udf_grouped_map_normalize",
+    oracle="""
+    SELECT event_id,
+           round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS z
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+)
+def udf_grouped_map_normalize(spark, sf_dir):
+    """Grouped-map applyInPandas: z-score normalize value per user.
+    The window twin is the oracle; NaN/inf (single-row groups) → NULL
+    to match SQL null propagation."""
+    t = Tables(spark, sf_dir)
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        v = pdf["value"]
+        z = (v - v.mean()) / v.std(ddof=1)  # ddof=1 == stddev_samp
+        z = z.where(np.isfinite(z), None)
+        return pd.DataFrame({"event_id": pdf["event_id"], "z": z.round(4)})
+
+    return t.events.groupBy("user_id").applyInPandas(
+        normalize, "event_id long, z double"
+    )
+
+
+@query(
+    "udtf_explode_words",
+    oracle="""
+    SELECT doc_id, t.token, CAST(length(t.token) AS BIGINT) AS token_len
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents WHERE doc_id < 100) t
+    WHERE t.token <> ''
+    """,
+)
+def udtf_explode_words(spark, sf_dir):
+    """Table-valued function: text → one row per token, via
+    mapInPandas (the Arrow-batched UDTF pattern: iterator of input
+    batches → iterator of exploded batches)."""
+    t = Tables(spark, sf_dir)
+
+    def tokenize(batches):
+        for pdf in batches:
+            toks = pdf[["doc_id", "text"]].copy()
+            toks["token"] = toks["text"].str.split(" ")
+            out = toks[["doc_id", "token"]].explode("token")
+            out = out[out["token"].astype(str) != ""]
+            out["token_len"] = out["token"].str.len().astype("int64")
+            yield out[["doc_id", "token", "token_len"]]
+
+    return (
+        t.documents.filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+        .mapInPandas(tokenize, "doc_id long, token string, token_len long")
+    )

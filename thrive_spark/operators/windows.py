@@ -1,1 +1,220 @@
-"""Placeholder — filled in a later milestone."""
+"""§2.5 Window function operators.
+
+Scale notes: every window here partitions by a real key (customer,
+user, status) — one shuffle, then sorted evaluation within partitions;
+no global single-partition windows except `win_ntile_percentile`,
+which is documented as driver-bounded (global quantile assignment at
+100 TB should use approx quantiles / range partitioning instead — see
+SCALE.md). Money-scale windowed sums go through DECIMAL(38,10): DuckDB
+evaluates sliding frames with segment trees (different association
+order than Spark's running evaluation), so float sums would drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+from ._util import DEC, r4
+
+_WSUM = (
+    "round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) OVER {w} AS DOUBLE), 4)"
+)
+
+
+def _dsum_over(col, w):
+    return F.round(F.sum(F.col(col).cast(DEC)).over(w).cast("double"), 4)
+
+
+@query(
+    "win_row_number_topn",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def win_row_number_topn(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t.orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "win_rank_dense_rank",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round(o_totalprice, -4) AS price_bucket,
+           rank() OVER (PARTITION BY o_orderstatus ORDER BY round(o_totalprice, -4) DESC) AS rnk,
+           dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY round(o_totalprice, -4) DESC) AS drnk
+    FROM orders
+    """,
+)
+def win_rank_dense_rank(spark, sf_dir):
+    """rank vs dense_rank over deliberately-coarsened prices (ties)."""
+    t = Tables(spark, sf_dir)
+    bucket = F.round(F.col("o_totalprice"), -4)
+    w = Window.partitionBy("o_orderstatus").orderBy(bucket.desc())
+    return t.orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        bucket.alias("price_bucket"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "win_ntile_percentile",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist() OVER w, 4) AS cum_dist
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_ntile_percentile(spark, sf_dir):
+    """Global ranking window (unique total order so ntile is
+    deterministic). Driver-bounded by design — at scale, replace with
+    approx_percentile bucketing (SCALE.md §windows)."""
+    t = Tables(spark, sf_dir)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return t.orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        r4(F.percent_rank().over(w)).alias("pct_rank"),
+        r4(F.cume_dist().over(w)).alias("cum_dist"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return t.events.select(
+        "event_id",
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           {_WSUM.format(w='w')} AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_running_sum(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.orders.select(
+        "o_custkey", "o_orderkey", _dsum_over("o_totalprice", w).alias("running_total")
+    )
+
+
+@query(
+    "win_moving_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+               AS mov_avg_7
+    FROM events
+    """,
+)
+def win_moving_avg(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return t.events.select(
+        "event_id", "user_id", r4(F.avg("value").over(w)).alias("mov_avg_7")
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle=f"""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           {_WSUM.format(w='w')} AS near_price_sum
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                 RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING)
+    """,
+)
+def win_range_frame(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-5000, 5000)
+    )
+    return t.orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        _dsum_over("o_totalprice", w).alias("near_price_sum"),
+    )
+
+
+@query(
+    "win_first_last_value",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           first_value(o_orderpriority) OVER w AS first_prio,
+           last_value(o_orderpriority) OVER w AS last_prio
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last_value(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return t.orders.select(
+        "o_custkey",
+        F.first("o_orderpriority").over(w).alias("first_prio"),
+        F.last("o_orderpriority").over(w).alias("last_prio"),
+    ).dropDuplicates()
