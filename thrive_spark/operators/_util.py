@@ -1,14 +1,26 @@
 """Shared helpers for oracle-parity arithmetic.
 
-The driver compares Spark results to DuckDB with an *exact* value hash,
-so any aggregate whose floating-point summation order is
-engine-dependent must be made deterministic. The recipe (SURVEY.md §2
-notes, extended): sum money-scale doubles through ``DECIMAL(38,10)``
-(exact addition; the double→decimal conversion itself is deterministic
-for both engines), cast back to double, round to 4 decimals. Small
-magnitude aggregates (averages of bounded values, stddev, corr) stay
-plain doubles — their association error is orders of magnitude below
-the rounding grid.
+The driver compares Spark results to DuckDB with an *exact* value
+hash, so any aggregate whose floating-point summation order is
+engine- or schedule-dependent must be made deterministic. Plain double
+sums are not even self-consistent across Spark runs (partial-merge
+order varies with task timing), and DECIMAL(38,10) accumulation costs
+~3× in the hot path (measured at sf0.1).
+
+The recipe used everywhere: **fixed-point long summation** —
+``sum(floor(x*10^4 + 0.5))/10^4``. Every step (multiply, add, floor)
+is IEEE-deterministic and identical in Spark and DuckDB; the sum is
+exact integer arithmetic at any scale and any merge order; whole-stage
+codegen sums longs faster than doubles. ``floor(x+0.5)`` is used
+instead of ``round`` because the engines disagree on round-half mode
+(Spark HALF_UP on exact decimal expansion, DuckDB half-away on the
+double) — floor has no mode.
+
+Semantics note: this computes the sum of inputs pre-rounded to 4
+decimals, which for money-scale data is the natural fixed-point
+semantics. Headroom: the scaled sum must stay under 2^63 — at 10^4
+scaling that is ~9·10^14 in column units, fine up to ~10^9 rows of
+~10^5-magnitude values per group; beyond that, widen to DECIMAL.
 """
 
 from __future__ import annotations
@@ -17,24 +29,45 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 DEC = "decimal(38,10)"
+SCALE = 10000
 
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def dsum(col: Column | str, nd: int = 4) -> Column:
-    """Order-insensitive exact sum of doubles → rounded double."""
-    return F.round(F.sum(_c(col).cast(DEC)).cast("double"), nd)
+def fixed(col: Column | str, scale: int = SCALE) -> Column:
+    """x → floor(x*scale + 0.5) as long (engine-exact fixed point)."""
+    return F.floor(_c(col) * scale + 0.5).cast("long")
+
+
+def dsum(col: Column | str, scale: int = SCALE) -> Column:
+    """Order-insensitive engine-exact sum of doubles (→ double)."""
+    return F.sum(fixed(col, scale)) / float(scale)
+
+
+def dsum_over(col: Column | str, w, scale: int = SCALE) -> Column:
+    """Windowed engine-exact sum (DuckDB evaluates sliding frames with
+    segment trees — different association order than Spark)."""
+    return F.sum(fixed(col, scale)).over(w) / float(scale)
 
 
 def r4(col: Column | str, nd: int = 4) -> Column:
     return F.round(_c(col), nd)
 
 
-def osum(expr: str, nd: int = 4) -> str:
+def osum(expr: str, scale: int = SCALE) -> str:
     """DuckDB SQL twin of :func:`dsum`."""
-    return f"round(CAST(sum(CAST(({expr}) AS DECIMAL(38,10))) AS DOUBLE), {nd})"
+    return (
+        f"sum(CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT)) / {scale}.0"
+    )
+
+
+def osum_over(expr: str, w: str, scale: int = SCALE) -> str:
+    """DuckDB SQL twin of :func:`dsum_over` (``w`` is the window name)."""
+    return (
+        f"sum(CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT)) OVER {w} / {scale}.0"
+    )
 
 
 def oround(expr: str, nd: int = 4) -> str:

