@@ -39,6 +39,7 @@ def load_all() -> None:
         aggregations,
         joins,
         llm,
+        multimodal,
         predicates,
         setops,
         sorts,

@@ -1,0 +1,114 @@
+"""True Structured Streaming forms of the §2.9 operators.
+
+Each function takes a *streaming* events DataFrame (schema:
+event_id long, ts timestamp, user_id long, event_type string,
+value double, props string) and returns the streaming result.
+tests/test_streaming.py drives them with a chunked file source and a
+memory sink and asserts equality with the batch twins in
+operators/streaming_twins.py — that equality IS the streaming oracle.
+
+At scale these run unchanged against kafka/file sources: the
+aggregations are keyed (user_id / window), so state is partitioned;
+watermarks bound state size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators._util import fixed
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """events per 1-hour tumbling window × event_type."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def sliding_avg(events: DataFrame) -> DataFrame:
+    """1-hour window sliding 15 min; integer-exact rounded average
+    (same fixed-point formula as the batch twin)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum(fixed("value", 1000000)).alias("s6"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n",
+            (F.expr("(2 * s6 + 100 * n) div (200 * n)") / 10000.0).alias(
+                "avg_value"
+            ),
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows with an inactivity gap."""
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "duration_us"
+            ),
+        )
+        .select("user_id", "session_start", "n_events", "duration_us")
+    )
+
+
+def dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """Dedup on (user, type, minute) with a 30-minute watermark: state
+    for a key is dropped once the watermark passes it, so state stays
+    bounded — the streaming form of the batch min-keeper twin."""
+    keyed = events.withColumn("minute_ts", F.date_trunc("minute", "ts"))
+    return keyed.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "minute_ts"]
+    )
+
+
+def windowed_counts_with_watermark(events: DataFrame) -> DataFrame:
+    """Tumbling counts with a 10-minute watermark: late events (by the
+    engine's per-batch watermark) are dropped from their window. The
+    batch twin models a per-ROW watermark, so the counts here are an
+    upper bound of the twin's kept counts — asserted as such in tests
+    (drop semantics are engine-defined; SURVEY §2.9 rows-only)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def stateful_cum_purchase(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful op: running per-user purchase total via
+    applyInPandasWithState. Emits one row per input event with the
+    cumulative value (micro-batch arrival order = event-time order in
+    the test harness, matching the batch twin's window order)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "event_id long, user_id long, cum_purchase double"
+    state_schema = "total long"
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        total = state.get[0] if state.exists else 0
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, r in pdf.iterrows():
+                if r["event_type"] == "purchase":
+                    # same fixed-point units as the batch twin
+                    total += int(r["value"] * 10000 + 0.5)
+                rows.append((int(r["event_id"]), int(user_id), total / 10000.0))
+        state.update((total,))
+        yield pd.DataFrame(rows, columns=["event_id", "user_id", "cum_purchase"])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
