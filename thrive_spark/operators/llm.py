@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, dot, norm, to_double
+from ..functions.vectors import cosine, norm, to_double
 from ..registry import query
 from ..tables import Tables
 from ._util import r4

@@ -1,0 +1,219 @@
+"""Text-analysis operators beyond the §2.11 core (task brief:
+language-ID, quality scoring, token counting, fingerprinting) — the
+per-document scoring passes a training-data pipeline runs before
+dedup/filtering.
+
+All map-only single-pass projections over `documents` (no shuffle at
+all except the tiny distribution aggregates) — at 100 TB these scale
+with bytes scanned, embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+from ._util import r4
+
+#: tiny per-language stopword lists for the n-gram/stopword heuristic;
+#: deliberately small so the heuristic is cheap (a real system would
+#: load fastText-style profiles — same plumbing, bigger lists)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "data"],
+    "es": ["el", "la", "de", "los", "datos"],
+    "de": ["der", "die", "das", "und", "daten"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "zh": ["de", "shi", "he", "zai", "shuju"],
+}
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, lang,
+               CAST(length(text) AS BIGINT) AS n_chars_m,
+               CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                    AS BIGINT) AS n_tokens,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                    AS BIGINT) AS n_punct
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars_m, n_tokens, n_punct,
+           round(CAST(n_chars_m AS DOUBLE) / n_tokens, 4) AS avg_token_len,
+           round(CAST(n_punct AS DOUBLE) / n_chars_m, 4) AS punct_ratio,
+           round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+                 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars_m), 4) AS quality
+    FROM s
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Heuristic quality score: length saturation × (1 − punctuation
+    ratio) — the shape of the usual pretraining quality filters
+    (length / symbol-ratio gates), kept SQL-expressible for the oracle."""
+    t = Tables(spark, sf_dir)
+    n_chars = F.length("text").cast("bigint")
+    n_tokens = F.size(
+        F.filter(F.split("text", " "), lambda x: x != "")
+    ).cast("bigint")
+    n_punct = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+    ).cast("bigint")
+    s = t.documents.select(
+        "doc_id",
+        "lang",
+        n_chars.alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+    )
+    return s.select(
+        "*",
+        r4(F.col("n_chars_m").cast("double") / F.col("n_tokens")).alias(
+            "avg_token_len"
+        ),
+        r4(F.col("n_punct").cast("double") / F.col("n_chars_m")).alias(
+            "punct_ratio"
+        ),
+        r4(
+            F.least(F.col("n_tokens").cast("double") / 50.0, F.lit(1.0))
+            * (1.0 - F.col("n_punct").cast("double") / F.col("n_chars_m"))
+        ).alias("quality"),
+    )
+
+
+def _lang_hits_spark(lang: str):
+    toks = F.split("text", " ")
+    return F.size(
+        F.filter(toks, lambda x: x.isin(*STOPWORDS[lang]))
+    ).cast("bigint")
+
+
+def _lang_hits_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"CAST(len(list_filter(string_split(text, ' '), "
+        f"t -> list_contains([{lst}], t))) AS BIGINT)"
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, lang,
+               {_lang_hits_sql('en')} AS h_en,
+               {_lang_hits_sql('es')} AS h_es,
+               {_lang_hits_sql('de')} AS h_de,
+               {_lang_hits_sql('fr')} AS h_fr,
+               {_lang_hits_sql('zh')} AS h_zh
+        FROM documents
+    )
+    SELECT doc_id, lang AS actual_lang,
+           CASE WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+                WHEN h_es >= h_de AND h_es >= h_fr AND h_es >= h_zh THEN 'es'
+                WHEN h_de >= h_fr AND h_de >= h_zh THEN 'de'
+                WHEN h_fr >= h_zh THEN 'fr'
+                ELSE 'zh' END AS guessed_lang,
+           h_en + h_es + h_de + h_fr + h_zh AS total_hits
+    FROM h
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Stopword-profile language ID: count hits per language list,
+    argmax with a fixed precedence order (en>es>de>fr>zh on ties) so
+    the guess is deterministic and oracle-expressible."""
+    t = Tables(spark, sf_dir)
+    langs = ["en", "es", "de", "fr", "zh"]
+    h = t.documents.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        *[_lang_hits_spark(lg).alias(f"h_{lg}") for lg in langs],
+    )
+    guess = F.lit("zh")
+    for lg in reversed(langs[:-1]):  # fr, de, es, en — later wins ties
+        later = [f"h_{x}" for x in langs[langs.index(lg) + 1 :]]
+        cond = F.lit(True)
+        for other in later:
+            cond = cond & (F.col(f"h_{lg}") >= F.col(other))
+        guess = F.when(cond, F.lit(lg)).otherwise(guess)
+    total = sum(F.col(f"h_{lg}") for lg in langs[1:]) + F.col("h_en")
+    return h.select(
+        "doc_id",
+        "actual_lang",
+        guess.alias("guessed_lang"),
+        total.alias("total_hits"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split(text, ' '), t -> t <> ''))), ' '))
+               AS set_fingerprint,
+           md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+               AS prefix_fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprints: order-insensitive content fingerprint
+    (md5 of the sorted distinct token set — catches shuffled
+    near-copies) and a prefix fingerprint (md5 of the first 8 tokens —
+    catches common-prefix boilerplate). Both portable hashes, fully
+    oracle-checked."""
+    t = Tables(spark, sf_dir)
+    toks = F.split("text", " ")
+    clean = F.filter(toks, lambda x: x != "")
+    return t.documents.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(clean)), " ")
+        ).alias("set_fingerprint"),
+        F.md5(F.array_join(F.slice(toks, 1, 8), " ")).alias(
+            "prefix_fingerprint"
+        ),
+    )
+
+
+@query(
+    "text_token_count_bpe",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(len(list_filter(
+                   string_split_regex(text, '[^a-zA-Z0-9]+'), t -> t <> ''))
+                   AS BIGINT) AS n_words,
+               CAST(length(text) AS BIGINT) AS n_chars_m
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_chars_m,
+           CAST(ceil(n_chars_m / 4.0) AS BIGINT) AS est_bpe_tokens,
+           round(CAST(n_chars_m AS DOUBLE) / n_words, 4) AS chars_per_word
+    FROM s
+    """,
+)
+def text_token_count_bpe(spark, sf_dir):
+    """Token counting two ways: regex word split (whitespace +
+    punctuation boundaries) and the chars/4 BPE estimate (the standard
+    budget heuristic for GPT-style tokenizers)."""
+    t = Tables(spark, sf_dir)
+    words = F.filter(
+        F.split("text", "[^a-zA-Z0-9]+"), lambda x: x != ""
+    )
+    s = t.documents.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.length("text").cast("bigint").alias("n_chars_m"),
+    )
+    return s.select(
+        "*",
+        F.ceil(F.col("n_chars_m") / 4.0).cast("bigint").alias("est_bpe_tokens"),
+        r4(F.col("n_chars_m").cast("double") / F.col("n_words")).alias(
+            "chars_per_word"
+        ),
+    )

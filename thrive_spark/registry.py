@@ -37,6 +37,7 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from .operators import (  # noqa: F401
         aggregations,
+        ann,
         joins,
         llm,
         multimodal,
@@ -44,6 +45,7 @@ def load_all() -> None:
         setops,
         sorts,
         streaming_twins,
+        text_analysis,
         udfs,
         windows,
     )
