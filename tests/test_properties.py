@@ -1,0 +1,116 @@
+"""Property-based cross-engine parity (SURVEY §5.2.5): hypothesis
+generates literal inputs; Spark and DuckDB must agree on cast and
+null-handling semantics over them — the operators' correctness rests
+on these primitives agreeing, so probe them beyond the fixed corpus."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# digits, signs, spaces, separators, and a few letters — enough to hit
+# parse successes, failures, and edge shapes without locale exotica
+TOKEN = st.text(alphabet="0123456789-+. eE", min_size=0, max_size=12)
+# integer-only shapes: decimal/exponent forms are a PINNED divergence
+# (see test_try_cast_bigint_known_divergence), so keep them out of the
+# bigint property
+INT_TOKEN = st.text(alphabet="0123456789-+ ", min_size=0, max_size=12)
+
+
+def _duck_rows(vals, expr):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    out = [r[0] for r in con.execute(f"SELECT {expr} FROM t").fetchall()]
+    con.close()
+    return out
+
+
+def _spark_rows(spark, vals, col):
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    return [r[0] for r in df.select(col).collect()]
+
+
+@given(vals=st.lists(INT_TOKEN, min_size=1, max_size=6))
+@SETTINGS
+def test_try_cast_bigint_parity(spark, vals):
+    got = _spark_rows(
+        spark, vals, __import__("pyspark.sql.functions", fromlist=["col"]).col("v").try_cast("bigint")
+    )
+    want = _duck_rows(vals, "TRY_CAST(v AS BIGINT)")
+    assert got == want, (vals, got, want)
+
+
+@given(vals=st.lists(TOKEN, min_size=1, max_size=6))
+@SETTINGS
+def test_try_cast_double_parity(spark, vals):
+    got = _spark_rows(
+        spark, vals, __import__("pyspark.sql.functions", fromlist=["col"]).col("v").try_cast("double")
+    )
+    want = _duck_rows(vals, "TRY_CAST(v AS DOUBLE)")
+    norm = lambda x: None if x is None else repr(float(x))  # noqa: E731
+    assert [norm(x) for x in got] == [norm(x) for x in want], (vals, got, want)
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.text(alphabet="abP", max_size=3)),
+        min_size=1,
+        max_size=6,
+    )
+)
+@SETTINGS
+def test_nullif_coalesce_parity(spark, vals):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = [
+        (r[0], r[1], r[2])
+        for r in df.select(
+            F.nullif("v", F.lit("P")).alias("a"),
+            F.coalesce(F.nullif("v", F.lit("P")), F.lit("X")).alias("b"),
+            F.col("v").eqNullSafe(F.lit(None)).alias("c"),
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    want = con.execute(
+        "SELECT nullif(v,'P'), coalesce(nullif(v,'P'),'X'), "
+        "v IS NOT DISTINCT FROM NULL FROM t"
+    ).fetchall()
+    con.close()
+    assert got == [tuple(w) for w in want], (vals, got, want)
+
+
+@pytest.mark.parametrize(
+    "s", ["", " ", "+7", "-0", "  12  ", ".", "E5", "9" * 25]
+)
+def test_try_cast_bigint_pinned_edges(spark, s):
+    """Frozen edge shapes (fast single-value checks, no hypothesis)."""
+    from pyspark.sql import functions as F
+
+    got = _spark_rows(spark, [s], F.col("v").try_cast("bigint"))
+    want = _duck_rows([s], "TRY_CAST(v AS BIGINT)")
+    assert got == want, (s, got, want)
+
+
+@pytest.mark.parametrize("s", ["1.5", "1e3"])
+def test_try_cast_bigint_known_divergence(spark, s):
+    """PINNED ENGINE DIVERGENCE (found by this suite): DuckDB
+    TRY_CAST(VARCHAR AS BIGINT) accepts decimal/exponent forms and
+    rounds ('1.5'→2, '1e3'→1000); Spark's ANSI try_cast rejects them
+    (NULL). Oracle SQL for any operator casting strings to integers
+    must avoid these shapes or cast via DOUBLE explicitly."""
+    from pyspark.sql import functions as F
+
+    assert _spark_rows(spark, [s], F.col("v").try_cast("bigint")) == [None]
+    assert _duck_rows([s], "TRY_CAST(v AS BIGINT)")[0] is not None

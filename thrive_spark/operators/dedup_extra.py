@@ -1,0 +1,178 @@
+"""Additional dedup family members (task brief: exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine) — complementing
+``llm.dedup_exact_hash`` / ``llm.dedup_fuzzy_minhash``.
+
+Scale shapes:
+- SimHash: one signature per doc (map-only), banded self-join so
+  candidate pairs share an 8-bit band (pigeonhole: Hamming ≤ 3 over 4
+  bands ⇒ at least one identical band) — never all-pairs.
+- n-gram Jaccard: blocked by (lang, length bucket); blocking bounds
+  pair count at Σ|block|² and is the knob that keeps 100 TB linear-ish
+  (boundary-straddling near-dups are the recall cost of blocking —
+  use MinHash bands when that matters).
+- Embedding cosine: same label-blocked pair scan as
+  sim_pairs_threshold, emitting keep/dup verdicts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+from ._util import r4
+from .llm import COSINE_THRESHOLD
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+NGRAM_JACCARD_THRESHOLD = 0.8
+
+
+@query("dedup_simhash")  # rows-only: xxhash64-seeded signature
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup: 32-bit signature (sign of per-bit vote sums
+    over token hashes), banded candidate join (4 × 8-bit bands),
+    Hamming ≤ 3 verdict. 16 bits collided far too often on this
+    vocabulary (~14k candidate pairs at sf0.01); 32 bits keeps the
+    signature cheap while the band join stays selective."""
+    t = Tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    hashed = tok.select("doc_id", F.xxhash64("token").alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sig_expr = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig_expr = bit if sig_expr is None else sig_expr + bit
+    sig = votes.select("doc_id", sig_expr.cast("long").alias("simhash"))
+
+    bits_per_band = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << bits_per_band) - 1
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"(simhash >> {b * bits_per_band}) & {mask}").alias(
+                            "key"
+                        ),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return cand.filter(F.col("hamming") <= 3)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, n_chars // 50 AS lb,
+               list_distinct(list_filter(string_split(text, ' '),
+                                         x -> x <> '')) AS toks
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS keep_id, b.doc_id AS dup_id,
+               CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / (len(a.toks) + len(b.toks)
+                  - len(list_intersect(a.toks, b.toks))) AS j
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+    )
+    SELECT keep_id, dup_id, round(j, 4) AS jaccard
+    FROM pairs WHERE j >= {NGRAM_JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Token-set Jaccard dedup on (lang, length-bucket) blocked pairs;
+    oracle-checked (portable set arithmetic, no seeded hashes)."""
+    t = Tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 50).cast("long").alias("lb"),
+        F.array_distinct(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("toks"),
+    )
+    a = d.select(
+        F.col("lang").alias("lg"),
+        F.col("lb").alias("lbk"),
+        F.col("doc_id").alias("keep_id"),
+        F.col("toks").alias("ta"),
+    )
+    b = d.select(
+        F.col("lang").alias("lg"),
+        F.col("lb").alias("lbk"),
+        F.col("doc_id").alias("dup_id"),
+        F.col("toks").alias("tb"),
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    j = inter.cast("double") / (F.size("ta") + F.size("tb") - inter)
+    return (
+        a.join(b, ["lg", "lbk"])
+        .filter(F.col("keep_id") < F.col("dup_id"))
+        .withColumn("j", j)
+        .filter(F.col("j") >= NGRAM_JACCARD_THRESHOLD)
+        .select("keep_id", "dup_id", r4(F.col("j")).alias("jaccard"))
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT least(a.vec_id, b.vec_id) AS keep_id,
+           greatest(a.vec_id, b.vec_id) AS dup_id,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[]))
+          >= {COSINE_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-space near-dup: same blocked BLAS pair scan as
+    sim_pairs_threshold, emitting (keep_id, dup_id) verdicts — the
+    semantic-dedup stage of a training-data pipeline."""
+    from .llm import sim_pairs_threshold
+
+    pairs = sim_pairs_threshold(spark, sf_dir)
+    return pairs.select(
+        F.least("a_id", "b_id").alias("keep_id"),
+        F.greatest("a_id", "b_id").alias("dup_id"),
+        "sim",
+    )

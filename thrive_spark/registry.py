@@ -38,6 +38,7 @@ def load_all() -> None:
     from .operators import (  # noqa: F401
         aggregations,
         ann,
+        dedup_extra,
         joins,
         llm,
         multimodal,
