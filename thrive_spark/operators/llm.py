@@ -203,7 +203,7 @@ def sim_knn_cosine_topk(spark, sf_dir):
         F.col("sim").desc(), F.col("neighbor_id")
     )
     return (
-        pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+        pairs.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(F.col("rn") <= 5)
     )
 
 
@@ -352,7 +352,7 @@ def text_tfidf_topterms(spark, sf_dir):
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("s").desc(), F.col("term"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", r4(F.col("s")).alias("tfidf"), "rn")
     )

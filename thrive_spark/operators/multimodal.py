@@ -63,8 +63,8 @@ def multimodal_binary_features(spark, sf_dir):
     bin_col = F.encode("text", "UTF-8")
     return t.documents.select(
         "doc_id",
-        F.octet_length(bin_col).alias("n_bytes"),
-        F.ascii(F.substring("text", 1, 1)).alias("first_byte"),
+        F.octet_length(bin_col).cast("bigint").alias("n_bytes"),
+        F.ascii(F.substring("text", 1, 1)).cast("bigint").alias("first_byte"),
         F.base64(F.encode(F.substring("text", 1, 8), "UTF-8")).alias("b64_prefix"),
         F.md5("text").alias("content_hash"),
     )

@@ -1,0 +1,109 @@
+"""SQL entry-point operators (SURVEY §3.2.2): the same Catalyst plans
+driven through ``spark.sql`` over registered views — CTEs, scalar
+subqueries, correlated EXISTS (decorrelated by Catalyst into joins),
+and the salted-skew aggregation exhibit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..plans.salting import salted_agg
+from ..registry import query
+from ..tables import Tables
+from ._util import fixed, osum
+
+
+@query(
+    "sql_cte_scalar_subquery",
+    oracle=f"""
+    WITH cust_orders AS (
+        SELECT o_custkey, count(*) AS n_orders,
+               {osum('o_totalprice')} AS total_spend
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_acctbal,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(total_spend, 0.0) AS total_spend
+    FROM customer LEFT JOIN cust_orders ON c_custkey = o_custkey
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
+)
+def sql_cte_scalar_subquery(spark, sf_dir):
+    """CTE + uncorrelated scalar subquery through the SQL surface.
+    Catalyst turns the scalar subquery into a broadcast of one row;
+    the CTE is inlined and optimized with the outer query."""
+    t = Tables(spark, sf_dir)
+    t.register_views()
+    return spark.sql(
+        f"""
+        WITH cust_orders AS (
+            -- 10000.0D: Spark SQL parses a bare decimal literal as
+            -- DECIMAL (unlike the Python API), which would make the
+            -- quotient a Decimal column
+            SELECT o_custkey, count(*) AS n_orders,
+                   sum(CAST(floor(o_totalprice * 10000 + 0.5D) AS BIGINT)) / 10000.0D
+                       AS total_spend
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c_custkey, c_acctbal,
+               coalesce(n_orders, 0) AS n_orders,
+               coalesce(total_spend, 0.0D) AS total_spend
+        FROM customer LEFT JOIN cust_orders ON c_custkey = o_custkey
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        """
+    )
+
+
+@query(
+    "sql_correlated_exists",
+    oracle="""
+    SELECT p_partkey, p_name FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_discount > 0.09)
+    """,
+)
+def sql_correlated_exists(spark, sf_dir):
+    """Correlated EXISTS / NOT EXISTS through SQL — Catalyst
+    decorrelates into left-semi and left-anti joins (the §2.3 plans),
+    verified by the shared plan tests."""
+    t = Tables(spark, sf_dir)
+    t.register_views()
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name FROM part p
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_partkey = p.p_partkey AND l.l_discount > 0.09)
+        """
+    )
+
+
+@query(
+    "agg_salted_skew",
+    oracle=f"""
+    SELECT event_type, count(*) AS n, {osum('value')} AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_skew(spark, sf_dir):
+    """Skew-safe two-stage aggregation over the hot event_type key
+    (5 distinct values — every group is a hot key). Identical result
+    to the plain groupBy; the salted plan splits each group across 8
+    reducers first (plans/salting.py)."""
+    t = Tables(spark, sf_dir)
+    out = salted_agg(
+        t.events,
+        key="event_type",
+        unique_col="event_id",
+        aggs={
+            "n": F.count(F.lit(1)),
+            "sum_fixed": F.sum(fixed("value")),
+        },
+    )
+    return out.select(
+        "event_type", "n", (F.col("sum_fixed") / 10000.0).alias("sum_value")
+    )

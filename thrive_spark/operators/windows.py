@@ -44,7 +44,7 @@ def win_row_number_topn(spark, sf_dir):
             "o_custkey",
             "o_orderkey",
             "o_totalprice",
-            F.row_number().over(w).alias("rn"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
         )
         .filter(F.col("rn") <= 3)
     )
@@ -69,8 +69,8 @@ def win_rank_dense_rank(spark, sf_dir):
         "o_orderkey",
         "o_orderstatus",
         bucket.alias("price_bucket"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
     )
 
 
@@ -93,7 +93,7 @@ def win_ntile_percentile(spark, sf_dir):
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return t.orders.select(
         "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
         r4(F.percent_rank().over(w)).alias("pct_rank"),
         r4(F.cume_dist().over(w)).alias("cum_dist"),
     )

@@ -45,6 +45,7 @@ def load_all() -> None:
         predicates,
         setops,
         sorts,
+        sql_surface,
         streaming_twins,
         text_analysis,
         udfs,
