@@ -40,3 +40,37 @@ def ddb():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+N_CHUNKS = 6
+
+
+@pytest.fixture(scope="session")
+def stream_dir(spark, sf_dir, tmp_path_factory):
+    """Events split chronologically into N parquet files (mtime
+    ascending = arrival order for the streaming file source)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from thrive_spark.tables import Tables
+
+    root = tmp_path_factory.mktemp("events_stream")
+    ev = Tables(spark, sf_dir).events
+    n = ev.count()
+    # monotonically_increasing_id over a sorted single partition is rank
+    ranked = ev.orderBy("ts", "event_id").coalesce(1).withColumn(
+        "rn", F.monotonically_increasing_id()
+    )
+    for i in range(N_CHUNKS):
+        lo, hi = i * n // N_CHUNKS, (i + 1) * n // N_CHUNKS
+        chunk = ranked.filter((F.col("rn") >= lo) & (F.col("rn") < hi)).drop("rn")
+        cdir = str(root / f"c{i}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(cdir)
+        part = next(p for p in os.listdir(cdir) if p.endswith(".parquet"))
+        dst = str(root / f"chunk_{i}.parquet")
+        os.rename(f"{cdir}/{part}", dst)
+        ts = time.time() + i  # strictly increasing mtimes
+        os.utime(dst, (ts, ts))
+    return str(root), ev.schema

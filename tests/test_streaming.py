@@ -4,45 +4,11 @@ results equal the oracle-checked batch twins."""
 
 from __future__ import annotations
 
-import os
-import time
-
-import pytest
 from pyspark.sql import functions as F
 
 from thrive_spark.operators import streaming_twins
 from thrive_spark.streaming import ops
 from thrive_spark.tables import Tables
-
-N_CHUNKS = 6
-
-
-@pytest.fixture(scope="module")
-def stream_dir(spark, sf_dir, tmp_path_factory):
-    """Split events chronologically into N parquet files (mtime
-    ascending = arrival order for the file source)."""
-    root = tmp_path_factory.mktemp("events_stream")
-    ev = Tables(spark, sf_dir).events
-    n = ev.count()
-    # monotonically_increasing_id over a sorted single partition is rank
-    ranked = ev.orderBy("ts", "event_id").coalesce(1).withColumn(
-        "rn", F.monotonically_increasing_id()
-    )
-    for i in range(N_CHUNKS):
-        lo, hi = i * n // N_CHUNKS, (i + 1) * n // N_CHUNKS
-        chunk = ranked.filter((F.col("rn") >= lo) & (F.col("rn") < hi)).drop("rn")
-        cdir = str(root / f"c{i}")
-        chunk.coalesce(1).write.mode("overwrite").parquet(cdir)
-        part = next(
-            p for p in os.listdir(cdir) if p.endswith(".parquet")
-        )
-        dst = str(root / f"chunk_{i}.parquet")
-        os.rename(f"{cdir}/{part}", dst)
-        ts = time.time() + i  # strictly increasing mtimes
-        os.utime(dst, (ts, ts))
-    schema = ev.schema
-    return str(root), schema
-
 
 def run_stream(spark, stream_df, mode, name):
     q = (

@@ -51,5 +51,5 @@ def load_all() -> None:
         udfs,
         windows,
     )
-    from .sources import scans, sinks  # noqa: F401
+    from .sources import formats, maintenance, scans, sinks  # noqa: F401
     from .functions import banks  # noqa: F401

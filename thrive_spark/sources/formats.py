@@ -1,0 +1,71 @@
+"""Additional source formats: ORC roundtrip and Spark-4 VARIANT
+(open-schema JSON) — rounding out the format matrix beyond
+parquet/CSV/JSON (§2.1).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..operators._util import dsum, osum
+from ..registry import query
+from ..tables import Tables
+
+
+@query(
+    "scan_orc_roundtrip",
+    oracle=f"""
+    SELECT o_orderstatus, count(*) AS n, {osum('o_totalprice')} AS sum_price
+    FROM orders WHERE o_orderkey % 5 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_orc_roundtrip(spark, sf_dir):
+    """Write an orders slice as ORC, read it back, aggregate — ORC is
+    the second columnar format the reference's Hive targets commonly
+    use [R]; Spark's ORC reader is vectorized with pushdown like
+    parquet."""
+    t = Tables(spark, sf_dir)
+    slice_df = t.orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = tempfile.mkdtemp(prefix="thrive_orc_")
+    try:
+        slice_df.write.mode("overwrite").orc(out)
+        back = spark.read.orc(out)
+        return (
+            back.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("sum_price"))
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "scan_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NOT NULL)
+               AS n_with_k
+    FROM events GROUP BY event_type
+    """,
+)
+def scan_variant_json(spark, sf_dir):
+    """Open-schema JSON via Spark 4 VARIANT: parse once into a variant
+    column, extract typed paths lazily — the schema-on-read answer for
+    payloads whose shape drifts (vs from_json's fixed StructType).
+    Extraction pushdown happens per-path at query time."""
+    t = Tables(spark, sf_dir)
+    v = t.events.select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    return v.groupBy("event_type").agg(
+        F.sum(F.variant_get("v", "$.k", "bigint")).alias("sum_k"),
+        F.count(F.variant_get("v", "$.k", "bigint")).alias("n_with_k"),
+    )

