@@ -7,6 +7,22 @@ from __future__ import annotations
 from thrive_spark.registry import QUERIES
 
 
+def _recall(exact, approx):
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    assert len(e) > 0
+    return len(e & a) / len(e)
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    exact = QUERIES["sim_knn_cosine_topk"](spark, sf_dir).toPandas()
+    approx = QUERIES["sim_knn_ivf"](spark, sf_dir).toPandas()
+    recall = _recall(exact, approx)
+    # 4/16 cells probed; adaptive cells beat LSH's fixed hyperplanes
+    assert recall >= 0.2, f"IVF recall@5 = {recall:.3f}"
+    assert approx.groupby("query_id").size().min() >= 1
+
+
 def test_lsh_recall_vs_exact(spark, sf_dir):
     exact = QUERIES["sim_knn_cosine_topk"](spark, sf_dir).toPandas()
     approx = QUERIES["sim_knn_lsh"](spark, sf_dir).toPandas()

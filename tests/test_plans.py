@@ -90,6 +90,20 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     assert "*(1)" in executed and "*(2)" in executed, executed
 
 
+def test_bucketed_join_shuffle_free(spark, sf_dir):
+    """Bucket-aligned SMJ: neither side may need an Exchange or Sort —
+    the whole point of bucketBy at 100 TB."""
+    from thrive_spark.operators.bucketed import bucketed_join_plan
+
+    joined, cleanup = bucketed_join_plan(spark, sf_dir)
+    try:
+        plan = physical_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+    finally:
+        cleanup()
+
+
 @pytest.mark.parametrize(
     "qid", ["scan_parquet", "agg_hash_groupby", "join_star_multiway"]
 )

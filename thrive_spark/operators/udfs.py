@@ -154,3 +154,36 @@ def udtf_explode_words(spark, sf_dir):
         .select("doc_id", "text")
         .mapInPandas(tokenize, "doc_id long, token string, token_len long")
     )
+
+
+@query(
+    "udtf_python_native",
+    oracle="""
+    SELECT doc_id, t.token, CAST(length(t.token) AS BIGINT) AS token_len
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents WHERE doc_id < 100) t
+    WHERE t.token <> ''
+    """,
+)
+def udtf_python_native(spark, sf_dir):
+    """Spark 4 native Python UDTF driven through SQL LATERAL — the
+    row-at-a-time table function API (vs the Arrow-batched mapInPandas
+    twin above). Same oracle; the batched form is the hot-path choice.
+    """
+    t = Tables(spark, sf_dir)
+
+    @F.udtf(returnType="token string, token_len bigint")
+    class Tokenize:
+        def eval(self, text: str):
+            for tok in (text or "").split(" "):
+                if tok:
+                    yield tok, len(tok)
+
+    spark.udtf.register("thrive_tokenize", Tokenize)
+    t.documents.filter(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("thrive_udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, t.token, t.token_len "
+        "FROM thrive_udtf_docs, LATERAL thrive_tokenize(text) t"
+    )

@@ -38,7 +38,9 @@ def load_all() -> None:
     from .operators import (  # noqa: F401
         aggregations,
         ann,
+        bucketed,
         dedup_extra,
+        ivf,
         joins,
         llm,
         multimodal,
