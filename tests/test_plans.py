@@ -90,6 +90,38 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     assert "*(1)" in executed and "*(2)" in executed, executed
 
 
+def test_global_sorted_output_via_range_partitioning(spark, sf_dir, tmp_path):
+    """Total-ordered multi-file output: repartitionByRange gives
+    disjoint, ordered ranges per partition; sortWithinPartitions
+    orders inside each — together a global sort that scales (no single
+    reducer). Verified by checking partition ranges are disjoint and
+    ordered."""
+    from pyspark.sql import functions as F
+
+    from thrive_spark.tables import Tables
+
+    out = str(tmp_path / "sorted")
+    orders = Tables(spark, sf_dir).orders
+    (
+        orders.repartitionByRange(4, "o_totalprice")
+        .sortWithinPartitions("o_totalprice")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    bounds = (
+        spark.read.parquet(out)
+        .withColumn("part", F.spark_partition_id())
+        .groupBy("part")
+        .agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(bounds) >= 2
+    for prev, cur in zip(bounds, bounds[1:]):
+        assert prev["hi"] <= cur["lo"], bounds
+    assert spark.read.parquet(out).count() == orders.count()
+
+
 def test_bucketed_join_shuffle_free(spark, sf_dir):
     """Bucket-aligned SMJ: neither side may need an Exchange or Sort —
     the whole point of bucketBy at 100 TB."""

@@ -88,7 +88,14 @@ def stateful_cum_purchase(events: DataFrame) -> DataFrame:
     """Arbitrary stateful op: running per-user purchase total via
     applyInPandasWithState. Emits one row per input event with the
     cumulative value (micro-batch arrival order = event-time order in
-    the test harness, matching the batch twin's window order)."""
+    the test harness, matching the batch twin's window order).
+
+    Spark 4's ``transformWithStateInPandas`` successor API was
+    prototyped but is unusable in this container: its streaming Python
+    runner needs a working ``google.protobuf`` install
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE, verified) and the
+    environment is pip-frozen. The APIs are semantically equivalent
+    for this operator (per-key value state + per-row emission)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
