@@ -94,10 +94,14 @@ def dedup_fuzzy_minhash(spark, sf_dir):
                 tmp[f"mh{i}"] = pd.util.hash_array(
                     arr, hash_key=f"{i:016d}"
                 ).astype("int64")
-            g = tmp.groupby("doc_id", sort=True)
-            out = g[hash_cols].min()
-            out["sh"] = g["sh"].apply(list)
-            yield out.reset_index()[["doc_id", "sh", *hash_cols]]
+            mins = tmp.groupby("doc_id", sort=False)[hash_cols].min()
+            # reattach the shingle arrays from the pre-explode lists —
+            # a groupby.apply(list) here would rebuild them at Python
+            # speed for nothing
+            out = pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "sh": sh_lists}
+            ).merge(mins, on="doc_id")
+            yield out[["doc_id", "sh", *hash_cols]]
 
     sig = (
         t.documents.select("doc_id", "text")
