@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import Tables
-from ._util import dsum_over, r4
+from ._util import dsum_over
 
 
 @query(
