@@ -86,3 +86,20 @@ def test_pipeline_incremental_and_rollback(spark, sf_dir, tmp_path):
     # partition layout is Hive-style dt=YYYY-MM-DD
     parts = [d for d in os.listdir(out) if d.startswith("dt=")]
     assert len(parts) >= 25
+
+
+def test_pipeline_from_yaml(spark, sf_dir, tmp_path):
+    """The reference's config-file surface: same spec via YAML."""
+    import yaml
+
+    root, out = str(tmp_path), str(tmp_path / "out")
+    os.makedirs(f"{root}/in")
+    _write_json_dir(spark, sf_dir, f"{root}/in/d1", 1, 11)
+    spec_path = f"{root}/pipeline.yaml"
+    with open(spec_path, "w") as fh:
+        yaml.safe_dump(make_spec(root, out), fh)
+
+    p = Pipeline.from_yaml(spark, spec_path)
+    assert len(p.run()) == 1
+    assert spark.read.parquet(out).count() > 0
+    assert p.run() == []  # ledger carried over, idempotent
