@@ -75,33 +75,35 @@ def dedup_fuzzy_minhash(spark, sf_dir):
         # passes (pandas hash_array, C speed, deterministic via seeded
         # hash_key). Interpreted JVM higher-order lambdas cost ~15 µs
         # per shingle here; this path is ~20× faster and stays map-only.
+        # Per-doc minima come from minimum.reduceat over the flat hash
+        # array (shingles are emitted doc-contiguous), skipping the
+        # pandas explode/groupby machinery entirely.
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            sh_lists = pdf["text"].str.split(" ").apply(
-                lambda ts: list(
+            sh_lists = [
+                list(
                     dict.fromkeys(
                         " ".join(ts[i : i + 3])
                         for i in range(max(len(ts) - 2, 1))
                     )
                 )
+                for ts in (txt.split(" ") for txt in pdf["text"])
+            ]
+            counts = np.array([len(l) for l in sh_lists])
+            flat = np.array(
+                [s for l in sh_lists for s in l], dtype=object
             )
-            tmp = pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "sh": sh_lists}
-            ).explode("sh")
-            arr = tmp["sh"].to_numpy(dtype=object)
+            offsets = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            data = {"doc_id": pdf["doc_id"].to_numpy(), "sh": sh_lists}
             for i in range(n_hashes):
-                tmp[f"mh{i}"] = pd.util.hash_array(
-                    arr, hash_key=f"{i:016d}"
-                ).astype("int64")
-            mins = tmp.groupby("doc_id", sort=False)[hash_cols].min()
-            # reattach the shingle arrays from the pre-explode lists —
-            # a groupby.apply(list) here would rebuild them at Python
-            # speed for nothing
-            out = pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "sh": sh_lists}
-            ).merge(mins, on="doc_id")
-            yield out[["doc_id", "sh", *hash_cols]]
+                h = pd.util.hash_array(flat, hash_key=f"{i:016d}").astype(
+                    "int64", casting="unsafe"
+                )
+                data[f"mh{i}"] = np.minimum.reduceat(h, offsets)
+            yield pd.DataFrame(data)
 
     sig = (
         t.documents.select("doc_id", "text")
