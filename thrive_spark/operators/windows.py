@@ -191,6 +191,71 @@ def win_range_frame(spark, sf_dir):
 
 
 @query(
+    "win_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+               / 10000.0 AS hour_sum
+    FROM events
+    """,
+)
+def win_time_range_frame(spark, sf_dir):
+    """Event-time range frame: per-user rolling 1-hour sum — the
+    time-window analytics shape (sliding by event, not by bucket).
+    Spark expresses interval range frames over a numeric order key:
+    seconds-since-epoch with a ±3600 range is the documented
+    equivalent of RANGE INTERVAL '1' HOUR. Ties in the order key are
+    frame-PEERS in both engines, so results agree even on duplicate
+    timestamps."""
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return t.events.select(
+        "event_id",
+        "user_id",
+        dsum_over("value", w).alias("hour_sum"),
+    )
+
+
+@query(
+    "unpivot_stack",
+    oracle="""
+    SELECT o_orderkey, metric, round(val, 4) AS val
+    FROM (
+        SELECT o_orderkey,
+               round(o_totalprice, 4) AS total_price,
+               round(o_totalprice * 0.07, 4) AS est_tax,
+               CAST(year(o_orderdate) AS DOUBLE) AS order_year
+        FROM orders
+    )
+    UNPIVOT (val FOR metric IN (total_price, est_tax, order_year))
+    """,
+)
+def unpivot_stack(spark, sf_dir):
+    """Unpivot / melt: wide metric columns → (metric, value) rows via
+    the native DataFrame unpivot (compiles to Expand — one pass, no
+    join, row count × n_metrics)."""
+    t = Tables(spark, sf_dir)
+    wide = t.orders.select(
+        "o_orderkey",
+        F.round("o_totalprice", 4).alias("total_price"),
+        F.round(F.col("o_totalprice") * 0.07, 4).alias("est_tax"),
+        F.year("o_orderdate").cast("double").alias("order_year"),
+    )
+    return wide.unpivot(
+        "o_orderkey",
+        ["total_price", "est_tax", "order_year"],
+        "metric",
+        "val",
+    ).select("o_orderkey", "metric", F.round("val", 4).alias("val"))
+
+
+@query(
     "win_first_last_value",
     oracle="""
     SELECT DISTINCT o_custkey,
