@@ -240,6 +240,59 @@ def join_asof_backward(spark, sf_dir):
 
 
 @query(
+    "join_asof_cogroup",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           max(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_signup_ts
+    FROM events
+    """,
+)
+def join_asof_cogroup(spark, sf_dir):
+    """As-of join, scale form: cogrouped ``pd.merge_asof`` per user —
+    both sides shuffle once on the key, then each group's sorted merge
+    runs in one Arrow batch. This is the recipe when the window
+    formulation's running max can't express the payload (as-of joins
+    pulling many columns from the right side). Same oracle as
+    join_asof_backward; exact-timestamp matches are excluded on both
+    sides (ties at identical microseconds would differ, none exist in
+    this corpus)."""
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    events = t.events.select("event_id", "user_id", "ts")
+    signups = t.events.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts")
+    )
+
+    def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values("ts")
+        right = right.sort_values("signup_ts")
+        merged = pd.merge_asof(
+            left,
+            right[["signup_ts"]],
+            left_on="ts",
+            right_on="signup_ts",
+            direction="backward",
+            allow_exact_matches=False,
+        )
+        return merged.rename(columns={"signup_ts": "prev_signup_ts"})[
+            ["event_id", "user_id", "ts", "prev_signup_ts"]
+        ]
+
+    return (
+        events.groupBy("user_id")
+        .cogroup(signups.groupBy("user_id"))
+        .applyInPandas(
+            asof,
+            "event_id long, user_id long, ts timestamp, prev_signup_ts timestamp",
+        )
+    )
+
+
+@query(
     "join_interval_point",
     oracle="""
     SELECT s.event_id AS signup_id,
