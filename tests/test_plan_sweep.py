@@ -1,0 +1,68 @@
+"""Global plan sweep: every registered query's physical plan is
+checked for scale anti-patterns — a new operator that quietly plans a
+CartesianProduct or drops into row-at-a-time Python fails here, not in
+production."""
+
+from __future__ import annotations
+
+import pytest
+
+from thrive_spark.plans.checks import physical_plan
+from thrive_spark.registry import ORACLE, QUERIES
+
+#: queries allowed to contain each anti-pattern, with why
+ALLOWED_CARTESIAN = {
+    "join_cross",  # the cross join operator itself (tiny dims)
+}
+ALLOWED_ROW_PYTHON = {
+    "udf_python_scalar",  # the deliberate slow-path exhibit
+    "udtf_python_native",  # Spark 4 UDTF API is row-based by design
+}
+#: Arrow-batched Python is the sanctioned slow path — allowed where the
+#: operator is genuinely Python (pandas UDFs, codec stubs, BLAS blocks)
+ALLOWED_ARROW_PYTHON = {
+    "udf_pandas_scalar",
+    "udf_pandas_grouped_agg",
+    "udf_grouped_map_normalize",
+    "udtf_explode_words",
+    "sim_pairs_threshold",
+    "dedup_embedding_cosine",
+    "dedup_fuzzy_minhash",
+    "sim_knn_lsh",
+    "sim_knn_ivf",
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    "join_asof_cogroup",
+}
+#: stateful/side-effecting queries that build their own inputs (temp
+#: dirs, catalogs, DB files) — their plan is built during execution
+SKIP = {
+    "scan_csv_roundtrip",
+    "scan_orc_roundtrip",
+    "incremental_dir_scan",
+    "sink_parquet_partitioned",
+    "sink_hive_table",
+    "sink_jdbc",
+    "join_bucketed_colocated",
+    "maintenance_compact",
+    "union_all_dedup",
+}
+
+
+@pytest.mark.parametrize("qid", sorted(set(QUERIES) - SKIP))
+def test_no_scale_antipatterns(qid, spark, sf_dir):
+    plan = physical_plan(QUERIES[qid](spark, sf_dir))
+    if qid not in ALLOWED_CARTESIAN:
+        assert "CartesianProduct" not in plan, f"{qid} plans a cartesian product"
+    if qid not in ALLOWED_ROW_PYTHON:
+        assert "BatchEvalPython" not in plan, f"{qid} uses row-at-a-time Python"
+    if qid not in ALLOWED_ROW_PYTHON | ALLOWED_ARROW_PYTHON:
+        for marker in ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+            assert marker not in plan, f"{qid} unexpectedly drops into Python ({marker})"
+
+
+def test_every_query_declared_in_oracle_or_rows_only():
+    # every query is either hash-checked or a documented rows-only op;
+    # ORACLE keys must be a subset of QUERIES
+    assert set(ORACLE) <= set(QUERIES)
+    assert len(QUERIES) >= 100
