@@ -1,0 +1,324 @@
+"""Training-data curation operators: deterministic sampling, dataset
+splitting, token-budget quotas, PII scrubbing, context-window chunk
+packing, and column profiling — the corpus-assembly passes that sit
+between scoring/dedup and the tokenizer in a pretraining pipeline.
+
+Design for 100 TB:
+
+- Sampling and splitting are **hash-based, not random**: membership is
+  a pure function of the row key (md5 hex prefix compared against a
+  threshold), so the sample is reproducible across runs, engines, and
+  cluster layouts, needs no seed coordination, and stays a map-only
+  filter Catalyst can push to the scan boundary. This is the only
+  sampling style that survives re-partitioning (rand()-based sampling
+  changes membership whenever the partitioning changes).
+- Quota sampling needs a per-language running total → one shuffle,
+  partitioned by the (low-cardinality) language key; everything else
+  in this module is shuffle-free per-row projection.
+- Chunk packing explodes each doc into overlapping windows in the
+  ARRAY domain (sequence → slice) — no Python, output rows ~= tokens /
+  stride, linear in bytes scanned.
+
+Reference parity: the reference's curation stage (sampler / splitter /
+quota / scrubber pipeline stages) — re-expressed as Catalyst-friendly
+single-pass projections rather than its imperative row loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+from ._util import r4
+
+#: md5-hex first-char thresholds per language — the per-stratum keep
+#: fraction in 16ths (en kept at 4/16, zh fully kept, etc.); tune per
+#: corpus-mix target exactly like a mix-weighting table
+LANG_KEEP_16THS = {"en": 4, "es": 6, "de": 8, "fr": 12, "zh": 16}
+
+_HEX = "0123456789abcdef"
+
+
+def _hex_lt(prefix_col, n_16ths: int):
+    """True iff the first md5 hex char is one of the n lowest — a
+    deterministic Bernoulli(n/16) on the hashed key."""
+    return prefix_col.isin(*list(_HEX[:n_16ths]))
+
+
+@query(
+    "sample_hash_stratified",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars_m,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hx
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars_m
+    FROM h
+    WHERE CASE lang
+        {" ".join(f"WHEN '{lg}' THEN hx IN ({', '.join(repr(c) for c in _HEX[:n])})" for lg, n in LANG_KEEP_16THS.items())}
+        ELSE FALSE END
+    """,
+)
+def sample_hash_stratified(spark, sf_dir):
+    """Stratified deterministic sampling: per-language keep fractions
+    applied via an md5-prefix test on doc_id. Membership is a pure
+    function of the key — reproducible on any cluster layout and fully
+    pushdown-able (a map-only filter, no rand(), no seed plumbing)."""
+    t = Tables(spark, sf_dir)
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    keep = F.lit(False)
+    for lg, n in LANG_KEEP_16THS.items():
+        keep = F.when(F.col("lang") == lg, _hex_lt(hx, n)).otherwise(keep)
+    return t.documents.filter(keep).select(
+        "doc_id", "lang", F.length("text").cast("bigint").alias("n_chars_m")
+    )
+
+
+@query(
+    "split_train_holdout",
+    oracle="""
+    WITH s AS (
+        SELECT lang,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)
+                         IN ('e', 'f')
+                    THEN 'holdout' ELSE 'train' END AS split,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+        FROM documents
+    )
+    SELECT lang, split, count(*) AS n_docs,
+           CAST(sum(est_tokens) AS BIGINT) AS total_tokens
+    FROM s GROUP BY lang, split
+    """,
+)
+def split_train_holdout(spark, sf_dir):
+    """Deterministic train/holdout split (7/8 vs 1/8 by the SECOND md5
+    hex char, independent of the sampling char so the two gates
+    compose without correlation). Emits the per-(lang, split) doc and
+    token budget — the manifest a training job reads."""
+    t = Tables(spark, sf_dir)
+    hx2 = F.substring(F.md5(F.col("doc_id").cast("string")), 2, 1)
+    return (
+        t.documents.select(
+            "lang",
+            F.when(hx2.isin("e", "f"), F.lit("holdout"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+            F.ceil(F.length("text") / 4.0).cast("bigint").alias("est_tokens"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("est_tokens").alias("total_tokens"),
+        )
+    )
+
+
+#: per-language token budget for the quota sampler (column units:
+#: chars/4 estimated tokens)
+TOKEN_BUDGET = 5000
+
+
+@query(
+    "quota_sample_tokens",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, est_tokens,
+               CAST(sum(est_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM s
+    )
+    SELECT doc_id, lang, est_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+    """,
+)
+def quota_sample_tokens(spark, sf_dir):
+    """Token-budget quota sampling: take documents per language (in
+    deterministic doc_id order) until the language's token budget is
+    hit — the corpus-mix assembly step. One shuffle on the tiny
+    language key; the running sum is a single window pass."""
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        t.documents.select(
+            "doc_id",
+            "lang",
+            F.ceil(F.length("text") / 4.0).cast("bigint").alias("est_tokens"),
+        )
+        .withColumn("cum_tokens", F.sum("est_tokens").over(w))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+    )
+
+
+#: regexes shared by both engines (POSIX classes, no lookaround —
+#: portable between Java regex and RE2)
+_EMAIL_RE = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[.][a-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "text_redact_pii",
+    oracle=f"""
+    WITH dirty AS (
+        SELECT doc_id,
+               concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                      '@example.com or 555-',
+                      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+                   AS raw_text
+        FROM documents
+    ),
+    red AS (
+        SELECT doc_id, raw_text,
+               regexp_replace(regexp_replace(raw_text,
+                   '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text
+        FROM dirty
+    )
+    SELECT doc_id, md5(clean_text) AS clean_hash,
+           CAST(length(raw_text) - length(clean_text) AS BIGINT)
+               AS chars_removed,
+           CAST(len(regexp_extract_all(raw_text, '{_EMAIL_RE}'))
+                + len(regexp_extract_all(raw_text, '{_PHONE_RE}'))
+                AS BIGINT) AS n_redactions
+    FROM red
+    """,
+)
+def text_redact_pii(spark, sf_dir):
+    """PII scrubbing: email + phone patterns replaced with typed
+    placeholder tokens. The synthetic corpus has no PII, so the dirty
+    text is constructed deterministically from doc_id first — the
+    regex machinery, redaction counting, and hash verification are the
+    real thing. Map-only; regexes are POSIX-portable (no lookaround)
+    so the oracle runs the same patterns."""
+    t = Tables(spark, sf_dir)
+    dirty = t.documents.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("raw_text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace("raw_text", _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    red = dirty.select("doc_id", "raw_text", clean.alias("clean_text"))
+    n_red = (
+        F.size(F.regexp_extract_all("raw_text", F.lit(_EMAIL_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all("raw_text", F.lit(_PHONE_RE), F.lit(0)))
+    ).cast("bigint")
+    return red.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_hash"),
+        (F.length("raw_text") - F.length("clean_text"))
+        .cast("bigint")
+        .alias("chars_removed"),
+        n_red.alias("n_redactions"),
+    )
+
+
+#: chunk geometry: window of 40 tokens advancing by 32 (8-token overlap)
+CHUNK_LEN, CHUNK_STRIDE = 40, 32
+
+
+@query(
+    "chunk_fixed_tokens",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(s.start AS BIGINT) AS chunk_start,
+               tk[s.start:s.start + {CHUNK_LEN - 1}] AS piece
+        FROM toks,
+             LATERAL (SELECT unnest(generate_series(1, n, {CHUNK_STRIDE}))
+                      AS start) s
+    )
+    SELECT doc_id, chunk_start,
+           CAST(len(piece) AS BIGINT) AS chunk_tokens,
+           md5(array_to_string(piece, ' ')) AS chunk_hash
+    FROM chunks
+    """,
+)
+def chunk_fixed_tokens(spark, sf_dir):
+    """Context-window packing: each document exploded into overlapping
+    fixed-size token windows ({CHUNK_LEN} tokens, stride {CHUNK_STRIDE})
+    — the pre-tokenizer chunking pass. Pure array-domain (sequence →
+    slice → explode), no Python, no shuffle; output volume ~ tokens /
+    stride regardless of document skew."""
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id",
+        F.split("text", " ").alias("tk"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n"), F.lit(CHUNK_STRIDE))
+        ).alias("chunk_start"),
+        "tk",
+    ).select(
+        "doc_id",
+        F.col("chunk_start").cast("bigint").alias("chunk_start"),
+        F.slice("tk", F.col("chunk_start"), CHUNK_LEN).alias("piece"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_start",
+        F.size("piece").cast("bigint").alias("chunk_tokens"),
+        F.md5(F.array_join("piece", " ")).alias("chunk_hash"),
+    )
+
+
+@query(
+    "dq_profile_documents",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(count(text) AS BIGINT) AS text_nonnull,
+           CAST(count(DISTINCT lang) AS BIGINT) AS lang_distinct,
+           CAST(count(DISTINCT source) AS BIGINT) AS source_distinct,
+           CAST(min(n_chars) AS BIGINT) AS n_chars_min,
+           CAST(max(n_chars) AS BIGINT) AS n_chars_max,
+           round(avg(CAST(length(text) AS DOUBLE)), 4) AS chars_avg,
+           round(CAST(count(CASE WHEN length(text) < 20 THEN 1 END)
+                      AS DOUBLE) / count(*), 4) AS short_doc_rate
+    FROM documents
+    """,
+)
+def dq_profile_documents(spark, sf_dir):
+    """Single-pass data-quality profile of the corpus table: row/null
+    counts, key-column cardinalities, length extremes, and the
+    short-document rate (a typical ingest gate). One global aggregate
+    — partial-agg map-side, a single row crosses the wire."""
+    t = Tables(spark, sf_dir)
+    return t.documents.agg(
+        F.count("*").alias("n_rows"),
+        F.count("text").cast("bigint").alias("text_nonnull"),
+        F.countDistinct("lang").cast("bigint").alias("lang_distinct"),
+        F.countDistinct("source").cast("bigint").alias("source_distinct"),
+        F.min("n_chars").cast("bigint").alias("n_chars_min"),
+        F.max("n_chars").cast("bigint").alias("n_chars_max"),
+        r4(F.avg(F.length("text").cast("double"))).alias("chars_avg"),
+        r4(
+            F.count(F.when(F.length("text") < 20, 1)).cast("double")
+            / F.count("*")
+        ).alias("short_doc_rate"),
+    )

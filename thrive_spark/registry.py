@@ -39,6 +39,7 @@ def load_all() -> None:
         aggregations,
         ann,
         bucketed,
+        curation,
         dedup_extra,
         ivf,
         joins,
