@@ -56,8 +56,9 @@ def dedup_exact_hash(spark, sf_dir):
 def dedup_fuzzy_minhash(spark, sf_dir):
     """Near-duplicate detection: word 3-shingles → 16 minhashes →
     4 bands × 4 rows → band-bucket candidate pairs → exact-Jaccard
-    verification ≥ 0.8. Returns verified pairs (a < b) with their
-    Jaccard.
+    verification ≥ 0.8 (over 64-bit-hashed shingle sets — collision
+    odds are negligible and long arrays intersect far cheaper than
+    string arrays). Returns verified pairs (a < b) with their Jaccard.
 
     Everything before the band join stays in the ARRAY domain
     (transform/array_min over the shingle array) — a map-only pass
@@ -71,45 +72,70 @@ def dedup_fuzzy_minhash(spark, sf_dir):
     hash_cols = [f"mh{i}" for i in range(n_hashes)]
 
     def signatures(batches):
-        # One Arrow batch in, one out: shingle + 16 vectorized hash
-        # passes (pandas hash_array, C speed, deterministic via seeded
-        # hash_key). Interpreted JVM higher-order lambdas cost ~15 µs
-        # per shingle here; this path is ~20× faster and stays map-only.
-        # Per-doc minima come from minimum.reduceat over the flat hash
-        # array (shingles are emitted doc-contiguous), skipping the
-        # pandas explode/groupby machinery entirely.
+        # One Arrow batch in, one out, all C-speed: each TOKEN is
+        # string-hashed exactly once (pandas hash_array, deterministic,
+        # categorize dedups the small vocabulary), then shingle hashes
+        # are a vectorized 3-term uint64 mix of consecutive token
+        # hashes and the 16 minhash families are integer multiply-add
+        # transforms of the shingle hash — no shingle strings are ever
+        # built and no per-family string re-hash happens. Per-doc
+        # minima via minimum.reduceat over the doc-contiguous flat
+        # array. Duplicate shingles need no dedup: min() and the
+        # set-semantic array_intersect/union downstream ignore them.
         import numpy as np
         import pandas as pd
 
+        C1, C2, C3 = (
+            np.uint64(0x9E3779B97F4A7C15),
+            np.uint64(0xC2B2AE3D27D4EB4F),
+            np.uint64(0x165667B19E3779F9),
+        )
+        # fixed odd multipliers/offsets per minhash family (splitmix64
+        # increments of the golden-ratio constant)
+        fam = np.arange(1, n_hashes + 1, dtype=np.uint64)
+        A = fam * C1 | np.uint64(1)
+        B = fam * C3
+
         for pdf in batches:
-            sh_lists = [
-                list(
-                    dict.fromkeys(
-                        " ".join(ts[i : i + 3])
-                        for i in range(max(len(ts) - 2, 1))
-                    )
-                )
-                for ts in (txt.split(" ") for txt in pdf["text"])
-            ]
-            counts = np.array([len(l) for l in sh_lists])
-            flat = np.array(
-                [s for l in sh_lists for s in l], dtype=object
+            token_lists = [t.split(" ") for t in pdf["text"]]
+            n_tok = np.array([len(l) for l in token_lists], dtype=np.int64)
+            th = pd.util.hash_array(
+                np.array([w for l in token_lists for w in l], dtype=object),
+                hash_key="thrive_spark_mh!",
+            ).astype(np.uint64, casting="unsafe")
+            tok_off = np.zeros(len(n_tok), dtype=np.int64)
+            np.cumsum(n_tok[:-1], out=tok_off[1:])
+            n_sh = np.maximum(n_tok - 2, 1)
+            sh_off = np.zeros(len(n_sh), dtype=np.int64)
+            np.cumsum(n_sh[:-1], out=sh_off[1:])
+            doc_of = np.repeat(np.arange(len(n_sh)), n_sh)
+            base = np.arange(int(n_sh.sum())) - sh_off[doc_of] + tok_off[doc_of]
+            last = tok_off[doc_of] + n_tok[doc_of] - 1
+            sh = (
+                th[base] * C1
+                + th[np.minimum(base + 1, last)] * C2
+                + th[np.minimum(base + 2, last)] * C3
             )
-            offsets = np.zeros(len(counts), dtype=np.int64)
-            np.cumsum(counts[:-1], out=offsets[1:])
-            data = {"doc_id": pdf["doc_id"].to_numpy(), "sh": sh_lists}
+            sh ^= sh >> np.uint64(33)  # xorshift finalizer
+            data = {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "sh": [
+                    sh[o : o + c].astype(np.int64).tolist()
+                    for o, c in zip(sh_off, n_sh)
+                ],
+            }
             for i in range(n_hashes):
-                h = pd.util.hash_array(flat, hash_key=f"{i:016d}").astype(
-                    "int64", casting="unsafe"
+                g = sh * A[i] + B[i]
+                data[f"mh{i}"] = np.minimum.reduceat(g, sh_off).astype(
+                    np.int64, casting="unsafe"
                 )
-                data[f"mh{i}"] = np.minimum.reduceat(h, offsets)
             yield pd.DataFrame(data)
 
     sig = (
         t.documents.select("doc_id", "text")
         .mapInPandas(
             signatures,
-            "doc_id long, sh array<string>, "
+            "doc_id long, sh array<long>, "
             + ", ".join(f"mh{i} long" for i in range(n_hashes)),
         )
     )
