@@ -1,0 +1,149 @@
+"""Behavioral analytics operators: funnel conversion and cohort
+retention — the event-sequence queries the reference's analytics
+surface serves (sessionization's batch siblings; the streaming twins
+live in operators/streaming_twins.py).
+
+Scale shapes: both operators reduce events to per-user scalars with
+conditional min-aggregations keyed on user_id, then join those tiny
+per-user tables back — every join and aggregate shares the ONE
+user_id shuffle key, so AQE plans them as a single exchange reused
+across stages; nothing materializes per-event state. Date arithmetic
+stays in integer day/week space (datediff // 7), not engine-specific
+week truncation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+from ._util import r4
+
+#: Monday anchor for week bucketing (1970-01-05 was a Monday)
+_WEEK0 = "1970-01-05"
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click,
+           (SELECT count(*) FROM p) AS n_purchase,
+           round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+                 / (SELECT count(*) FROM v), 4) AS view_to_click,
+           round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+                 / (SELECT count(*) FROM c), 4) AS click_to_purchase
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered funnel view → click → purchase: a user converts a stage
+    only with an event AT OR AFTER their entry into the previous stage
+    (min-timestamp chaining, so 'purchase before ever viewing' does
+    not count). Emits the stage populations and step conversion
+    rates."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase")))
+    )
+    return counts.select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        r4(F.col("n_click").cast("double") / F.col("n_view")).alias(
+            "view_to_click"
+        ),
+        r4(F.col("n_purchase").cast("double") / F.col("n_click")).alias(
+            "click_to_purchase"
+        ),
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle=f"""
+    WITH f AS (
+        SELECT user_id, CAST(min(ts) AS DATE) AS d0 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT e.user_id,
+               CAST(date_diff('day', DATE '{_WEEK0}', f.d0) // 7
+                    AS BIGINT) AS cohort_week,
+               CAST(date_diff('day', f.d0, CAST(e.ts AS DATE)) // 7
+                    AS BIGINT) AS week_offset
+        FROM events e JOIN f USING (user_id)
+        WHERE CAST(e.ts AS DATE) >= f.d0
+    )
+    SELECT cohort_week, week_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM act GROUP BY cohort_week, week_offset
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users bucketed by signup week (weeks
+    since the 1970-01-05 Monday anchor — integer arithmetic, immune to
+    engine week-truncation differences), counted once per (cohort,
+    weeks-since-signup) cell they were active in."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", "event_type", "ts")
+    f = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").cast("date").alias("d0"))
+    )
+    act = (
+        ev.join(f, "user_id")
+        .filter(F.col("ts").cast("date") >= F.col("d0"))
+        .select(
+            "user_id",
+            F.floor(F.datediff("d0", F.lit(_WEEK0).cast("date")) / 7)
+            .cast("bigint")
+            .alias("cohort_week"),
+            F.floor(F.datediff(F.col("ts").cast("date"), "d0") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").cast("bigint").alias("n_active")
+    )

@@ -16,6 +16,7 @@ Scale shapes:
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -175,4 +176,103 @@ def dedup_embedding_cosine(spark, sf_dir):
         F.least("a_id", "b_id").alias("keep_id"),
         F.greatest("a_id", "b_id").alias("dup_id"),
         "sim",
+    )
+
+
+@query(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, lang, n_chars // 50 AS lb,
+               list_distinct(list_filter(string_split(text, ' '),
+                                         x -> x <> '')) AS toks
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS keep_id, b.doc_id AS dup_id
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / (len(a.toks) + len(b.toks)
+                 - len(list_intersect(a.toks, b.toks)))
+              >= {NGRAM_JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT keep_id AS src, dup_id AS nbr FROM pairs
+        UNION ALL
+        SELECT dup_id, keep_id FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.nbr = r.node
+    ),
+    lab AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
+    SELECT node AS doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size,
+           node = cluster_id AS is_canonical
+    FROM lab
+    """,
+)
+def dedup_cluster_components(spark, sf_dir):
+    """Connected components over the near-dup pair graph — the step a
+    dedup pipeline runs AFTER pair generation: transitive near-dups
+    (A~B, B~C) must collapse into ONE cluster with one canonical doc,
+    or chained duplicates survive pairwise dedup. Edges are the
+    oracle-checkable n-gram Jaccard pairs; the cluster id is the
+    component's minimum doc_id.
+
+    Scale shape: iterative min-label propagation (Pregel-style) —
+    each round is one shuffle of the (tiny) edge list joined to the
+    label table, and the round count is the component diameter, which
+    for near-dup clusters is small (they are near-cliques: if A~B and
+    B~C are 0.8-similar, A and C almost always share a band/block
+    too). `localCheckpoint` after each round cuts the growing lineage
+    so round N's plan doesn't replay rounds 1..N-1. For adversarial
+    long-chain graphs, swap the loop body for large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce"), which
+    converges in O(log n) rounds with the same per-round join shape.
+
+    The convergence check is a driver-side count() — one scalar per
+    round, not a collect of the data."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("keep_id", "dup_id")
+    edges = (
+        pairs.union(pairs.select("dup_id", "keep_id"))
+        .toDF("src", "nbr")
+        .localCheckpoint()  # pair generation runs once, not per round
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    while True:
+        prop = (
+            edges.join(labels, edges.nbr == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new = (
+            labels.join(prop, labels.node == prop.src)
+            .select("node", F.least("label", "nbr_min").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+        )
+        .withColumn("cluster_size", F.count("*").over(w).cast("bigint"))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
     )

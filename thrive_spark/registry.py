@@ -37,6 +37,7 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from .operators import (  # noqa: F401
         aggregations,
+        analytics,
         ann,
         bucketed,
         curation,
