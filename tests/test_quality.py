@@ -56,3 +56,12 @@ def test_salted_agg_equals_plain(spark, sf_dir):
     s = salted.sort_values("event_type").reset_index(drop=True)
     p = plain.sort_values("event_type").reset_index(drop=True)
     assert s.equals(p), (s, p)
+
+
+def test_hll_sketch_union_error_bounded(spark, sf_dir):
+    """Sketch-merge estimate within 5% of exact at every rollup node."""
+    rows = QUERIES["agg_hll_sketch_union"](spark, sf_dir).collect()
+    assert rows, "no regions"
+    for r in rows:
+        assert r["exact_customers"] > 0
+        assert r["rel_err"] < 0.05, (r["r_name"], r["rel_err"])

@@ -244,3 +244,39 @@ def pivot_status_by_segment(spark, sf_dir):
         F.coalesce(F.col("O"), F.lit(0)).alias("o_orders"),
         F.coalesce(F.col("P"), F.lit(0)).alias("p_orders"),
     )
+
+
+@query("agg_hll_sketch_union")  # rows-only: Datasketches HLL binaries
+# are Spark-specific; the exact/rel_err columns make it self-auditing
+def agg_hll_sketch_union(spark, sf_dir):
+    """Mergeable-sketch rollup — THE at-scale distinct-count pattern:
+    build one HLL sketch per nation (map-side, fixed-size binary),
+    merge sketches up to region with hll_union_agg, estimate once.
+    Re-aggregating a sketch tree is O(sketch bytes); re-counting raw
+    keys at each rollup level is O(rows) per level. Emits the exact
+    per-region distinct alongside for a self-contained error audit
+    (asserted < 5% in tests/test_quality.py)."""
+    t = Tables(spark, sf_dir)
+    cust = t.customer.join(
+        F.broadcast(t.nation),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    per_nation = cust.groupBy("n_regionkey", "n_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk"),
+        F.countDistinct("c_custkey").alias("exact_n"),
+    )
+    region = per_nation.groupBy("n_regionkey").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_customers"),
+        F.sum("exact_n").alias("exact_customers"),  # custkeys are disjoint
+    )
+    return region.join(
+        F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(
+        "r_name",
+        "est_customers",
+        "exact_customers",
+        r4(
+            F.abs(F.col("est_customers") - F.col("exact_customers"))
+            / F.col("exact_customers")
+        ).alias("rel_err"),
+    )

@@ -1,0 +1,93 @@
+"""CDC / incremental-merge operator: apply a changelog of upserts and
+deletes to a base snapshot — the reference's incremental-maintenance
+surface, re-expressed as the standard Spark merge idiom (union →
+latest-version-per-key window → delete filter) that Delta/Iceberg
+MERGE compiles to underneath.
+
+Scale shape: one shuffle on the merge key for the ranking window; the
+changelog is typically ≪ the snapshot, and AQE's skew handling covers
+hot keys. No per-row driver logic, no Python.
+
+The changelog here is DERIVED deterministically from the orders table
+(update every 7th key, delete every 11th) so the whole merge is
+oracle-checkable; a real deployment feeds the same plan from a Kafka
+/ Debezium source with (key, ver, op) columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+
+
+@query(
+    "merge_upsert_cdc",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS order_key, o_totalprice AS price,
+               o_orderstatus AS status, 0 AS ver, 'I' AS op
+        FROM orders
+    ),
+    upd AS (
+        SELECT o_orderkey, floor(o_totalprice * 1.1 * 100 + 0.5) / 100,
+               o_orderstatus, 1, 'U'
+        FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    del AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus, 2, 'D'
+        FROM orders WHERE o_orderkey % 11 = 0
+    ),
+    log_all AS (
+        SELECT * FROM base UNION ALL SELECT * FROM upd
+        UNION ALL SELECT * FROM del
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY order_key
+                                     ORDER BY ver DESC) AS rn
+        FROM log_all
+    )
+    SELECT order_key, price, status, op AS last_op
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def merge_upsert_cdc(spark, sf_dir):
+    """Snapshot ⊕ changelog merge: latest version per key wins, 'D'
+    tombstones drop the key. Updated prices use the engine-exact
+    floor(x*1.1*100+0.5)/100 fixed-point bump (round() half-mode
+    differs across engines)."""
+    t = Tables(spark, sf_dir)
+    o = t.orders
+    base = o.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(0).alias("ver"),
+        F.lit("I").alias("op"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("order_key"),
+        (F.floor(F.col("o_totalprice") * 1.1 * 100 + 0.5) / 100).alias(
+            "price"
+        ),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(1).alias("ver"),
+        F.lit("U").alias("op"),
+    )
+    dele = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(2).alias("ver"),
+        F.lit("D").alias("op"),
+    )
+    w = Window.partitionBy("order_key").orderBy(F.col("ver").desc())
+    return (
+        base.unionAll(upd)
+        .unionAll(dele)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("order_key", "price", "status", F.col("op").alias("last_op"))
+    )

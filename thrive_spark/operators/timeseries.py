@@ -1,0 +1,101 @@
+"""Time-series resampling: bucket → gap-fill → forward-fill — the
+"hypertable rollup" surface of the reference re-expressed relationally:
+the dense grid is generated with `sequence`/`explode` per series (no
+driver loop, no Python), gaps appear as left-join nulls, and the fill
+is a running `last(ignorenulls)` window.
+
+Scale shape: grid size = series × buckets regardless of event volume;
+the heavy input collapses to per-bucket partials in one map-side
+aggregation before anything joins. The only shuffles are on the
+(tiny-cardinality) series key: the rollup groupBy, the grid join, and
+the forward-fill window all share it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+from ._util import dsum, osum
+
+#: bucket width in seconds (15 min — fine enough that real gaps exist
+#: in the test corpus, so the fill paths are non-vacuous)
+BUCKET_S = 900
+
+
+@query(
+    "resample_gapfill",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // {BUCKET_S} AS bucket,
+               value
+        FROM events
+    ),
+    rolled AS (
+        SELECT event_type, bucket, count(*) AS n_raw,
+               {osum('value')} AS sum_raw
+        FROM b GROUP BY event_type, bucket
+    ),
+    spans AS (
+        SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+        FROM rolled GROUP BY event_type
+    ),
+    grid AS (
+        SELECT s.event_type, g.g AS bucket
+        FROM spans s, LATERAL (SELECT unnest(generate_series(s.b0, s.b1))
+                               AS g) g
+    )
+    SELECT grid.event_type, grid.bucket,
+           CAST(coalesce(r.n_raw, 0) AS BIGINT) AS n,
+           coalesce(r.sum_raw, 0.0) AS bucket_sum,
+           last_value(r.sum_raw IGNORE NULLS) OVER (
+               PARTITION BY grid.event_type ORDER BY grid.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS ffill_sum
+    FROM grid LEFT JOIN rolled r
+      ON grid.event_type = r.event_type AND grid.bucket = r.bucket
+    """,
+)
+def resample_gapfill(spark, sf_dir):
+    """15-minute resample of event value per event_type with a dense
+    bucket grid: empty buckets appear with n=0/sum=0 and a
+    forward-filled last observed sum — the shape dashboards and
+    downsampling jobs need (a naive groupBy silently drops empty
+    buckets). Bucket ids are integer epoch-seconds // 900, immune to
+    engine timestamp-truncation differences."""
+    t = Tables(spark, sf_dir)
+    b = t.events.select(
+        "event_type",
+        F.expr(f"(unix_micros(ts) div 1000000) div {BUCKET_S}").alias(
+            "bucket"
+        ),
+        "value",
+    )
+    rolled = b.groupBy("event_type", "bucket").agg(
+        F.count("*").alias("n_raw"), dsum("value").alias("sum_raw")
+    )
+    spans = rolled.groupBy("event_type").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(F.sequence("b0", "b1")).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(rolled, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("n_raw", F.lit(0)).cast("bigint").alias("n"),
+            F.coalesce("sum_raw", F.lit(0.0)).alias("bucket_sum"),
+            F.last("sum_raw", ignorenulls=True).over(w).alias("ffill_sum"),
+        )
+    )

@@ -40,6 +40,7 @@ def load_all() -> None:
         analytics,
         ann,
         bucketed,
+        cdc,
         curation,
         dedup_extra,
         ivf,
@@ -52,6 +53,7 @@ def load_all() -> None:
         sql_surface,
         streaming_twins,
         text_analysis,
+        timeseries,
         udfs,
         windows,
     )
