@@ -36,6 +36,10 @@ HEADLINE = [
     "sim_pairs_threshold",   # blocked cosine pair scan
     "text_tfidf_topterms",
     "dedup_fuzzy_minhash",   # MinHash LSH end-to-end
+    "chunk_fixed_tokens",    # curation: context-window packing
+    "resample_gapfill",      # time-series densify + ffill
+    "merge_upsert_cdc",      # CDC snapshot merge
+    "funnel_conversion",     # event-sequence analytics
 ]
 
 

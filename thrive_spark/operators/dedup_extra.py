@@ -111,6 +111,8 @@ def dedup_simhash(spark, sf_dir):
                   - len(list_intersect(a.toks, b.toks))) AS j
         FROM d a JOIN d b
           ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        WHERE len(a.toks) * 4 <= len(b.toks) * 5
+          AND len(b.toks) * 4 <= len(a.toks) * 5
     )
     SELECT keep_id, dup_id, round(j, 4) AS jaccard
     FROM pairs WHERE j >= {NGRAM_JACCARD_THRESHOLD}
@@ -118,7 +120,14 @@ def dedup_simhash(spark, sf_dir):
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """Token-set Jaccard dedup on (lang, length-bucket) blocked pairs;
-    oracle-checked (portable set arithmetic, no seeded hashes)."""
+    oracle-checked (portable set arithmetic, no seeded hashes).
+
+    Size-ratio prefilter: J(A,B) >= t forces min(|A|,|B|)/max(|A|,|B|)
+    >= t (since J <= min/max), so pairs whose sizes differ by more
+    than 1/t = 1.25x (checked in exact integer arithmetic, 4|A| <=
+    5|B| and vice versa) are pruned BEFORE the set intersection —
+    provably identical results, and the expensive intersect runs on a
+    fraction of the blocked pairs."""
     t = Tables(spark, sf_dir)
     d = t.documents.select(
         "doc_id",
@@ -127,24 +136,30 @@ def dedup_ngram_jaccard(spark, sf_dir):
         F.array_distinct(
             F.filter(F.split("text", " "), lambda x: x != "")
         ).alias("toks"),
-    )
+    ).withColumn("sz", F.size("toks"))
     a = d.select(
         F.col("lang").alias("lg"),
         F.col("lb").alias("lbk"),
         F.col("doc_id").alias("keep_id"),
         F.col("toks").alias("ta"),
+        F.col("sz").alias("sa"),
     )
     b = d.select(
         F.col("lang").alias("lg"),
         F.col("lb").alias("lbk"),
         F.col("doc_id").alias("dup_id"),
         F.col("toks").alias("tb"),
+        F.col("sz").alias("sb"),
     )
     inter = F.size(F.array_intersect("ta", "tb"))
-    j = inter.cast("double") / (F.size("ta") + F.size("tb") - inter)
+    j = inter.cast("double") / (F.col("sa") + F.col("sb") - inter)
     return (
         a.join(b, ["lg", "lbk"])
-        .filter(F.col("keep_id") < F.col("dup_id"))
+        .filter(
+            (F.col("keep_id") < F.col("dup_id"))
+            & (F.col("sa") * 4 <= F.col("sb") * 5)
+            & (F.col("sb") * 4 <= F.col("sa") * 5)
+        )
         .withColumn("j", j)
         .filter(F.col("j") >= NGRAM_JACCARD_THRESHOLD)
         .select("keep_id", "dup_id", r4(F.col("j")).alias("jaccard"))
@@ -192,7 +207,10 @@ def dedup_embedding_cosine(spark, sf_dir):
         SELECT a.doc_id AS keep_id, b.doc_id AS dup_id
         FROM d a JOIN d b
           ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        WHERE a.doc_id < b.doc_id
+          AND len(a.toks) * 4 <= len(b.toks) * 5
+          AND len(b.toks) * 4 <= len(a.toks) * 5
+          AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
               / (len(a.toks) + len(b.toks)
                  - len(list_intersect(a.toks, b.toks)))
               >= {NGRAM_JACCARD_THRESHOLD}
