@@ -14,6 +14,7 @@ week truncation.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -146,4 +147,61 @@ def cohort_retention(spark, sf_dir):
     )
     return act.groupBy("cohort_week", "week_offset").agg(
         F.count("*").cast("bigint").alias("n_active")
+    )
+
+
+@query(
+    "sessionize_ids",
+    oracle="""
+    WITH o AS (
+        SELECT event_id, user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    marked AS (
+        SELECT event_id, user_id,
+               CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                    THEN 1 ELSE 0 END AS is_new,
+               ts
+        FROM o
+    )
+    SELECT event_id, user_id,
+           CAST(sum(is_new) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS session_idx
+    FROM marked
+    """,
+)
+def sessionize_ids(spark, sf_dir):
+    """Gaps-and-islands sessionization: assign each EVENT its per-user
+    session ordinal (new session after a 30-minute silence) — the
+    event-level complement of stream_session_window's per-session
+    aggregate, and the standard lag → flag → running-sum rewrite that
+    keeps it one window pass over one user_id shuffle."""
+    t = Tables(spark, sf_dir)
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    marked = t.events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w_ord).isNull()
+            | (
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.lag("ts").over(w_ord))
+                > 1800 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    return marked.select(
+        "event_id",
+        "user_id",
+        F.sum("is_new").over(w_run).cast("bigint").alias("session_idx"),
     )

@@ -322,3 +322,43 @@ def dq_profile_documents(spark, sf_dir):
             / F.count("*")
         ).alias("short_doc_rate"),
     )
+
+
+#: docs kept per language by the per-stratum sampler
+K_PER_GROUP = 10
+
+
+@query(
+    "sample_k_per_group",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {K_PER_GROUP}
+    """,
+)
+def sample_k_per_group(spark, sf_dir):
+    """Exactly-k-per-stratum sampling: rank documents inside each
+    language by the md5 of their key and keep the first k — the
+    deterministic equivalent of per-group reservoir sampling (a
+    uniform k-subset whose membership is a pure function of the keys,
+    stable across runs and cluster layouts). One shuffle on the
+    language key; at scale, rank-within-group over a hash order is
+    exactly the top-k window Spark solves with a bounded per-partition
+    heap (no full sort of the group)."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        t.documents.select(
+            "doc_id", "lang", F.row_number().over(w).cast("bigint").alias("rk")
+        )
+        .filter(F.col("rk") <= K_PER_GROUP)
+    )
