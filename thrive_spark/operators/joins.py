@@ -369,3 +369,74 @@ def join_star_multiway(spark, sf_dir):
         .groupBy("n_name")
         .agg(dsum(rev).alias("revenue"))
     )
+
+
+#: fixed interval length for the overlap join exhibit (10 min, µs)
+_IVL_US = 600_000_000
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH a AS (
+        SELECT event_id AS view_id, epoch_us(ts) AS sa,
+               epoch_us(ts) + {_IVL_US} AS ea
+        FROM events WHERE event_type = 'view'
+    ),
+    b AS (
+        SELECT event_id AS purchase_id, epoch_us(ts) AS sb,
+               epoch_us(ts) + {_IVL_US} AS eb
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT view_id, purchase_id,
+           CAST(least(ea, eb) - greatest(sa, sb) AS BIGINT) AS overlap_us
+    FROM a JOIN b ON sa <= eb AND sb <= ea
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    """Interval-overlap join with NO equi key: every (view, purchase)
+    pair whose 10-minute activity windows intersect, plus the overlap
+    duration. A naive theta join is a cartesian product; the rewrite
+    buckets time into interval-length-sized cells and explodes each
+    interval to the cells its span covers (≤ 2 here), so overlap
+    candidates MUST share a cell — an equi join on the cell id with a
+    residual overlap predicate, linear shuffle volume (the
+    generalization of plans/band_join.py from points to intervals).
+    Pairs spanning two shared cells match twice → dropDuplicates on
+    the pair key. The DuckDB oracle states the same join as raw
+    inequalities (its IEJoin handles that shape natively)."""
+    t = Tables(spark, sf_dir)
+
+    def intervals(etype, key, s, e):
+        return (
+            t.events.filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(key),
+                F.expr("unix_micros(ts)").alias(s),
+                (F.expr("unix_micros(ts)") + _IVL_US).alias(e),
+            )
+            .withColumn(
+                "cell",
+                F.explode(
+                    F.sequence(
+                        F.expr(f"{s} div {_IVL_US}"),
+                        F.expr(f"{e} div {_IVL_US}"),
+                    )
+                ),
+            )
+        )
+
+    a = intervals("view", "view_id", "sa", "ea")
+    b = intervals("purchase", "purchase_id", "sb", "eb")
+    return (
+        a.join(b, "cell")
+        .filter((F.col("sa") <= F.col("eb")) & (F.col("sb") <= F.col("ea")))
+        .dropDuplicates(["view_id", "purchase_id"])
+        .select(
+            "view_id",
+            "purchase_id",
+            (
+                F.least("ea", "eb") - F.greatest("sa", "sb")
+            ).cast("bigint").alias("overlap_us"),
+        )
+    )

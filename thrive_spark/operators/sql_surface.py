@@ -107,3 +107,43 @@ def agg_salted_skew(spark, sf_dir):
     return out.select(
         "event_type", "n", (F.col("sum_fixed") / 10000.0).alias("sum_value")
     )
+
+
+@query(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE anc(s_suppkey, node, depth) AS (
+        SELECT s_suppkey, s_suppkey, 0 FROM supplier
+        UNION ALL
+        SELECT s_suppkey, node // 2, depth + 1 FROM anc WHERE node > 1
+    )
+    SELECT s_suppkey, CAST(max(depth) AS BIGINT) AS depth_to_root,
+           CAST(sum(node) AS BIGINT) AS ancestor_sum,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM anc GROUP BY s_suppkey
+    """,
+)
+def sql_recursive_cte(spark, sf_dir):
+    """WITH RECURSIVE through the SQL surface (Spark 4 recursive CTE):
+    walk every supplier key up an implicit binary-tree hierarchy
+    (parent = key div 2) to the root, emitting depth, ancestor sum and
+    path length. The recursion's per-step frame is one projection of
+    the previous frame — Spark executes it as an iterative union of
+    narrow maps, no joins, so depth scales with log(max key), not
+    data volume. The same query text (modulo `div` spelling) runs on
+    the DuckDB oracle."""
+    t = Tables(spark, sf_dir)
+    t.register_views()
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(s_suppkey, node, depth) AS (
+            SELECT s_suppkey, s_suppkey, 0 FROM supplier
+            UNION ALL
+            SELECT s_suppkey, node div 2, depth + 1 FROM anc WHERE node > 1
+        )
+        SELECT s_suppkey, CAST(max(depth) AS BIGINT) AS depth_to_root,
+               CAST(sum(node) AS BIGINT) AS ancestor_sum,
+               CAST(count(*) AS BIGINT) AS n_nodes
+        FROM anc GROUP BY s_suppkey
+        """
+    )
