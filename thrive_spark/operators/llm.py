@@ -366,7 +366,15 @@ def text_tfidf_topterms(spark, sf_dir):
     """tf-idf with the pinned smooth-idf formula ln((N+1)/(df+1))+1;
     top-3 terms per doc, ties broken lexically. df table is tiny →
     broadcast join; at 100 TB swap explode+groupBy for HashingTF
-    only if vocab explodes."""
+    only if vocab explodes.
+
+    Measured non-optimization: pre-repartitioning tokens by doc_id to
+    make the aggregate and the ranking window share one exchange is
+    ~2x SLOWER here — it ships the raw exploded token stream and
+    forfeits the map-side partial aggregation that makes the
+    (doc_id, term) shuffle carry compressed partials. Partition reuse
+    only pays when the reused exchange is not cheaper to rebuild from
+    combined partials."""
     t = Tables(spark, sf_dir)
     tok = t.documents.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
