@@ -280,3 +280,53 @@ def agg_hll_sketch_union(spark, sf_dir):
             / F.col("exact_customers")
         ).alias("rel_err"),
     )
+
+
+@query(
+    "agg_mode_per_group",
+    oracle="""
+    WITH c AS (
+        SELECT c_mktsegment, o_orderpriority, count(*) AS n
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment, o_orderpriority
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY c_mktsegment
+            ORDER BY n DESC, o_orderpriority
+        ) AS rk
+        FROM c
+    )
+    SELECT c_mktsegment, o_orderpriority AS mode_priority, n AS mode_n
+    FROM r WHERE rk = 1
+    """,
+)
+def agg_mode_per_group(spark, sf_dir):
+    """Statistical mode per group with a deterministic tiebreak
+    (highest count, then lexical) via count → rank-1 window — the
+    portable spelling of mode() whose tie behavior engines disagree
+    on. Two-phase: the count aggregate is map-side partial; the window
+    runs over group×value cardinality rows, not the fact table."""
+    t = Tables(spark, sf_dir)
+    c = (
+        t.orders.join(
+            F.broadcast(t.customer),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql import Window as _Window
+
+    w = _Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_n"),
+        )
+    )

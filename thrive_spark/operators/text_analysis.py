@@ -10,6 +10,7 @@ with bytes scanned, embarrassingly parallel.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -216,4 +217,58 @@ def text_token_count_bpe(spark, sf_dir):
         r4(F.col("n_chars_m").cast("double") / F.col("n_words")).alias(
             "chars_per_word"
         ),
+    )
+
+
+@query(
+    "text_ngram_freq",
+    oracle="""
+    WITH tk AS (
+        SELECT string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    bg AS (
+        SELECT unnest(CASE WHEN n >= 2
+            THEN list_transform(generate_series(1, n - 1),
+                                i -> t[i] || ' ' || t[i + 1])
+            ELSE [] END) AS bigram
+        FROM tk
+    ),
+    c AS (SELECT bigram, count(*) AS n FROM bg GROUP BY bigram),
+    r AS (
+        SELECT bigram, n,
+               row_number() OVER (ORDER BY n DESC, bigram) AS rk
+        FROM c
+    )
+    SELECT bigram, n, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 20
+    """,
+)
+def text_ngram_freq(spark, sf_dir):
+    """Corpus bigram frequencies, top-20 with a total-order tiebreak —
+    the vocabulary-statistics pass (collocation mining, tokenizer
+    diagnostics). Bigrams are built in the array domain (index
+    transform, guarded for 1-token docs since Spark's sequence(1, 0)
+    counts DOWN); the ranking window runs over bigram-vocabulary
+    cardinality, which is corpus-bounded, not row-bounded."""
+    t = Tables(spark, sf_dir)
+    bg = (
+        t.documents.select(F.split("text", " ").alias("t"))
+        .select(
+            F.explode(
+                F.when(
+                    F.size("t") >= 2,
+                    F.expr(
+                        "transform(sequence(1, size(t) - 1), "
+                        "i -> concat(element_at(t, i), ' ', "
+                        "element_at(t, i + 1)))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("bigram")
+        )
+    )
+    c = bg.groupBy("bigram").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "bigram")
+    return (
+        c.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 20)
     )
