@@ -83,3 +83,19 @@ def test_rows_only_runs(qid, spark, sf_dir):
     df = QUERIES[qid](spark, sf_dir)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+@pytest.mark.parametrize("qid", sorted(QUERIES))
+def test_no_complex_output_columns(qid, spark, sf_dir):
+    """Driver canonicalizer crashes on list-typed cells (round-1
+    agg_collect_sorted FAIL): no query may emit array/map/struct
+    output columns — serialize them to delimited strings instead."""
+    from pyspark.sql import types as T
+
+    df = QUERIES[qid](spark, sf_dir)
+    complex_cols = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, f"{qid} emits complex-typed columns: {complex_cols}"

@@ -181,10 +181,15 @@ def fn_conditional_bank(spark, sf_dir):
     SELECT vec_id,
            CAST(len(embedding) AS BIGINT) AS c_size,
            round(CAST(embedding[1] AS DOUBLE), 4) AS c_first,
-           embedding[1:3] AS c_slice,
-           list_sort(list_distinct([label, (label * 2) % 10, label])) AS c_int_arr,
-           list_transform(embedding[1:3],
-                          x -> round(CAST(x AS DOUBLE) * 2, 4)) AS c_doubled,
+           array_to_string(list_transform(embedding[1:3],
+               x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)), ',')
+               AS c_slice,
+           array_to_string(
+               list_sort(list_distinct([label, (label * 2) % 10, label])), ',')
+               AS c_int_arr,
+           array_to_string(list_transform(embedding[1:3],
+               x -> CAST(floor(CAST(x AS DOUBLE) * 2 * 10000 + 0.5) AS BIGINT)), ',')
+               AS c_doubled,
            round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4)
                AS c_sum,
            list_contains(embedding, embedding[1]) AS c_contains,
@@ -197,22 +202,35 @@ def fn_conditional_bank(spark, sf_dir):
 def fn_array_bank(spark, sf_dir):
     """Array + higher-order functions over the embedding column. The
     fold/transform/filter lambdas run inside codegen — this is also
-    the building block of the cosine similarity operators (§2.11)."""
+    the building block of the cosine similarity operators (§2.11).
+
+    Array-valued results are serialized to CSV text (fixed-point for
+    floats) — the driver canonicalizer cannot hash list cells, and
+    float→string formatting differs across engines."""
     t = Tables(spark, sf_dir)
     emb = F.col("embedding")
     dbl = F.transform(emb, lambda x: x.cast("double"))
+
+    def fp(x, mul=1.0):
+        return F.floor(x.cast("double") * mul * 10000 + 0.5).cast("bigint")
+
     return t.embeddings.select(
         "vec_id",
         F.size(emb).cast("bigint").alias("c_size"),
         F.round(F.element_at(emb, 1).cast("double"), 4).alias("c_first"),
-        F.slice(emb, 1, 3).alias("c_slice"),
-        F.sort_array(
-            F.array_distinct(
-                F.array(F.col("label"), (F.col("label") * 2) % 10, F.col("label"))
-            )
+        F.array_join(F.transform(F.slice(emb, 1, 3), lambda x: fp(x)), ",").alias(
+            "c_slice"
+        ),
+        F.array_join(
+            F.sort_array(
+                F.array_distinct(
+                    F.array(F.col("label"), (F.col("label") * 2) % 10, F.col("label"))
+                )
+            ),
+            ",",
         ).alias("c_int_arr"),
-        F.transform(
-            F.slice(emb, 1, 3), lambda x: F.round(x.cast("double") * 2, 4)
+        F.array_join(
+            F.transform(F.slice(emb, 1, 3), lambda x: fp(x, 2.0)), ","
         ).alias("c_doubled"),
         F.round(
             F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x), 4
@@ -288,7 +306,8 @@ def fn_map_bank(spark, sf_dir):
            json_extract_string(props, '$.k') AS k_str,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
            to_json(struct_pack(id := event_id, t := event_type)) AS c_to_json,
-           CAST(json_keys(props) AS VARCHAR[]) AS c_keys,
+           array_to_string(list_sort(CAST(json_keys(props) AS VARCHAR[])), ',')
+               AS c_keys,
            json_valid(props) AS c_valid
     FROM events
     """,
@@ -304,7 +323,7 @@ def fn_json_bank(spark, sf_dir):
         F.to_json(
             F.struct(F.col("event_id").alias("id"), F.col("event_type").alias("t"))
         ).alias("c_to_json"),
-        F.json_object_keys("props").alias("c_keys"),
+        F.array_join(F.sort_array(F.json_object_keys("props")), ",").alias("c_keys"),
         F.get_json_object("props", "$").isNotNull().alias("c_valid"),
     )
 

@@ -158,16 +158,22 @@ def agg_cube(spark, sf_dir):
     "agg_collect_sorted",
     oracle="""
     SELECT o_custkey,
-           list_sort(list(CAST(year(o_orderdate) AS BIGINT))) AS order_years
+           array_to_string(list_sort(list(CAST(year(o_orderdate) AS BIGINT))), ',')
+             AS order_years
     FROM orders GROUP BY o_custkey
     """,
 )
 def agg_collect_sorted(spark, sf_dir):
+    """collect_list + sort, serialized to CSV text.
+
+    The array is joined to a scalar string because the driver's pandas
+    canonicalizer cannot hash list-typed cells (round-1 red row).
+    """
     t = Tables(spark, sf_dir)
     return t.orders.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_list(F.year("o_orderdate").cast("bigint"))).alias(
-            "order_years"
-        )
+        F.array_join(
+            F.sort_array(F.collect_list(F.year("o_orderdate").cast("bigint"))), ","
+        ).alias("order_years")
     )
 
 

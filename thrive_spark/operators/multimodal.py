@@ -83,10 +83,22 @@ def multimodal_decode_stub(spark, sf_dir):
 
         for pdf in batches:
             metas = [decode_image_stub(b) for b in pdf["img"]]
-            # 8-bin byte histogram as the stand-in feature vector
+            # 8-bin byte histogram as the stand-in feature vector,
+            # serialized fixed-point (driver canonicalizer can't hash lists)
             feats = [
-                (np.bincount(np.frombuffer(b, dtype=np.uint8) >> 5, minlength=8)
-                 / max(len(b), 1)).tolist()
+                ",".join(
+                    str(v)
+                    for v in (
+                        np.floor(
+                            np.bincount(
+                                np.frombuffer(b, dtype=np.uint8) >> 5, minlength=8
+                            )
+                            / max(len(b), 1)
+                            * 10000
+                            + 0.5
+                        ).astype(np.int64)
+                    )
+                )
                 for b in pdf["img"]
             ]
             yield pd.DataFrame(
@@ -102,7 +114,7 @@ def multimodal_decode_stub(spark, sf_dir):
     src = t.documents.select("doc_id", F.encode("text", "UTF-8").alias("img"))
     return src.mapInPandas(
         decode,
-        "doc_id long, width int, height int, n_channels int, feature array<double>",
+        "doc_id long, width int, height int, n_channels int, feature string",
     )
 
 
