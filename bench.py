@@ -1,20 +1,25 @@
 """Benchmark harness: headline queries at sf0.1 (BASELINE.md method).
 
-Runs each headline query twice on local[$SPARK_GRAFT_CPUS] against
-$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and reports the
-WARM time (second run), excluding the one-time session startup —
-mirroring BASELINE.md. Materialization is the noop sink so the full
+Runs each headline query on local[$SPARK_GRAFT_CPUS] against
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1): one untimed warm-up
+(codegen + page cache), then THREE timed repetitions, reporting the
+per-query MEDIAN — one run can't distinguish machine noise from a plan
+regression (the r1→r2 uniform ~23% drift proved that). A `variance`
+field carries each query's (max-min)/median rel spread so drift is
+visible in the artifact. Materialization is the noop sink so the full
 plan executes (count() would let Catalyst prune the compute).
 
 Prints ONE JSON line:
   {"metric": "suite_warm_sec", "value": N, "unit": "sec",
-   "queries": {id: sec, ...}, "sf": 0.1}
+   "queries": {id: sec, ...}, "variance": {id: relspread, ...},
+   "reps": 3, "sf": 0.1}
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -52,16 +57,20 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("thrive-bench")
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     times: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for qid in HEADLINE:
         fn = registry.QUERIES[qid]
         materialize(fn(spark, sf_dir))  # warm: codegen + page cache
-        best = float("inf")
-        for _ in range(2):
+        samples = []
+        for _ in range(reps):
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        times[qid] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        med = statistics.median(samples)
+        times[qid] = round(med, 3)
+        spread[qid] = round((max(samples) - min(samples)) / med, 3) if med else 0.0
 
     print(
         json.dumps(
@@ -70,6 +79,8 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "variance": spread,
+                "reps": reps,
                 "sf": sf,
             }
         )

@@ -136,6 +136,28 @@ def test_bucketed_join_shuffle_free(spark, sf_dir):
         cleanup()
 
 
+def test_minhash_band_join_sheds_arrays(spark, sf_dir):
+    """The LSH band self-join must shuffle only (doc_id, band, sig) —
+    3 longs/row — never the shingle-hash arrays; shingles rejoin for
+    candidate pairs only. A hashpartitioning exchange carrying `sh`
+    would mean the band join ships the corpus tokens again."""
+    import re
+
+    df = QUERIES["dedup_fuzzy_minhash"](spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    # no plan node may carry the shingle array alongside band/sig
+    # columns — that's the signature the old corpus-through-the-
+    # shuffle plan had (bands projection retained `sh`)
+    offending = [
+        line
+        for line in executed.splitlines()
+        if re.search(r"\bsh#", line)
+        and re.search(r"\b(band|sig)#", line)
+    ]
+    assert not offending, offending
+
+
 @pytest.mark.parametrize(
     "qid", ["scan_parquet", "agg_hash_groupby", "join_star_multiway"]
 )

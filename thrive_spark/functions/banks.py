@@ -180,7 +180,8 @@ def fn_conditional_bank(spark, sf_dir):
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS BIGINT) AS c_size,
-           round(CAST(embedding[1] AS DOUBLE), 4) AS c_first,
+           CAST(floor(CAST(embedding[1] AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+               AS c_first,
            array_to_string(list_transform(embedding[1:3],
                x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)), ',')
                AS c_slice,
@@ -190,8 +191,8 @@ def fn_conditional_bank(spark, sf_dir):
            array_to_string(list_transform(embedding[1:3],
                x -> CAST(floor(CAST(x AS DOUBLE) * 2 * 10000 + 0.5) AS BIGINT)), ',')
                AS c_doubled,
-           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4)
-               AS c_sum,
+           CAST(floor(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                      * 10000 + 0.5) AS BIGINT) AS c_sum,
            list_contains(embedding, embedding[1]) AS c_contains,
            round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
                                 'max'), 4) AS c_max,
@@ -217,7 +218,7 @@ def fn_array_bank(spark, sf_dir):
     return t.embeddings.select(
         "vec_id",
         F.size(emb).cast("bigint").alias("c_size"),
-        F.round(F.element_at(emb, 1).cast("double"), 4).alias("c_first"),
+        fp(F.element_at(emb, 1)).alias("c_first"),
         F.array_join(F.transform(F.slice(emb, 1, 3), lambda x: fp(x)), ",").alias(
             "c_slice"
         ),
@@ -232,9 +233,9 @@ def fn_array_bank(spark, sf_dir):
         F.array_join(
             F.transform(F.slice(emb, 1, 3), lambda x: fp(x, 2.0)), ","
         ).alias("c_doubled"),
-        F.round(
-            F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x), 4
-        ).alias("c_sum"),
+        fp(F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x)).alias(
+            "c_sum"
+        ),
         F.array_contains(emb, F.element_at(emb, 1)).alias("c_contains"),
         F.round(F.array_max(dbl), 4).alias("c_max"),
         F.size(F.filter(emb, lambda x: x > 0)).cast("bigint").alias("c_n_pos"),

@@ -62,11 +62,13 @@ def dedup_fuzzy_minhash(spark, sf_dir):
 
     Everything before the band join stays in the ARRAY domain
     (transform/array_min over the shingle array) — a map-only pass
-    with no explode and no shuffle; the only shuffles are the band
-    self-join (rows = doc_id + 4 longs) and the candidate verify,
-    whose input is the candidate set, not the corpus. That is the
-    100 TB shape: signature computation scales with bytes scanned,
-    join traffic scales with near-duplicate density."""
+    with no explode and no shuffle. The band self-join shuffles only
+    a (doc_id, band, sig) projection — 3 longs per row, never the
+    shingle arrays — and the shingle-hash sets are fetched by joining
+    the deduplicated CANDIDATE pairs back to the signature table, so
+    array bytes cross the wire only for docs that share a band bucket.
+    That is the 100 TB shape: signature computation scales with bytes
+    scanned, join traffic scales with near-duplicate density."""
     t = Tables(spark, sf_dir)
     n_hashes, n_bands, rows_per_band = 16, 4, 4
     hash_cols = [f"mh{i}" for i in range(n_hashes)]
@@ -139,10 +141,11 @@ def dedup_fuzzy_minhash(spark, sf_dir):
             + ", ".join(f"mh{i} long" for i in range(n_hashes)),
         )
     )
-    # band signature = hash of its 4 minhash rows
+    # band signature = hash of its 4 minhash rows; the band table is a
+    # 3-long projection — the shingle arrays stay OUT of the self-join
+    # shuffle (they rejoin below, for candidate docs only)
     bands = sig.select(
         "doc_id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -159,9 +162,9 @@ def dedup_fuzzy_minhash(spark, sf_dir):
                 ]
             )
         ).alias("bs"),
-    ).select("doc_id", "sh", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
-    cand = (
+    pairs_ = (
         bands.alias("a")
         .join(
             bands.alias("b"),
@@ -172,10 +175,19 @@ def dedup_fuzzy_minhash(spark, sf_dir):
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    shingles = sig.select("doc_id", "sh")
+    cand = (
+        pairs_.join(shingles.alias("sa"), pairs_.doc_a == F.col("sa.doc_id"))
+        .join(shingles.alias("sb"), pairs_.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("sa.sh").alias("sh_a"),
+            F.col("sb.sh").alias("sh_b"),
+        )
     )
 
     # exact-Jaccard verification on candidates only, in the array domain

@@ -35,13 +35,31 @@ def _slices(t):
     """,
 )
 def union_all_dedup(spark, sf_dir):
+    """Single-action form: one union scan feeds one aggregate that
+    computes both cardinalities (count(*) + count(distinct struct)),
+    then explodes into the two labeled rows — one Spark job, one scan
+    of customer, fully lazy (the driver triggers the only action)."""
     t = Tables(spark, sf_dir)
     a, b = _slices(t)
-    n_all = a.unionByName(b).count()
-    n_distinct = a.unionByName(b).distinct().count()
-    return spark.createDataFrame(
-        [("union_all", n_all), ("union_distinct", n_distinct)], "mode string, n long"
+    counts = a.unionByName(b).agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count_distinct(F.struct("c_custkey", "c_mktsegment")).alias(
+            "n_distinct"
+        ),
     )
+    return counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("union_all").alias("mode"), F.col("n_all").alias("n")
+                ),
+                F.struct(
+                    F.lit("union_distinct").alias("mode"),
+                    F.col("n_distinct").alias("n"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.mode", "r.n")
 
 
 @query(

@@ -46,12 +46,34 @@ def _n_cpus() -> int:
 
 
 def prepare(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable confs to an existing session (idempotent)."""
+    """Apply runtime-settable confs to an existing session (idempotent).
+
+    A locked-down conf must not crash the query, but it must not fail
+    silently either: without ``nanosAsLong`` every events-table scan
+    dies with an opaque Parquet type error, and without the UTC TZ the
+    oracle comparison drifts — so name the consequence loudly once.
+    """
+    import warnings
+
+    failed = []
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            pass  # a locked-down conf is better than a crashed query
+        except Exception as exc:  # noqa: BLE001 — any failure is reportable
+            failed.append((k, v, repr(exc)))
+    if failed:
+        details = "; ".join(f"{k}={v} ({err})" for k, v, err in failed)
+        warnings.warn(
+            "thrive_spark: could not set required SQL confs on the "
+            f"provided SparkSession: {details}. Consequences: "
+            "'nanosAsLong' missing → every events.parquet scan fails "
+            "(TIMESTAMP(NANOS) unsupported); 'timeZone' missing → "
+            "timestamp results may disagree with the DuckDB oracle; "
+            "AQE flags missing → degraded plans only. Recreate the "
+            "session with these confs at builder time.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return spark
 
 

@@ -31,11 +31,25 @@ TABLE_NAMES = (
 )
 
 
-#: process-wide DataFrame cache: re-creating readers per query costs a
+#: Per-session DataFrame cache: re-creating readers per query costs a
 #: py4j round-trip + file listing + schema read each time (~0.1 s that
 #: shows up in every benchmarked query). DataFrames are immutable plans,
-#: safe to share across queries on the same session.
-_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+#: safe to share across queries on the same session — but only the SAME
+#: session: the cache lives as an attribute ON the session object (not
+#: in a process-global dict keyed by ``id()``, where a recycled id from
+#: a stopped session could serve DataFrames bound to a dead context; a
+#: global weak-keyed map wouldn't work either — cached DataFrames
+#: strongly reference their session, pinning the key forever). The
+#: attribute is collected with the session, so lifetime is exact.
+_CACHE_ATTR = "_thrive_spark_df_cache"
+
+
+def _session_cache(spark: SparkSession) -> dict[tuple[str, str], DataFrame]:
+    cache = getattr(spark, _CACHE_ATTR, None)
+    if cache is None:
+        cache = {}
+        setattr(spark, _CACHE_ATTR, cache)
+    return cache
 
 
 class Tables:
@@ -50,13 +64,13 @@ class Tables:
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = prepare(spark)
         self.sf_dir = sf_dir.rstrip("/")
-        self._cache = _DF_CACHE
+        self._cache = _session_cache(self.spark)
 
     def path(self, name: str) -> str:
         return f"{self.sf_dir}/{name}.parquet"
 
     def load(self, name: str) -> DataFrame:
-        key = (id(self.spark), self.sf_dir, name)
+        key = (self.sf_dir, name)
         if key not in self._cache:
             df = self.spark.read.parquet(self.path(name))
             if name == "events" and dict(df.dtypes).get("ts") == "bigint":
