@@ -136,6 +136,22 @@ def test_bucketed_join_shuffle_free(spark, sf_dir):
         cleanup()
 
 
+def test_ntile_no_global_data_window(spark, sf_dir):
+    """Global ntile/percent_rank must NOT funnel the data through a
+    single-partition window: the plan range-partitions the order key
+    and any SinglePartition exchange may only sit above the P-row
+    per-partition-count aggregate."""
+    df = QUERIES["win_ntile_percentile"](spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "rangepartitioning" in executed.lower(), executed
+    lines = executed.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            below = " ".join(lines[i + 1 : i + 3])
+            assert "HashAggregate(keys=[pid#" in below, line + "\n" + below
+
+
 def test_minhash_band_join_sheds_arrays(spark, sf_dir):
     """The LSH band self-join must shuffle only (doc_id, band, sig) —
     3 longs/row — never the shingle-hash arrays; shingles rejoin for

@@ -86,16 +86,56 @@ def win_rank_dense_rank(spark, sf_dir):
     """,
 )
 def win_ntile_percentile(spark, sf_dir):
-    """Global ranking window (unique total order so ntile is
-    deterministic). Driver-bounded by design — at scale, replace with
-    approx_percentile bucketing (SCALE.md §windows)."""
+    """Global ntile/percent_rank/cume_dist WITHOUT a single-partition
+    window: range-partition on the (unique) total order, rank locally
+    per range, then add broadcast per-range offsets — the classic
+    distributed two-pass global sort-rank. From the global rank r and
+    total n, all three functions are closed-form (the order is unique,
+    so cume_dist = r/n and SQL's ntile bucketing is
+    rem buckets of size q+1 then k-rem of size q, q = n div k).
+    Every exchange is linear (range or pid-hash); the only
+    SinglePartition exchange touches the P-row offset table."""
     t = Tables(spark, sf_dir)
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return t.orders.select(
+    k = 4
+    parts = (
+        t.orders.select("o_orderkey", "o_totalprice")
+        .repartitionByRange("o_totalprice", "o_orderkey")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+    local = parts.withColumn("lr", F.row_number().over(w_local))
+    # P rows: cumulative counts of the ranges below each pid + total n
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.orderBy("pid").rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        parts.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "pid",
+            F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+            F.sum("cnt").over(w_tot).alias("n"),
+        )
+    )
+    r = F.col("off") + F.col("lr")
+    n = F.col("n")
+
+    def idiv(a, b):  # exact bigint floor-div (a,b >= 0): no FP rounding
+        return ((a - a % b) / b).cast("bigint")
+
+    q, rem = idiv(n, F.lit(k)), n % k
+    cut = rem * (q + 1)  # rows covered by the size-(q+1) buckets
+    tile = (
+        F.when(n < k, r)  # degenerate: fewer rows than tiles
+        .when(r <= cut, idiv(r - 1, q + 1) + 1)
+        .otherwise(rem + idiv(r - 1 - cut, q) + 1)
+    )
+    return local.join(F.broadcast(offsets), "pid").select(
         "o_orderkey",
-        F.ntile(4).over(w).cast("bigint").alias("quartile"),
-        r4(F.percent_rank().over(w)).alias("pct_rank"),
-        r4(F.cume_dist().over(w)).alias("cum_dist"),
+        tile.cast("bigint").alias("quartile"),
+        r4(F.when(n > 1, (r - 1) / (n - 1)).otherwise(0.0)).alias("pct_rank"),
+        r4(r / n).alias("cum_dist"),
     )
 
 
