@@ -362,3 +362,101 @@ def sample_k_per_group(spark, sf_dir):
         )
         .filter(F.col("rk") <= K_PER_GROUP)
     )
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+               doc_id % 50 = 0 AS is_eval
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, is_eval,
+               CASE WHEN len(toks) >= 3
+                    THEN list_distinct(list_transform(
+                        generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                    ELSE [] END AS grams
+        FROM d
+    ),
+    eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE is_eval),
+    tg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE NOT is_eval),
+    hits AS (
+        SELECT tg.doc_id, count(*) AS n_hit
+        FROM tg JOIN eg USING (gram) GROUP BY tg.doc_id
+    ),
+    base AS (
+        SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams
+        FROM g WHERE NOT is_eval
+    )
+    SELECT b.doc_id, b.n_grams,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           CASE WHEN b.n_grams = 0 THEN 0 ELSE
+               (20000 * coalesce(h.n_hit, 0) + b.n_grams) // (2 * b.n_grams)
+           END AS contaminated_bp,
+           CASE WHEN b.n_grams = 0 THEN 0 ELSE
+               (20000 * coalesce(h.n_hit, 0) + b.n_grams) // (2 * b.n_grams)
+           END >= 5000 AS is_contaminated
+    FROM base b LEFT JOIN hits h ON b.doc_id = h.doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing token
+    3-grams with a held-out eval slice (the n-gram overlap check every
+    serious pretraining pipeline runs — GPT-3 §C / PaLM style, short
+    n here because the synthetic docs are short). Eval membership is
+    the deterministic ``doc_id % 50 == 0`` slice so both engines pick
+    identical sets with no seed coordination.
+
+    Scale shape: the eval gram set is ALWAYS small relative to the
+    corpus (benchmarks are a few MB) → build it distinct and
+    broadcast; the training side is one map-side explode joined
+    against the broadcast + one groupBy(doc_id) shuffle that carries
+    (doc_id, gram-hit) rows only. No corpus self-join anywhere.
+    Contamination fraction is exact integer half-up basis points."""
+    t = Tables(spark, sf_dir)
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    d = t.documents.select(
+        "doc_id",
+        toks.alias("toks"),
+        (F.col("doc_id") % 50 == 0).alias("is_eval"),
+    ).select(
+        "doc_id",
+        "is_eval",
+        F.when(
+            F.size("toks") >= 3,
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2), "
+                    "i -> concat(element_at(toks, i), ' ', "
+                    "element_at(toks, i + 1), ' ', "
+                    "element_at(toks, i + 2)))"
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("grams"),
+    )
+    eval_grams = (
+        d.filter("is_eval").select(F.explode("grams").alias("gram")).distinct()
+    )
+    train = d.filter(~F.col("is_eval"))
+    hits = (
+        train.select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    base = train.select("doc_id", F.size("grams").cast("bigint").alias("n_grams"))
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint")
+    bp = F.when(F.col("n_grams") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.expr("(20000 * coalesce(n_hit, 0) + n_grams) div (2 * n_grams)")
+    )
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        n_hit.alias("n_hit"),
+        bp.alias("contaminated_bp"),
+        (bp >= 5000).alias("is_contaminated"),
+    )

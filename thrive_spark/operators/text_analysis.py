@@ -221,6 +221,128 @@ def text_token_count_bpe(spark, sf_dir):
 
 
 @query(
+    "text_repetition_score",
+    oracle="""
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, toks,
+               CAST(len(toks) AS BIGINT) AS n_tok,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+               CASE WHEN len(toks) >= 2
+                    THEN list_transform(generate_series(1, len(toks) - 1),
+                                        i -> toks[i] || ' ' || toks[i + 1])
+                    ELSE [] END AS bigrams
+        FROM tk
+    ),
+    cnts AS (
+        SELECT doc_id, n_tok, n_unique,
+               CAST(CASE WHEN n_tok = 0 THEN 0 ELSE
+                   list_max(list_transform(list_distinct(toks),
+                       d -> len(list_filter(toks, x -> x = d))))
+                   END AS BIGINT) AS top_tok_cnt,
+               CAST(CASE WHEN len(bigrams) = 0 THEN 0 ELSE
+                   list_max(list_transform(list_distinct(bigrams),
+                       d -> len(list_filter(bigrams, x -> x = d))))
+                   END AS BIGINT) AS top_bigram_cnt
+        FROM base
+    )
+    SELECT doc_id, n_tok, n_unique, top_tok_cnt, top_bigram_cnt,
+           CASE WHEN n_tok = 0 THEN 0 ELSE
+               (20000 * (n_tok - n_unique) + n_tok) // (2 * n_tok)
+           END AS dup_tok_bp,
+           CASE WHEN n_tok = 0 THEN 0 ELSE
+               (20000 * top_tok_cnt + n_tok) // (2 * n_tok)
+           END AS top_tok_bp,
+           CASE WHEN n_tok < 2 THEN 0 ELSE
+               (20000 * top_bigram_cnt + (n_tok - 1)) // (2 * (n_tok - 1))
+           END AS top_bigram_bp
+    FROM cnts
+    """,
+)
+def text_repetition_score(spark, sf_dir):
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1 adapted
+    to token level): duplicate-token fraction, most-frequent-token
+    fraction, most-frequent-bigram fraction. Docs failing these gates
+    (boilerplate, keyword stuffing, template spam) are dropped before
+    training.
+
+    Scale shape: entirely MAP-ONLY — the per-doc top-run counts come
+    from a fold over the *sorted* token/bigram array (longest equal
+    run of a sorted array == max multiplicity), so no explode, no
+    groupBy, no shuffle; 100 TB scales with bytes scanned. Fractions
+    are exact integer half-up basis points ((20000a+b) div 2b) — no
+    float round-half divergence between engines."""
+    t = Tables(spark, sf_dir)
+
+    def top_run(sorted_col):
+        # longest run in a sorted array via struct-accumulator fold
+        zero = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("best"),
+        )
+
+        def step(acc, x):
+            run = (
+                F.when(x == acc.prev, acc.run + 1)
+                .otherwise(F.lit(1).cast("bigint"))
+            )
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc.best, run).alias("best"),
+            )
+
+        return F.aggregate(sorted_col, zero, step, lambda acc: acc.best)
+
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    d = t.documents.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        "toks",
+        F.when(
+            F.size("toks") >= 2,
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat(element_at(toks, i), ' ', "
+                "element_at(toks, i + 1)))"
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("bigrams"),
+    )
+    cnts = d.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_unique"),
+        top_run(F.array_sort("toks")).alias("top_tok_cnt"),
+        top_run(F.array_sort("bigrams")).alias("top_bigram_cnt"),
+    )
+    n, nb = F.col("n_tok"), F.col("n_tok") - 1
+
+    def bp(num, den):  # exact half-up basis points of num/den
+        return F.expr(f"(20000 * ({num}) + ({den})) div (2 * ({den}))")
+
+    return cnts.select(
+        "doc_id",
+        "n_tok",
+        "n_unique",
+        "top_tok_cnt",
+        "top_bigram_cnt",
+        F.when(n == 0, F.lit(0).cast("bigint"))
+        .otherwise(bp("n_tok - n_unique", "n_tok"))
+        .alias("dup_tok_bp"),
+        F.when(n == 0, F.lit(0).cast("bigint"))
+        .otherwise(bp("top_tok_cnt", "n_tok"))
+        .alias("top_tok_bp"),
+        F.when(nb < 1, F.lit(0).cast("bigint"))
+        .otherwise(bp("top_bigram_cnt", "n_tok - 1"))
+        .alias("top_bigram_bp"),
+    )
+
+
+@query(
     "text_ngram_freq",
     oracle="""
     WITH tk AS (

@@ -55,6 +55,7 @@ def load_all() -> None:
         text_analysis,
         timeseries,
         udfs,
+        vectors,
         windows,
     )
     from .sources import formats, maintenance, scans, sinks  # noqa: F401
