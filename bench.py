@@ -45,6 +45,8 @@ HEADLINE = [
     "resample_gapfill",      # time-series densify + ffill
     "merge_upsert_cdc",      # CDC snapshot merge
     "funnel_conversion",     # event-sequence analytics
+    "text_repetition_score", # map-only Gopher repetition gates (r3)
+    "decontaminate_ngram_overlap",  # eval-set overlap check (r3)
 ]
 
 

@@ -103,3 +103,23 @@ def test_stateful_counter_equals_twin_finals(spark, sf_dir, stream_dir):
     g = got.groupby("user_id")["cum_purchase"].max().sort_index()
     w = want.groupby("user_id")["cum_purchase"].max().sort_index()
     assert g.round(4).equals(w.round(4)), (g, w)
+
+
+def test_gapfill_equals_twin_closed_buckets(spark, sf_dir, stream_dir):
+    from thrive_spark.operators.timeseries import resample_gapfill
+
+    got = run_stream(
+        spark,
+        ops.gapfill_15min(read_stream(spark, stream_dir)),
+        "append",
+        "t_gap",
+    )
+    want = resample_gapfill(spark, sf_dir).toPandas()
+    assert len(got) > 0
+    # the stream emits only CLOSED buckets: per type, compare the
+    # prefix of the batch grid up to the stream's last emitted bucket
+    for et, g in got.groupby("event_type"):
+        hi = g["bucket"].max()
+        w = want[(want["event_type"] == et) & (want["bucket"] <= hi)]
+        cols = ["bucket", "n", "bucket_sum", "ffill_sum"]
+        assert canon(g[cols], cols) == canon(w[cols], cols), et

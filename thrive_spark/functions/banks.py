@@ -356,3 +356,62 @@ def fn_hash_spark(spark, sf_dir):
         F.crc32(F.encode("text", "utf-8")).alias("c_crc32"),
         F.sha1("text").alias("c_sha1"),
     )
+
+
+@query(
+    "fn_url_bank",
+    oracle="""
+    SELECT doc_id,
+           'https://' || source || '.example.com/docs/' || doc_id
+               || '?lang=' || lang || '&n=' || n_chars AS c_url,
+           source || '.example.com' AS c_host,
+           '/docs/' || doc_id AS c_path,
+           'lang=' || lang || '&n=' || n_chars AS c_query,
+           lang AS c_lang_param,
+           CAST(n_chars AS VARCHAR) AS c_n_param,
+           'example.com' AS c_domain,
+           source AS c_subdomain,
+           CAST(doc_id AS VARCHAR) AS c_path_leaf,
+           'https' AS c_scheme
+    FROM documents
+    """,
+)
+def fn_url_bank(spark, sf_dir):
+    """URL function inventory — the domain/host/path/query-param
+    extraction a web-corpus pipeline runs for domain filtering,
+    blocklists, and per-site quotas. A canonical URL is constructed
+    from document columns, then every component is recovered with
+    Spark's parse_url / substring_index; the oracle states the
+    expected components directly from the same columns, so the check
+    verifies the parser inventory, not string round-tripping."""
+    t = Tables(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&n="),
+        F.col("n_chars").cast("string"),
+    )
+    d = t.documents.select("doc_id", url.alias("c_url"))
+    host = F.parse_url(F.col("c_url"), F.lit("HOST"))
+    path = F.parse_url(F.col("c_url"), F.lit("PATH"))
+    return d.select(
+        "doc_id",
+        "c_url",
+        host.alias("c_host"),
+        path.alias("c_path"),
+        F.parse_url(F.col("c_url"), F.lit("QUERY")).alias("c_query"),
+        F.parse_url(F.col("c_url"), F.lit("QUERY"), F.lit("lang")).alias(
+            "c_lang_param"
+        ),
+        F.parse_url(F.col("c_url"), F.lit("QUERY"), F.lit("n")).alias(
+            "c_n_param"
+        ),
+        F.substring_index(host, ".", -2).alias("c_domain"),
+        F.substring_index(host, ".", 1).alias("c_subdomain"),
+        F.substring_index(path, "/", -1).alias("c_path_leaf"),
+        F.parse_url(F.col("c_url"), F.lit("PROTOCOL")).alias("c_scheme"),
+    )

@@ -119,47 +119,71 @@ def dedup_simhash(spark, sf_dir):
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Token-set Jaccard dedup on (lang, length-bucket) blocked pairs;
+    """Token-set Jaccard dedup via PPJoin-style prefix filtering
+    (Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    Detection", WWW'08) on top of (lang, length-bucket) blocking;
     oracle-checked (portable set arithmetic, no seeded hashes).
 
-    Size-ratio prefilter: J(A,B) >= t forces min(|A|,|B|)/max(|A|,|B|)
-    >= t (since J <= min/max), so pairs whose sizes differ by more
-    than 1/t = 1.25x (checked in exact integer arithmetic, 4|A| <=
-    5|B| and vice versa) are pruned BEFORE the set intersection —
-    provably identical results, and the expensive intersect runs on a
-    fraction of the blocked pairs."""
+    Three lossless prunes before any set intersection:
+    - Blocking: candidates share (lang, length bucket).
+    - Size ratio: J >= t forces min(|A|,|B|)/max >= t, checked in
+      exact integer arithmetic (4|A| <= 5|B| and vice versa).
+    - Prefix filter: under any fixed total token order, if J(A,B) >= t
+      then the smallest common token lies in BOTH prefixes of length
+      |x| - ceil(t*|x|) + 1 (if it didn't, one side would have
+      > |x| - ceil(t*|x|) tokens outside the intersection, capping
+      |A∩B| below t*|x| <= t*|A∪B|). So the self-join runs on
+      EXPLODED PREFIX TOKENS — rows of (doc_id, lang, lb, sz, token),
+      never the token arrays — and the arrays are fetched only for
+      the deduplicated candidate pairs at verify time. At 100 TB the
+      join shuffles ~0.2|x|+1 slim rows per doc instead of the block
+      cross-product; lexicographic order is used here (tiny synthetic
+      vocabulary); a production corpus would order tokens rarest-first
+      from a frequency sketch to sharpen the prefix further."""
     t = Tables(spark, sf_dir)
     d = t.documents.select(
         "doc_id",
         "lang",
         (F.col("n_chars") / 50).cast("long").alias("lb"),
-        F.array_distinct(
-            F.filter(F.split("text", " "), lambda x: x != "")
+        F.array_sort(
+            F.array_distinct(
+                F.filter(F.split("text", " "), lambda x: x != "")
+            )
         ).alias("toks"),
     ).withColumn("sz", F.size("toks"))
-    a = d.select(
-        F.col("lang").alias("lg"),
-        F.col("lb").alias("lbk"),
-        F.col("doc_id").alias("keep_id"),
-        F.col("toks").alias("ta"),
-        F.col("sz").alias("sa"),
+    # prefix length sz - ceil(t*sz) + 1; ceil(4*sz/5) = (4*sz+4) div 5
+    pre = d.select(
+        "doc_id",
+        "lang",
+        "lb",
+        "sz",
+        F.explode(
+            F.expr("slice(toks, 1, sz - ((4 * sz + 4) div 5) + 1)")
+        ).alias("ptok"),
     )
-    b = d.select(
-        F.col("lang").alias("lg"),
-        F.col("lb").alias("lbk"),
-        F.col("doc_id").alias("dup_id"),
-        F.col("toks").alias("tb"),
-        F.col("sz").alias("sb"),
-    )
-    inter = F.size(F.array_intersect("ta", "tb"))
-    j = inter.cast("double") / (F.col("sa") + F.col("sb") - inter)
-    return (
-        a.join(b, ["lg", "lbk"])
-        .filter(
-            (F.col("keep_id") < F.col("dup_id"))
-            & (F.col("sa") * 4 <= F.col("sb") * 5)
-            & (F.col("sb") * 4 <= F.col("sa") * 5)
+    cand = (
+        pre.alias("a")
+        .join(
+            pre.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.lb") == F.col("b.lb"))
+            & (F.col("a.ptok") == F.col("b.ptok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.sz") * 4 <= F.col("b.sz") * 5)
+            & (F.col("b.sz") * 4 <= F.col("a.sz") * 5),
         )
+        .select(
+            F.col("a.doc_id").alias("keep_id"),
+            F.col("b.doc_id").alias("dup_id"),
+        )
+        .dropDuplicates()
+    )
+    sets = d.select("doc_id", "toks", "sz")
+    inter = F.size(F.array_intersect("sa.toks", "sb.toks"))
+    j = inter.cast("double") / (F.col("sa.sz") + F.col("sb.sz") - inter)
+    return (
+        cand.join(sets.alias("sa"), cand.keep_id == F.col("sa.doc_id"))
+        .join(sets.alias("sb"), cand.dup_id == F.col("sb.doc_id"))
         .withColumn("j", j)
         .filter(F.col("j") >= NGRAM_JACCARD_THRESHOLD)
         .select("keep_id", "dup_id", r4(F.col("j")).alias("jaccard"))

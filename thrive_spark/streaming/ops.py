@@ -119,3 +119,64 @@ def stateful_cum_purchase(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def gapfill_15min(events: DataFrame) -> DataFrame:
+    """Streaming form of ``resample_gapfill``: dense 15-minute buckets
+    per event_type with n=0 empty buckets and a forward-filled last
+    observed bucket sum. Keyed state = the OPEN bucket (id, count,
+    fixed-point sum) + the last finalized sum; when an event for a
+    later bucket arrives, the open bucket is finalized and every gap
+    bucket between them is emitted with n=0 and the carried sum. The
+    currently-open bucket is never emitted (its terminator hasn't
+    arrived) — the batch-twin test compares up to the last closed
+    bucket. Assumes per-key bucket-monotonic arrival (the chunked test
+    source is chronological); a stray late event folds into the open
+    bucket rather than crashing, mirroring the cum_purchase twin's
+    arrival-order contract. State is one tuple per event_type —
+    bounded by key cardinality, not stream length."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    bucket_s = 900
+    scale = 10000
+    out_schema = (
+        "event_type string, bucket long, n long, "
+        "bucket_sum double, ffill_sum double"
+    )
+    state_schema = "cur long, n long, s4 long, last_s4 long, started int"
+
+    def update(key, pdfs, state: GroupState):
+        (event_type,) = key
+        cur, n, s4, last_s4, started = (
+            state.get if state.exists else (0, 0, 0, 0, 0)
+        )
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, r in pdf.iterrows():
+                b = int(r["ts"].value // 1_000_000_000) // bucket_s
+                v4 = int(r["value"] * scale + 0.5)
+                if not started:
+                    cur, n, s4, started = b, 0, 0, 1
+                elif b > cur:
+                    rows.append(
+                        (event_type, cur, n, s4 / scale, s4 / scale)
+                    )
+                    last_s4 = s4
+                    for gap in range(cur + 1, b):
+                        rows.append(
+                            (event_type, gap, 0, 0.0, last_s4 / scale)
+                        )
+                    cur, n, s4 = b, 0, 0
+                n += 1
+                s4 += v4
+        state.update((cur, n, s4, last_s4, started))
+        yield pd.DataFrame(
+            rows,
+            columns=["event_type", "bucket", "n", "bucket_sum", "ffill_sum"],
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
