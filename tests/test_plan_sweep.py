@@ -45,7 +45,6 @@ SKIP = {
     "sink_jdbc",
     "join_bucketed_colocated",
     "maintenance_compact",
-    "union_all_dedup",
 }
 
 
@@ -59,6 +58,15 @@ def test_no_scale_antipatterns(qid, spark, sf_dir):
     if qid not in ALLOWED_ROW_PYTHON | ALLOWED_ARROW_PYTHON:
         for marker in ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
             assert marker not in plan, f"{qid} unexpectedly drops into Python ({marker})"
+    # a higher-order lambda inside a SCAN filter means Catalyst's
+    # InferFiltersFromGenerate inlined an array-construction pipeline
+    # into the filter (explode over a computed array) — measured
+    # O(tokens²)/row; use explode_outer + isNotNull instead
+    for line in plan.splitlines():
+        if "Scan parquet" in line or "FileScan" in line or "DataFilters" in line:
+            assert "lambdafunction" not in line, (
+                f"{qid} inlines a lambda pipeline into the scan filter"
+            )
 
 
 def test_every_query_declared_in_oracle_or_rows_only():

@@ -152,15 +152,17 @@ def dedup_ngram_jaccard(spark, sf_dir):
         ).alias("toks"),
     ).withColumn("sz", F.size("toks"))
     # prefix length sz - ceil(t*sz) + 1; ceil(4*sz/5) = (4*sz+4) div 5
+    # explode_outer: plain explode triggers the inferred size()>0 scan
+    # filter that re-inlines the token pipeline (see curation.py note)
     pre = d.select(
         "doc_id",
         "lang",
         "lb",
         "sz",
-        F.explode(
+        F.explode_outer(
             F.expr("slice(toks, 1, sz - ((4 * sz + 4) div 5) + 1)")
         ).alias("ptok"),
-    )
+    ).filter(F.col("ptok").isNotNull())
     cand = (
         pre.alias("a")
         .join(

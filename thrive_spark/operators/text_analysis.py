@@ -376,7 +376,10 @@ def text_ngram_freq(spark, sf_dir):
     bg = (
         t.documents.select(F.split("text", " ").alias("t"))
         .select(
-            F.explode(
+            # explode_outer: plain explode triggers the inferred
+            # size()>0 scan filter that re-inlines `t` inside the
+            # transform lambda — O(tokens²)/row (see curation.py note)
+            F.explode_outer(
                 F.when(
                     F.size("t") >= 2,
                     F.expr(
@@ -387,6 +390,7 @@ def text_ngram_freq(spark, sf_dir):
                 ).otherwise(F.array().cast("array<string>"))
             ).alias("bigram")
         )
+        .filter(F.col("bigram").isNotNull())
     )
     c = bg.groupBy("bigram").agg(F.count("*").alias("n"))
     w = Window.orderBy(F.col("n").desc(), "bigram")
