@@ -320,3 +320,72 @@ def dedup_cluster_components(spark, sf_dir):
         .withColumn("cluster_size", F.count("*").over(w).cast("bigint"))
         .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
     )
+
+
+P_LEN = 20
+
+
+@query(
+    "dedup_paragraph_exact",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    p AS (
+        SELECT doc_id, s.start AS start,
+               array_to_string(tk[s.start : s.start + {P_LEN - 1}], ' ')
+                   AS ptxt
+        FROM d, LATERAL (SELECT unnest(generate_series(
+                 1, greatest(len(tk), 1), {P_LEN})) AS start) s
+    )
+    SELECT md5(ptxt) AS phash,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(doc_id * 100000 + start) // 100000 AS BIGINT)
+               AS keep_doc,
+           CAST(min(doc_id * 100000 + start) % 100000 AS BIGINT)
+               AS keep_start
+    FROM p GROUP BY md5(ptxt)
+    """,
+)
+def dedup_paragraph_exact(spark, sf_dir):
+    """Passage-level exact dedup (CCNet-style: boilerplate repeats
+    across documents even when whole docs differ): split each doc into
+    disjoint 20-token passages, hash each, keep the smallest
+    (doc_id, offset) occurrence as canonical. The canonical pick is an
+    argmin over a packed doc_id*1e5+offset bigint so both engines
+    agree without struct-min support.
+
+    Scale shape: passage construction is map-only in the array domain
+    (explode_outer — see the scan-filter note above dedup_ngram's
+    prefix explode); the only shuffle is the hash groupBy on the
+    16-byte passage hash, same as dedup_exact_hash."""
+    t = Tables(spark, sf_dir)
+    d = t.documents.select("doc_id", F.split("text", " ").alias("tk"))
+    p = (
+        d.select(
+            "doc_id",
+            F.explode_outer(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(tk), 1), {P_LEN}), "
+                    f"s -> struct(s AS start, "
+                    f"concat_ws(' ', slice(tk, s, {P_LEN})) AS ptxt))"
+                )
+            ).alias("p"),
+        )
+        .filter(F.col("p").isNotNull())
+        .select("doc_id", F.col("p.start").alias("start"), F.col("p.ptxt").alias("ptxt"))
+    )
+    packed = F.min(F.col("doc_id") * 100000 + F.col("start"))
+    return (
+        p.groupBy(F.md5("ptxt").alias("phash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            packed.alias("packed"),
+        )
+        .select(
+            "phash",
+            "n_copies",
+            F.expr("packed div 100000").alias("keep_doc"),
+            (F.col("packed") % 100000).alias("keep_start"),
+        )
+    )
