@@ -114,3 +114,39 @@ def test_try_cast_bigint_known_divergence(spark, s):
 
     assert _spark_rows(spark, [s], F.col("v").try_cast("bigint")) == [None]
     assert _duck_rows([s], "TRY_CAST(v AS BIGINT)")[0] is not None
+
+
+def test_log2_fixed_point_parity(spark):
+    """text_entropy_score's parity claim: floor(c*log2(c)*1e4+0.5) and
+    floor(log2(c)*1e4+0.5) agree between Spark (JVM StrictMath) and
+    DuckDB (libm) for every count c up to 2e5 — so the bigint entropy
+    terms are engine-independent for any doc under 200k tokens."""
+    from pyspark.sql import functions as F
+
+    sp = (
+        spark.range(1, 200_001)
+        .select(
+            F.col("id").alias("c"),
+            F.floor(F.col("id") * F.log2("id") * 10000 + 0.5)
+            .cast("bigint")
+            .alias("a"),
+            F.floor(F.log2("id") * 10000 + 0.5).cast("bigint").alias("b"),
+        )
+        .toPandas()
+        .set_index("c")
+        .sort_index()
+    )
+    dk = (
+        duckdb.connect()
+        .execute(
+            "SELECT x AS c,"
+            " CAST(floor(x*log2(x)*10000+0.5) AS BIGINT) a,"
+            " CAST(floor(log2(x)*10000+0.5) AS BIGINT) b"
+            " FROM generate_series(1,200000) t(x)"
+        )
+        .df()
+        .set_index("c")
+        .sort_index()
+    )
+    assert (sp["a"] == dk["a"]).all()
+    assert (sp["b"] == dk["b"]).all()

@@ -468,3 +468,77 @@ def decontaminate_ngram_overlap(spark, sf_dir):
         bp.alias("contaminated_bp"),
         (bp >= 5000).alias("is_contaminated"),
     )
+
+
+@query(
+    "sample_domain_rebalance",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, source,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hx
+        FROM documents
+    ),
+    p AS (
+        SELECT source, CAST(sum(est_tokens) AS BIGINT) AS tok
+        FROM s GROUP BY source
+    ),
+    tt AS (
+        SELECT CAST(sum(tok) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS nsrc
+        FROM p
+    ),
+    r AS (
+        SELECT source,
+               CAST(greatest(1, least(16, (16 * (total // nsrc)) // tok))
+                    AS BIGINT) AS n16
+        FROM p, tt
+    )
+    SELECT s.doc_id, s.source, s.est_tokens, r.n16
+    FROM s JOIN r USING (source)
+    WHERE strpos('0123456789abcdef', s.hx) <= r.n16
+    """,
+)
+def sample_domain_rebalance(spark, sf_dir):
+    """Domain-mix rebalancing (the RefinedWeb/C4 per-source cap): give
+    every source an equal share of the token budget by computing a
+    per-source keep rate and applying it as a deterministic hash
+    filter. rate_s = clamp(target/tokens_s, 1/16, 1) is computed in
+    PURE INTEGER math — (16 * (total div nsrc)) div tok — so both
+    engines derive identical 16ths with no float division; membership
+    is the md5-first-hex-char Bernoulli from sample_hash_stratified,
+    reproducible across runs and partitionings.
+
+    Scale shape: the per-source token census is a map-side-combined
+    agg to a FEW rows (one per source); rates broadcast back over the
+    corpus as a map-only filter. Two scans of the corpus beat one
+    shuffle of it — the census scan reads 2 columns and the rebalance
+    filter never materializes a shuffle of document bytes."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id",
+        "source",
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("est_tokens"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("hx"),
+    )
+    per_src = docs.groupBy("source").agg(F.sum("est_tokens").alias("tok"))
+    totals = per_src.agg(
+        F.sum("tok").alias("total"), F.count(F.lit(1)).alias("nsrc")
+    )
+    rates = (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            F.expr(
+                "CAST(greatest(1L, least(16L, (16L * (total div nsrc)) div tok)) "
+                "AS BIGINT)"
+            ).alias("n16"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(
+            F.expr("instr('0123456789abcdef', hx)") <= F.col("n16")
+        )
+        .select("doc_id", "source", "est_tokens", "n16")
+    )

@@ -318,3 +318,45 @@ def win_first_last_value(spark, sf_dir):
         F.first("o_orderpriority").over(w).alias("first_prio"),
         F.last("o_orderpriority").over(w).alias("last_prio"),
     ).dropDuplicates()
+
+
+@query(
+    "win_distinct_count",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(DISTINCT event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS et_variety
+    FROM events
+    """,
+)
+def win_distinct_count(spark, sf_dir):
+    """Rolling DISTINCT count: how many distinct event types appear in
+    the user's trailing 50 events — a behavioural-diversity feature.
+    Spark has no COUNT(DISTINCT) OVER; the idiomatic rewrite is
+    size(collect_set() OVER), which keeps the frame's distinct set in
+    bounded per-row state (|frame| = 50). The ROWS frame is made
+    deterministic by the (ts, event_id) tiebreak, so both engines see
+    identical frames.
+
+    Scale shape: partitioned by user_id (high cardinality — millions
+    of partitions spread evenly), one shuffle, per-row state bounded
+    by the frame length. The low-cardinality variant (partition by
+    event_type) would funnel each type through one task — that shape
+    needs the range-partitioned two-pass template instead (see
+    win_ntile_percentile)."""
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(-49, 0)
+    )
+    return t.events.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).cast("bigint").alias(
+            "et_variety"
+        ),
+    )
