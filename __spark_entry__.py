@@ -63,20 +63,39 @@ GRADE_CANARIES = ["agg_collect_sorted", "agg_hash_groupby", "join_theta_band"]
 
 
 def _graded_ids() -> set[str]:
-    """Ids with a driver correctness row in any prior round's artifact."""
+    """Ids with a *clean* driver correctness row in any prior round.
+
+    A row that errored (``err`` set) or hash-mismatched does NOT count
+    as graded: those ids must re-enter the priority window so the next
+    round's artifact proves the fix.  The most recent verdict wins —
+    an id that failed in r3 but passed in r4 stays retired.
+    """
     import glob
     import json
     import os
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    seen: set[str] = set()
-    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+    verdict: dict[str, bool] = {}
+    paths = sorted(
+        glob.glob(os.path.join(here, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    for path in paths:
         try:
             with open(path) as fh:
-                seen.update(json.load(fh).keys())
+                for k, row in json.load(fh).items():
+                    err = row.get("err")
+                    ran_rows_only = (
+                        err == "no_oracle" and row.get("spark_rows") is not None
+                    )
+                    ok = (
+                        err is None and row.get("hash_match") is not False
+                    ) or ran_rows_only
+                    verdict[k] = ok
         except Exception:  # noqa: BLE001 — a corrupt artifact must not kill entry()
             pass
-    return seen
+    return {k for k, ok in verdict.items() if ok}
 
 
 _GRADE_WINDOW = 50

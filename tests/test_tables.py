@@ -52,3 +52,35 @@ def test_fresh_session_object_gets_fresh_dataframes(spark, sf_dir):
         s = spark.newSession()
         df = Tables(s, sf_dir).lineitem
         assert df.sparkSession is s
+
+
+def test_ntz_columns_normalized_to_session_tz_timestamp(spark, sf_dir):
+    """Testdata regression (round 3): the driver regenerated the parquet
+    with timestamp[us] isAdjustedToUTC=false, which Spark 4 reads as
+    TIMESTAMP_NTZ by default — breaking unix_micros()/session_window()/
+    watermarks.  Every table loaded through Tables must expose plain
+    TIMESTAMP columns regardless of which conf regime read the file."""
+    import pyspark.sql.functions as F
+
+    from thrive_spark.tables import _normalize_ntz
+
+    t = Tables(spark, sf_dir)
+    for name in ("events", "orders", "lineitem"):
+        for col, typ in t.load(name).dtypes:
+            assert typ != "timestamp_ntz", f"{name}.{col} leaked NTZ"
+    # events.ts must accept TIMESTAMP-only functions
+    t.events.select(F.unix_micros("ts")).limit(1).collect()
+
+    # the backstop itself: an explicitly-NTZ plan comes out TIMESTAMP,
+    # with micros equal to the naive value read as UTC
+    ntz = spark.range(1).select(
+        F.to_timestamp_ntz(F.lit("2024-06-01 12:34:56.789")).alias("ts"),
+        F.col("id"),
+    )
+    fixed = _normalize_ntz(ntz)
+    assert dict(fixed.dtypes)["ts"] == "timestamp"
+    [row] = fixed.select(F.unix_micros("ts").alias("us")).collect()
+    import datetime as dt
+
+    want = dt.datetime(2024, 6, 1, 12, 34, 56, 789000, tzinfo=dt.timezone.utc)
+    assert row.us == int(want.timestamp() * 1_000_000)

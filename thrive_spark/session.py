@@ -27,6 +27,12 @@ _RUNTIME_CONFS: dict[str, str] = {
     # events.parquet stores TIMESTAMP(NANOS); Spark 4 refuses it unless
     # read as long (SURVEY.md §2 notes). tables.load_events converts back.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # events.parquet (current testdata) stores timestamp[us] with
+    # isAdjustedToUTC=false; by default Spark 4 reads that as
+    # TIMESTAMP_NTZ, which unix_micros()/window()/watermarks reject.
+    # Read it as session-TZ TIMESTAMP instead (session TZ is UTC, so
+    # epoch values equal the naive value read by the DuckDB oracle).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # DuckDB (the oracle) uses UTC-naive timestamps; pin the session TZ
     # so collected timestamps and date functions agree bit-for-bit.
     "spark.sql.session.timeZone": "UTC",

@@ -52,6 +52,25 @@ def _session_cache(spark: SparkSession) -> dict[tuple[str, str], DataFrame]:
     return cache
 
 
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to session-TZ TIMESTAMP.
+
+    The driver's testdata stores timestamps as parquet ``timestamp[us]``
+    with ``isAdjustedToUTC=false``; Spark 4 reads those as TIMESTAMP_NTZ
+    unless ``spark.sql.parquet.inferTimestampNTZ.enabled=false`` was
+    applied before the session's first scan of the file (``prepare``
+    sets it, but a locked-down session may refuse).  NTZ breaks
+    ``unix_micros()`` / ``session_window()`` / watermarks, so normalize
+    here as the backstop.  Session TZ is UTC, so the cast reinterprets
+    the naive value as a UTC instant — identical micros to what the
+    DuckDB oracle sees.
+    """
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for col in ntz:
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 class Tables:
     """Lazy per-(session, sf_dir) table accessor.
 
@@ -77,8 +96,10 @@ class Tables:
                 # TIMESTAMP(NANOS) read as long via nanosAsLong: ns → µs.
                 # Integer division — ns epochs (~1.7e18) overflow double
                 # precision, so `/ 1000` would be off by ±hundreds of ns.
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            self._cache[key] = df
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            self._cache[key] = _normalize_ntz(df)
         return self._cache[key]
 
     def __getattr__(self, name: str) -> DataFrame:
