@@ -47,6 +47,8 @@ HEADLINE = [
     "funnel_conversion",     # event-sequence analytics
     "text_repetition_score", # map-only Gopher repetition gates (r3)
     "decontaminate_ngram_overlap",  # eval-set overlap check (r3)
+    "text_perplexity_bigram",  # corpus-trained LM quality filter (r4)
+    "cluster_topics_kmeans",   # iterative Lloyd contraction (r4)
 ]
 
 

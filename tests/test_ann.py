@@ -42,3 +42,14 @@ def test_lsh_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.15, f"recall@5 = {recall:.3f}"
     # every query returns some neighbors
     assert approx.groupby("query_id").size().min() >= 1
+
+
+def test_pq_recall_vs_exact(spark, sf_dir):
+    """PQ + ADC + exact rerank: distortion from 4-bit codes is modest
+    even on structure-free random vectors (measured 0.76 at sf0.01);
+    the gate catches a broken codebook/LUT, not a tuned index."""
+    exact = QUERIES["sim_knn_cosine_topk"](spark, sf_dir).toPandas()
+    approx = QUERIES["sim_knn_pq"](spark, sf_dir).toPandas()
+    recall = _recall(exact, approx)
+    assert recall >= 0.4, f"PQ recall@5 = {recall:.3f}"
+    assert approx.groupby("query_id").size().min() >= 1

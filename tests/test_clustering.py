@@ -1,0 +1,55 @@
+"""Quality gates for the rows-only k-means topic clustering: the
+output must be a complete partition of the corpus, deterministic
+across runs, and Lloyd iterations must not increase inertia."""
+
+from __future__ import annotations
+
+import duckdb
+
+from thrive_spark.operators import clustering
+from thrive_spark.registry import QUERIES
+
+
+def _corpus_size(sf_dir):
+    con = duckdb.connect()
+    [(n,)] = con.execute(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    return n
+
+
+def test_kmeans_partitions_corpus(spark, sf_dir):
+    out = QUERIES["cluster_topics_kmeans"](spark, sf_dir).toPandas()
+    assert out["n_members"].sum() == _corpus_size(sf_dir)
+    assert out["cluster_id"].is_unique
+    assert (out["n_members"] > 0).all()
+    assert (out["inertia_fp"] >= 0).all()
+
+
+def test_kmeans_deterministic(spark, sf_dir):
+    a = QUERIES["cluster_topics_kmeans"](spark, sf_dir).toPandas()
+    b = QUERIES["cluster_topics_kmeans"](spark, sf_dir).toPandas()
+    assert a.equals(b)
+
+
+def test_lloyd_iterations_do_not_increase_inertia(spark, sf_dir):
+    """Total inertia after 3 Lloyd iterations ≤ inertia at the seeds
+    (monotone non-increase is the k-means contract)."""
+    from thrive_spark.tables import Tables
+
+    def total_inertia(iters):
+        import numpy as np
+
+        t = Tables(spark, sf_dir)
+        c = clustering._seed_centroids(t)
+        if iters:
+            c = clustering._lloyd(t, c, iters=iters)
+        x = np.array(
+            t.embeddings.toPandas()["embedding"].tolist(), dtype=np.float64
+        )
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        sims = x @ c.T
+        return float((1.0 - sims.max(axis=1)).sum())
+
+    assert total_inertia(3) <= total_inertia(0) + 1e-9

@@ -1,0 +1,125 @@
+"""Distributed topic clustering over the embedding corpus (task
+brief: LLM-data-pipeline family — corpus bucketing / domain discovery
+before mixture balancing).
+
+Spherical k-means with Lloyd iterations driven from the driver:
+centroids are K×dim floats (bounded metadata, like the IVF coarse
+quantizer in ivf.py), everything per-row is a vectorized Arrow pass,
+and the per-iteration reduction is `groupBy(cell)` over *per-batch
+partial sums* — each Arrow batch emits at most K rows (cell, Σvec, n),
+so the shuffle per iteration carries O(K·batches) tiny rows no matter
+the corpus size.  This is the canonical scale shape for iterative
+refinement on Spark: state that fits the driver stays on the driver;
+state proportional to the data never leaves the executors un-reduced.
+
+Determinism: seeds are the first K unit vectors in vec_id order (the
+same deterministic-sample trick as ivf.py:35), a fixed 3 Lloyd
+iterations, and argmax tie-break by lowest cell index — identical
+output on every run, no RNG.  Registered rows-only (iterative
+refinement is not DuckDB-SQL-expressible); quality is gated in
+tests/test_clustering.py (partition completeness + monotone inertia).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+
+K = 8
+ITERS = 3
+
+
+def _seed_centroids(t):
+    """First K of a 256-row deterministic sample, unit-normalized."""
+    import numpy as np
+
+    sample = t.embeddings.orderBy("vec_id").limit(256).toPandas()["embedding"]
+    x = np.array(sample.tolist(), dtype=np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x[:K].copy()
+
+
+def _lloyd(t, cents, iters=ITERS):
+    """Run Lloyd iterations; returns the final centroid matrix."""
+    import numpy as np
+
+    dim = cents.shape[1]
+    emb = t.embeddings.select("embedding")
+
+    for _ in range(iters):
+        c = cents.copy()  # rebind per iteration for closure capture
+
+        def partials(batches, c=c):
+            import pandas as pd
+
+            for pdf in batches:
+                m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                m = m / np.linalg.norm(m, axis=1, keepdims=True)
+                cell = (m @ c.T).argmax(axis=1)
+                rows = [
+                    (int(j), m[cell == j].sum(axis=0).tolist(),
+                     int((cell == j).sum()))
+                    for j in np.unique(cell)
+                ]
+                yield pd.DataFrame(rows, columns=["cell", "psum", "n"])
+
+        # K-row reduction: per-dim sums stay JVM-side aggregate exprs
+        sums = (
+            emb.mapInPandas(partials, "cell long, psum array<double>, n long")
+            .groupBy("cell")
+            .agg(
+                F.sum("n").alias("n"),
+                *[F.sum(F.col("psum")[i]).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()  # K rows — bounded driver metadata
+        )
+        for row in sums:
+            vec = np.array([row[f"s{i}"] for i in range(dim)], dtype=np.float64)
+            nrm = float(np.linalg.norm(vec))
+            if nrm > 0:
+                cents[row["cell"]] = vec / nrm
+    return cents
+
+
+@query("cluster_topics_kmeans")  # rows-only: iterative refinement
+def cluster_topics_kmeans(spark, sf_dir):
+    """K=8 spherical k-means over `embeddings`; per-cluster summary.
+
+    Output: cluster_id, n_members, inertia_fp (Σ(1−cos) in 1e-4 fixed
+    point — exact integer agg, order-insensitive), exemplar_min_id."""
+    import numpy as np
+
+    t = Tables(spark, sf_dir)
+    cents = _lloyd(t, _seed_centroids(t))
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ cents.T
+            cell = sims.argmax(axis=1)
+            best = sims[np.arange(len(m)), cell]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster_id": cell.astype("int64"),
+                    "sim_fp": np.floor(best * 10000 + 0.5).astype("int64"),
+                }
+            )
+
+    assigned = t.embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, cluster_id long, sim_fp long"
+    )
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.lit(10000) - F.col("sim_fp")).alias("inertia_fp"),
+            F.min("vec_id").alias("exemplar_min_id"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -41,12 +41,15 @@ def load_all() -> None:
         ann,
         bucketed,
         cdc,
+        clustering,
         curation,
         dedup_extra,
         ivf,
+        lm_score,
         joins,
         llm,
         multimodal,
+        pq,
         predicates,
         setops,
         sorts,
