@@ -30,6 +30,8 @@ ALLOWED_ARROW_PYTHON = {
     "dedup_fuzzy_minhash",
     "sim_knn_lsh",
     "sim_knn_ivf",
+    "sim_knn_pq",
+    "cluster_topics_kmeans",
     "multimodal_decode_stub",
     "multimodal_frame_sample",
     "join_asof_cogroup",

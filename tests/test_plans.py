@@ -182,3 +182,21 @@ def test_no_python_udf_in_core_relational(qid, spark, sf_dir):
     assert_not_in_plan(
         QUERIES[qid](spark, sf_dir), "BatchEvalPython", "ArrowEvalPython"
     )
+
+
+def test_salted_join_shuffles_on_salt(spark, sf_dir):
+    """The skew-salted join must plan as a shuffled join keyed on
+    (event_type, _salt) — salt in the partitioning is the whole point;
+    a plan that broadcasts the dim or drops _salt from the exchange
+    has silently degenerated to the unsalted shape."""
+    import re
+
+    plan = physical_plan(QUERIES["join_salted_skew"](spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    assert re.search(r"Left keys \[2\]: \[event_type#\d+, _salt#\d+\]", plan), plan
+
+
+def test_iqr_bounds_join_broadcasts(spark, sf_dir):
+    """The per-type bounds table is group-cardinality-sized — the
+    fence-check join must broadcast it, never shuffle the events."""
+    assert_in_plan(QUERIES["dq_outlier_iqr"](spark, sf_dir), "BroadcastHashJoin")

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import Tables
-from ._util import r4
+from ._util import fixed, r4
 
 #: Monday anchor for week bucketing (1970-01-05 was a Monday)
 _WEEK0 = "1970-01-05"
@@ -204,4 +204,66 @@ def sessionize_ids(spark, sf_dir):
         "event_id",
         "user_id",
         F.sum("is_new").over(w_run).cast("bigint").alias("session_idx"),
+    )
+
+
+@query(
+    "dq_outlier_iqr",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               CAST(floor(quantile_cont(value, 0.25) * 10000 + 0.5)
+                    AS BIGINT) AS q1_fp,
+               CAST(floor(quantile_cont(value, 0.75) * 10000 + 0.5)
+                    AS BIGINT) AS q3_fp
+        FROM events GROUP BY event_type
+    ),
+    b AS (
+        SELECT event_type,
+               q1_fp - (3 * (q3_fp - q1_fp)) // 2 AS lo_fp,
+               q3_fp + (3 * (q3_fp - q1_fp)) // 2 AS hi_fp
+        FROM q
+    )
+    SELECT e.event_type, count(*) AS n,
+           CAST(count(CASE WHEN
+                    CAST(floor(e.value * 10000 + 0.5) AS BIGINT) < b.lo_fp
+                 OR CAST(floor(e.value * 10000 + 0.5) AS BIGINT) > b.hi_fp
+                THEN 1 END) AS BIGINT) AS n_outliers,
+           b.lo_fp, b.hi_fp
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type, b.lo_fp, b.hi_fp
+    """,
+)
+def dq_outlier_iqr(spark, sf_dir):
+    """Tukey-fence outlier rate per event_type: IQR bounds from exact
+    quantiles, then a broadcast join back to count fence violations.
+    All comparisons happen on 1e-4 fixed-point longs — the quantile
+    interpolation is quantized once per group (agg_percentile_exact
+    established the engines agree at 4dp) so the per-row fence test is
+    exact integer arithmetic, immune to float associativity. Two
+    passes by design: quantiles need the full distribution before any
+    row can be classified; the bounds table is group-cardinality-sized
+    → broadcast, so the second pass adds no shuffle."""
+    t = Tables(spark, sf_dir)
+    q = t.events.groupBy("event_type").agg(
+        fixed(F.percentile("value", 0.25)).alias("q1_fp"),
+        fixed(F.percentile("value", 0.75)).alias("q3_fp"),
+    )
+    iqr3h = (3 * (F.col("q3_fp") - F.col("q1_fp"))).cast("bigint")
+    b = q.select(
+        "event_type",
+        (F.col("q1_fp") - F.floor(iqr3h / 2)).cast("bigint").alias("lo_fp"),
+        (F.col("q3_fp") + F.floor(iqr3h / 2)).cast("bigint").alias("hi_fp"),
+    )
+    v_fp = fixed("value")
+    return (
+        t.events.join(F.broadcast(b), "event_type")
+        .groupBy("event_type", "lo_fp", "hi_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(
+                F.when((v_fp < F.col("lo_fp")) | (v_fp > F.col("hi_fp")), 1)
+            ).cast("bigint").alias("n_outliers"),
+        )
+        .select("event_type", "n", "n_outliers", "lo_fp", "hi_fp")
     )

@@ -542,3 +542,45 @@ def sample_domain_rebalance(spark, sf_dir):
         )
         .select("doc_id", "source", "est_tokens", "n16")
     )
+
+
+@query(
+    "sample_importance_weighted",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, lang,
+               least(CAST(n_chars AS BIGINT) * 5, 10000) AS weight_bp,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 10000 AS u_bp
+        FROM documents
+    )
+    SELECT doc_id, lang, weight_bp
+    FROM w WHERE u_bp < weight_bp
+    """,
+)
+def sample_importance_weighted(spark, sf_dir):
+    """Importance-weighted deterministic sampling: each doc is kept
+    with probability proportional to its length-derived weight (longer
+    docs carry more tokens → higher keep rate, capped at 1), decided
+    by comparing a uniform hash of the key against the weight — the
+    weighted generalization of the md5-threshold Bernoulli used by
+    `sample_hash_stratified`. Weight and uniform are both exact
+    integers in basis points, so membership is engine-identical, a
+    pure function of the key (survives repartitioning), and the whole
+    operator is a map-only filter pushed to the scan."""
+    t = Tables(spark, sf_dir)
+    weight_bp = F.least(
+        F.col("n_chars").cast("bigint") * 5, F.lit(10000).cast("bigint")
+    )
+    u_bp = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10000
+    )
+    return (
+        t.documents.select(
+            "doc_id", "lang", weight_bp.alias("weight_bp"), u_bp.alias("u_bp")
+        )
+        .filter(F.col("u_bp") < F.col("weight_bp"))
+        .select("doc_id", "lang", "weight_bp")
+    )

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from ..plans.band_join import band_self_join
 from ..registry import query
 from ..tables import Tables
-from ._util import dsum, osum
+from ._util import dsum, fixed, osum
 
 
 @query(
@@ -438,5 +438,55 @@ def join_interval_overlap(spark, sf_dir):
             (
                 F.least("ea", "eb") - F.greatest("sa", "sb")
             ).cast("bigint").alias("overlap_us"),
+        )
+    )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    WITH dim AS (
+        SELECT event_type, count(*) AS type_n,
+               CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS type_sum_fp
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(floor(e.value * 10000 + 0.5) AS BIGINT) AS value_fp,
+           d.type_n, d.type_sum_fp
+    FROM events e JOIN dim d USING (event_type)
+    """,
+)
+def join_salted_skew(spark, sf_dir):
+    """Skew-safe shuffled join on a hot key (5 event_types share the
+    whole table): the fact side salts its join key by hashing a unique
+    column, the dim side replicates once per salt, and the join runs
+    on (key, salt) — the hot key's rows spread over N_SALTS reducers
+    instead of funneling through one. Identical result to the plain
+    join (the oracle). At this dim size a broadcast join would win
+    (join_inner_broadcast covers that); this is the pattern for when
+    the dim outgrows broadcast and one key dominates the fact — the
+    shuffle-hash hint keeps the demo on the salted shuffle path."""
+    n_salts = 8
+    t = Tables(spark, sf_dir)
+    dim = t.events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("type_n"),
+        F.sum(fixed("value")).alias("type_sum_fp"),
+    )
+    dim_rep = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    fact = t.events.withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts)).cast("int")
+    )
+    return (
+        fact.hint("SHUFFLE_HASH")
+        .join(dim_rep, ["event_type", "_salt"])
+        .select(
+            "event_id",
+            "event_type",
+            fixed("value").alias("value_fp"),
+            "type_n",
+            "type_sum_fp",
         )
     )

@@ -207,3 +207,43 @@ def stream_stateful_counter(spark, sf_dir):
         "user_id",
         dsum_over(purchase, w).alias("cum_purchase"),
     )
+
+
+@query(
+    "stream_tumbling_topk",
+    oracle="""
+    WITH c AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+               event_type, count(*) AS n
+        FROM events GROUP BY window_start, event_type
+    )
+    SELECT window_start, event_type, n, rk FROM (
+        SELECT window_start, event_type, n,
+               CAST(row_number() OVER (PARTITION BY window_start
+                    ORDER BY n DESC, event_type) AS BIGINT) AS rk
+        FROM c
+    ) WHERE rk <= 3
+    """,
+)
+def stream_tumbling_topk(spark, sf_dir):
+    """Top-3 event types per tumbling hour — the 'trending now' query.
+    Batch twin is a windowed count + per-window rank; the streaming
+    form keeps the same tumbling aggregate under a watermark and ranks
+    per finalized window downstream (rank-over-aggregate is an
+    output-mode-complete op, so it runs on the closed windows only).
+    One shuffle for the count (map-side partial), one window over
+    tiny (window × 5 types) rows; unique (n desc, event_type)
+    tiebreak keeps both engines' top-3 identical."""
+    t = Tables(spark, sf_dir)
+    c = (
+        t.events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    wspec = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(wspec).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+    )
