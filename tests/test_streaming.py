@@ -123,3 +123,22 @@ def test_gapfill_equals_twin_closed_buckets(spark, sf_dir, stream_dir):
         w = want[(want["event_type"] == et) & (want["bucket"] <= hi)]
         cols = ["bucket", "n", "bucket_sum", "ffill_sum"]
         assert canon(g[cols], cols) == canon(w[cols], cols), et
+
+
+def test_tumbling_topk_equals_twin(spark, sf_dir, stream_dir):
+    got = run_stream(
+        spark,
+        ops.tumbling_topk_counts(read_stream(spark, stream_dir)),
+        "complete",
+        "t_topk",
+    )
+    # batch post-pass: rank the emitted windows
+    got["rk"] = (
+        got.sort_values(["n", "event_type"], ascending=[False, True])
+        .groupby("window_start")
+        .cumcount()
+        + 1
+    )
+    got = got[got["rk"] <= 3]
+    want = streaming_twins.stream_tumbling_topk(spark, sf_dir).toPandas()
+    assert canon(got, got.columns) == canon(want, want.columns)

@@ -180,3 +180,18 @@ def gapfill_15min(events: DataFrame) -> DataFrame:
     return events.groupBy("event_type").applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def tumbling_topk_counts(events: DataFrame) -> DataFrame:
+    """Streaming side of ``stream_tumbling_topk``: the tumbling
+    count aggregate. Rank-over-aggregate is not streamable in one
+    query (a non-time window function over a streaming agg is
+    unsupported by design — it needs the finalized window), so the
+    top-k rank runs as a trivial batch post-pass over emitted
+    windows; state here is bounded by (windows in watermark ×
+    event types)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
