@@ -43,6 +43,7 @@ SKIP = {
     "scan_orc_roundtrip",
     "incremental_dir_scan",
     "sink_parquet_partitioned",
+    "scan_partition_pruned",
     "sink_hive_table",
     "sink_jdbc",
     "join_bucketed_colocated",

@@ -200,3 +200,28 @@ def test_iqr_bounds_join_broadcasts(spark, sf_dir):
     """The per-type bounds table is group-cardinality-sized — the
     fence-check join must broadcast it, never shuffle the events."""
     assert_in_plan(QUERIES["dq_outlier_iqr"](spark, sf_dir), "BroadcastHashJoin")
+
+
+def test_partitioned_scan_prunes(spark, sf_dir):
+    """The lang predicate must become a PartitionFilters entry on the
+    partitioned read (directory pruning), not a post-scan Filter."""
+    import shutil
+    import tempfile
+
+    from thrive_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="thrive_prune_t_")
+    try:
+        t.documents.write.mode("overwrite").partitionBy("lang").parquet(out)
+        df = (
+            spark.read.parquet(out)
+            .filter("lang IN ('en', 'de')")
+            .groupBy("lang")
+            .count()
+        )
+        plan = physical_plan(df)
+        assert "PartitionFilters" in plan
+        assert "lang" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -164,3 +164,37 @@ def incremental_dir_scan(spark, sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "scan_partition_pruned",
+    oracle="""
+    SELECT lang, source, count(*) AS n,
+           CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars_total
+    FROM documents WHERE lang IN ('en', 'de')
+    GROUP BY lang, source
+    """,
+)
+def scan_partition_pruned(spark, sf_dir):
+    """Partition-pruned read: documents written Hive-partitioned by
+    lang, then scanned with a lang predicate — the reader lists and
+    opens ONLY the matching partition directories (PartitionFilters
+    in the plan, asserted in tests/test_plans.py), the file-level
+    pruning that makes 100 TB layouts queryable. The residual
+    aggregate is grouped per (lang, source)."""
+    t = Tables(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="thrive_prune_")
+    try:
+        t.documents.write.mode("overwrite").partitionBy("lang").parquet(out)
+        back = spark.read.parquet(out)
+        return (
+            back.filter(F.col("lang").isin("en", "de"))
+            .groupBy(F.col("lang").cast("string").alias("lang"), "source")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("n_chars").cast("bigint")).alias("chars_total"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
