@@ -64,14 +64,22 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     times: dict[str, float] = {}
     spread: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for qid in HEADLINE:
-        fn = registry.QUERIES[qid]
-        materialize(fn(spark, sf_dir))  # warm: codegen + page cache
-        samples = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            materialize(fn(spark, sf_dir))
-            samples.append(time.perf_counter() - t0)
+        # Per-query isolation: one broken query must degrade to an
+        # `errors` entry, not blank the whole artifact (BENCH_r03 was
+        # lost to a single AnalysisException escaping the loop).
+        try:
+            fn = registry.QUERIES[qid]
+            materialize(fn(spark, sf_dir))  # warm: codegen + page cache
+            samples = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                materialize(fn(spark, sf_dir))
+                samples.append(time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001
+            errors[qid] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
         med = statistics.median(samples)
         times[qid] = round(med, 3)
         spread[qid] = round((max(samples) - min(samples)) / med, 3) if med else 0.0
@@ -84,6 +92,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "variance": spread,
+                "errors": errors,
                 "reps": reps,
                 "sf": sf,
             }

@@ -225,3 +225,43 @@ def test_partitioned_scan_prunes(spark, sf_dir):
         assert "lang" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+# --- TPC-H suite plan shapes (operators/tpch.py) -------------------------
+
+
+def test_tpch_q3_broadcasts_customer(spark, sf_dir):
+    plan = physical_plan(QUERIES["tpch_q3"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # both date filters must reach the parquet scans
+    assert "PushedFilters" in plan
+
+
+def test_tpch_q6_pushdown_and_single_agg(spark, sf_dir):
+    plan = physical_plan(QUERIES["tpch_q6"](spark, sf_dir))
+    # all predicates pushed; no join, no shuffle besides final reduce
+    assert "IsNotNull(l_shipdate)" in plan or "l_shipdate" in plan
+    assert "Join" not in plan
+
+
+def test_tpch_q8_all_dims_broadcast(spark, sf_dir):
+    plan = physical_plan(QUERIES["tpch_q8"](spark, sf_dir))
+    # 7 joins; all but lineitem-orders should be broadcast
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q18_exact_having_on_long(spark, sf_dir):
+    # the HAVING predicate compares the fixed-point long, not a double
+    plan = physical_plan(QUERIES["tpch_q18"](spark, sf_dir))
+    assert "1500000" in plan  # 150 * 10000 as long literal
+
+
+def test_tpch_q19_residual_filter_not_nested_loop(spark, sf_dir):
+    assert_not_in_plan(
+        QUERIES["tpch_q19"](spark, sf_dir),
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+    )

@@ -1,0 +1,803 @@
+"""TPC-H query suite, DataFrame-native (SURVEY §2.3/§2.4 composite shapes).
+
+The classic decision-support suite re-expressed with the DataFrame API
+— each query is the logical plan you would hand Catalyst on a 1000-
+executor cluster: dimension sides broadcast explicitly, fact-side
+filters applied before every join so pushdown reaches the parquet
+scan, aggregates expressed with map-side-combinable built-ins, and
+double sums in engine-exact fixed point (operators/_util.dsum).
+
+Schema adaptations (FIXTURES.md — the corpus is TPC-H-ish, not full
+TPC-H): there is no ``partsupp`` table and no comment/phone/shipmode/
+commitdate columns, so Q2/Q9/Q11/Q16/Q20 are out of scope and a few
+predicates are re-targeted to existing columns (noted per query).
+Every query keeps the canonical join topology and aggregation shape —
+that is what exercises the optimizer at 100 TB, not the literal
+predicate constants.
+
+Scale notes: the selective fact filters (date windows) cut the
+lineitem/orders scan first; dims (customer at ~1.5M rows/TB-scale
+equivalents, nation, part slices, supplier) broadcast; the only large
+shuffles are the final group-bys on low-cardinality keys. AQE handles
+the rest (skew split, partition coalescing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+from ._util import dsum, fixed, osum
+
+OFIX = "CAST(floor(({e}) * 10000 + 0.5) AS BIGINT)"
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+def _rev():
+    return F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+
+
+_OREV = "l_extendedprice * (1.0 - l_discount)"
+
+
+@query(
+    "tpch_q3",
+    oracle=f"""
+    SELECT l_orderkey,
+           {osum(_OREV)} AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark, sf_dir):
+    """Q3 shipping priority (sans o_shippriority, absent from schema).
+
+    Plan: both fact filters push to the scans; customer slice
+    broadcasts into orders, that result broadcasts-or-shuffles into
+    lineitem by AQE size estimate; one final groupBy on (orderkey,
+    date). LIMIT tiebreaker: l_orderkey (unique).
+    """
+    t = Tables(spark, sf_dir)
+    cust = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    ords = t.orders.filter(F.col("o_orderdate") < _ts("1998-03-15")).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = t.lineitem.filter(F.col("l_shipdate") > _ts("1998-03-15")).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(
+            ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey),
+            li.l_orderkey == ords.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(_rev()).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q6",
+    oracle=f"""
+    SELECT {osum('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24.0
+    """,
+)
+def tpch_q6(spark, sf_dir):
+    """Q6 forecasting revenue change: pure scan-filter-agg.
+
+    All four predicates reach the parquet reader (min/max row-group
+    skipping on l_shipdate); the aggregate is one map-side-combined
+    global sum — zero shuffle beyond the final single-row reduce.
+    """
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q7",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           {osum(_OREV)} AS revenue
+    FROM lineitem JOIN orders   ON o_orderkey = l_orderkey
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN customer ON c_custkey = o_custkey
+                  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS BIGINT)
+    """,
+)
+def tpch_q7(spark, sf_dir):
+    """Q7 volume shipping between two nations.
+
+    Supplier/customer/nation all broadcast; the nation-pair disjunction
+    is applied after the cheap broadcast joins so the only shuffle is
+    lineitem→orders (and AQE usually broadcasts the filtered orders
+    side too at this selectivity).
+    """
+    t = Tables(spark, sf_dir)
+    n1 = t.nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t.nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    li = t.lineitem.filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    j = (
+        li.join(t.orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(t.customer.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.withColumn("l_year", F.year("l_shipdate").cast("bigint"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(_rev()).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q8",
+    oracle=f"""
+    WITH flat AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             {_OREV} AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem JOIN part     ON p_partkey = l_partkey
+                    JOIN orders   ON o_orderkey = l_orderkey
+                    JOIN customer ON c_custkey = o_custkey
+                    JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                    JOIN region   ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+        AND p_type LIKE 'ECONOMY%'
+    )
+    SELECT o_year,
+           (sum(CASE WHEN supp_nation = 'NATION_2'
+                     THEN {OFIX.format(e='volume')} ELSE 0 END) / 10000.0)
+           / (sum({OFIX.format(e='volume')}) / 10000.0) AS mkt_share
+    FROM flat GROUP BY o_year
+    """,
+)
+def tpch_q8(spark, sf_dir):
+    """Q8 national market share within a region for a part class.
+
+    Every dimension broadcasts (part slice, supplier, customer,
+    nations, region); the fact scan carries the date filter. The
+    share division runs on two fixed-point sums — engine-exact.
+    """
+    t = Tables(spark, sf_dir)
+    pk = t.part.filter(F.col("p_type").like("ECONOMY%")).select("p_partkey")
+    n_supp = t.nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n_cust = t.nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    asia = t.region.filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    ords = t.orders.filter(
+        (F.col("o_orderdate") >= _ts("1995-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-01-01"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    flat = (
+        t.lineitem.select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+        )
+        .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(asia), F.col("c_rk") == F.col("r_regionkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            _rev().alias("volume"),
+            "supp_nation",
+        )
+    )
+    nation_fix = fixed(
+        F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(0.0)
+    )
+    return flat.groupBy("o_year").agg(
+        (
+            (F.sum(nation_fix) / 10000.0) / (F.sum(fixed("volume")) / 10000.0)
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "tpch_q10",
+    oracle=f"""
+    SELECT c_custkey, c_name, {osum(_OREV)} AS revenue, c_acctbal, n_name
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-10-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark, sf_dir):
+    """Q10 returned-item reporting (sans address/phone/comment cols)."""
+    t = Tables(spark, sf_dir)
+    ords = t.orders.filter(
+        (F.col("o_orderdate") >= _ts("1997-10-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = t.lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    nat = t.nation.select("n_nationkey", "n_name")
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(
+            t.customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(_rev()).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q13",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13(spark, sf_dir):
+    """Q13 customer order-count distribution (comment filter retargeted
+    to o_orderpriority — schema has no o_comment).
+
+    Two hash aggregations; the second groups on a tiny domain so the
+    heavy shuffle is only the first (custkey), which AQE coalesces.
+    """
+    t = Tables(spark, sf_dir)
+    ords = t.orders.filter(F.col("o_orderpriority") != "1-URGENT").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        t.customer.select("c_custkey")
+        .join(ords, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "tpch_q14",
+    oracle=f"""
+    SELECT 100.0 * (sum(CASE WHEN p_type LIKE 'PROMO%'
+                        THEN {OFIX.format(e=_OREV)} ELSE 0 END) / 10000.0)
+                 / (sum({OFIX.format(e=_OREV)}) / 10000.0) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def tpch_q14(spark, sf_dir):
+    """Q14 promotion-revenue share: broadcast part, one month of fact."""
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.filter(
+        (F.col("l_shipdate") >= _ts("1997-09-01"))
+        & (F.col("l_shipdate") < _ts("1997-10-01"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    j = li.join(
+        F.broadcast(t.part.select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    promo_fix = fixed(
+        F.when(F.col("p_type").like("PROMO%"), _rev()).otherwise(0.0)
+    )
+    return j.agg(
+        (
+            F.lit(100.0)
+            * (F.sum(promo_fix) / 10000.0)
+            / (F.sum(fixed(_rev())) / 10000.0)
+        ).alias("promo_revenue")
+    )
+
+
+@query(
+    "tpch_q15",
+    oracle=f"""
+    WITH revenue0 AS (
+      SELECT l_suppkey AS supplier_no,
+             sum({OFIX.format(e=_OREV)}) AS rf
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, rf / 10000.0 AS total_revenue
+    FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+    WHERE rf = (SELECT max(rf) FROM revenue0)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15(spark, sf_dir):
+    """Q15 top supplier: the max-equality runs on the fixed-point LONG
+    revenue (exact tie semantics, no double-compare hazard); the
+    1-row max side broadcasts."""
+    t = Tables(spark, sf_dir)
+    rev = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(fixed(_rev())).alias("rf"))
+    )
+    mx = rev.agg(F.max("rf").alias("mrf"))
+    return (
+        rev.join(F.broadcast(mx), F.col("rf") == F.col("mrf"))
+        .join(
+            F.broadcast(t.supplier.select("s_suppkey", "s_name")),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey", "s_name", (F.col("rf") / 10000.0).alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q17",
+    oracle=f"""
+    WITH pk AS (SELECT p_partkey FROM part
+                WHERE p_brand = 'Brand#3' AND p_size <= 15),
+         li2 AS (SELECT l_partkey, l_quantity, l_extendedprice
+                 FROM lineitem JOIN pk ON l_partkey = p_partkey),
+         avgq AS (SELECT l_partkey AS a_pk,
+                         sum({OFIX.format(e='l_quantity')}) / 10000.0
+                           / count(*) AS aq
+                  FROM li2 GROUP BY l_partkey)
+    SELECT (sum({OFIX.format(e='l_extendedprice')}) / 10000.0) / 7.0
+           AS avg_yearly
+    FROM li2 JOIN avgq ON l_partkey = a_pk
+    WHERE l_quantity < 0.5 * aq
+    """,
+)
+def tpch_q17(spark, sf_dir):
+    """Q17 small-quantity-order revenue (brand+size stand in for the
+    absent p_container; 0.5×avg trigger so the slice is non-empty).
+
+    The per-part average is a tiny aggregate over the already part-
+    filtered fact slice — it broadcasts back into the same slice, so
+    the fact table is scanned once and shuffled once (on l_partkey).
+    """
+    t = Tables(spark, sf_dir)
+    pk = t.part.filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 15)
+    ).select("p_partkey")
+    li2 = t.lineitem.select("l_partkey", "l_quantity", "l_extendedprice").join(
+        F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avgq = li2.groupBy(F.col("l_partkey").alias("a_pk")).agg(
+        (F.sum(fixed("l_quantity")) / 10000.0 / F.count(F.lit(1))).alias("aq")
+    )
+    return (
+        li2.join(F.broadcast(avgq), F.col("l_partkey") == F.col("a_pk"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .agg(
+            ((F.sum(fixed("l_extendedprice")) / 10000.0) / 7.0).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@query(
+    "tpch_q18",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, sum({OFIX.format(e='l_quantity')}) AS qf
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum({OFIX.format(e='l_quantity')}) > 150 * 10000
+    )
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_totalprice, qf / 10000.0 AS sum_qty
+    FROM big JOIN orders ON o_orderkey = l_orderkey
+             JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18(spark, sf_dir):
+    """Q18 large-volume customers: HAVING compares the fixed-point
+    LONG sum against 150×10⁴ — exact, no double-threshold flakiness.
+    (Canonical threshold 300 exceeds this corpus's ~4 lines/order;
+    150 keeps the result non-trivial.)"""
+    t = Tables(spark, sf_dir)
+    big = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(F.sum(fixed("l_quantity")).alias("qf"))
+        .filter(F.col("qf") > 150 * 10000)
+    )
+    return (
+        big.join(
+            t.orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            t.customer.select("c_custkey", "c_name"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            (F.col("qf") / 10000.0).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q19",
+    oracle=f"""
+    SELECT {osum(_OREV)} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19(spark, sf_dir):
+    """Q19 discounted-revenue disjunction (brand+size bands stand in
+    for the absent p_container/l_shipmode).
+
+    The OR-of-ANDs stays a *residual filter on an equi join* — part
+    broadcasts on p_partkey and the disjunction evaluates post-join.
+    Never a nested-loop join (asserted in tests/test_plans.py).
+    """
+    t = Tables(spark, sf_dir)
+
+    def band(brand, smax, qlo, qhi):
+        return (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= smax)
+            & (F.col("l_quantity") >= float(qlo))
+            & (F.col("l_quantity") <= float(qhi))
+        )
+
+    return (
+        t.lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(
+            F.broadcast(t.part.select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .filter(
+            band("Brand#12", 5, 1, 11)
+            | band("Brand#23", 10, 10, 20)
+            | band("Brand#34", 15, 20, 30)
+        )
+        .agg(dsum(_rev()).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q22",
+    oracle=f"""
+    WITH eligible AS (
+      SELECT c_custkey, c_acctbal,
+             CAST(c_nationkey % 10 AS VARCHAR) AS cntrycode
+      FROM customer WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9)
+    ),
+    cutoff AS (
+      SELECT sum({OFIX.format(e='c_acctbal')}) / 10000.0 / count(*) AS ab
+      FROM eligible WHERE c_acctbal > 0.0
+    )
+    SELECT cntrycode, count(*) AS numcust,
+           {osum('c_acctbal')} AS totacctbal
+    FROM eligible, cutoff
+    WHERE c_acctbal > ab
+      AND c_custkey NOT IN (
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+)
+def tpch_q22(spark, sf_dir):
+    """Q22 global sales opportunity (country code from c_nationkey
+    — schema has no c_phone; "no orders" scoped to orders since
+    1999 because every customer has some order in this corpus).
+
+    Shape preserved: scalar-subquery average (fixed-point, engine-
+    exact), anti join against recent orders, low-cardinality final
+    aggregate. The 1-row cutoff cross-joins via broadcast.
+    """
+    t = Tables(spark, sf_dir)
+    eligible = t.customer.filter(
+        (F.col("c_nationkey") % 10).isin(1, 3, 5, 7, 9)
+    ).select(
+        "c_custkey",
+        "c_acctbal",
+        (F.col("c_nationkey") % 10).cast("string").alias("cntrycode"),
+    )
+    cutoff = eligible.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(fixed("c_acctbal")) / 10000.0 / F.count(F.lit(1))).alias("ab")
+    )
+    recent = t.orders.filter(
+        F.col("o_orderdate") >= _ts("1999-01-01")
+    ).select("o_custkey")
+    return (
+        eligible.join(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+@query(
+    "tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {osum('l_quantity')} AS sum_qty,
+           {osum('l_extendedprice')} AS sum_base_price,
+           {osum(_OREV)} AS sum_disc_price,
+           {osum('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)')}
+             AS sum_charge,
+           sum({OFIX.format(e='l_quantity')}) / 10000.0 / count(*) AS avg_qty,
+           sum({OFIX.format(e='l_extendedprice')}) / 10000.0 / count(*)
+             AS avg_price,
+           sum({OFIX.format(e='l_discount')}) / 10000.0 / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark, sf_dir):
+    """Q1 pricing summary report — the canonical scan-heavy aggregate.
+
+    One pass over lineitem, map-side partial aggregation into 6 groups
+    (returnflag × linestatus); every sum in fixed point, every average
+    the mirrored (fixed-sum / 10⁴) / count expression tree so both
+    engines execute bit-identical double ops.
+    """
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.filter(F.col("l_shipdate") <= _ts("2001-09-01"))
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(_rev()).alias("sum_disc_price"),
+            dsum(_rev() * (1.0 + F.col("l_tax"))).alias("sum_charge"),
+            (F.sum(fixed("l_quantity")) / 10000.0 / n).alias("avg_qty"),
+            (F.sum(fixed("l_extendedprice")) / 10000.0 / n).alias("avg_price"),
+            (F.sum(fixed("l_discount")) / 10000.0 / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4(spark, sf_dir):
+    """Q4 order-priority checking (late-shipment EXISTS retargeted to
+    l_shipdate > o_orderdate + 60 days — no l_commitdate in schema).
+
+    The EXISTS is a LEFT SEMI join — Spark never materializes the
+    matching lineitems, and the quarter filter on orders prunes the
+    probe side before the join.
+    """
+    t = Tables(spark, sf_dir)
+    ords = t.orders.filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-04-01"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = t.lineitem.select("l_orderkey", "l_shipdate")
+    late = ords.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q5",
+    oracle=f"""
+    SELECT n_name, {osum(_OREV)} AS revenue
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                               AND c_nationkey = s_nationkey
+                  JOIN nation   ON s_nationkey = n_nationkey
+                  JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def tpch_q5(spark, sf_dir):
+    """Q5 local-supplier volume — the canonical star join with the
+    c_nationkey = s_nationkey "local" condition kept as part of the
+    supplier join key (an equi condition, so it stays hash-joinable)."""
+    t = Tables(spark, sf_dir)
+    asia_nations = (
+        t.nation.join(
+            F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    ords = t.orders.filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    return (
+        t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(_rev()).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "tpch_q12",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def tpch_q12(spark, sf_dir):
+    """Q12 shipping-priority split (l_shipmode → l_linestatus grouping,
+    receipt-window → ship-year window; schema has no shipmode/dates).
+
+    Conditional-count aggregate over one fact join; the priority CASE
+    runs map-side so the shuffle carries two partial longs per group.
+    """
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    ).select("l_orderkey", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            t.orders.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )

@@ -21,6 +21,8 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entrymod  # noqa: E402
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# optional arg 2: comma-separated id prefixes — run only matching queries
+ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -83,6 +85,8 @@ def main() -> int:
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
     for name in sorted(qs):
+        if ONLY and not any(name.startswith(p) for p in ONLY):
+            continue
         t0 = time.time()
         try:
             spdf = qs[name](spark, SF_DIR).toPandas()
