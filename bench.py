@@ -63,6 +63,7 @@ def main() -> None:
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     times: dict[str, float] = {}
+    best: dict[str, float] = {}
     spread: dict[str, float] = {}
     errors: dict[str, str] = {}
     for qid in HEADLINE:
@@ -82,6 +83,7 @@ def main() -> None:
             continue
         med = statistics.median(samples)
         times[qid] = round(med, 3)
+        best[qid] = round(min(samples), 3)
         spread[qid] = round((max(samples) - min(samples)) / med, 3) if med else 0.0
 
     print(
@@ -92,6 +94,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "variance": spread,
+                "min": best,
                 "errors": errors,
                 "reps": reps,
                 "sf": sf,

@@ -84,3 +84,38 @@ def test_ntz_columns_normalized_to_session_tz_timestamp(spark, sf_dir):
 
     want = dt.datetime(2024, 6, 1, 12, 34, 56, 789000, tzinfo=dt.timezone.utc)
     assert row.us == int(want.timestamp() * 1_000_000)
+
+
+def test_zorder_layout_skips(spark, sf_dir, tmp_path):
+    """The z-ordered layout must make BOTH dimension columns selective
+    in per-file min/max stats: the summed per-file span of each dim
+    should be well under n_files × full-range (what a random layout
+    gives), which is what drives row-group skipping at 100 TB."""
+    import pyarrow.parquet as pq
+
+    from thrive_spark.sources.maintenance import zorder_layout
+    from thrive_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select("l_partkey", "l_suppkey", "l_extendedprice")
+    out = str(tmp_path / "zordered")
+    zorder_layout(li, "l_partkey", "l_suppkey", n_ranges=8).write.parquet(out)
+
+    import glob as g
+
+    spans_x, spans_y, files = [], [], sorted(g.glob(out + "/*.parquet"))
+    assert len(files) >= 4
+    for f in files:
+        md = pq.read_metadata(f)
+        xmin = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+        xmax = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+        ymin = min(md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups))
+        ymax = max(md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups))
+        spans_x.append(xmax - xmin)
+        spans_y.append(ymax - ymin)
+    full_x = max(r.l_partkey for r in li.select("l_partkey").collect()) or 1
+    full_y = 10
+    # random layout: every file spans ~the full range → sum ≈ n*full.
+    # z-order: files cover compact z-tiles → strictly narrower on both.
+    assert sum(spans_x) < 0.8 * len(files) * full_x
+    assert sum(spans_y) < 0.8 * len(files) * full_y
