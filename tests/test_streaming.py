@@ -142,3 +142,15 @@ def test_tumbling_topk_equals_twin(spark, sf_dir, stream_dir):
     got = got[got["rk"] <= 3]
     want = streaming_twins.stream_tumbling_topk(spark, sf_dir).toPandas()
     assert canon(got, got.columns) == canon(want, want.columns)
+
+
+def test_static_join_equals_twin(spark, sf_dir, stream_dir):
+    t = Tables(spark, sf_dir)
+    got = run_stream(
+        spark,
+        ops.enrich_with_static_dim(read_stream(spark, stream_dir), t.nation),
+        "complete",
+        "t_statjoin",
+    )
+    want = streaming_twins.stream_join_static(spark, sf_dir).toPandas()
+    assert canon(got, got.columns) == canon(want, want.columns)

@@ -415,3 +415,88 @@ def fn_url_bank(spark, sf_dir):
         F.substring_index(path, "/", -1).alias("c_path_leaf"),
         F.parse_url(F.col("c_url"), F.lit("PROTOCOL")).alias("c_scheme"),
     )
+
+
+@query(
+    "fn_bitwise_bank",
+    oracle="""
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           l_orderkey & l_partkey AS c_and,
+           l_orderkey | l_partkey AS c_or,
+           xor(l_orderkey, l_partkey) AS c_xor,
+           ~l_orderkey AS c_not,
+           l_orderkey << 3 AS c_shl,
+           l_partkey >> 2 AS c_shr,
+           CAST(bit_count(l_orderkey) AS BIGINT) AS c_popcount,
+           l_orderkey & (l_orderkey - 1) AS c_clear_lowest,
+           xor(l_orderkey >> 1, l_orderkey) AS c_gray
+    FROM lineitem WHERE l_orderkey % 7 = 0
+    """,
+)
+def fn_bitwise_bank(spark, sf_dir):
+    """Bitwise function inventory — the mask/shift/popcount arithmetic
+    behind bucketing keys, bloom/simhash probes, and the z-order
+    layout. All JVM built-ins; DuckDB's xor is a function, Spark's an
+    operator — semantics identical on BIGINT two's complement.
+    """
+    t = Tables(spark, sf_dir)
+    k, p = F.col("l_orderkey"), F.col("l_partkey")
+    return t.lineitem.filter(k % 7 == 0).select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        k.bitwiseAND(p).alias("c_and"),
+        k.bitwiseOR(p).alias("c_or"),
+        k.bitwiseXOR(p).alias("c_xor"),
+        F.bitwise_not(k).alias("c_not"),
+        F.shiftleft(k, 3).alias("c_shl"),
+        F.shiftright(p, 2).alias("c_shr"),
+        F.bit_count(k).cast("bigint").alias("c_popcount"),
+        k.bitwiseAND(k - 1).alias("c_clear_lowest"),
+        F.shiftright(k, 1).bitwiseXOR(k).alias("c_gray"),
+    )
+
+
+@query(
+    "fn_struct_bank",
+    oracle="""
+    SELECT o_orderkey,
+           struct_extract(struct_pack(k := o_custkey, p := o_totalprice), 'k')
+             AS c_field_int,
+           struct_extract(struct_pack(k := o_custkey, p := o_totalprice), 'p')
+             AS c_field_dbl,
+           CASE WHEN struct_pack(a := o_custkey, b := o_orderstatus)
+                   = struct_pack(a := o_custkey, b := o_orderstatus)
+                THEN 1 ELSE 0 END AS c_struct_eq,
+           struct_extract(
+             CASE WHEN o_totalprice > 200000.0
+                  THEN struct_pack(tag := 'big',  v := o_totalprice)
+                  ELSE struct_pack(tag := 'small', v := o_totalprice) END,
+             'tag') AS c_branch_tag
+    FROM orders WHERE o_orderkey % 11 = 0
+    """,
+)
+def fn_struct_bank(spark, sf_dir):
+    """Struct function inventory: construction, field extraction,
+    whole-struct equality, and CASE over struct values — flattened to
+    scalar outputs (complex-typed output columns are banned by the
+    driver canonicalizer; see test_no_complex_output_columns)."""
+    t = Tables(spark, sf_dir)
+    s = F.struct(
+        F.col("o_custkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    eq = F.struct(
+        F.col("o_custkey").alias("a"), F.col("o_orderstatus").alias("b")
+    )
+    branch = F.when(
+        F.col("o_totalprice") > 200000.0,
+        F.struct(F.lit("big").alias("tag"), F.col("o_totalprice").alias("v")),
+    ).otherwise(
+        F.struct(F.lit("small").alias("tag"), F.col("o_totalprice").alias("v"))
+    )
+    return t.orders.filter(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey",
+        s.getField("k").alias("c_field_int"),
+        s.getField("p").alias("c_field_dbl"),
+        F.when(eq == eq, 1).otherwise(0).alias("c_struct_eq"),
+        branch.getField("tag").alias("c_branch_tag"),
+    )

@@ -247,3 +247,26 @@ def stream_tumbling_topk(spark, sf_dir):
         c.withColumn("rk", F.row_number().over(wspec).cast("bigint"))
         .filter(F.col("rk") <= 3)
     )
+
+
+@query(
+    "stream_join_static",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           n_name, count(*) AS n_events,
+           sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) / 10000.0
+             AS sum_value
+    FROM events JOIN nation ON CAST(user_id % 25 AS INT) = n_nationkey
+    GROUP BY window_start, n_name
+    """,
+)
+def stream_join_static(spark, sf_dir):
+    """Batch twin of the stream–static enrichment join
+    (streaming/ops.py::enrich_with_static_dim): events keyed to a
+    broadcast nation dim, then hourly windowed count + fixed-point
+    sum per nation. The true-streaming form is asserted equal in
+    tests/test_streaming.py::test_static_join_equals_twin."""
+    t = Tables(spark, sf_dir)
+    from ..streaming.ops import enrich_with_static_dim
+
+    return enrich_with_static_dim(t.events, t.nation)

@@ -195,3 +195,31 @@ def tumbling_topk_counts(events: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
+
+
+def enrich_with_static_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream–static join: enrich the event stream with a broadcast
+    dimension (user_id → nation). The static side is re-resolved per
+    micro-batch, so a slowly-changing dim picks up updates without
+    restarting the query; no state store is involved (static side is
+    a broadcast, not a stream), so this composes freely with
+    downstream windowed aggregation.
+    """
+    keyed = events.withColumn("nk", (F.col("user_id") % 25).cast("int"))
+    joined = keyed.join(
+        F.broadcast(dim.select("n_nationkey", "n_name")),
+        keyed.nk == F.col("n_nationkey"),
+    )
+    return (
+        joined.groupBy(F.window("ts", "1 hour").alias("w"), "n_name")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(fixed("value")).alias("vf"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_name",
+            "n_events",
+            (F.col("vf") / 10000.0).alias("sum_value"),
+        )
+    )
