@@ -53,3 +53,44 @@ def test_pq_recall_vs_exact(spark, sf_dir):
     recall = _recall(exact, approx)
     assert recall >= 0.4, f"PQ recall@5 = {recall:.3f}"
     assert approx.groupby("query_id").size().min() >= 1
+
+
+def test_semantic_dedup_matches_bruteforce(spark, sf_dir):
+    """Per-cell greedy SemDeDup must equal a brute-force reference:
+    same kept set and same dup_of attribution for every cell."""
+    import numpy as np
+
+    from thrive_spark.registry import QUERIES
+    from thrive_spark.tables import Tables
+
+    out = QUERIES["dedup_semantic_cluster"](spark, sf_dir).toPandas()
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding").toPandas()
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    m = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    vid = emb["vec_id"].to_numpy()
+
+    # rebuild the reference per cell from the operator's own cells
+    # (the cell assignment is the k-means half, tested elsewhere)
+    assert len(out) == len(emb)
+    assert out["kept"].sum() >= 1
+    pos = {v: i for i, v in enumerate(vid)}
+    for cell, grp in out.groupby("cell"):
+        grp = grp.sort_values("vec_id").reset_index(drop=True)
+        rows = [pos[v] for v in grp["vec_id"]]
+        sims = m[rows] @ m[rows].T
+        kept_idx, want_kept, want_dup = [], [], []
+        for i in range(len(rows)):
+            if kept_idx:
+                s = sims[i, kept_idx]
+                j = int(np.argmax(s))
+                if s[j] > 0.80:
+                    want_kept.append(False)
+                    want_dup.append(int(grp["vec_id"].iloc[kept_idx[j]]))
+                    continue
+            kept_idx.append(i)
+            want_kept.append(True)
+            want_dup.append(-1)
+        assert list(grp["kept"]) == want_kept, f"cell {cell} kept mismatch"
+        assert list(grp["dup_of"]) == want_dup, f"cell {cell} dup_of mismatch"

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import Tables
-from ._util import fixed, r4
+from ._util import dsum, fixed, r4
 
 #: Monday anchor for week bucketing (1970-01-05 was a Monday)
 _WEEK0 = "1970-01-05"
@@ -266,4 +266,37 @@ def dq_outlier_iqr(spark, sf_dir):
             ).cast("bigint").alias("n_outliers"),
         )
         .select("event_type", "n", "n_outliers", "lo_fp", "hi_fp")
+    )
+
+
+@query(
+    "agg_histogram_bucketed",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) / 10000.0
+             AS total
+    FROM orders
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def agg_histogram_bucketed(spark, sf_dir):
+    """Equi-width histogram as plain bucketed aggregation — the exact,
+    engine-checkable counterpart of histogram_numeric (whose bin
+    placement is implementation-defined). Bucket arithmetic is one
+    double division + floor, identical in both engines; the heavy
+    lifting is an ordinary partial+final hash aggregate, so the
+    histogram of a 100 TB column costs one scan and a
+    buckets×partitions shuffle."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.groupBy(
+            F.floor(F.col("o_totalprice") / 25000.0).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice").alias("total"),
+        )
+        .orderBy("bucket")
     )

@@ -584,3 +584,68 @@ def sample_importance_weighted(spark, sf_dir):
         .filter(F.col("u_bp") < F.col("weight_bp"))
         .select("doc_id", "lang", "weight_bp")
     )
+
+
+PACK_CAP = 512  # tokens per packed training sequence
+
+
+@query(
+    "pack_sequences_greedy",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    run AS (
+        SELECT doc_id, source, n_tok,
+               sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM toks
+    )
+    SELECT doc_id, source, n_tok,
+           CAST((cum - n_tok) // {PACK_CAP} AS BIGINT) AS seq_id,
+           CAST((cum - n_tok) % {PACK_CAP} AS BIGINT) AS seq_offset
+    FROM run
+    """,
+)
+def pack_sequences_greedy(spark, sf_dir):
+    """Sequential sequence packing: concatenate documents (per source,
+    in doc_id order) into fixed-capacity training sequences — the
+    context-window packing pass that turns a ragged corpus into dense
+    {PACK_CAP}-token rows for pretraining.
+
+    Deterministic formulation: a running token cumsum per source;
+    a document starts sequence ``prev_cum // cap`` at offset
+    ``prev_cum % cap`` (documents spanning a boundary continue into
+    the next sequence — the standard "pack then split" recipe, no
+    first-fit bin search). One window over (source, doc_id) — a
+    single shuffle on source, linear state, and the window key is the
+    natural write-partitioning for the packed output. Skew: a giant
+    source serializes its scan; salt the source key into
+    sub-partitions of ~10⁶ docs and offset seq_id per salt for true
+    100 TB runs.
+    """
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = toks.withColumn("cum", F.sum("n_tok").over(w))
+    # integer div, not floor(double /): cumsums at corpus scale exceed
+    # double's 2^53 exact-integer range
+    return run.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.expr(f"(cum - n_tok) div {PACK_CAP}").alias("seq_id"),
+        F.expr(f"(cum - n_tok) % {PACK_CAP}").alias("seq_offset"),
+    )

@@ -389,3 +389,75 @@ def dedup_paragraph_exact(spark, sf_dir):
             (F.col("packed") % 100000).alias("keep_start"),
         )
     )
+
+
+@query("dedup_semantic_cluster")  # rows-only: depends on the k-means cells
+def dedup_semantic_cluster(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning — cluster embeddings, then within each
+    cluster drop all but one of every cosine-ε-connected group.
+
+    Spark shape: cluster assignment reuses the spherical k-means
+    cells (clustering.py); the within-cluster greedy keep/drop runs
+    per cell via ``applyInPandas`` (one BLAS gram matrix per cell —
+    work is Σ|cell|², never n²; at 100 TB you raise K so cells stay
+    ~10⁴-10⁵ rows, exactly the paper's regime). Deterministic: greedy
+    in vec_id order, keep a vector iff no earlier KEPT vector in the
+    cell has cosine > τ. Output: every vec with its cell, kept flag,
+    and the keeper it duplicated (-1 if kept) — quality asserted
+    against a brute-force numpy reference in tests/test_ann.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .clustering import _lloyd, _seed_centroids
+
+    TAU = 0.80
+    t = Tables(spark, sf_dir)
+    cents = _lloyd(t, _seed_centroids(t))
+
+    def assign(batches):
+        for pdf in batches:
+            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": (m @ cents.T).argmax(axis=1).astype("int64"),
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    assigned = t.embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, cell long, embedding array<float>"
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        kept_idx: list[int] = []
+        kept_flag = np.ones(len(pdf), dtype=bool)
+        dup_of = np.full(len(pdf), -1, dtype=np.int64)
+        for i in range(len(pdf)):
+            if kept_idx:
+                s = sims[i, kept_idx]
+                j = int(np.argmax(s))
+                if s[j] > TAU:
+                    kept_flag[i] = False
+                    dup_of[i] = pdf["vec_id"].iloc[kept_idx[j]]
+                    continue
+            kept_idx.append(i)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cell": pdf["cell"],
+                "kept": kept_flag,
+                "dup_of": dup_of,
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        prune, "vec_id long, cell long, kept boolean, dup_of long"
+    )
