@@ -500,3 +500,52 @@ def fn_struct_bank(spark, sf_dir):
         F.when(eq == eq, 1).otherwise(0).alias("c_struct_eq"),
         branch.getField("tag").alias("c_branch_tag"),
     )
+
+
+@query(
+    "fn_regex_bank",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)', 1) AS c_first_word,
+           regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS c_second_word,
+           CASE WHEN regexp_matches(text, 'data') THEN 1 ELSE 0 END
+             AS c_has_data,
+           regexp_replace(text, ' +', '_', 'g') AS c_underscored,
+           CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT)
+             AS c_n_fields,
+           CAST(len(regexp_extract_all(text, '[a-z]+a[a-z]*')) AS BIGINT)
+             AS c_n_a_words,
+           regexp_extract(lang || '-' || source, '^([a-z]+)-(src[0-9]+)$', 1)
+             AS c_lang_part,
+           regexp_extract(lang || '-' || source, '^([a-z]+)-(src[0-9]+)$', 2)
+             AS c_src_part
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def fn_regex_bank(spark, sf_dir):
+    """Regex function inventory: extraction (group select), matching,
+    global replace, split-count, and extract_all-count — on patterns
+    inside the RE2 ∩ java.util.regex common subset (no backrefs, no
+    lookaround), where both engines' semantics coincide. DuckDB's
+    regexp_replace needs the explicit 'g' flag to match Spark's
+    replace-all default — the classic cross-engine trap, pinned here.
+    """
+    t = Tables(spark, sf_dir)
+    tagged = F.concat_ws("-", F.col("lang"), F.col("source"))
+    return t.documents.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+)", 1).alias("c_first_word"),
+        F.regexp_extract("text", r"([a-z]+) ([a-z]+)", 2).alias("c_second_word"),
+        F.when(F.col("text").rlike("data"), 1).otherwise(0).alias("c_has_data"),
+        F.regexp_replace("text", " +", "_").alias("c_underscored"),
+        F.size(F.split("text", " +")).cast("bigint").alias("c_n_fields"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+a[a-z]*"), 0)).cast(
+            "bigint"
+        ).alias("c_n_a_words"),
+        F.regexp_extract(tagged, r"^([a-z]+)-(src[0-9]+)$", 1).alias(
+            "c_lang_part"
+        ),
+        F.regexp_extract(tagged, r"^([a-z]+)-(src[0-9]+)$", 2).alias(
+            "c_src_part"
+        ),
+    )

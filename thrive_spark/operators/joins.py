@@ -490,3 +490,66 @@ def join_salted_skew(spark, sf_dir):
             "type_sum_fp",
         )
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, ts,
+             max(CASE WHEN event_type = 'signup' THEN ts END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_ts,
+             min(CASE WHEN event_type = 'signup' THEN ts END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_ts
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+           CASE
+             WHEN prev_ts IS NULL THEN next_ts
+             WHEN next_ts IS NULL THEN prev_ts
+             WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                    - epoch_us(CAST(prev_ts AS TIMESTAMP))
+                  <= epoch_us(CAST(next_ts AS TIMESTAMP))
+                    - epoch_us(CAST(ts AS TIMESTAMP))
+               THEN prev_ts ELSE next_ts
+           END AS nearest_signup_ts
+    FROM base
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """As-of join, *nearest* direction: each event matched to the
+    temporally closest 'signup' of the same user, in either direction
+    (backward wins ties — merge_asof convention). Two frame-bounded
+    window passes over ONE shuffle on user_id: a running max of prior
+    signup times and a running min of following ones, then a pure
+    projection picks the closer side. Same scale shape as the
+    backward form — no join node at all, state is one timestamp per
+    direction per row."""
+    t = Tables(spark, sf_dir)
+    sig = F.when(F.col("event_type") == "signup", F.col("ts"))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    prev_ts = F.max(sig).over(wb)
+    next_ts = F.min(sig).over(wf)
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    nearest = (
+        F.when(prev_ts.isNull(), next_ts)
+        .when(next_ts.isNull(), prev_ts)
+        .when(us(F.col("ts")) - us(prev_ts) <= us(next_ts) - us(F.col("ts")), prev_ts)
+        .otherwise(next_ts)
+    )
+    return t.events.select(
+        "event_id", "user_id", "ts", nearest.alias("nearest_signup_ts")
+    )
