@@ -49,6 +49,9 @@ HEADLINE = [
     "decontaminate_ngram_overlap",  # eval-set overlap check (r3)
     "text_perplexity_bigram",  # corpus-trained LM quality filter (r4)
     "cluster_topics_kmeans",   # iterative Lloyd contraction (r4)
+    "tpch_q1",                 # canonical scan-bound aggregate (r4)
+    "tpch_q5",                 # canonical broadcast-star join (r4)
+    "pack_sequences_greedy",   # training-sequence packing (r4)
 ]
 
 

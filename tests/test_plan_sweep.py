@@ -32,6 +32,7 @@ ALLOWED_ARROW_PYTHON = {
     "sim_knn_ivf",
     "sim_knn_pq",
     "cluster_topics_kmeans",
+    "dedup_semantic_cluster",  # per-cell BLAS gram via applyInPandas
     "multimodal_decode_stub",
     "multimodal_frame_sample",
     "join_asof_cogroup",
