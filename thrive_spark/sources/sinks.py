@@ -47,11 +47,20 @@ def sink_parquet_partitioned(spark, sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
-@query("sink_hive_table")  # rows-only: catalog state, not SQL-expressible
+@query(
+    "sink_hive_table",
+    oracle="""
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           count(*) AS n_nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
 def sink_hive_table(spark, sf_dir):
     """saveAsTable into the session catalog, read back via spark.table.
     Uses an explicit external path so the warehouse location of the
-    hosting session does not matter."""
+    hosting session does not matter. Hash-checked: the read-back
+    aggregate must equal the same aggregate stated over the source
+    table — a true write→read round-trip oracle."""
     t = Tables(spark, sf_dir)
     out = tempfile.mkdtemp(prefix="thrive_tbl_")
     try:
@@ -61,7 +70,7 @@ def sink_hive_table(spark, sf_dir):
         )
         back = spark.table("thrive_sink_check")
         return (
-            back.groupBy("n_regionkey")
+            back.groupBy(F.col("n_regionkey").cast("bigint").alias("n_regionkey"))
             .agg(F.count("*").alias("n_nations"))
             .localCheckpoint()
         )
@@ -97,10 +106,19 @@ def dbapi_sink(df, db_path: str, table: str, columns: list[str]) -> None:
     df.foreachPartition(write_partition)
 
 
-@query("sink_jdbc")  # rows-only: external DB state
+@query(
+    "sink_jdbc",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n
+    FROM orders WHERE o_orderkey % 4 = 0
+    GROUP BY o_orderstatus
+    """,
+)
 def sink_jdbc(spark, sf_dir):
     """Round-trip through the database sink: write an orders slice,
-    read back aggregate counts per status."""
+    read back aggregate counts per status. Hash-checked against the
+    same aggregate on the source table — the partition-parallel
+    executemany writer must deliver every row exactly once."""
     t = Tables(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="thrive_db_")
     db = f"{tmp}/sink.db"
