@@ -129,11 +129,27 @@ def scan_json_corrupt(spark, sf_dir):
     )
 
 
-@query("incremental_dir_scan")  # rows-only: stateful ledger semantics
+@query(
+    "incremental_dir_scan",
+    oracle="""
+    WITH c AS (SELECT o_orderkey % 3 AS m, count(*) AS n
+               FROM orders GROUP BY m)
+    SELECT CAST(1 AS BIGINT) AS run,
+           'd' || CAST(m + 1 AS VARCHAR) AS dir, n AS n_rows
+    FROM c
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'd4', count(*)
+    FROM orders WHERE o_orderkey < 100
+    """,
+)
 def incremental_dir_scan(spark, sf_dir):
     """Dirlist semantics end-to-end: run 1 sees dirs {d1,d2,d3} and
     processes all; d4 appears before run 2, which processes ONLY d4.
     Output: one row per (run, dir) actually processed — 4 rows total.
+    Hash-checked: run 1's per-dir counts must equal the modulo split
+    of orders, run 2 must contain EXACTLY the late d4 — a ledger that
+    reprocessed d1-d3 (or missed d4) fails the oracle, so exactly-once
+    semantics are what is being hashed.
     """
     t = Tables(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="thrive_incr_")
@@ -150,7 +166,7 @@ def incremental_dir_scan(spark, sf_dir):
         r1 = run_incremental(
             spark, loader, [f"{root}/d{i + 1}" for i in range(3)], sink
         )
-        rows += [(1, name, n) for name, n in r1]
+        rows += [(1, os.path.basename(name), n) for name, n in r1]
         # new directory lands between runs
         orders.filter(F.col("o_orderkey") < 100).write.mode("overwrite").parquet(
             f"{root}/d4"
@@ -158,9 +174,9 @@ def incremental_dir_scan(spark, sf_dir):
         r2 = run_incremental(
             spark, loader, [f"{root}/d{i + 1}" for i in range(4)], sink
         )
-        rows += [(2, name, n) for name, n in r2]
+        rows += [(2, os.path.basename(name), n) for name, n in r2]
         return spark.createDataFrame(
-            sorted(rows), "run int, dir string, n_rows long"
+            sorted(rows), "run long, dir string, n_rows long"
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
