@@ -649,3 +649,132 @@ def pack_sequences_greedy(spark, sf_dir):
         F.expr(f"(cum - n_tok) div {PACK_CAP}").alias("seq_id"),
         F.expr(f"(cum - n_tok) % {PACK_CAP}").alias("seq_offset"),
     )
+
+
+@query(
+    "sample_temperature_domains",
+    oracle="""
+    WITH w AS (
+        SELECT source, sqrt(CAST(count(*) AS DOUBLE)) AS wgt
+        FROM documents GROUP BY source
+    ),
+    mx AS (SELECT max(wgt) AS mw FROM w),
+    gate AS (
+        SELECT source,
+               CAST(floor((wgt / mw) * 4294967296.0) AS BIGINT) AS cutoff
+        FROM w, mx
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN gate g ON d.source = g.source
+    WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 9, 8))
+               AS BIGINT) < g.cutoff
+    """,
+)
+def sample_temperature_domains(spark, sf_dir):
+    """Temperature-scaled domain sampling (α = 0.5): per-source keep
+    rate ∝ √n_source / max(√n) — the multinomial-temperature recipe
+    (Conneau & Lample 2019 §3.1) that upsamples rare domains relative
+    to head domains when assembling a pretraining mix.
+
+    Engine-exact determinism: weights use sqrt (IEEE correctly-rounded
+    in both engines, unlike pow), the cutoff is an integer in 2³²
+    space, and membership is a pure md5-of-key gate (chars 9-16,
+    independent of the sampling/split gates in this module) — so the
+    sample is reproducible on any cluster layout and the gate is a
+    map-side filter after one broadcast join of per-source cutoffs.
+    """
+    t = Tables(spark, sf_dir)
+    w = t.documents.groupBy("source").agg(
+        F.sqrt(F.count(F.lit(1)).cast("double")).alias("wgt")
+    )
+    gate = w.crossJoin(F.broadcast(w.agg(F.max("wgt").alias("mw")))).select(
+        "source",
+        F.floor((F.col("wgt") / F.col("mw")) * F.lit(4294967296.0))
+        .cast("bigint")
+        .alias("cutoff"),
+    )
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10
+    ).cast("long")
+    return (
+        t.documents.join(F.broadcast(gate), "source")
+        .filter(u < F.col("cutoff"))
+        .select("doc_id", "source")
+    )
+
+
+@query(
+    "dq_expectations",
+    oracle="""
+    WITH checks AS (
+      SELECT
+        CAST(count(*) AS BIGINT) AS total,
+        CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_empty_text,
+        CAST(sum(CASE WHEN lang NOT IN ('en','es','de','fr','zh')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_lang_domain,
+        CAST(sum(CASE WHEN abs(n_chars - length(text)) > 5
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_nchars_drift,
+        CAST(sum(CASE WHEN n_chars <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS v_nonpositive_len,
+        CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS v_dup_key
+      FROM documents
+    )
+    SELECT u.constraint, u.violations, checks.total
+    FROM checks, LATERAL (VALUES
+        ('empty_text',      v_empty_text),
+        ('lang_domain',     v_lang_domain),
+        ('nchars_drift',    v_nchars_drift),
+        ('nonpositive_len', v_nonpositive_len),
+        ('dup_key',         v_dup_key)
+    ) AS u("constraint", violations)
+    """,
+)
+def dq_expectations(spark, sf_dir):
+    """Data-quality contract (Deequ/Great-Expectations role): declared
+    constraints — non-empty text, closed lang domain, n_chars within
+    drift tolerance of length(text), positive lengths, unique key —
+    evaluated in ONE scan as conditional-count aggregates, then
+    unpivoted to a (constraint, violations, total) report. Adding a
+    constraint adds a column to the same single aggregate, not a new
+    pass — at 100 TB the whole contract costs one map-side-combined
+    aggregation regardless of how many rules it declares."""
+    t = Tables(spark, sf_dir)
+    viol = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")  # noqa: E731
+    checks = t.documents.agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        viol(F.col("text").isNull() | (F.length("text") == 0)).alias(
+            "v_empty_text"
+        ),
+        viol(~F.col("lang").isin("en", "es", "de", "fr", "zh")).alias(
+            "v_lang_domain"
+        ),
+        viol(
+            F.abs(F.col("n_chars") - F.length("text")) > 5
+        ).alias("v_nchars_drift"),
+        viol(F.col("n_chars") <= 0).alias("v_nonpositive_len"),
+        (F.count(F.lit(1)) - F.count_distinct("doc_id"))
+        .cast("long")
+        .alias("v_dup_key"),
+    )
+    pairs = [
+        ("empty_text", "v_empty_text"),
+        ("lang_domain", "v_lang_domain"),
+        ("nchars_drift", "v_nchars_drift"),
+        ("nonpositive_len", "v_nonpositive_len"),
+        ("dup_key", "v_dup_key"),
+    ]
+    return checks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("constraint"),
+                        F.col(col).alias("violations"),
+                    )
+                    for name, col in pairs
+                ]
+            )
+        ).alias("r"),
+        "total",
+    ).select("r.constraint", "r.violations", "total")
