@@ -801,3 +801,80 @@ def tpch_q12(spark, sf_dir):
         )
         .orderBy("l_linestatus")
     )
+
+
+@query(
+    "tpch_q21",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey, l_shipdate
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    ),
+    agg AS (
+      SELECT l_orderkey, max(l_shipdate) AS max_ship,
+             count(DISTINCT l_suppkey) AS n_supp
+      FROM li GROUP BY l_orderkey
+    ),
+    latest AS (
+      SELECT li.l_orderkey, min(li.l_suppkey) AS s_one,
+             count(DISTINCT li.l_suppkey) AS n_latest_supp
+      FROM li JOIN agg ON li.l_orderkey = agg.l_orderkey
+                      AND li.l_shipdate = agg.max_ship
+      GROUP BY li.l_orderkey
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM latest l
+    JOIN agg a ON l.l_orderkey = a.l_orderkey
+    JOIN supplier ON l.s_one = s_suppkey
+    WHERE a.n_supp >= 2 AND l.n_latest_supp = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def tpch_q21(spark, sf_dir):
+    """Q21 suppliers-who-kept-orders-waiting, retargeted to shipdates
+    (schema has no l_commitdate/l_receiptdate): on completed orders
+    with ≥2 suppliers, charge the wait to the supplier who uniquely
+    holds the latest ship date — the same exists/not-exists topology
+    as canonical Q21, expressed as two grouped aggregations on the
+    SAME l_orderkey shuffle (no correlated subqueries, no repeated
+    fact scans — the CTE result reuses one exchange) plus a broadcast
+    supplier lookup."""
+    t = Tables(spark, sf_dir)
+    li = (
+        t.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            t.orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .drop("o_orderkey")
+    )
+    agg = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.count_distinct("l_suppkey").alias("n_supp"),
+    )
+    latest = (
+        li.join(
+            agg.select(F.col("l_orderkey").alias("k"), "max_ship", "n_supp"),
+            (F.col("l_orderkey") == F.col("k"))
+            & (F.col("l_shipdate") == F.col("max_ship")),
+        )
+        .groupBy("l_orderkey", "n_supp")
+        .agg(
+            F.min("l_suppkey").alias("s_one"),
+            F.count_distinct("l_suppkey").alias("n_latest_supp"),
+        )
+    )
+    return (
+        latest.filter((F.col("n_supp") >= 2) & (F.col("n_latest_supp") == 1))
+        .join(
+            F.broadcast(t.supplier.select("s_suppkey", "s_name")),
+            F.col("s_one") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
