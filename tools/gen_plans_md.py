@@ -37,7 +37,11 @@ IDS = [
     "tpch_q5",
     "tpch_q8",
     "tpch_q18",
+    "tpch_q21",
     "maintenance_zorder",
+    "pack_sequences_greedy",
+    "dq_expectations",
+    "cluster_topics_kmeans",
 ]
 
 KEEP = re.compile(
