@@ -69,6 +69,17 @@ def main() -> None:
     best: dict[str, float] = {}
     spread: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # Global JIT warm pass: one untimed run of every headline query
+    # BEFORE any timing. A per-query warmup alone leaves the first
+    # queries in the list paying JVM JIT compilation inside their
+    # timed reps (measured: the list head ran 1.6× its steady-state
+    # until the JIT caught up mid-suite).
+    for qid in HEADLINE:
+        try:
+            materialize(registry.QUERIES[qid](spark, sf_dir))
+        except Exception:  # noqa: BLE001 — the timed loop reports it
+            pass
+
     for qid in HEADLINE:
         # Per-query isolation: one broken query must degrade to an
         # `errors` entry, not blank the whole artifact (BENCH_r03 was
