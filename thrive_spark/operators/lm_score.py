@@ -107,14 +107,21 @@ def text_perplexity_bigram(spark, sf_dir):
         * 10000
         + 0.5
     ).cast("long")
-    scored = (
-        docbg.join(bi, "gram")
-        .withColumn("w1", F.split("gram", " ")[0])
+    # Score each DISTINCT gram once (|grams| ≪ corpus occurrences):
+    # the w1-count join and the log() run on the gram dictionary, and
+    # the per-occurrence side joins that dictionary in ONE gram-keyed
+    # shuffle instead of two corpus-sized shuffles (gram then w1).
+    gram_scores = (
+        bi.withColumn("w1", F.split("gram", " ")[0])
         .join(uni, "w1")
         .crossJoin(F.broadcast(voc))
-        .select("doc_id", nll_term.alias("nll_term"))
+        .select("gram", nll_term.alias("nll_term"))
     )
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.sum("nll_term").alias("nll_fp"),
+    return (
+        docbg.join(gram_scores, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("nll_term").alias("nll_fp"),
+        )
     )
