@@ -33,6 +33,7 @@ ALLOWED_ARROW_PYTHON = {
     "sim_knn_pq",
     "cluster_topics_kmeans",
     "dedup_semantic_cluster",  # per-cell BLAS gram via applyInPandas
+    "tokenizer_apply_bpe",  # per-doc BPE re-tokenize, map-only Arrow pass
     "multimodal_decode_stub",
     "multimodal_frame_sample",
     "join_asof_cogroup",

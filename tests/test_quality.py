@@ -65,3 +65,59 @@ def test_hll_sketch_union_error_bounded(spark, sf_dir):
     for r in rows:
         assert r["exact_customers"] > 0
         assert r["rel_err"] < 0.05, (r["r_name"], r["rel_err"])
+
+
+def test_bpe_train_matches_reference_and_roundtrips(spark, sf_dir):
+    """Merges must equal a from-scratch reference on the same word
+    freqs; applying them must preserve the underlying characters."""
+    from thrive_spark.operators.tokenizer import (
+        END,
+        _word_freqs,
+        apply_bpe,
+        train_bpe,
+    )
+    from thrive_spark.registry import QUERIES
+    from thrive_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    wf = _word_freqs(t)
+
+    # independent reference: recount pair freqs naively each round
+    def ref_train(wf, n):
+        words = {w: ([*w, END], c) for w, c in wf}
+        out = []
+        for _ in range(n):
+            cnt = {}
+            for syms, c in words.values():
+                for p in zip(syms, syms[1:]):
+                    cnt[p] = cnt.get(p, 0) + c
+            if not cnt:
+                break
+            best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            out.append(best)
+            for w, (syms, c) in words.items():
+                i, ns = 0, []
+                while i < len(syms):
+                    if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                        ns.append(best[0] + best[1])
+                        i += 2
+                    else:
+                        ns.append(syms[i])
+                        i += 1
+                words[w] = (ns, c)
+        return out
+
+    assert train_bpe(wf, 12) == ref_train(wf, 12)
+
+    merges = train_bpe(wf, 12)
+    for w, _ in wf[:50]:
+        assert "".join(apply_bpe(w, merges)) == w + END
+
+    out = QUERIES["tokenizer_train_bpe"](spark, sf_dir).toPandas()
+    assert len(out) >= 1 and list(out.columns) == [
+        "rank", "left", "right", "merged",
+    ]
+    applied = QUERIES["tokenizer_apply_bpe"](spark, sf_dir).toPandas()
+    # BPE can only shorten: token count per doc <= symbol chars
+    assert (applied["n_bpe_tokens"] <= applied["n_symbol_chars"]).all()
+    assert (applied["n_bpe_tokens"] > 0).all()

@@ -1,0 +1,155 @@
+"""BPE tokenizer training + application over the corpus (LLM-pipeline
+family: the tokenizer-fitting pass that precedes token counting,
+quota sampling, and sequence packing).
+
+Architecture (the one HF tokenizers uses, re-expressed on Spark):
+
+- The ONLY corpus-sized operation is the word-frequency count — one
+  explode + one hash aggregate, shuffle carries (word, count) pairs.
+- BPE merge training then runs on the *word-frequency table*, which
+  is bounded by the distinct-word vocabulary, not the corpus (a 100 TB
+  web corpus has ~10⁷–10⁸ distinct words ≈ single-digit GB of driver
+  state; beyond that, frequency-threshold the tail first — merges
+  learned from words seen once are noise anyway, which is why every
+  production BPE trainer prunes them).
+- Applying the merges is embarrassingly parallel again: the merge
+  list broadcasts (it is ≤ vocab_size rows) and each document
+  re-tokenizes independently in an Arrow-batched pass.
+
+Determinism: merges pick (max pair frequency, lexicographic pair) —
+no RNG, no order dependence (the pair-count dict is reduced from a
+sorted word list). Registered rows-only (iterative merge training is
+not SQL-expressible); tests/test_quality.py asserts the trained
+merges equal a from-scratch reference implementation and that apply
+round-trips (detokenize == original words).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+
+N_MERGES = 24
+END = "</w>"
+
+
+def _word_freqs(t) -> list[tuple[str, int]]:
+    """Corpus → (word, count) — the one data-sized job, one shuffle."""
+    rows = (
+        t.documents.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), " +"),
+                    lambda x: x != "",
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: distinct words, not corpus tokens
+    )
+    return sorted((r["w"], int(r["n"])) for r in rows)
+
+
+def train_bpe(word_freqs: list[tuple[str, int]], n_merges: int = N_MERGES):
+    """Classic BPE on a word-frequency table. Returns the ordered
+    merge list [((a, b), rank), ...]."""
+    symbolized = {
+        w: (tuple(list(w) + [END]), n) for w, n in word_freqs
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in symbolized.values():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        # deterministic argmax: frequency desc, pair lexicographic asc
+        pair = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(pair)
+        merged = pair[0] + pair[1]
+        out = {}
+        for w, (syms, n) in symbolized.items():
+            new, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                    new.append(merged)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            out[w] = (tuple(new), n)
+        symbolized = out
+    return merges
+
+
+def apply_bpe(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Tokenize one word with the ordered merge list."""
+    syms = list(word) + [END]
+    for a, b in merges:
+        i, new = 0, []
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                new.append(a + b)
+                i += 2
+            else:
+                new.append(syms[i])
+                i += 1
+        syms = new
+    return syms
+
+
+@query("tokenizer_train_bpe")  # rows-only: iterative merge training
+def tokenizer_train_bpe(spark, sf_dir):
+    """Train {N_MERGES} BPE merges on the corpus; output the merge
+    table (rank, left, right, merged). The corpus-sized work is one
+    word-count aggregate; training runs on the bounded frequency
+    table (see module docstring for the 100 TB argument)."""
+    t = Tables(spark, sf_dir)
+    merges = train_bpe(_word_freqs(t))
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank long, left string, right string, merged string",
+    )
+
+
+@query("tokenizer_apply_bpe")  # rows-only: depends on trained merges
+def tokenizer_apply_bpe(spark, sf_dir):
+    """Apply the trained merges corpus-wide: per-document BPE token
+    count and mean token length — the distributed half. The merge
+    list broadcasts via closure (≤ vocab-size entries); each Arrow
+    batch re-tokenizes independently, so the pass is map-only."""
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    merges = train_bpe(_word_freqs(t))
+
+    def tok(batches):
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            n_toks, total_len = [], []
+            for text in pdf["text"]:
+                words = [w for w in text.lower().split(" ") if w]
+                cnt = chars = 0
+                for w in words:
+                    if w not in cache:
+                        pieces = apply_bpe(w, merges)
+                        cache[w] = len(pieces)
+                    cnt += cache[w]
+                    chars += len(w) + len(END)
+                n_toks.append(cnt)
+                total_len.append(chars)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bpe_tokens": n_toks,
+                    "n_symbol_chars": total_len,
+                }
+            )
+
+    return t.documents.select("doc_id", "text").mapInPandas(
+        tok, "doc_id long, n_bpe_tokens long, n_symbol_chars long"
+    )

@@ -57,6 +57,7 @@ def load_all() -> None:
         streaming_twins,
         text_analysis,
         timeseries,
+        tokenizer,
         tpch,
         udfs,
         vectors,
