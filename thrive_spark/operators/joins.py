@@ -553,3 +553,41 @@ def join_asof_nearest(spark, sf_dir):
     return t.events.select(
         "event_id", "user_id", "ts", nearest.alias("nearest_signup_ts")
     )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+    WITH a AS (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st
+               FROM orders WHERE o_orderkey % 5 = 0),
+         b AS (SELECT nullif(o_orderstatus, 'P') AS st,
+                      count(*) AS n_status
+               FROM orders GROUP BY 1)
+    SELECT a.o_orderkey, COALESCE(a.st, 'NULL') AS st_s, b.n_status
+    FROM a JOIN b ON a.st IS NOT DISTINCT FROM b.st
+    """,
+)
+def join_null_safe_eq(spark, sf_dir):
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys match NULL keys instead of dropping — the semantics CDC and
+    sentinel-coded dimensions need. Spark plans eqNullSafe as an
+    ordinary hash join (null-safe comparison is still an equi
+    condition), so there is no scale penalty over `=`; the NULL key
+    group concentrates in one partition, which is exactly the skew
+    AQE's skew-join split handles."""
+    t = Tables(spark, sf_dir)
+    st = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    a = t.orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", st.alias("st")
+    )
+    b = t.orders.groupBy(st.alias("st2")).agg(
+        F.count(F.lit(1)).alias("n_status")
+    )
+    return (
+        a.join(b, a.st.eqNullSafe(F.col("st2")))
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("st"), F.lit("NULL")).alias("st_s"),
+            "n_status",
+        )
+    )

@@ -99,3 +99,68 @@ def resample_gapfill(spark, sf_dir):
             F.last("sum_raw", ignorenulls=True).over(w).alias("ffill_sum"),
         )
     )
+
+
+@query(
+    "timeseries_downsample_m4",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // {BUCKET_S} AS bucket,
+               value, ts, event_id,
+               row_number() OVER (
+                   PARTITION BY event_type,
+                                CAST(floor(epoch(ts)) AS BIGINT) // {BUCKET_S}
+                   ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (
+                   PARTITION BY event_type,
+                                CAST(floor(epoch(ts)) AS BIGINT) // {BUCKET_S}
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT event_type, bucket,
+           count(*) AS n,
+           round(min(value), 4) AS v_min,
+           round(max(value), 4) AS v_max,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 4) AS v_first,
+           round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS v_last
+    FROM b GROUP BY event_type, bucket
+    """,
+)
+def timeseries_downsample_m4(spark, sf_dir):
+    """M4 downsampling (Jugel et al., VLDB 2014): per (series, time
+    bucket) keep min/max/first/last — the error-free reduction for
+    rendering a 100 TB series at pixel resolution (each bucket's four
+    extremes are exactly what a line plot can show).
+
+    One shuffle on (event_type, bucket) serves both window passes and
+    the final aggregate (same partitioning key, Catalyst reuses the
+    exchange); first/last resolve by (ts, event_id) — a total order,
+    so the result is engine-exact."""
+    t = Tables(spark, sf_dir)
+    bucket = F.expr(f"(unix_micros(ts) div 1000000) div {BUCKET_S}")
+    base = t.events.select(
+        "event_type", bucket.alias("bucket"), "value", "ts", "event_id"
+    )
+    wa = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "bucket").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    marked = base.select(
+        "event_type",
+        "bucket",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return marked.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 4).alias("v_min"),
+        F.round(F.max("value"), 4).alias("v_max"),
+        F.round(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 4
+        ).alias("v_first"),
+        F.round(
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 4
+        ).alias("v_last"),
+    )
