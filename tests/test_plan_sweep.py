@@ -46,6 +46,7 @@ SKIP = {
     "incremental_dir_scan",
     "sink_parquet_partitioned",
     "scan_partition_pruned",
+    "scan_schema_evolution",
     "sink_hive_table",
     "sink_jdbc",
     "join_bucketed_colocated",

@@ -214,3 +214,56 @@ def scan_partition_pruned(spark, sf_dir):
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_v2,
+           CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                         THEN o_custkey ELSE NULL END) AS BIGINT)
+             AS sum_new_col
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_schema_evolution(spark, sf_dir):
+    """Schema evolution across a partitioned lake: v1 files wrote
+    (o_orderkey, o_orderstatus), a later pipeline added o_custkey —
+    ``mergeSchema`` reads both generations as one table with NULLs
+    where v1 predates the column. The oracle states the expected
+    merged content directly from the source. At 100 TB: schema merge
+    costs one footer read per file at planning time (no data pass);
+    production tables pin the merged schema in a catalog instead, but
+    the read path proven here is what backfills and late columns rely
+    on."""
+    t = Tables(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="thrive_evo_")
+    try:
+        v1 = t.orders.filter(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+        ).select("o_orderkey", "o_orderstatus")
+        v2 = t.orders.filter(
+            F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+        ).select("o_orderkey", "o_orderstatus", "o_custkey")
+        v1.write.mode("overwrite").parquet(f"{out}/gen=1")
+        v2.write.mode("overwrite").parquet(f"{out}/gen=2")
+        back = spark.read.option("mergeSchema", "true").parquet(
+            f"{out}/gen=1", f"{out}/gen=2"
+        )
+        return (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0)
+                ).cast("bigint").alias("n_v2"),
+                F.sum("o_custkey").cast("bigint").alias("sum_new_col"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
