@@ -376,3 +376,46 @@ def agg_bitmap_distinct(spark, sf_dir):
     return words.groupBy("o_orderstatus").agg(
         F.sum(F.bit_count("bits")).cast("bigint").alias("n_distinct_cust")
     )
+
+
+@query(
+    "agg_argminmax",
+    oracle="""
+    WITH k AS (
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+             lpad(CAST(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)
+                       AS VARCHAR), 14, '0')
+               || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS ord_key
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           arg_min(o_orderkey, ord_key) AS cheapest_order,
+           arg_max(o_orderkey, ord_key) AS priciest_order,
+           round(min(o_totalprice), 4) AS min_price,
+           round(max(o_totalprice), 4) AS max_price
+    FROM k GROUP BY o_orderstatus
+    """,
+)
+def agg_argminmax(spark, sf_dir):
+    """ARGMIN/ARGMAX (min_by / arg_min): which order is cheapest and
+    priciest per status. Ties on the raw price are broken by a
+    composite sort key — fixed-point price then orderkey, zero-padded
+    so lexicographic order equals numeric order (neither engine's
+    arg_min accepts a tuple key, and an untied key is the only way
+    min_by is deterministic at all: Spark documents ties as
+    arbitrary). Single partial+final aggregate, no window, no sort."""
+    t = Tables(spark, sf_dir)
+    ord_key = F.concat(
+        F.lpad(F.floor(F.col("o_totalprice") * 10000 + 0.5).cast("long").cast("string"), 14, "0"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+    )
+    return (
+        t.orders.withColumn("ord_key", ord_key)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.min_by("o_orderkey", F.col("ord_key")).alias("cheapest_order"),
+            F.max_by("o_orderkey", F.col("ord_key")).alias("priciest_order"),
+            F.round(F.min("o_totalprice"), 4).alias("min_price"),
+            F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        )
+    )
