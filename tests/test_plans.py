@@ -265,3 +265,12 @@ def test_tpch_q19_residual_filter_not_nested_loop(spark, sf_dir):
         "CartesianProduct",
         "BroadcastNestedLoopJoin",
     )
+
+
+def test_running_sum_reset_single_exchange(spark, sf_dir):
+    # the (user, epoch) window must reuse the user_id partitioning:
+    # hashpartitioning(user_id) satisfies clustering on (user_id, epoch)
+    plan = physical_plan(QUERIES["win_running_sum_reset"](spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert tree.count("Window") == 2

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import Tables
-from ._util import dsum_over, osum_over, r4
+from ._util import dsum_over, fixed, osum_over, r4
 
 _WSUM = osum_over("o_totalprice", "{w}")
 
@@ -358,5 +358,62 @@ def win_distinct_count(spark, sf_dir):
         "user_id",
         F.size(F.collect_set("event_type").over(w)).cast("bigint").alias(
             "et_variety"
+        ),
+    )
+
+
+@query(
+    "win_running_sum_reset",
+    oracle="""
+    WITH marked AS (
+      SELECT event_id, user_id, ts, value,
+             CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS epoch
+      FROM events
+    )
+    SELECT event_id, user_id, epoch,
+           sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+             OVER (PARTITION BY user_id, epoch ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) / 10000.0
+             AS running_since_signup
+    FROM marked
+    """,
+)
+def win_running_sum_reset(spark, sf_dir):
+    """Running sum that RESETS at each marker event ('signup') — the
+    accumulator-with-reset pattern (meter readings, session spend,
+    counters after deploys). Rewrite: a running count of markers
+    defines an epoch; the running sum re-partitions on (user, epoch).
+    Both windows order the same way, so Catalyst evaluates them over
+    ONE user_id shuffle (the second window's partition key refines the
+    first's — no extra exchange). Fixed-point sum, engine-exact."""
+    t = Tables(spark, sf_dir)
+    w_epoch = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = t.events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+        .over(w_epoch)
+        .cast("bigint")
+        .alias("epoch"),
+    )
+    w_run = (
+        Window.partitionBy("user_id", "epoch")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return marked.select(
+        "event_id",
+        "user_id",
+        "epoch",
+        (F.sum(fixed("value")).over(w_run) / 10000.0).alias(
+            "running_since_signup"
         ),
     )
