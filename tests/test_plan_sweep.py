@@ -51,6 +51,7 @@ SKIP = {
     "sink_jdbc",
     "join_bucketed_colocated",
     "maintenance_compact",
+    "mv_incremental_refresh",
 }
 
 

@@ -91,3 +91,71 @@ def merge_upsert_cdc(spark, sf_dir):
         .filter((F.col("rn") == 1) & (F.col("op") != "D"))
         .select("order_key", "price", "status", F.col("op").alias("last_op"))
     )
+
+
+@query(
+    "mv_incremental_refresh",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_orders,
+           sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) / 10000.0
+             AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def mv_incremental_refresh(spark, sf_dir):
+    """Incremental materialized-view maintenance: an aggregate
+    snapshot (count + fixed-point sum per status) built from the
+    historical base is REFRESHED by merging a partial aggregate of
+    the delta — never rescanning the base.
+
+    The algebra that makes this work is the same partial/final split
+    Catalyst uses inside a single query: counts add, fixed-point long
+    sums add (a double sum would NOT merge exactly — accumulation
+    order differs between the original build and the refresh; the
+    fixed-point representation is what makes snapshot + delta
+    bit-equal to a full recompute, which is exactly what the oracle
+    asserts). Refresh cost: O(delta) scan + O(groups) merge; the
+    snapshot round-trips through parquet, so state survives across
+    jobs. avg/min/max merge the same way (sum,count)/(min,min); for
+    non-decomposable aggregates (exact median) keep a t-digest-style
+    sketch or fall back to recompute.
+    """
+    import shutil
+    import tempfile
+
+    t = Tables(spark, sf_dir)
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 10000 + 0.5).cast("long")
+            ).alias("pf"),
+        )
+
+    snap_dir = tempfile.mkdtemp(prefix="thrive_mv_")
+    try:
+        # nightly build: aggregate the base once, persist the snapshot
+        partial(t.orders.filter(F.col("o_orderdate") < cutoff)).write.mode(
+            "overwrite"
+        ).parquet(snap_dir + "/snap")
+        # incremental refresh: snapshot ∪ delta-partial → re-merge
+        snap = spark.read.parquet(snap_dir + "/snap")
+        delta = partial(t.orders.filter(F.col("o_orderdate") >= cutoff))
+        refreshed = (
+            snap.unionByName(delta)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.sum("n_orders").alias("n_orders"),
+                F.sum("pf").alias("pf"),
+            )
+            .select(
+                "o_orderstatus",
+                "n_orders",
+                (F.col("pf") / 10000.0).alias("total_price"),
+            )
+        )
+        return refreshed.localCheckpoint()
+    finally:
+        shutil.rmtree(snap_dir, ignore_errors=True)
