@@ -47,6 +47,7 @@ SKIP = {
     "sink_parquet_partitioned",
     "scan_partition_pruned",
     "scan_schema_evolution",
+    "join_dynamic_partition_pruning",
     "sink_hive_table",
     "sink_jdbc",
     "join_bucketed_colocated",

@@ -274,3 +274,22 @@ def test_running_sum_reset_single_exchange(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1, tree
     assert tree.count("Window") == 2
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    # the DPP operator's runtime shape: join-derived partition filter
+    import pyspark.sql.functions as F
+
+    from thrive_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    out = str(tmp_path / "dpp")
+    t.documents.write.mode("overwrite").partitionBy("lang").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        t.documents.filter(F.col("source") == "src3")
+        .select(F.col("lang").alias("dim_lang"))
+        .distinct()
+    )
+    plan = physical_plan(fact.join(dim, fact.lang == dim.dim_lang))
+    assert "dynamicpruning" in plan.lower(), plan

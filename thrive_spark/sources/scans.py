@@ -267,3 +267,46 @@ def scan_schema_evolution(spark, sf_dir):
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "join_dynamic_partition_pruning",
+    oracle="""
+    SELECT lang, count(*) AS n,
+           CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars_total
+    FROM documents
+    WHERE lang IN (SELECT DISTINCT lang FROM documents
+                   WHERE source = 'src3')
+    GROUP BY lang
+    """,
+)
+def join_dynamic_partition_pruning(spark, sf_dir):
+    """Dynamic partition pruning: the fact side is lang-partitioned on
+    disk, the pruning predicate arrives from a JOIN (languages that
+    appear in source src3), not a literal — so the partitions to read
+    are only known at runtime. Spark broadcasts the dim-side keys and
+    injects them as a partition filter (``dynamicpruning`` subquery in
+    the plan, asserted in tests/test_plans.py) — at 100 TB this is
+    what keeps star-join fact scans from reading every date partition
+    when the dimension filter is selective."""
+    t = Tables(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="thrive_dpp_")
+    try:
+        t.documents.write.mode("overwrite").partitionBy("lang").parquet(out)
+        fact = spark.read.parquet(out)
+        dim = (
+            t.documents.filter(F.col("source") == "src3")
+            .select(F.col("lang").alias("dim_lang"))
+            .distinct()
+        )
+        return (
+            fact.join(dim, fact.lang == dim.dim_lang)
+            .groupBy(F.col("lang").cast("string").alias("lang"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("n_chars").cast("bigint")).alias("chars_total"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
