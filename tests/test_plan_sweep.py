@@ -21,6 +21,7 @@ ALLOWED_ROW_PYTHON = {
 #: Arrow-batched Python is the sanctioned slow path — allowed where the
 #: operator is genuinely Python (pandas UDFs, codec stubs, BLAS blocks)
 ALLOWED_ARROW_PYTHON = {
+    "udf_arrow_scalar",  # Arrow-optimized scalar UDF exhibit
     "udf_pandas_scalar",
     "udf_pandas_grouped_agg",
     "udf_grouped_map_normalize",

@@ -147,3 +147,36 @@ def sql_recursive_cte(spark, sf_dir):
         FROM anc GROUP BY s_suppkey
         """
     )
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) / 10000.0
+             AS total
+    FROM orders
+    WHERE o_totalprice >= 150000.0 AND o_orderstatus <> 'P'
+    GROUP BY o_orderstatus
+    """,
+)
+def sql_parameterized(spark, sf_dir):
+    """Named-parameter SQL (Spark 4 parameterized queries): literals
+    arrive as bind parameters, not string interpolation — the
+    injection-safe path for templated analytics. Parameters are
+    substituted at parse time, so Catalyst still constant-folds and
+    pushes the predicate to the scan exactly as with inline
+    literals."""
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n,
+               sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+                 / CAST(10000.0 AS DOUBLE) AS total
+        FROM orders_v
+        WHERE o_totalprice >= :min_price AND o_orderstatus <> :skip
+        GROUP BY o_orderstatus
+        """,
+        args={"min_price": 150000.0, "skip": "P"},
+    )

@@ -187,3 +187,33 @@ def udtf_python_native(spark, sf_dir):
         "SELECT doc_id, t.token, t.token_len "
         "FROM thrive_udtf_docs, LATERAL thrive_tokenize(text) t"
     )
+
+
+@query(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 100000.0 THEN 'low'
+                WHEN o_totalprice < 250000.0 THEN 'mid'
+                ELSE 'high' END AS band
+    FROM orders
+    """,
+)
+def udf_arrow_scalar(spark, sf_dir):
+    """Arrow-optimized Python UDF (Spark 4 ``useArrow=True``): same
+    scalar signature as the row-at-a-time exhibit above, but the
+    harness ships columnar Arrow batches instead of pickled rows —
+    the drop-in migration path when a legacy @udf can't be rewritten
+    as pandas_udf. Same oracle as udf_python_scalar: identical
+    semantics, different transport."""
+    t = Tables(spark, sf_dir)
+
+    @F.udf(returnType=T.StringType(), useArrow=True)
+    def band(p: float) -> str:
+        if p < 100000.0:
+            return "low"
+        if p < 250000.0:
+            return "mid"
+        return "high"
+
+    return t.orders.select("o_orderkey", band("o_totalprice").alias("band"))
