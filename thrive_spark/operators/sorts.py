@@ -94,3 +94,50 @@ def topk_global(spark, sf_dir):
         )
         .limit(20)
     )
+
+
+@query(
+    "topk_per_group_agg",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def topk_per_group_agg(spark, sf_dir):
+    """Top-3 orders per customer WITHOUT a window sort: collect each
+    group's (price, key) pairs into an array aggregate, sort and
+    slice k per group. Same result as the row_number formulation
+    (the oracle), different physical plan: one hash aggregate instead
+    of shuffle+sort+window — wins when groups are small and k is tiny
+    (the aggregate buffer holds ≤ group rows, map-side combine
+    pre-shrinks), loses when a single group can exceed memory; pick
+    per workload. Sort key is (−fixed_price, orderkey): exact
+    integers, so cross-engine tie behavior is identical."""
+    t = Tables(spark, sf_dir)
+    item = F.struct(
+        (-F.floor(F.col("o_totalprice") * 10000 + 0.5).cast("long")).alias(
+            "neg_pf"
+        ),
+        F.col("o_orderkey").alias("k"),
+    )
+    top3 = F.slice(F.sort_array(F.collect_list(item)), 1, 3)
+    return (
+        t.orders.groupBy("o_custkey")
+        .agg(top3.alias("top"))
+        .select(
+            "o_custkey",
+            F.posexplode("top").alias("pos", "item"),
+        )
+        .select(
+            "o_custkey",
+            F.col("item.k").alias("o_orderkey"),
+            (F.col("pos") + 1).cast("bigint").alias("rn"),
+        )
+    )
