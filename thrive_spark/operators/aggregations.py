@@ -9,11 +9,12 @@ through DECIMAL(38,10) for engine-exact results (see _util.dsum).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import Tables
-from ._util import dsum, osum, r4
+from ._util import dsum, fixed, osum, r4
 
 
 @query(
@@ -418,4 +419,54 @@ def agg_argminmax(spark, sf_dir):
             F.round(F.min("o_totalprice"), 4).alias("min_price"),
             F.round(F.max("o_totalprice"), 4).alias("max_price"),
         )
+    )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag, l_extendedprice AS price,
+             CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT) AS wf,
+             sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT))
+               OVER (PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT))
+               OVER (PARTITION BY l_returnflag) AS tot
+      FROM lineitem
+    )
+    SELECT l_returnflag, round(min(price), 4) AS weighted_median_price
+    FROM b WHERE 2 * cum >= tot
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark, sf_dir):
+    """Exact weighted median (quantity-weighted price per flag): the
+    lower weighted median is the first price, in sorted order, whose
+    running weight reaches half the total. All comparisons run on
+    fixed-point LONG weights — the 2·cum ≥ tot boundary is integer-
+    exact, so both engines pick the identical row even when the
+    boundary lands mid-tie. One shuffle (the per-flag sort serves the
+    running sum; the per-flag total reuses the same partitioning);
+    at 100 TB swap the global sort for percentile_approx unless
+    exactness is contractual."""
+    t = Tables(spark, sf_dir)
+    wf = fixed("l_quantity")
+    w_run = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    b = t.lineitem.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.sum(wf).over(w_run).alias("cum"),
+        F.sum(wf).over(w_all).alias("tot"),
+    )
+    return (
+        b.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(F.round(F.min("price"), 4).alias("weighted_median_price"))
     )
