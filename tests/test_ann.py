@@ -94,3 +94,28 @@ def test_semantic_dedup_matches_bruteforce(spark, sf_dir):
             want_dup.append(-1)
         assert list(grp["kept"]) == want_kept, f"cell {cell} kept mismatch"
         assert list(grp["dup_of"]) == want_dup, f"cell {cell} dup_of mismatch"
+
+
+def test_maxsim_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from thrive_spark.registry import QUERIES
+    from thrive_spark.tables import Tables
+
+    got = QUERIES["sim_maxsim_multivector"](spark, sf_dir).toPandas()
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding").toPandas()
+    m = np.array(emb["embedding"].tolist(), dtype=np.float64).reshape(
+        len(emb), 8, 8
+    )
+    pos = {v: i for i, v in enumerate(emb["vec_id"])}
+    q = m[pos[7]]  # (8, 8)
+    sims = np.einsum("nij,qj->nqi", m, q).max(axis=2).sum(axis=1)
+    want = sorted(
+        zip(np.floor(sims * 10000 + 0.5).astype("int64"), emb["vec_id"]),
+        key=lambda t_: (-t_[0], t_[1]),
+    )[:10]
+    got_pairs = list(zip(got["maxsim_fp"], got["vec_id"]))
+    assert [(int(a), int(b)) for a, b in got_pairs] == [
+        (int(a), int(b)) for a, b in want
+    ]

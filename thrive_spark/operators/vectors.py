@@ -72,3 +72,52 @@ def embed_normalize_quantize(spark, sf_dir):
         F.floor(nrm * 10000 + 0.5).cast("bigint").alias("norm_fp"),
         q8.alias("q8_csv"),
     )
+
+
+@query("sim_maxsim_multivector")  # rows-only: float reduction order
+def sim_maxsim_multivector(spark, sf_dir):
+    """Late-interaction (ColBERT-style MaxSim) retrieval: documents
+    and the query are BAGS of sub-vectors; score = Σ_q max_d ⟨q, d⟩.
+    The 64-dim embedding is reshaped into 8×8-dim sub-vectors (the
+    multi-vector layout a token-level encoder would emit); the query
+    is vec_id 7's bag, broadcast as literal arrays.
+
+    Spark shape: everything is JVM higher-order functions — transform
+    to slice sub-vectors, zip_with + aggregate for the dot products,
+    array_max + sequential sum for the MaxSim reduction. No UDF, no
+    shuffle except the final top-k (TakeOrderedAndProject). Scored
+    against a numpy reference in tests/test_ann.py.
+    """
+    t = Tables(spark, sf_dir)
+    q_emb = (
+        t.embeddings.filter(F.col("vec_id") == 7)
+        .select("embedding")
+        .first()["embedding"]
+    )
+    q_subs = [[float(x) for x in q_emb[i * 8:(i + 1) * 8]] for i in range(8)]
+
+    sub_d = (
+        "transform(sequence(0, 7), i -> "
+        "transform(slice(embedding, i * 8 + 1, 8), x -> CAST(x AS DOUBLE)))"
+    )
+    def dot(q):
+        lit = "array(" + ", ".join(f"{v!r}D" for v in q) + ")"
+        return (
+            f"aggregate(zip_with(d, {lit}, (x, y) -> x * y), 0D, "
+            "(acc, x) -> acc + x)"
+        )
+
+    maxsims = " + ".join(
+        f"array_max(transform(subs, d -> {dot(q)}))" for q in q_subs
+    )
+    return (
+        t.embeddings.withColumn("subs", F.expr(sub_d))
+        .select(
+            "vec_id",
+            F.floor(F.expr(maxsims) * 10000 + 0.5).cast("long").alias(
+                "maxsim_fp"
+            ),
+        )
+        .orderBy(F.desc("maxsim_fp"), "vec_id")
+        .limit(10)
+    )
