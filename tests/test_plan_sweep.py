@@ -50,6 +50,7 @@ SKIP = {
     "scan_schema_evolution",
     "join_dynamic_partition_pruning",
     "sink_hive_table",
+    "sink_jsonl_shards",
     "sink_jdbc",
     "join_bucketed_colocated",
     "maintenance_compact",

@@ -143,3 +143,45 @@ def sink_jdbc(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "sink_jsonl_shards",
+    oracle="""
+    SELECT doc_id // 100 AS shard, count(*) AS n_docs,
+           CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars_total,
+           min(md5(text)) AS content_probe
+    FROM documents GROUP BY doc_id // 100
+    """,
+)
+def sink_jsonl_shards(spark, sf_dir):
+    """JSONL shard export — the interchange format LLM training reads
+    (one JSON object per line, sharded). Documents are assigned to
+    shards by key range (deterministic, unlike partition-dependent
+    file splits), written as partitioned JSON, then read back with an
+    explicit schema; the oracle states the expected per-shard content
+    from the source, so the round-trip proves text survives JSON
+    encoding byte-exactly (md5 probe). At 100 TB: shard key = dirs,
+    files per shard sized by maxRecordsPerFile; writers are map-only.
+    """
+    t = Tables(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="thrive_jsonl_")
+    try:
+        t.documents.withColumn(
+            "shard", F.expr("doc_id div 100")
+        ).write.mode("overwrite").partitionBy("shard").json(out)
+        back = spark.read.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long, shard int"
+        ).json(out)
+        return (
+            back.groupBy(F.col("shard").cast("bigint").alias("shard"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("chars_total"),
+                F.min(F.md5("text")).alias("content_probe"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
