@@ -417,3 +417,63 @@ def win_running_sum_reset(spark, sf_dir):
             "running_since_signup"
         ),
     )
+
+
+@query(
+    "win_pct_of_total",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderstatus, o_orderkey,
+             CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) AS pf,
+             sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+               OVER (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+               OVER (PARTITION BY o_orderstatus) AS tot
+      FROM orders
+    )
+    SELECT o_orderstatus, o_orderkey,
+           round(CAST(pf AS DOUBLE) / tot, 6) AS share,
+           round(CAST(cum AS DOUBLE) / tot, 6) AS cum_share,
+           CASE WHEN CAST(cum AS DOUBLE) / tot <= 0.8 THEN 'A'
+                WHEN CAST(cum AS DOUBLE) / tot <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM b
+    """,
+)
+def win_pct_of_total(spark, sf_dir):
+    """Percent-of-total + cumulative share + ABC (Pareto) class per
+    status — the revenue-concentration analysis every warehouse runs.
+    Both windows and the final projection ride ONE status-keyed
+    shuffle; shares divide two fixed-point longs (one double division
+    each, mirrored), so the 80/95 class boundaries are engine-exact.
+    Skew note: a dominant status key serializes its sort — at 100 TB
+    pre-aggregate per (status, price-bucket) first when row-level
+    order isn't required."""
+    t = Tables(spark, sf_dir)
+    pf = fixed("o_totalprice")
+    w_run = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("o_orderstatus")
+    b = t.orders.select(
+        "o_orderstatus",
+        "o_orderkey",
+        pf.alias("pf"),
+        F.sum(pf).over(w_run).alias("cum"),
+        F.sum(pf).over(w_all).alias("tot"),
+    )
+    cum_share = F.col("cum").cast("double") / F.col("tot")
+    return b.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.round(F.col("pf").cast("double") / F.col("tot"), 6).alias("share"),
+        F.round(cum_share, 6).alias("cum_share"),
+        F.when(cum_share <= 0.8, "A")
+        .when(cum_share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
