@@ -470,3 +470,32 @@ def agg_weighted_median(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(F.round(F.min("price"), 4).alias("weighted_median_price"))
     )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(DISTINCT l_orderkey) AS n_orders,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_multi_distinct(spark, sf_dir):
+    """Several COUNT(DISTINCT …) over different columns in one
+    aggregate: Catalyst rewrites this with an Expand operator (one
+    row per distinct-column per input row, tagged by gid) feeding a
+    single two-phase aggregate — one shuffle total, instead of one
+    join-merged aggregation per distinct column. The expansion
+    multiplies shuffle rows by the distinct-count arity, which is the
+    knob to watch at 100 TB: beyond ~3 distinct columns, switch the
+    wide ones to approx_count_distinct."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
