@@ -48,6 +48,7 @@ SKIP = {
     "sink_parquet_partitioned",
     "scan_partition_pruned",
     "scan_schema_evolution",
+    "scan_csv_malformed",
     "join_dynamic_partition_pruning",
     "sink_hive_table",
     "sink_jsonl_shards",

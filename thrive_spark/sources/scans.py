@@ -310,3 +310,65 @@ def join_dynamic_partition_pruning(spark, sf_dir):
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "scan_csv_malformed",
+    oracle="""
+    SELECT (SELECT count(*) FROM orders WHERE o_orderkey % 6 = 0)
+             AS n_good,
+           CAST(3 AS BIGINT) AS n_bad
+    """,
+)
+def scan_csv_malformed(spark, sf_dir):
+    """Malformed-row tolerance on CSV: a clean export plus three
+    hand-corrupted lines (wrong arity, non-numeric key, truncated
+    quote), read back in PERMISSIVE mode with a corrupt-record
+    column — the load keeps going and quarantines the bad rows
+    instead of failing the job (DROPMALFORMED/FAILFAST are the
+    stricter dials). The oracle pins both counts, so silently
+    dropping OR double-counting malformed lines fails the hash."""
+    t = Tables(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="thrive_badcsv_")
+    try:
+        good = t.orders.filter(F.col("o_orderkey") % 6 == 0).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        good.coalesce(1).write.mode("overwrite").option(
+            "header", "false"
+        ).csv(out)
+        import glob as g
+
+        part = g.glob(f"{out}/part-*.csv")[0]
+        with open(part, "a") as fh:
+            fh.write("1,2,3,4,5,extra,columns\n")
+            fh.write("not_a_number,O,123.45\n")
+            fh.write('17,"unterminated quote,99.9\n')
+        for crc in g.glob(f"{out}/.*.crc"):
+            os.remove(crc)  # stale Hadoop checksums after the append
+        schema = T.StructType(
+            [
+                T.StructField("o_orderkey", T.LongType()),
+                T.StructField("o_orderstatus", T.StringType()),
+                T.StructField("o_totalprice", T.DoubleType()),
+                T.StructField("_corrupt", T.StringType()),
+            ]
+        )
+        back = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .csv(out)
+            .cache()  # SPARK-21610: corrupt-record counts need materialization
+        )
+        return (
+            back.agg(
+                F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_good"),
+                F.count(F.when(F.col("_corrupt").isNotNull(), 1)).alias(
+                    "n_bad"
+                ),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
