@@ -1,0 +1,64 @@
+"""Generate BENCH_FULL.md: ONE warm run of EVERY registered query at
+sf0.1, slowest first — the per-operator cost census behind bench.py's
+curated headline suite. Single runs (not medians): this artifact is
+for spotting order-of-magnitude outliers and regressions, not for
+anchor comparisons — bench.py owns those.
+
+Usage: python tools/gen_bench_full_md.py > BENCH_FULL.md   (~5 min)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from thrive_spark import registry  # noqa: E402
+from thrive_spark.session import get_spark  # noqa: E402
+
+registry.load_all()
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+
+def main() -> None:
+    spark = get_spark("bench-full")
+    rows, errors = [], []
+    # JIT warm: a couple of representative shapes before timing
+    for qid in ("agg_hash_groupby", "join_star_multiway", "win_row_number_topn"):
+        try:
+            registry.QUERIES[qid](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:  # noqa: BLE001
+            pass
+    for qid in sorted(registry.QUERIES):
+        t0 = time.perf_counter()
+        try:
+            registry.QUERIES[qid](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            rows.append((round(time.perf_counter() - t0, 2), qid))
+        except Exception as exc:  # noqa: BLE001
+            errors.append((qid, f"{type(exc).__name__}: {exc}"[:120]))
+    print("# BENCH_FULL — warm runtime of every query at sf0.1 (generated)")
+    print()
+    print(f"`tools/gen_bench_full_md.py` at `{SF_DIR}`; one warm run each,")
+    print("slowest first. For median/min anchored numbers see bench.py.")
+    print()
+    print(f"{len(rows)} queries ran, {len(errors)} errored,")
+    print(f"total {round(sum(r[0] for r in rows), 1)} s.")
+    print()
+    print("| sec | query |")
+    print("|---|---|")
+    for sec, qid in sorted(rows, reverse=True):
+        print(f"| {sec:.2f} | `{qid}` |")
+    if errors:
+        print("\n## Errors\n")
+        for qid, err in errors:
+            print(f"- `{qid}`: {err}")
+
+
+if __name__ == "__main__":
+    main()
