@@ -838,10 +838,12 @@ def tpch_q21(spark, sf_dir):
     (schema has no l_commitdate/l_receiptdate): on completed orders
     with ≥2 suppliers, charge the wait to the supplier who uniquely
     holds the latest ship date — the same exists/not-exists topology
-    as canonical Q21, expressed as two grouped aggregations on the
-    SAME l_orderkey shuffle (no correlated subqueries, no repeated
-    fact scans — the CTE result reuses one exchange) plus a broadcast
-    supplier lookup."""
+    as canonical Q21, expressed as two grouped aggregations joined on
+    l_orderkey (no correlated subqueries) plus a broadcast supplier
+    lookup. Honest cost note: Spark does not materialize the shared
+    ``li`` subtree — it is scanned twice (5 scans total in the plan);
+    at 100 TB either localCheckpoint the filtered fact slice once or
+    rely on AQE exchange reuse, trading memory for the second scan."""
     t = Tables(spark, sf_dir)
     li = (
         t.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
