@@ -441,9 +441,12 @@ def tpch_q17(spark, sf_dir):
     """Q17 small-quantity-order revenue (brand+size stand in for the
     absent p_container; 0.5×avg trigger so the slice is non-empty).
 
-    The per-part average is a tiny aggregate over the already part-
-    filtered fact slice — it broadcasts back into the same slice, so
-    the fact table is scanned once and shuffled once (on l_partkey).
+    The per-part average is a tiny aggregate over the part-filtered
+    fact slice and broadcasts back into that slice. Honest cost note:
+    the shared ``li2`` subtree is evaluated twice (Spark has no CTE
+    materialization — 4 scans in the plan); both evaluations are the
+    broadcast-pruned slice, not the full fact table, and a
+    localCheckpoint of li2 collapses them when the slice is large.
     """
     t = Tables(spark, sf_dir)
     pk = t.part.filter(
