@@ -549,3 +549,43 @@ def fn_regex_bank(spark, sf_dir):
             "c_src_part"
         ),
     )
+
+
+@query(
+    "fn_string_agg",
+    oracle="""
+    WITH top5 AS (
+      SELECT n_regionkey, n_name,
+             row_number() OVER (PARTITION BY n_regionkey
+                                ORDER BY n_name) AS rn
+      FROM nation
+    )
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           string_agg(n_name, '|' ORDER BY n_name) AS members
+    FROM top5 WHERE rn <= 3
+    GROUP BY n_regionkey
+    """,
+)
+def fn_string_agg(spark, sf_dir):
+    """LISTAGG / string_agg: per-region member roster as one ordered,
+    delimited string. Determinism rule: an UNORDERED string_agg is a
+    different string on every shuffle — always collect, sort, then
+    join (sort_array + array_join, same recipe as agg_collect_sorted)
+    with an explicit ORDER BY in the oracle. Bounded here to 3
+    members/group: unbounded string aggregation is a memory landmine
+    at 100 TB (one hot group = one giant string on one executor)."""
+    t = Tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("n_regionkey").orderBy("n_name")
+    top = t.nation.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 3
+    )
+    return (
+        top.groupBy(F.col("n_regionkey").cast("bigint").alias("n_regionkey"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("n_name")), "|"
+            ).alias("members")
+        )
+    )
