@@ -23,6 +23,7 @@ ALLOWED_ROW_PYTHON = {
 ALLOWED_ARROW_PYTHON = {
     "udf_arrow_scalar",  # Arrow-optimized scalar UDF exhibit
     "udf_pandas_scalar",
+    "udf_pandas_iter_model",
     "udf_pandas_grouped_agg",
     "udf_grouped_map_normalize",
     "udtf_explode_words",

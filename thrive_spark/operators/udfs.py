@@ -13,6 +13,10 @@ from __future__ import annotations
 import math
 
 import pandas as pd
+from typing import Iterator, Tuple
+
+import pandas as pd
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -217,3 +221,40 @@ def udf_arrow_scalar(spark, sf_dir):
         return "high"
 
     return t.orders.select("o_orderkey", band("o_totalprice").alias("band"))
+
+
+@query(
+    "udf_pandas_iter_model",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) * 3 + CASE lang
+                WHEN 'en' THEN 10 WHEN 'es' THEN 20 WHEN 'de' THEN 30
+                WHEN 'fr' THEN 40 ELSE 50 END AS BIGINT) AS score
+    FROM documents
+    """,
+)
+def udf_pandas_iter_model(spark, sf_dir):
+    """Iterator pandas UDF (``Iterator[Series] -> Iterator[Series]``):
+    the batch-inference pattern — expensive state (a model, a
+    tokenizer, a GPU session) initializes ONCE per task before the
+    batch loop, not once per batch or per row. Here the "model" is a
+    deterministic weight table so the result stays oracle-checkable;
+    in production this is exactly where the real forward pass goes,
+    and the Arrow batch size (spark.sql.execution.arrow.
+    maxRecordsPerBatch) is the GPU-memory knob."""
+    t = Tables(spark, sf_dir)
+
+    @F.pandas_udf("long")
+    def score(
+        batches: Iterator[Tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        # once-per-task init (the expensive part in real inference)
+        model = {"en": 10, "es": 20, "de": 30, "fr": 40}
+
+        for text, lang in batches:
+            yield text.str.len() * 3 + lang.map(lambda lg: model.get(lg, 50))
+
+    return t.documents.select(
+        "doc_id",
+        score("text", "lang").alias("score"),
+    )
