@@ -69,6 +69,16 @@ def test_band_join_is_hash_join(spark, sf_dir):
     )
 
 
+def test_range_frame_no_low_cardinality_window(spark, sf_dir):
+    # win_range_frame was flagged r4: PARTITION BY o_orderstatus has 3
+    # values, so a window plan sorts each third on one task. The
+    # band-bucket cogroup rewrite must hold: no Window/Sort over the
+    # 3-value key, cogrouped Arrow exchange on (status, bucket) instead.
+    plan = physical_plan(QUERIES["win_range_frame"](spark, sf_dir))
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "Window" not in plan
+
+
 def test_semi_anti_joins_stay_semi(spark, sf_dir):
     assert_in_plan(QUERIES["join_left_semi"](spark, sf_dir), "LeftSemi")
     assert_in_plan(QUERIES["join_left_anti"](spark, sf_dir), "LeftAnti")

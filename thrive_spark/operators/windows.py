@@ -216,17 +216,78 @@ def win_moving_avg(spark, sf_dir):
     """,
 )
 def win_range_frame(spark, sf_dir):
+    """Value-range frame (±5000 around each row's o_totalprice) WITHOUT
+    the naive window formulation: ``PARTITION BY o_orderstatus`` has 3
+    distinct values, so a window plan sorts each third of the table on
+    a single task — a scale-killer at 100 TB (flagged r4).
+
+    Scale rewrite — band-bucketed cogroup, same family as
+    ``join_theta_band`` (joins.py): bucket prices by the frame width W;
+    a row's [x−W, x+W] frame only ever touches buckets b−1, b, b+1.
+    Contributors replicate into the 3 query buckets they can serve
+    (one explode, 3× row count), both sides shuffle once on
+    (status, bucket) — hundreds of independent groups instead of 3 —
+    and each group computes exact per-row frame sums in one Arrow
+    batch via sorted prefix-sums + binary search (O(n log n) local,
+    no pairwise blow-up). Fixed-point int64 prefix sums reproduce the
+    oracle's ``sum(floor(x*1e4+0.5))/1e4`` exactly in any order;
+    searchsorted left/right gives the frame's inclusive bounds, and
+    bound arithmetic (x±5000) is the same IEEE double op in numpy,
+    Spark, and DuckDB. Plan-asserted in tests/test_plans.py: cogrouped
+    Arrow exchange on the composite key, no Window/Sort over a
+    3-value partition."""
+    import numpy as np
+    import pandas as pd
+
+    W = 5000.0
     t = Tables(spark, sf_dir)
-    w = (
-        Window.partitionBy("o_orderstatus")
-        .orderBy("o_totalprice")
-        .rangeBetween(-5000, 5000)
+    orders = t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    bkt = F.floor(F.col("o_totalprice") / W).cast("long")
+    queries_df = orders.withColumn("bkt", bkt)
+    # Fresh aliases on the contributor side: both branches derive from
+    # the same scan, and Spark's binary-node attribute dedup can prune
+    # a right-side value column that shares its exprId with the left
+    # (observed: right pdf arrived with only its grouping columns).
+    # Cogroup matches keys positionally, so names may differ.
+    contrib = orders.select(
+        F.col("o_orderstatus").alias("c_status"),
+        F.col("o_totalprice").alias("c_price"),
+        F.explode(F.array(bkt - 1, bkt, bkt + 1)).alias("c_bkt"),
     )
-    return t.orders.select(
-        "o_orderkey",
-        "o_orderstatus",
-        "o_totalprice",
-        dsum_over("o_totalprice", w).alias("near_price_sum"),
+
+    def frame_sums(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:  # bucket has contributors but no query rows
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series(dtype="int64"),
+                    "o_orderstatus": pd.Series(dtype="object"),
+                    "o_totalprice": pd.Series(dtype="float64"),
+                    "near_price_sum": pd.Series(dtype="float64"),
+                }
+            )
+        prices = np.sort(right["c_price"].to_numpy())
+        fp = np.floor(prices * 10000.0 + 0.5).astype(np.int64)
+        pref = np.concatenate(([0], np.cumsum(fp)))
+        x = left["o_totalprice"].to_numpy()
+        lo = np.searchsorted(prices, x - W, side="left")
+        hi = np.searchsorted(prices, x + W, side="right")
+        return pd.DataFrame(
+            {
+                "o_orderkey": left["o_orderkey"].to_numpy(),
+                "o_orderstatus": left["o_orderstatus"].to_numpy(),
+                "o_totalprice": x,
+                "near_price_sum": (pref[hi] - pref[lo]) / 10000.0,
+            }
+        )
+
+    return (
+        queries_df.groupBy("o_orderstatus", "bkt")
+        .cogroup(contrib.groupBy("c_status", "c_bkt"))
+        .applyInPandas(
+            frame_sums,
+            "o_orderkey long, o_orderstatus string, o_totalprice double, "
+            "near_price_sum double",
+        )
     )
 
 
