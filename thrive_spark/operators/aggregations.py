@@ -392,8 +392,10 @@ def agg_bitmap_distinct(spark, sf_dir):
     SELECT o_orderstatus,
            arg_min(o_orderkey, ord_key) AS cheapest_order,
            arg_max(o_orderkey, ord_key) AS priciest_order,
-           round(min(o_totalprice), 4) AS min_price,
-           round(max(o_totalprice), 4) AS max_price
+           CAST(floor(min(o_totalprice) * 10000 + 0.5) AS BIGINT)
+               / 10000.0 AS min_price,
+           CAST(floor(max(o_totalprice) * 10000 + 0.5) AS BIGINT)
+               / 10000.0 AS max_price
     FROM k GROUP BY o_orderstatus
     """,
 )
@@ -416,8 +418,8 @@ def agg_argminmax(spark, sf_dir):
         .agg(
             F.min_by("o_orderkey", F.col("ord_key")).alias("cheapest_order"),
             F.max_by("o_orderkey", F.col("ord_key")).alias("priciest_order"),
-            F.round(F.min("o_totalprice"), 4).alias("min_price"),
-            F.round(F.max("o_totalprice"), 4).alias("max_price"),
+            (fixed(F.min("o_totalprice")) / 10000.0).alias("min_price"),
+            (fixed(F.max("o_totalprice")) / 10000.0).alias("max_price"),
         )
     )
 

@@ -103,7 +103,8 @@ def topk_global(spark, sf_dir):
       SELECT o_custkey, o_orderkey,
              row_number() OVER (
                PARTITION BY o_custkey
-               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+               ORDER BY CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)
+                   DESC, o_orderkey) AS rn
       FROM orders
     )
     SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn
@@ -118,8 +119,10 @@ def topk_per_group_agg(spark, sf_dir):
     of shuffle+sort+window — wins when groups are small and k is tiny
     (the aggregate buffer holds ≤ group rows, map-side combine
     pre-shrinks), loses when a single group can exceed memory; pick
-    per workload. Sort key is (−fixed_price, orderkey): exact
-    integers, so cross-engine tie behavior is identical."""
+    per workload. Sort key is (−fixed_price, orderkey) on BOTH sides —
+    the oracle ranks by the same fixed-point expression, so two prices
+    within 5e-5 of each other tie (and fall back to o_orderkey)
+    identically in both engines."""
     t = Tables(spark, sf_dir)
     item = F.struct(
         (-F.floor(F.col("o_totalprice") * 10000 + 0.5).cast("long")).alias(

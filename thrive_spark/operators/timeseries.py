@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import Tables
-from ._util import dsum, osum
+from ._util import dsum, fixed, osum
 
 #: bucket width in seconds (15 min — fine enough that real gaps exist
 #: in the test corpus, so the fill paths are non-vacuous)
@@ -120,10 +120,14 @@ def resample_gapfill(spark, sf_dir):
     )
     SELECT event_type, bucket,
            count(*) AS n,
-           round(min(value), 4) AS v_min,
-           round(max(value), 4) AS v_max,
-           round(max(CASE WHEN rn_a = 1 THEN value END), 4) AS v_first,
-           round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS v_last
+           CAST(floor(min(value) * 10000 + 0.5) AS BIGINT)
+               / 10000.0 AS v_min,
+           CAST(floor(max(value) * 10000 + 0.5) AS BIGINT)
+               / 10000.0 AS v_max,
+           CAST(floor(max(CASE WHEN rn_a = 1 THEN value END) * 10000
+                      + 0.5) AS BIGINT) / 10000.0 AS v_first,
+           CAST(floor(max(CASE WHEN rn_d = 1 THEN value END) * 10000
+                      + 0.5) AS BIGINT) / 10000.0 AS v_last
     FROM b GROUP BY event_type, bucket
     """,
 )
@@ -155,12 +159,12 @@ def timeseries_downsample_m4(spark, sf_dir):
     )
     return marked.groupBy("event_type", "bucket").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.min("value"), 4).alias("v_min"),
-        F.round(F.max("value"), 4).alias("v_max"),
-        F.round(
-            F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 4
+        (fixed(F.min("value")) / 10000.0).alias("v_min"),
+        (fixed(F.max("value")) / 10000.0).alias("v_max"),
+        (
+            fixed(F.max(F.when(F.col("rn_a") == 1, F.col("value")))) / 10000.0
         ).alias("v_first"),
-        F.round(
-            F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 4
+        (
+            fixed(F.max(F.when(F.col("rn_d") == 1, F.col("value")))) / 10000.0
         ).alias("v_last"),
     )

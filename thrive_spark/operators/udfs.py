@@ -11,12 +11,9 @@ express (custom science code, model inference), not arithmetic.
 from __future__ import annotations
 
 import math
-
-import pandas as pd
 from typing import Iterator, Tuple
 
 import pandas as pd
-
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 

@@ -495,8 +495,10 @@ def win_running_sum_reset(spark, sf_dir):
       FROM orders
     )
     SELECT o_orderstatus, o_orderkey,
-           round(CAST(pf AS DOUBLE) / tot, 6) AS share,
-           round(CAST(cum AS DOUBLE) / tot, 6) AS cum_share,
+           floor(CAST(pf AS DOUBLE) / tot * 1000000 + 0.5)
+               / 1000000.0 AS share,
+           floor(CAST(cum AS DOUBLE) / tot * 1000000 + 0.5)
+               / 1000000.0 AS cum_share,
            CASE WHEN CAST(cum AS DOUBLE) / tot <= 0.8 THEN 'A'
                 WHEN CAST(cum AS DOUBLE) / tot <= 0.95 THEN 'B'
                 ELSE 'C' END AS abc_class
@@ -528,11 +530,12 @@ def win_pct_of_total(spark, sf_dir):
         F.sum(pf).over(w_all).alias("tot"),
     )
     cum_share = F.col("cum").cast("double") / F.col("tot")
+    share = F.col("pf").cast("double") / F.col("tot")
     return b.select(
         "o_orderstatus",
         "o_orderkey",
-        F.round(F.col("pf").cast("double") / F.col("tot"), 6).alias("share"),
-        F.round(cum_share, 6).alias("cum_share"),
+        (F.floor(share * 1000000 + 0.5) / 1000000.0).alias("share"),
+        (F.floor(cum_share * 1000000 + 0.5) / 1000000.0).alias("cum_share"),
         F.when(cum_share <= 0.8, "A")
         .when(cum_share <= 0.95, "B")
         .otherwise("C")
