@@ -11,9 +11,11 @@ a batch of decoded frames fits executor memory, and repartition by a
 content key before shuffles so one executor never holds the whole
 modality.
 
-The synthetic corpus has no real media, so the "image" here is the
-UTF-8 text payload treated as opaque bytes; ``decode_image_stub``
-marks the codec boundary explicitly.
+The synthetic corpus has no real media, so images are synthesized
+in-flight: ``encode_ppm`` wraps each document's bytes as a valid
+binary P6 PPM, and ``decode_image`` really parses it (plus
+uncompressed BMP). Codecs needing a library (JPEG/PNG) raise
+NotImplementedError — that is the honest remaining boundary.
 """
 
 from __future__ import annotations
@@ -24,23 +26,82 @@ from ..registry import query
 from ..tables import Tables
 
 
-def decode_image_stub(data: bytes) -> dict:
-    """Codec boundary. With a real image library this would be
-    ``PIL.Image.open(io.BytesIO(data))``; the container has none, so
-    derive deterministic fake dimensions from the bytes. Raises
-    NotImplementedError if asked for a real decode."""
-    try:  # pragma: no cover - not installed in this container
-        import PIL.Image  # noqa: F401
+def encode_ppm(payload: bytes) -> bytes:
+    """Deterministically wrap arbitrary bytes as a valid binary P6 PPM:
+    square-ish dimensions from the payload length, RGB pixels = payload
+    tiled to fill. Stands in for 'the parquet holds real image bytes'
+    so the decoder below exercises a genuine parse."""
+    if not payload:
+        payload = b"\x00"
+    n_px = max(len(payload) // 3, 1)
+    width = max(int(n_px**0.5), 1)
+    height = max(n_px // width, 1)
+    need = width * height * 3
+    pixels = (payload * (need // len(payload) + 1))[:need]
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
 
+
+def decode_image(data: bytes) -> dict:
+    """Pure-Python image decode for trivial formats — a REAL parse, no
+    image libraries needed (the container ships none):
+
+    - binary PPM (``P6``): header ``P6 <w> <h> <maxval>`` with
+      whitespace/comment handling per the netpbm spec, then raw RGB;
+    - uncompressed 24/32-bit BMP (``BM``): little-endian header fields
+      (pixel offset @10, width @18, height @22, bpp @28).
+
+    Returns width/height/channels plus per-channel mean over the pixel
+    buffer (fixed-point 1e4, int — engine/hashing safe). Anything else
+    (JPEG/PNG/...) raises NotImplementedError: that boundary needs a
+    codec library and is stubbed honestly rather than faked.
+    """
+    import numpy as np
+
+    if data[:2] == b"P6":
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(data) and data[pos : pos + 1].isspace():
+                pos += 1
+            if data[pos : pos + 1] == b"#":  # comment to end-of-line
+                while pos < len(data) and data[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(data) and not data[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(data[start:pos]))
+        width, height, _maxval = fields
+        pos += 1  # single whitespace after maxval, then raster
+        px = np.frombuffer(
+            data, dtype=np.uint8, count=width * height * 3, offset=pos
+        ).reshape(height, width, 3)
+        channels = 3
+    elif data[:2] == b"BM":
+        offset = int.from_bytes(data[10:14], "little")
+        width = int.from_bytes(data[18:22], "little", signed=True)
+        height = abs(int.from_bytes(data[22:26], "little", signed=True))
+        bpp = int.from_bytes(data[28:30], "little")
+        if bpp not in (24, 32):
+            raise NotImplementedError(f"compressed/paletted BMP (bpp={bpp})")
+        channels = bpp // 8
+        row_bytes = (width * channels + 3) & ~3  # rows pad to 4 bytes
+        raster = np.frombuffer(
+            data, dtype=np.uint8, count=row_bytes * height, offset=offset
+        ).reshape(height, row_bytes)
+        px = raster[:, : width * channels].reshape(height, width, channels)
+    else:
         raise NotImplementedError(
-            "real decode path not wired: install path exists, see docstring"
+            "only PPM/BMP decode ship container-native; other codecs "
+            "need an image library"
         )
-    except ImportError:
-        pass
+    means = np.floor(
+        px.reshape(-1, channels).mean(axis=0) * 10000 + 0.5
+    ).astype(np.int64)
     return {
-        "width": (data[0] % 64 + 1) if data else 0,
-        "height": (data[-1] % 64 + 1) if data else 0,
-        "n_channels": 3,
+        "width": int(width),
+        "height": int(height),
+        "n_channels": int(channels),
+        "channel_means": [int(m) for m in means],
     }
 
 
@@ -70,44 +131,36 @@ def multimodal_binary_features(spark, sf_dir):
     )
 
 
-@query("multimodal_decode_stub")  # rows-only: stubbed codec output
+@query("multimodal_decode_stub")  # rows-only: no SQL-expressible oracle
 def multimodal_decode_stub(spark, sf_dir):
-    """Decode + feature-extract over binary batches via mapInPandas:
-    real Arrow plumbing (binary column → per-batch bytes → struct-ish
-    feature columns), stubbed codec (decode_image_stub)."""
+    """Decode + feature-extract over binary batches via mapInPandas.
+    Both halves are real as of round 5: each document's bytes are
+    wrapped as a valid binary P6 PPM (``encode_ppm`` — standing in for
+    a parquet of actual image binaries), and ``decode_image`` performs
+    a genuine header parse + pixel-buffer read, emitting dimensions
+    and fixed-point per-channel means. Only non-trivial codecs
+    (JPEG/PNG) remain behind NotImplementedError — they need an image
+    library the container doesn't ship. The id keeps its historical
+    ``_stub`` suffix for driver-rotation continuity."""
     t = Tables(spark, sf_dir)
 
     def decode(batches):
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            metas = [decode_image_stub(b) for b in pdf["img"]]
-            # 8-bin byte histogram as the stand-in feature vector,
-            # serialized fixed-point (driver canonicalizer can't hash lists)
-            feats = [
-                ",".join(
-                    str(v)
-                    for v in (
-                        np.floor(
-                            np.bincount(
-                                np.frombuffer(b, dtype=np.uint8) >> 5, minlength=8
-                            )
-                            / max(len(b), 1)
-                            * 10000
-                            + 0.5
-                        ).astype(np.int64)
-                    )
-                )
-                for b in pdf["img"]
-            ]
+            metas = [decode_image(encode_ppm(bytes(b))) for b in pdf["img"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "width": [m["width"] for m in metas],
                     "height": [m["height"] for m in metas],
                     "n_channels": [m["n_channels"] for m in metas],
-                    "feature": feats,
+                    # serialized fixed-point (driver canonicalizer
+                    # can't hash lists)
+                    "feature": [
+                        ",".join(str(v) for v in m["channel_means"])
+                        for m in metas
+                    ],
                 }
             )
 
