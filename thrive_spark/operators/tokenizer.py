@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..smalldf import small_df
 from ..tables import Tables
 
 N_MERGES = 24
@@ -110,7 +111,8 @@ def tokenizer_train_bpe(spark, sf_dir):
     table (see module docstring for the 100 TB argument)."""
     t = Tables(spark, sf_dir)
     merges = train_bpe(_word_freqs(t))
-    return spark.createDataFrame(
+    return small_df(
+        spark,
         [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
         "rank long, left string, right string, merged string",
     )

@@ -28,6 +28,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..smalldf import small_df
+
 
 class IncrementalLoader:
     """Dirlist-diff loader: process each input directory exactly once."""
@@ -59,7 +61,7 @@ class IncrementalLoader:
         if not new_dirs:
             return
         rows = [(os.path.abspath(d), int(counts.get(d, -1))) for d in new_dirs]
-        ledger = self.spark.createDataFrame(rows, "path string, n_rows long")
+        ledger = small_df(self.spark, rows, "path string, n_rows long")
         ledger.coalesce(1).write.mode("append").parquet(self.ledger_path)
 
     def rollback(self, dirs: list[str]) -> None:
@@ -80,8 +82,8 @@ class IncrementalLoader:
         ]
         shutil.rmtree(self.ledger_path, ignore_errors=True)
         if kept:
-            self.spark.createDataFrame(
-                kept, "path string, n_rows long"
+            small_df(
+                self.spark, kept, "path string, n_rows long"
             ).coalesce(1).write.mode("overwrite").parquet(self.ledger_path)
 
 
@@ -92,16 +94,32 @@ def run_incremental(
     sink,
 ) -> list[tuple[str, int]]:
     """One load cycle: diff → read new → sink → commit. Returns
-    (dir_basename, n_rows) per processed dir."""
+    (dir_basename, n_rows) per processed dir.
+
+    Per-dir audit counts come from ONE distributed aggregation over
+    the combined scan (``input_file_name()`` keys each row back to its
+    source directory) — NOT a read+count job per directory, which at
+    1000 new dirs would mean 1000 driver-scheduled jobs against the
+    same data. The collect is bounded: one row per new directory.
+    """
+    from pyspark.sql import functions as F
+
     df, new = loader.load(candidate_dirs)
     results: list[tuple[str, int]] = []
     if df is None:
         return results
-    counts: dict[str, int] = {}
-    for d in new:  # per-dir audit counts (the reference's load audit [R])
-        n = spark.read.parquet(d).count()
-        counts[d] = n
-        results.append((os.path.basename(d), n))
+    audit = (
+        df.groupBy(
+            F.regexp_replace(
+                F.input_file_name(), "/[^/]*$", ""
+            ).alias("src_dir")
+        )
+        .count()
+        .collect()
+    )
+    by_base = {os.path.basename(r["src_dir"]): int(r["count"]) for r in audit}
+    counts = {d: by_base.get(os.path.basename(d), 0) for d in new}
+    results = [(os.path.basename(d), counts[d]) for d in new]
     sink(df)
     loader.commit(new, counts)
     return results

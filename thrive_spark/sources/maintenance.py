@@ -15,6 +15,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..smalldf import small_df
 from ..tables import Tables
 
 
@@ -85,7 +86,8 @@ def maintenance_compact(spark, sf_dir):
         assert n_after == n_before, (n_after, n_before)
         dropped = purge_partitions(tbl, keep_pred=lambda d: d >= "2024-01-15")
         n_purged = spark.read.parquet(tbl).count()
-        return spark.createDataFrame(
+        return small_df(
+            spark,
             [
                 (
                     int(n_before),

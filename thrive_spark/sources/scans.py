@@ -18,6 +18,7 @@ from pyspark.sql import types as T
 from ..operators._util import dsum, osum
 from ..registry import query
 from ..tables import Tables
+from ..smalldf import small_df
 from .incremental import IncrementalLoader, run_incremental
 
 
@@ -133,7 +134,7 @@ def scan_json_corrupt(spark, sf_dir):
     "incremental_dir_scan",
     oracle="""
     WITH c AS (SELECT o_orderkey % 3 AS m, count(*) AS n
-               FROM orders GROUP BY m)
+               FROM orders WHERE o_orderkey < 1000 GROUP BY m)
     SELECT CAST(1 AS BIGINT) AS run,
            'd' || CAST(m + 1 AS VARCHAR) AS dir, n AS n_rows
     FROM c
@@ -147,16 +148,19 @@ def incremental_dir_scan(spark, sf_dir):
     processes all; d4 appears before run 2, which processes ONLY d4.
     Output: one row per (run, dir) actually processed — 4 rows total.
     Hash-checked: run 1's per-dir counts must equal the modulo split
-    of orders, run 2 must contain EXACTLY the late d4 — a ledger that
-    reprocessed d1-d3 (or missed d4) fails the oracle, so exactly-once
-    semantics are what is being hashed.
+    of the orders slice, run 2 must contain EXACTLY the late d4 — a
+    ledger that reprocessed d1-d3 (or missed d4) fails the oracle, so
+    exactly-once semantics are what is being hashed. The dirs hold a
+    filtered slice (o_orderkey < 1000), not the full table: the
+    ledger/dirlist mechanics under test are row-count-independent and
+    the full-table write tripled this query's census cost for nothing.
     """
     t = Tables(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="thrive_incr_")
     try:
-        orders = t.orders
+        orders = t.orders.filter(F.col("o_orderkey") < 1000)
         for i in range(3):
-            orders.filter(F.col("o_orderkey") % 3 == i).write.mode(
+            orders.filter(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(f"{root}/d{i + 1}")
         ledger = f"{root}/_ledger"
@@ -168,15 +172,15 @@ def incremental_dir_scan(spark, sf_dir):
         )
         rows += [(1, os.path.basename(name), n) for name, n in r1]
         # new directory lands between runs
-        orders.filter(F.col("o_orderkey") < 100).write.mode("overwrite").parquet(
-            f"{root}/d4"
-        )
+        orders.filter(F.col("o_orderkey") < 100).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/d4")
         r2 = run_incremental(
             spark, loader, [f"{root}/d{i + 1}" for i in range(4)], sink
         )
         rows += [(2, os.path.basename(name), n) for name, n in r2]
-        return spark.createDataFrame(
-            sorted(rows), "run long, dir string, n_rows long"
+        return small_df(
+            spark, sorted(rows), "run long, dir string, n_rows long"
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..operators._util import dsum, osum
 from ..registry import query
+from ..smalldf import small_df
 from ..tables import Tables
 
 
@@ -138,8 +139,8 @@ def sink_jdbc(spark, sf_dir):
             "SELECT o_orderstatus, count(*) FROM orders_sink GROUP BY o_orderstatus ORDER BY o_orderstatus"
         ).fetchall()
         con.close()
-        return spark.createDataFrame(
-            [(s, int(n)) for s, n in rows], "o_orderstatus string, n long"
+        return small_df(
+            spark, [(s, int(n)) for s, n in rows], "o_orderstatus string, n long"
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
