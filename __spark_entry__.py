@@ -61,6 +61,11 @@ GRADE_ROTATION = [
 #: prior driver greens kept in every window as regression sentinels
 GRADE_CANARIES = ["agg_collect_sorted", "agg_hash_groupby", "join_theta_band"]
 
+#: ids first registered in round 5 — explicitly queued BEHIND the
+#: pre-existing never-graded backlog (r4 verdict: the 51-id backlog's
+#: official rows land before anything new enters the window).
+GRADE_DEFER = ["rollup_time_hierarchy", "win_gaps_islands", "agg_corr_exact"]
+
 
 def _graded_ids() -> set[str]:
     """Ids with a *clean* driver correctness row in any prior round.
@@ -109,9 +114,13 @@ def _rotated(mapping: dict) -> dict:
     backlog = [
         k
         for k in mapping
-        if k not in graded and k not in pri and k not in GRADE_CANARIES
+        if k not in graded
+        and k not in pri
+        and k not in GRADE_CANARIES
+        and k not in GRADE_DEFER
     ]
     pri += sorted(backlog, key=lambda k: (k not in registry.ORACLE,))
+    pri += [k for k in GRADE_DEFER if k in mapping and k not in graded]
     # canaries occupy the window's last slots; overflow queues behind
     cut = _GRADE_WINDOW - len(GRADE_CANARIES)
     order = pri[:cut] + [k for k in GRADE_CANARIES if k in mapping] + pri[cut:]

@@ -501,3 +501,66 @@ def agg_multi_distinct(spark, sf_dir):
         F.count_distinct("l_orderkey").alias("n_orders"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "agg_corr_exact",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qx,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS px
+        FROM lineitem
+    ),
+    m AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(qx) AS DOUBLE) AS sx,
+               CAST(sum(px) AS DOUBLE) AS sy,
+               CAST(sum(qx * qx) AS DOUBLE) AS sxx,
+               CAST(sum(px * px) AS DOUBLE) AS syy,
+               CAST(sum(qx * px) AS DOUBLE) AS sxy
+        FROM s GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           floor((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                 * 1000000 + 0.5) / 1000000.0 AS corr_qty_price
+    FROM m
+    """,
+)
+def agg_corr_exact(spark, sf_dir):
+    """Pearson correlation (quantity vs price per return flag) that is
+    EXACT across engines — native corr() accumulates doubles in
+    schedule-dependent order, so its low bits differ run to run and
+    engine to engine. Instead: all five moments are integer sums of
+    fixed-point values (scale 100 — exact for 2-decimal money), summed
+    as DECIMAL(38,0)/HUGEINT (overflow-proof at any corpus size), cast
+    once to double, then one mirrored IEEE expression tree produces
+    the coefficient. One partial+final hash aggregate, no window, no
+    second pass; the shuffle carries 6 longs per group."""
+    t = Tables(spark, sf_dir)
+    qx = F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")
+    px = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    dec = "decimal(38,0)"
+    s = t.lineitem.select(
+        "l_returnflag", qx.alias("qx"), px.alias("px")
+    )
+    m = s.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum((F.col("qx")).cast(dec)).cast("double").alias("sx"),
+        F.sum((F.col("px")).cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("qx") * F.col("qx")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("px") * F.col("px")).cast(dec)).cast("double").alias("syy"),
+        F.sum((F.col("qx") * F.col("px")).cast(dec)).cast("double").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ) * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    return m.select(
+        "l_returnflag",
+        (F.floor(num / den * 1000000 + 0.5) / 1000000.0).alias(
+            "corr_qty_price"
+        ),
+    )

@@ -300,3 +300,56 @@ def agg_histogram_bucketed(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "win_gaps_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    o AS (
+        SELECT user_id, day,
+               datediff('day', DATE '1970-01-01', day)
+                 - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                 AS grp
+        FROM days
+    )
+    SELECT user_id,
+           strftime(min(day), '%Y-%m-%d') AS island_start,
+           strftime(max(day), '%Y-%m-%d') AS island_end,
+           count(*) AS n_days
+    FROM o GROUP BY user_id, grp
+    """,
+)
+def win_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands, island-aggregate form: maximal runs of
+    CONSECUTIVE active days per user (start, end, length) — streak
+    analytics, the day-granular complement of ``sessionize_ids``'s
+    event-level session ordinals.
+
+    Classic rewrite: day_number − row_number is constant within a
+    consecutive run, so islands fall out of one group-by on that
+    difference. Cost shape: the distinct collapses events to at most
+    users × days rows first, then one user-keyed window and a reuse of
+    the same partitioning for the final aggregate — a single shuffle
+    chain, no self-join. Dates ride as integer day numbers (exact both
+    engines); output dates are strings (driver output rule: no DATE
+    columns)."""
+    t = Tables(spark, sf_dir)
+    days = t.events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    o = days.select(
+        "user_id",
+        "day",
+        (
+            F.datediff("day", F.lit("1970-01-01")) - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    return o.groupBy("user_id", "grp").agg(
+        F.date_format(F.min("day"), "yyyy-MM-dd").alias("island_start"),
+        F.date_format(F.max("day"), "yyyy-MM-dd").alias("island_end"),
+        F.count("*").alias("n_days"),
+    ).drop("grp")

@@ -168,3 +168,38 @@ def timeseries_downsample_m4(spark, sf_dir):
             fixed(F.max(F.when(F.col("rn_d") == 1, F.col("value")))) / 10000.0
         ).alias("v_last"),
     )
+
+
+@query(
+    "rollup_time_hierarchy",
+    oracle=f"""
+    SELECT event_type,
+           CAST(day(ts) AS BIGINT) AS d,
+           CAST(hour(ts) AS BIGINT) AS h,
+           count(*) AS n, {osum('value')} AS sum_value
+    FROM events
+    GROUP BY ROLLUP (event_type, d, h)
+    """,
+)
+def rollup_time_hierarchy(spark, sf_dir):
+    """Hypertable-style continuous-aggregate hierarchy: one pass
+    produces the (type, day, hour) leaf rollup AND its (type, day),
+    (type), and grand-total ancestors — the multi-granularity
+    materialization a time-series store keeps per hypertable.
+
+    Catalyst compiles ROLLUP to a single Expand + hash aggregate
+    (rows × 4 grouping sets, map-side combined): one shuffle total,
+    no per-granularity re-scan. At 100 TB prefer this over N separate
+    GROUP BYs whenever all granularities are needed — the input is
+    read once, and partial aggregation shrinks each grouping set
+    before the exchange."""
+    t = Tables(spark, sf_dir)
+    e = t.events.select(
+        "event_type",
+        F.dayofmonth("ts").cast("bigint").alias("d"),
+        F.hour("ts").cast("bigint").alias("h"),
+        "value",
+    )
+    return e.rollup("event_type", "d", "h").agg(
+        F.count("*").alias("n"), dsum("value").alias("sum_value")
+    )
