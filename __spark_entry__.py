@@ -64,7 +64,12 @@ GRADE_CANARIES = ["agg_collect_sorted", "agg_hash_groupby", "join_theta_band"]
 #: ids first registered in round 5 — explicitly queued BEHIND the
 #: pre-existing never-graded backlog (r4 verdict: the 51-id backlog's
 #: official rows land before anything new enters the window).
-GRADE_DEFER = ["rollup_time_hierarchy", "win_gaps_islands", "agg_corr_exact"]
+GRADE_DEFER = [
+    "rollup_time_hierarchy", "win_gaps_islands", "agg_corr_exact",
+    "ts_ewma_halflife", "ts_rolling_corr", "ts_anomaly_zscore",
+    "basket_brand_affinity", "events_pattern_triple",
+    "attribution_first_touch",
+]
 
 
 def _graded_ids() -> set[str]:

@@ -70,6 +70,23 @@ def osum_over(expr: str, w: str, scale: int = SCALE) -> str:
     )
 
 
+def ffix(col: Column | str, nd: int = 4) -> Column:
+    """Engine-exact output rounding: floor(x·10^nd + 0.5)/10^nd.
+
+    For a double that is already bit-identical across engines (every
+    upstream op deterministic), this emits the 4-decimal presentation
+    value without `round`'s engine-divergent half mode.
+    """
+    s = 10**nd
+    return F.floor(_c(col) * s + 0.5) / float(s)
+
+
+def ofix(expr: str, nd: int = 4) -> str:
+    """DuckDB SQL twin of :func:`ffix`."""
+    s = 10**nd
+    return f"floor(({expr}) * {s} + 0.5) / {s}.0"
+
+
 def oround(expr: str, nd: int = 4) -> str:
     """DuckDB round with the float→double cast (SURVEY §2: DuckDB round
     on FLOAT leaves float32 artifacts)."""

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import Tables
-from ._util import dsum, fixed, r4
+from ._util import dsum, ffix, fixed, ofix, osum, r4
 
 #: Monday anchor for week bucketing (1970-01-05 was a Monday)
 _WEEK0 = "1970-01-05"
@@ -353,3 +353,197 @@ def win_gaps_islands(spark, sf_dir):
         F.date_format(F.max("day"), "yyyy-MM-dd").alias("island_end"),
         F.count("*").alias("n_days"),
     ).drop("grp")
+
+
+@query(
+    "basket_brand_affinity",
+    oracle=f"""
+    WITH ob AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    bc AS (SELECT p_brand, count(*) AS c FROM ob GROUP BY p_brand),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS t FROM ob),
+    pc AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               count(*) AS pair_cnt
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, pair_cnt,
+           {ofix('CAST(pair_cnt AS DOUBLE) / t', 6)} AS support,
+           {ofix('CAST(pair_cnt * t AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE)')}
+               AS lift
+    FROM pc
+    JOIN bc ca ON ca.p_brand = brand_a
+    JOIN bc cb ON cb.p_brand = brand_b, tot
+    WHERE pair_cnt >= 3
+    """,
+)
+def basket_brand_affinity(spark, sf_dir):
+    """Market-basket affinity at brand grain: for every brand pair
+    co-occurring in ≥3 orders, support = P(a,b) and lift =
+    P(a,b)/(P(a)·P(b)) — the association-rule mining primitive.
+
+    Scale shape: the basket explosion happens AFTER projecting items
+    to their (order, brand) distinct — the within-order self-join is
+    Σ|basket|² bounded by basket size (≤ a few brands), never a global
+    cross product, and it shuffles once on l_orderkey. Brand marginals
+    (25 rows) and the order-count scalar broadcast back onto the pair
+    table. Lift's numerator/denominator stay in exact BIGINT
+    (pair_cnt·total ≤ |orders|² « 2^63) until ONE double division, so
+    both engines divide identical integers.
+    """
+    t = Tables(spark, sf_dir)
+    ob = (
+        t.lineitem.select("l_orderkey", "l_partkey")
+        .join(
+            F.broadcast(t.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    bc = ob.groupBy("p_brand").agg(F.count("*").alias("c"))
+    tot = ob.agg(F.countDistinct("l_orderkey").alias("t"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pc = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count("*").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 3)
+    )
+    ca = F.broadcast(bc.select(F.col("p_brand").alias("brand_a"), F.col("c").alias("ca")))
+    cb = F.broadcast(bc.select(F.col("p_brand").alias("brand_b"), F.col("c").alias("cb")))
+    return (
+        pc.join(ca, "brand_a")
+        .join(cb, "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_cnt",
+            ffix(F.col("pair_cnt").cast("double") / F.col("t"), 6).alias(
+                "support"
+            ),
+            ffix(
+                (F.col("pair_cnt") * F.col("t")).cast("double")
+                / (F.col("ca") * F.col("cb")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "events_pattern_triple",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, event_type,
+               lead(event_type, 1) OVER w AS nxt1,
+               lead(event_type, 2) OVER w AS nxt2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, count(*) AS n_triples,
+           min(epoch_us(ts)) AS first_hit_us
+    FROM o
+    WHERE event_type = 'view' AND nxt1 = 'click' AND nxt2 = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def events_pattern_triple(spark, sf_dir):
+    """MATCH_RECOGNIZE-style sequence detection: occurrences of the
+    CONSECUTIVE event pattern view→click→purchase inside each user's
+    stream (no intervening events allowed — stricter than funnel
+    chaining), with per-user match count and first-match timestamp.
+
+    A fixed-length pattern compiles to lead() probes on one (user_id)
+    window sort — single shuffle, O(1) state per row, no self-joins;
+    the pattern filter and aggregate ride the same partitioning. This
+    is the scalable plan for any bounded-window regex over 100 TB of
+    events; only unbounded patterns (Kleene star) need the stateful
+    applyInPandasWithState path (see streaming twins).
+    """
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = t.events.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("nxt1"),
+        F.lead("event_type", 2).over(w).alias("nxt2"),
+    )
+    return (
+        o.filter(
+            (F.col("event_type") == "view")
+            & (F.col("nxt1") == "click")
+            & (F.col("nxt2") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_triples"),
+            F.min(F.unix_micros("ts")).alias("first_hit_us"),
+        )
+    )
+
+
+@query(
+    "attribution_first_touch",
+    oracle=f"""
+    WITH f AS (
+        SELECT user_id, campaign FROM (
+            SELECT user_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS campaign,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    )
+    SELECT f.campaign, count(*) AS n_purchases,
+           {osum('e.value')} AS revenue
+    FROM events e JOIN f USING (user_id)
+    WHERE e.event_type = 'purchase'
+    GROUP BY f.campaign
+    """,
+)
+def attribution_first_touch(spark, sf_dir):
+    """First-touch revenue attribution: every purchase credits the
+    campaign (``props.k``) of its user's FIRST-ever event; output is
+    revenue and purchase count per campaign.
+
+    The first-touch table is one row_number over the user_id sort
+    (deterministic (ts, event_id) tie-break), at most |users| rows —
+    it re-joins the purchase stream on the same user_id key, so AQE
+    reuses one exchange for window + join; the campaign rollup is a
+    map-side-combined aggregate on a tiny key space. Revenue is the
+    fixed-point exact sum."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    f = (
+        t.events.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("campaign"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "campaign")
+    )
+    return (
+        t.events.filter(F.col("event_type") == "purchase")
+        .select("user_id", "value")
+        .join(f, "user_id")
+        .groupBy("campaign")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            dsum("value").alias("revenue"),
+        )
+    )

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import Tables
-from ._util import dsum, fixed, osum
+from ._util import dsum, ffix, fixed, ofix, osum
 
 #: bucket width in seconds (15 min — fine enough that real gaps exist
 #: in the test corpus, so the fill paths are non-vacuous)
@@ -202,4 +202,226 @@ def rollup_time_hierarchy(spark, sf_dir):
     )
     return e.rollup("event_type", "d", "h").agg(
         F.count("*").alias("n"), dsum("value").alias("sum_value")
+    )
+
+
+#: truncated-EWMA tap count and the dyadic decay (α = 1/2): every
+#: weight 0.5^k is a power of two, so weight·value is EXACT in IEEE
+#: doubles (exponent shift only) — the whole filter is engine-exact
+#: without fixed-point intermediates.
+_EWMA_TAPS = 8
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"coalesce({'value' if k == 0 else f'lag(value, {k}) OVER w'}"
+        f" * {0.5 ** k!r}, 0.0)"
+        for k in range(_EWMA_TAPS)
+    )
+    den = " + ".join(
+        "(CASE WHEN "
+        + ("value" if k == 0 else f"lag(value, {k}) OVER w")
+        + f" IS NOT NULL THEN {0.5 ** k!r} ELSE 0.0 END)"
+        for k in range(_EWMA_TAPS)
+    )
+    return f"""
+    SELECT event_id, user_id, value,
+           {ofix(f'({num}) / ({den})')} AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@query("ts_ewma_halflife", oracle=_ewma_oracle())
+def ts_ewma_halflife(spark, sf_dir):
+    """Exponentially-weighted moving average per user (half-life = 1
+    step, 8-tap truncation): y_t = Σ_k 0.5^k·x_{t-k} / Σ_k 0.5^k over
+    the taps present at the partition head.
+
+    Engine-exactness: α=1/2 makes every weight a power of two, so each
+    product is an exact float op; numerator and denominator are short
+    fixed-order chains of exact terms, and IEEE +,/ are deterministic —
+    both engines produce bit-identical doubles, floored to 4 dp for
+    output. The truncation (weights beyond 8 taps < 0.8 %) is what
+    makes EWMA window-expressible at all: the untruncated recurrence is
+    a sequential scan per key, unparallelizable; 8 lags over one
+    (user_id) sort is a single window pass, linear and shuffle-free
+    beyond the one partition-by exchange.
+    """
+    from functools import reduce
+    from operator import add
+
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    taps = [
+        F.col("value") if k == 0 else F.lag("value", k).over(w)
+        for k in range(_EWMA_TAPS)
+    ]
+    num = reduce(
+        add,
+        [
+            F.coalesce(t_ * F.lit(0.5**k), F.lit(0.0))
+            for k, t_ in enumerate(taps)
+        ],
+    )
+    den = reduce(
+        add,
+        [
+            F.when(t_.isNotNull(), F.lit(0.5**k)).otherwise(F.lit(0.0))
+            for k, t_ in enumerate(taps)
+        ],
+    )
+    return t.events.select(
+        "event_id", "user_id", "value", ffix(num / den).alias("ewma")
+    )
+
+
+_FIX = "CAST(floor(value * 10000 + 0.5) AS BIGINT)"
+
+
+@query(
+    "ts_rolling_corr",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id, user_id, ts,
+               {_FIX} AS x,
+               lag({_FIX}) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS y
+        FROM events
+    ),
+    q AS (
+        SELECT event_id, user_id,
+               count(*) OVER w AS n,
+               sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+               sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+               sum(x * y) OVER w AS sxy
+        FROM p WHERE y IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, n AS n_pairs,
+           CASE WHEN n >= 5 AND (n * sxx - sx * sx) > 0
+                         AND (n * syy - sy * sy) > 0
+                THEN {ofix('CAST(n * sxy - sx * sy AS DOUBLE)'
+                           ' / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))'
+                           ' * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))')}
+           END AS roll_corr
+    FROM q
+    """,
+)
+def ts_rolling_corr(spark, sf_dir):
+    """Rolling lag-1 autocorrelation (20-pair trailing frame) per user:
+    Pearson r of (value, previous value) — the mean-reversion /
+    momentum signal of a metrics store, windowed.
+
+    All five sufficient statistics (Σx Σy Σx² Σy² Σxy) are fixed-point
+    BIGINT window sums — exact at any merge order — and the covariance
+    numerator n·Σxy − Σx·Σy and variance terms stay in integer
+    arithmetic until one final double divide/sqrt (IEEE-exact, same op
+    sequence both engines). Headroom: |x_fp| ≤ 5·10⁶ (value ≤ 490·10⁴)
+    → n·Σx² ≤ 20²·2.5e13 ≈ 1e16 « 2^63. Scale shape: one window sort
+    on user_id; frames never materialize — constant state per row.
+    """
+    t = Tables(spark, sf_dir)
+    w0 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = t.events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        fixed("value").alias("x"),
+        F.lag(fixed("value")).over(w0).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    x, y = F.col("x"), F.col("y")
+    q = p.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n"),
+        F.sum(x).over(w).alias("sx"),
+        F.sum(y).over(w).alias("sy"),
+        F.sum(x * x).over(w).alias("sxx"),
+        F.sum(y * y).over(w).alias("syy"),
+        F.sum(x * y).over(w).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    dx = n * F.col("sxx") - sx * sx
+    dy = n * F.col("syy") - sy * sy
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    r = num / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double")))
+    return q.select(
+        "event_id",
+        "user_id",
+        n.alias("n_pairs"),
+        F.when((n >= 5) & (dx > 0) & (dy > 0), ffix(r)).alias("roll_corr"),
+    )
+
+
+@query(
+    "ts_anomaly_zscore",
+    oracle=f"""
+    WITH q AS (
+        SELECT event_id, user_id, value,
+               {_FIX} AS x,
+               count({_FIX}) OVER w AS n,
+               sum({_FIX}) OVER w AS s,
+               sum({_FIX} * {_FIX}) OVER w AS ss
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, value, n AS n_hist,
+           {ofix('CAST(n * x - s AS DOUBLE)'
+                 ' / sqrt(CAST(n * ss - s * s AS DOUBLE) * n / (n - 1))')}
+               AS zscore
+    FROM q
+    WHERE n >= 12 AND (n * ss - s * s) > 0
+      AND abs(CAST(n * x - s AS DOUBLE)
+              / sqrt(CAST(n * ss - s * s AS DOUBLE) * n / (n - 1))) > 2.5
+    """,
+)
+def ts_anomaly_zscore(spark, sf_dir):
+    """Trailing-window anomaly detection: flag events whose value sits
+    > 2.5 sample standard deviations from the mean of the user's
+    previous ≤20 events (current row EXCLUDED from its own baseline —
+    the leave-one-out shape real monitors need, ≥12 history rows).
+
+    z reduces to integer arithmetic: with fixed-point X, Σx, Σx² the
+    scale cancels — z = (n·X − Σx) / √((n·Σx² − (Σx)²)·n/(n−1)) — so
+    both engines divide the SAME integers and apply the same IEEE
+    sqrt/divide. Scale: one window pass over the user_id sort, O(1)
+    state per row; the filter is post-window, so no second scan.
+    """
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    xf = fixed("value")
+    q = t.events.select(
+        "event_id",
+        "user_id",
+        "value",
+        xf.alias("x"),
+        F.count(xf).over(w).alias("n"),
+        F.sum(xf).over(w).alias("s"),
+        F.sum(xf * xf).over(w).alias("ss"),
+    )
+    n, s, ss, x = F.col("n"), F.col("s"), F.col("ss"), F.col("x")
+    p = n * x - s
+    qv = n * ss - s * s
+    z = p.cast("double") / F.sqrt(qv.cast("double") * n / (n - 1))
+    return (
+        q.filter((n >= 12) & (qv > 0) & (F.abs(z) > 2.5))
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            n.alias("n_hist"),
+            ffix(z).alias("zscore"),
+        )
     )
