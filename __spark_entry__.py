@@ -68,7 +68,8 @@ GRADE_DEFER = [
     "rollup_time_hierarchy", "win_gaps_islands", "agg_corr_exact",
     "ts_ewma_halflife", "ts_rolling_corr", "ts_anomaly_zscore",
     "basket_brand_affinity", "events_pattern_triple",
-    "attribution_first_touch",
+    "attribution_first_touch", "graph_copurchase_stats",
+    "join_fuzzy_levenshtein", "join_bloom_prefilter", "agg_entropy_gini",
 ]
 
 

@@ -547,3 +547,64 @@ def attribution_first_touch(spark, sf_dir):
             dsum("value").alias("revenue"),
         )
     )
+
+
+@query(
+    "agg_entropy_gini",
+    oracle=f"""
+    WITH c AS (
+        SELECT lang, source, count(*) AS c
+        FROM documents GROUP BY lang, source
+    ),
+    g AS (
+        SELECT lang,
+               CAST(sum(c) AS BIGINT) AS n,
+               count(*) AS k,
+               CAST(sum(c * c) AS BIGINT) AS ss,
+               CAST(sum(CAST(floor(c * log2(c) * 10000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS s_fp
+        FROM c GROUP BY lang
+    )
+    SELECT lang, n, k,
+           {ofix('CAST(CAST(floor(log2(n) * 10000 + 0.5) AS BIGINT) * n'
+                 ' - s_fp AS DOUBLE) / CAST(n * 10000 AS DOUBLE)')}
+               AS entropy_bits,
+           {ofix('CAST(n * n - ss AS DOUBLE) / CAST(n * n AS DOUBLE)', 6)}
+               AS gini
+    FROM g
+    """,
+)
+def agg_entropy_gini(spark, sf_dir):
+    """Distribution-shape metrics per language: Shannon entropy (bits)
+    and Gini impurity of the source mix — the diversity signals a
+    corpus-balance dashboard tracks per slice.
+
+    Both reduce to integer sufficient statistics over the per-(lang,
+    source) count table: H = (n·⌊log₂n·10⁴⌋ − Σ⌊c·log₂c·10⁴⌋)/(n·10⁴)
+    with every log term floored to BIGINT before summing (order-proof;
+    log2 floor-parity across engines is property-tested to 2e5), and
+    Gini = (n² − Σc²)/n² exactly in BIGINT until one double division.
+    Scale: two chained hash aggregates, the second over ≤ langs×sources
+    rows — nothing beyond the first shuffle touches data volume."""
+    t = Tables(spark, sf_dir)
+    c = t.documents.groupBy("lang", "source").agg(F.count("*").alias("c"))
+    cc = F.col("c")
+    g = c.groupBy("lang").agg(
+        F.sum(cc).cast("bigint").alias("n"),
+        F.count("*").alias("k"),
+        F.sum(cc * cc).cast("bigint").alias("ss"),
+        F.sum(
+            F.floor(cc * F.log2(cc) * 10000 + 0.5).cast("bigint")
+        ).cast("bigint").alias("s_fp"),
+    )
+    n, ss, s_fp = F.col("n"), F.col("ss"), F.col("s_fp")
+    l2n = F.floor(F.log2(n) * 10000 + 0.5).cast("bigint")
+    entropy = (l2n * n - s_fp).cast("double") / (n * 10000).cast("double")
+    gini = (n * n - ss).cast("double") / (n * n).cast("double")
+    return g.select(
+        "lang",
+        "n",
+        "k",
+        ffix(entropy).alias("entropy_bits"),
+        ffix(gini, 6).alias("gini"),
+    )

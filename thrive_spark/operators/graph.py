@@ -1,0 +1,133 @@
+"""Graph analytics over the co-purchase graph (brands linked when they
+share an order): degree / strength / triangle counts — the relational
+re-expression of a property-graph workload.
+
+The graph never materializes as an object: vertices and edges are
+DataFrames derived from the fact table, and every metric is joins +
+aggregates, so the same code runs at any scale Catalyst can shuffle.
+
+Scale shape: the edge list is built from a within-order pair explosion
+AFTER projecting line items to their (order, brand) distinct — cost is
+Σ|basket|², bounded by basket width, one shuffle on l_orderkey. The
+triangle join uses the canonical a<b<c vertex ordering, which is the
+small-graph specialization of compact-forward / node-iterator triangle
+counting (Schank & Wagner 2005): each triangle is enumerated exactly
+once, and the join fan-out is bounded by per-vertex out-degree under
+the ordering. At 100 TB-scale graphs the same plan holds with the
+ordering switched from vertex id to DEGREE (degeneracy order), which
+provably bounds out-degree by the graph's arboricity — a one-line
+change to the edge-orientation key, noted here so the upgrade path is
+explicit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+
+
+@query(
+    "graph_copurchase_stats",
+    oracle="""
+    WITH ob AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    e AS (
+        SELECT a.p_brand AS src, b.p_brand AS dst, count(*) AS w
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+    ),
+    deg AS (
+        SELECT v, count(*) AS degree, sum(w) AS strength FROM (
+            SELECT src AS v, w FROM e
+            UNION ALL
+            SELECT dst AS v, w FROM e
+        ) GROUP BY v
+    ),
+    tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM e e1
+        JOIN e e2 ON e2.src = e1.dst
+        JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    tpn AS (
+        SELECT v, count(*) AS n_tri FROM (
+            SELECT a AS v FROM tri
+            UNION ALL SELECT b AS v FROM tri
+            UNION ALL SELECT c AS v FROM tri
+        ) GROUP BY v
+    )
+    SELECT deg.v AS brand, deg.degree, CAST(deg.strength AS BIGINT)
+               AS strength,
+           CAST(coalesce(tpn.n_tri, 0) AS BIGINT) AS n_tri
+    FROM deg LEFT JOIN tpn ON deg.v = tpn.v
+    """,
+)
+def graph_copurchase_stats(spark, sf_dir):
+    """Per-vertex degree, strength (co-order weight sum), and triangle
+    participation count on the brand co-purchase graph.
+
+    Triangles are enumerated once each via the a<b<c orientation (every
+    undirected triangle has exactly one cyclic labeling with ascending
+    vertices), then credited to all three corners. All three metrics
+    reuse the SAME edge list — one basket explosion, then broadcast-
+    size joins (|brands|² upper-bounds the edge list)."""
+    t = Tables(spark, sf_dir)
+    ob = (
+        t.lineitem.select("l_orderkey", "l_partkey")
+        .join(
+            F.broadcast(t.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("src"), F.col("b.p_brand").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    deg = (
+        e.select(F.col("src").alias("v"), "w")
+        .unionAll(e.select(F.col("dst").alias("v"), "w"))
+        .groupBy("v")
+        .agg(F.count("*").alias("degree"), F.sum("w").alias("strength"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    tpn = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    return deg.join(tpn, "v", "left").select(
+        F.col("v").alias("brand"),
+        "degree",
+        F.col("strength").cast("bigint").alias("strength"),
+        F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_tri"),
+    )

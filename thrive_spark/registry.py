@@ -44,8 +44,10 @@ def load_all() -> None:
         clustering,
         curation,
         dedup_extra,
+        graph,
         ivf,
         lm_score,
+        matching,
         joins,
         llm,
         multimodal,
