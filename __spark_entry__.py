@@ -70,6 +70,8 @@ GRADE_DEFER = [
     "basket_brand_affinity", "events_pattern_triple",
     "attribution_first_touch", "graph_copurchase_stats",
     "join_fuzzy_levenshtein", "join_bloom_prefilter", "agg_entropy_gini",
+    "scan_binary_files", "sql_lateral_topn", "win_period_over_period",
+    "dq_benford_leading_digit",
 ]
 
 

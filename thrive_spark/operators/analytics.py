@@ -608,3 +608,129 @@ def agg_entropy_gini(spark, sf_dir):
         ffix(entropy).alias("entropy_bits"),
         ffix(gini, 6).alias("gini"),
     )
+
+
+@query(
+    "win_period_over_period",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(year(o_orderdate) * 12 + (month(o_orderdate) - 1)
+                    AS BIGINT) AS month_id,
+               count(*) AS n_orders,
+               {osum('o_totalprice')} AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT month_id, n_orders, revenue,
+           {ofix('(revenue - lag(revenue) OVER (ORDER BY month_id))'
+                 ' / lag(revenue) OVER (ORDER BY month_id)', 6)} AS mom_pct,
+           {ofix('(revenue - lag(revenue, 12) OVER (ORDER BY month_id))'
+                 ' / lag(revenue, 12) OVER (ORDER BY month_id)', 6)}
+               AS yoy_pct
+    FROM m
+    """,
+)
+def win_period_over_period(spark, sf_dir):
+    """Month-over-month and year-over-year revenue deltas — the
+    period-comparison query every BI layer generates. Months ride as
+    integer month ids (year·12 + month−1: lag(12) is exactly one year,
+    no date-truncation semantics in play).
+
+    The global un-partitioned window is applied AFTER aggregation, on
+    ~|months| rows — windows over aggregates of 100 TB are fine; it's
+    un-partitioned windows over the raw fact that single-thread (see
+    win_ntile_percentile's range-partition rewrite for that case).
+    Revenue is the fixed-point exact sum, so lag ratios divide
+    identical doubles in both engines."""
+    t = Tables(spark, sf_dir)
+    m = t.orders.groupBy(
+        (F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1))
+        .cast("bigint")
+        .alias("month_id")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+    w = Window.orderBy("month_id")
+    rev, prev, prev12 = (
+        F.col("revenue"),
+        F.lag("revenue").over(w),
+        F.lag("revenue", 12).over(w),
+    )
+    return m.select(
+        "month_id",
+        "n_orders",
+        "revenue",
+        ffix((rev - prev) / prev, 6).alias("mom_pct"),
+        ffix((rev - prev12) / prev12, 6).alias("yoy_pct"),
+    )
+
+
+#: Benford expected share of leading digit d: log10(1 + 1/d), in 1e-6
+#: fixed-point (precomputed literals — no transcendental parity risk)
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def _benford_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN {d} THEN {ppm / 1e6!r}" for d, ppm in _BENFORD_PPM.items()
+    )
+    return f"CASE lead_digit {arms} END"
+
+
+@query(
+    "dq_benford_leading_digit",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS lead_digit
+        FROM orders WHERE o_totalprice > 0
+    ),
+    g AS (SELECT lead_digit, count(*) AS n FROM d GROUP BY lead_digit),
+    t AS (SELECT sum(n) AS tot FROM g)
+    SELECT lead_digit, n,
+           {ofix('CAST(n AS DOUBLE) / tot', 6)} AS obs_share,
+           {_benford_case_sql()} AS benford_share,
+           {ofix(f'CAST(n AS DOUBLE) / tot - ({_benford_case_sql()})', 6)}
+               AS excess
+    FROM g, t
+    """,
+)
+def dq_benford_leading_digit(spark, sf_dir):
+    """Benford's-law audit of the money column: observed leading-digit
+    shares vs the log10(1+1/d) expectation — the classic
+    fabricated-data / unit-mixup detector for a DQ suite.
+
+    The leading digit is extracted in exact integer space (fixed-point
+    cents → decimal string → first char): no log10 at query time — the
+    Benford expectations are precomputed rational literals, so nothing
+    transcendental has to agree across engines. One hash aggregate on
+    a 9-value key plus a broadcast scalar total; scales with a scan."""
+    t = Tables(spark, sf_dir)
+    d = t.orders.filter(F.col("o_totalprice") > 0).select(
+        F.substring(fixed("o_totalprice", 100).cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("lead_digit")
+    )
+    g = d.groupBy("lead_digit").agg(F.count("*").alias("n"))
+    tot = g.agg(F.sum("n").alias("tot"))
+    bshare = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in _BENFORD_PPM.items() for x in kv]
+        ),
+        F.col("lead_digit").cast("int"),
+    ) / 1e6
+    obs = F.col("n").cast("double") / F.col("tot")
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "lead_digit",
+            "n",
+            ffix(obs, 6).alias("obs_share"),
+            bshare.alias("benford_share"),
+            ffix(obs - bshare, 6).alias("excess"),
+        )
+    )

@@ -180,3 +180,38 @@ def sql_parameterized(spark, sf_dir):
         """,
         args={"min_price": 150000.0, "skip": "P"},
     )
+
+
+@query(
+    "sql_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey, l.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice
+             FROM orders o WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+    WHERE c.c_custkey <= 200
+    """,
+)
+def sql_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    SQL-standard spelling of top-N-per-group, driven through the SQL
+    surface. Catalyst decorrelates the lateral into a join + per-key
+    Window (rank ≤ 2) rather than executing one subquery per outer row
+    — the textbook example of why declaring the plan beats hand
+    iteration: the same statement that would be O(|outer|) subquery
+    executions on a naive engine compiles to ONE shuffle on the join
+    key. Double-valued ranking carries the o_orderkey tiebreak, so
+    both engines cut identical top-2 sets."""
+    t = Tables(spark, sf_dir)
+    t.register_views()
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey, l.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice
+                 FROM orders o WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        WHERE c.c_custkey <= 200
+        """
+    )

@@ -376,3 +376,62 @@ def scan_csv_malformed(spark, sf_dir):
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "scan_binary_files",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) + 1 AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents WHERE doc_id < 64
+    """,
+)
+def scan_binary_files(spark, sf_dir):
+    """Whole-file binary ingest via the ``binaryFile`` source — the
+    entry point of every multimodal pipeline (images/audio arrive as
+    files, not rows). A deterministic per-doc file tree is written
+    (one UTF-8 text file per document), then read back as opaque
+    bytes; the record key is parsed from the PATH (the only metadata a
+    file brings), and the oracle pins byte count (+1 for the writer's
+    newline) and content digest against the source rows — proving the
+    bytes survive the write→binary-read round trip exactly.
+
+    Scale shape: binaryFile scans parallelize per-file with
+    ``maxPartitionBytes`` packing of small files; md5/length run on
+    the binary column JVM-side, so no bytes cross into Python. For
+    real media the decode step downstream is the Arrow mapInPandas in
+    operators/multimodal.py; this operator is the ingest half.
+    """
+    t = Tables(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="thrive_binscan_")
+    try:
+        (
+            t.documents.filter(F.col("doc_id") < 64)
+            .select("text", "doc_id")
+            .repartition("doc_id")
+            .write.mode("overwrite")
+            .partitionBy("doc_id")
+            .text(out)
+        )
+        back = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.txt")
+            .load(out + "/doc_id=*")
+        )
+        body = F.expr(
+            "substring(decode(content, 'UTF-8'), 1, "
+            "char_length(decode(content, 'UTF-8')) - 1)"
+        )
+        return (
+            back.select(
+                F.regexp_extract("path", r"doc_id=(\d+)", 1)
+                .cast("bigint")
+                .alias("doc_id"),
+                F.length("content").cast("bigint").alias("n_bytes"),
+                F.md5(body).alias("digest"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
