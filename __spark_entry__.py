@@ -71,7 +71,7 @@ GRADE_DEFER = [
     "attribution_first_touch", "graph_copurchase_stats",
     "join_fuzzy_levenshtein", "join_bloom_prefilter", "agg_entropy_gini",
     "scan_binary_files", "sql_lateral_topn", "win_period_over_period",
-    "dq_benford_leading_digit",
+    "dq_benford_leading_digit", "stream_stream_join",
 ]
 
 

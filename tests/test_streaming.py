@@ -154,3 +154,14 @@ def test_static_join_equals_twin(spark, sf_dir, stream_dir):
     )
     want = streaming_twins.stream_join_static(spark, sf_dir).toPandas()
     assert canon(got, got.columns) == canon(want, want.columns)
+
+
+def test_interval_join_equals_twin(spark, sf_dir, stream_dir):
+    got = run_stream(
+        spark,
+        ops.interval_join_view_purchase(read_stream(spark, stream_dir)),
+        "append",
+        "t_ivj",
+    )
+    want = streaming_twins.stream_stream_join(spark, sf_dir).toPandas()
+    assert canon(got, got.columns) == canon(want, want.columns)

@@ -270,3 +270,36 @@ def stream_join_static(spark, sf_dir):
     from ..streaming.ops import enrich_with_static_dim
 
     return enrich_with_static_dim(t.events, t.nation)
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP))
+               - epoch_us(CAST(v.ts AS TIMESTAMP)) AS lag_us
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts
+     AND epoch_us(CAST(p.ts AS TIMESTAMP))
+         <= epoch_us(CAST(v.ts AS TIMESTAMP)) + 3600000000
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    """Batch twin of the stream–stream interval join
+    (streaming/ops.py::interval_join_view_purchase): view × purchase
+    pairs per user with the purchase inside the view's following
+    hour. The time bound is compared in integer microseconds, so both
+    engines (and the streaming form) cut identical pair sets; the
+    true-streaming form — watermarks bounding join state — is
+    asserted equal in tests/test_streaming.py.
+
+    Scale shape: equi key (user_id) + range bound compiles to one
+    user_id shuffle with the range as a post-join filter; per-user
+    fan-out is |views|·|purchases| within the hour, the same bound
+    the streaming state store carries."""
+    t = Tables(spark, sf_dir)
+    from ..streaming.ops import interval_join_view_purchase
+
+    return interval_join_view_purchase(t.events)

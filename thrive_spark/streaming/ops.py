@@ -223,3 +223,48 @@ def enrich_with_static_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
             (F.col("vf") / 10000.0).alias("sum_value"),
         )
     )
+
+
+def interval_join_view_purchase(events: DataFrame) -> DataFrame:
+    """Stream–stream interval join: each 'view' joins the same user's
+    'purchase' events landing within the following hour.
+
+    Both sides carry a 2-hour watermark; with the join bound
+    p_ts ∈ [v_ts, v_ts + 1 h] Spark derives the state-retention
+    horizon — view-side state can be dropped once the watermark
+    passes v_ts + 1 h, purchase-side once it passes p_ts — so state
+    is bounded by stream rate × (watermark + bound), never unbounded.
+    Output mode is append (inner interval joins emit exactly-once
+    per matched pair once both watermarks clear the bound).
+    """
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = v.join(
+        p,
+        F.expr(
+            "v_user = p_user AND p_ts >= v_ts "
+            "AND p_ts <= v_ts + INTERVAL 1 HOUR"
+        ),
+    )
+    return joined.select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"),
+    )
