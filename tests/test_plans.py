@@ -303,3 +303,40 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     )
     plan = physical_plan(fact.join(dim, fact.lang == dim.dim_lang))
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_join_hint_forces_shuffle_hash(spark, sf_dir):
+    plan = physical_plan(QUERIES["join_hint_shuffle_hash"](spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    # the unhinted twin of the same join broadcasts at this scale
+    from thrive_spark.tables import Tables
+    from pyspark.sql import functions as F
+
+    t = Tables(spark, sf_dir)
+    unhinted = t.orders.join(
+        t.customer.select("c_custkey", "c_mktsegment"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    assert "BroadcastHashJoin" in physical_plan(unhinted)
+
+
+def test_bloom_prefilter_before_exact_join(spark, sf_dir):
+    plan = physical_plan(QUERIES["join_bloom_prefilter"](spark, sf_dir))
+    # the bitwise membership test must run as a Filter ahead of the
+    # exact broadcast semi join, not after it
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "shiftright" in plan
+
+
+def test_fuzzy_join_is_equi_not_nested_loop(spark, sf_dir):
+    plan = physical_plan(QUERIES["join_fuzzy_levenshtein"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_signature_map_only(spark, sf_dir):
+    from thrive_spark.operators.dedup_extra import SIMHASH_BITS  # noqa: F401
+    plan = physical_plan(QUERIES["dedup_simhash"](spark, sf_dir))
+    # the signature fold must not introduce a per-token explode
+    assert "Generate explode" not in plan

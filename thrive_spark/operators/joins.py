@@ -591,3 +591,41 @@ def join_null_safe_eq(spark, sf_dir):
             "n_status",
         )
     )
+
+
+@query(
+    "join_hint_shuffle_hash",
+    oracle=f"""
+    SELECT c_mktsegment, count(*) AS n_orders,
+           {osum('o_totalprice')} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_hint_shuffle_hash(spark, sf_dir):
+    """The join-strategy hint surface: the same orders⋈customer run
+    with an explicit SHUFFLE_HASH hint instead of the planner's
+    default (broadcast here, sort-merge above the threshold).
+
+    Hints are the escape hatch when the optimizer's stats are wrong at
+    scale: SHUFFLE_HASH beats sort-merge when one side fits a
+    per-partition hash table but exceeds the broadcast threshold (it
+    skips both sorts); MERGE is the safe default for two huge sorted
+    sides; BROADCAST forces replication of a side the stats
+    overestimate. The hint changes the physical strategy ONLY — same
+    rows, same oracle; tests/test_plans.py asserts the hinted plan
+    actually contains ShuffledHashJoin while the unhinted one
+    broadcasts."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.hint("shuffle_hash")
+        .join(
+            t.customer.select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )

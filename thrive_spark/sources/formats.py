@@ -69,3 +69,56 @@ def scan_variant_json(spark, sf_dir):
         F.sum(F.variant_get("v", "$.k", "bigint")).alias("sum_k"),
         F.count(F.variant_get("v", "$.k", "bigint")).alias("n_with_k"),
     )
+
+
+@query(
+    "scan_xml_roundtrip",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars_total,
+           min(md5(text)) AS content_probe
+    FROM documents WHERE doc_id < 400
+    GROUP BY lang
+    """,
+)
+def scan_xml_roundtrip(spark, sf_dir):
+    """XML round trip via Spark 4's built-in XML source: a documents
+    slice is written as ``<doc>`` records and read back with an
+    explicit schema; the oracle pins per-language counts and a
+    content digest from the SOURCE rows, so the round trip proves
+    text (including multi-byte scripts and XML-escaped characters)
+    survives entity encoding byte-exactly.
+
+    Scale notes: the XML reader splits files on rowTag boundaries and
+    infers nothing here (explicit schema — inference is a full extra
+    pass at 100 TB); writers are map-only. XML is the slowest of the
+    format matrix (tag overhead, no columnar pushdown) — it's an
+    interchange format, not a storage one; this operator exists so
+    feeds that arrive as XML land correctly, not as a recommendation.
+    """
+    t = Tables(spark, sf_dir)
+    slice_df = t.documents.filter(F.col("doc_id") < 400).select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="thrive_xml_")
+    try:
+        slice_df.write.mode("overwrite").option("rowTag", "doc").format(
+            "xml"
+        ).save(out)
+        back = (
+            spark.read.format("xml")
+            .option("rowTag", "doc")
+            .schema("doc_id long, text string, lang string, n_chars long")
+            .load(out)
+        )
+        return (
+            back.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("chars_total"),
+                F.min(F.md5("text")).alias("content_probe"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
