@@ -72,7 +72,7 @@ GRADE_DEFER = [
     "join_fuzzy_levenshtein", "join_bloom_prefilter", "agg_entropy_gini",
     "scan_binary_files", "sql_lateral_topn", "win_period_over_period",
     "dq_benford_leading_digit", "stream_stream_join",
-    "scan_xml_roundtrip", "join_hint_shuffle_hash",
+    "scan_xml_roundtrip", "join_hint_shuffle_hash", "dq_filter_cascade",
 ]
 
 

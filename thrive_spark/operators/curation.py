@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import Tables
-from ._util import r4
+from ._util import ffix, ofix, r4
 
 #: md5-hex first-char thresholds per language — the per-stratum keep
 #: fraction in 16ths (en kept at 4/16, zh fully kept, etc.); tune per
@@ -778,3 +778,66 @@ def dq_expectations(spark, sf_dir):
         ).alias("r"),
         "total",
     ).select("r.constraint", "r.violations", "total")
+
+
+@query(
+    "dq_filter_cascade",
+    oracle=f"""
+    WITH toks AS (
+        SELECT n_chars,
+               list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        FROM documents
+    ),
+    g AS (
+        SELECT CASE
+            WHEN NOT (n_chars BETWEEN 100 AND 20000) THEN 'g1_length'
+            WHEN NOT (len(tk) >= 20) THEN 'g2_tokens'
+            WHEN NOT (2 * len(list_distinct(tk)) >= len(tk))
+                THEN 'g3_repetition'
+            ELSE 'pass' END AS stage
+        FROM toks
+    ),
+    c AS (SELECT stage, count(*) AS n_docs FROM g GROUP BY stage),
+    t AS (SELECT sum(n_docs) AS tot FROM c)
+    SELECT stage, n_docs,
+           {ofix('CAST(n_docs AS DOUBLE) / tot', 6)} AS share
+    FROM c, t
+    """,
+)
+def dq_filter_cascade(spark, sf_dir):
+    """Quality-gate cascade audit: every document attributed to the
+    FIRST gate it fails (length band → minimum tokens → duplicate-token
+    ratio) or to 'pass' — the per-gate reject accounting a C4/Gopher
+    style filter pipeline publishes with each corpus release.
+
+    One pass, map-only until a 4-key aggregate: the gates are ordered
+    CASE arms over JVM array ops (token list built once, reused by
+    both token gates), the repetition test is the integer comparison
+    2·|distinct| ≥ |tokens| (no division), and the share divides two
+    exact integers. Gate ORDER matters and is part of the contract —
+    attribution is to the first failure, so re-ordering gates changes
+    the audit, not the surviving set."""
+    t = Tables(spark, sf_dir)
+    tk = F.filter(F.split("text", " "), lambda x: x != "")
+    d = t.documents.select("n_chars", tk.alias("tk"))
+    n_tok = F.size("tk")
+    stage = (
+        F.when(
+            ~F.col("n_chars").between(100, 20000), F.lit("g1_length")
+        )
+        .when(n_tok < 20, F.lit("g2_tokens"))
+        .when(
+            2 * F.size(F.array_distinct("tk")) < n_tok,
+            F.lit("g3_repetition"),
+        )
+        .otherwise(F.lit("pass"))
+    )
+    c = d.select(stage.alias("stage")).groupBy("stage").agg(
+        F.count("*").alias("n_docs")
+    )
+    tot = c.agg(F.sum("n_docs").alias("tot"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "stage",
+        "n_docs",
+        ffix(F.col("n_docs").cast("double") / F.col("tot"), 6).alias("share"),
+    )
