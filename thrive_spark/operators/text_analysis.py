@@ -15,7 +15,8 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import Tables
-from ._util import r4
+from ..functions.vectors import cosine, to_double
+from ._util import ffix, r4
 
 #: tiny per-language stopword lists for the n-gram/stopword heuristic;
 #: deliberately small so the heuristic is cheap (a real system would
@@ -481,4 +482,232 @@ def text_entropy_score(spark, sf_dir):
             - F.expr("s_fp div n_tok")
         )
         .alias("entropy_fp"),
+    )
+
+
+#: BM25 parameters and the fixed keyword query (terms chosen from the
+#: corpus vocabulary with distinct document frequencies)
+BM25_K1, BM25_B = 1.2, 0.75
+BM25_TERMS = ("join", "vector", "scan")
+BM25_TOPK = 20
+
+
+def _bm25_score_sql(i: int) -> str:
+    """Per-term BM25 contribution — written with the EXACT operation
+    order the Spark side uses, so the doubles match bit-for-bit."""
+    return (
+        f"(CAST(idf{i} AS DOUBLE) / 10000.0) * (tf{i} * {BM25_K1 + 1!r})"
+        f" / (tf{i} + {BM25_K1!r} * ({1 - BM25_B!r} + {BM25_B!r}"
+        f" * (CAST(len * n AS DOUBLE) / sl)))"
+    )
+
+
+def _bm25_scored_cte() -> str:
+    """WITH-body fragment producing ``scored(doc_id, score_fp)`` —
+    shared by the BM25 top-k oracle and the RRF hybrid oracle."""
+    tf_cols = ", ".join(
+        f"len(list_filter(tk, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"count(*) FILTER (WHERE tf{i} > 0) AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    idf_cols = ", ".join(
+        f"CAST(floor(log2(2 * n - 2 * df{i} + 1) * 10000 + 0.5) AS BIGINT)"
+        f" - CAST(floor(log2(2 * df{i} + 1) * 10000 + 0.5) AS BIGINT)"
+        f" AS idf{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    score = " + ".join(_bm25_score_sql(i) for i in range(len(BM25_TERMS)))
+    return f"""d AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        FROM documents
+    ),
+    c AS (SELECT doc_id, len(tk) AS len, {tf_cols} FROM d),
+    s AS (SELECT count(*) AS n, CAST(sum(len) AS BIGINT) AS sl, {df_cols}
+          FROM c),
+    si AS (SELECT *, {idf_cols} FROM s),
+    scored AS (
+        SELECT doc_id, CAST(floor(({score}) * 10000 + 0.5) AS BIGINT)
+                   AS score_fp
+        FROM c, si
+    )"""
+
+
+def _bm25_oracle() -> str:
+    return f"""
+    WITH {_bm25_scored_cte()}
+    SELECT doc_id, score_fp / 10000.0 AS bm25
+    FROM scored
+    ORDER BY score_fp DESC, doc_id
+    LIMIT {BM25_TOPK}
+    """
+
+
+def _eq_term(term: str):
+    # a plain 1-arg lambda: a 2-arg lambda (even via default args) is
+    # treated by F.filter as the (element, index) form
+    return lambda x: x == term
+
+
+@query("text_bm25_topk", oracle=_bm25_oracle())
+def text_bm25_topk(spark, sf_dir):
+    """BM25 keyword retrieval: top-{20} documents for a fixed 3-term
+    query (k1=1.2, b=0.75; idf in log2 — a positive constant factor
+    off the ln form, rank-identical).
+
+    Engine-exactness: term frequencies come from in-row array filters
+    (map-only, no explode/shuffle); N, Σlen and the per-term dfs are
+    ONE global aggregate broadcast back; idf is a DIFFERENCE of
+    floored log2s of odd integers (2N−2df+1, 2df+1 — the
+    integer-argument class whose cross-engine floor parity is
+    property-tested), and the score formula is written with identical
+    operation order in both engines, so the final doubles are
+    bit-identical and the top-k cut (fixed-point score, doc_id
+    tiebreak) is deterministic. Scale: score is embarrassingly
+    parallel; the only data-sized exchange is the top-k
+    TakeOrdered — no per-term posting-list shuffle exists at all.
+    """
+    return (
+        _bm25_scored(Tables(spark, sf_dir))
+        .orderBy(F.col("score_fp").desc(), "doc_id")
+        .limit(BM25_TOPK)
+        .select("doc_id", (F.col("score_fp") / 10000.0).alias("bm25"))
+    )
+
+
+def _bm25_scored(t):
+    """(doc_id, score_fp) for every document — the Spark twin of
+    :func:`_bm25_scored_cte`, shared by BM25 top-k and the RRF hybrid."""
+    tk = F.filter(F.split("text", " "), lambda x: x != "")
+    c = t.documents.select(
+        "doc_id",
+        F.size(tk).alias("len"),
+        *[
+            F.size(F.filter(tk, _eq_term(t_))).alias(f"tf{i}")
+            for i, t_ in enumerate(BM25_TERMS)
+        ],
+    )
+    stats = c.agg(
+        F.count("*").alias("n"),
+        F.sum("len").cast("bigint").alias("sl"),
+        *[
+            F.count_if(F.col(f"tf{i}") > 0).alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    scored = c.crossJoin(F.broadcast(stats))
+    n, sl = F.col("n"), F.col("sl")
+    total = None
+    for i in range(len(BM25_TERMS)):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = (
+            F.floor(F.log2(2 * n - 2 * df + 1) * 10000 + 0.5).cast("bigint")
+            - F.floor(F.log2(2 * df + 1) * 10000 + 0.5).cast("bigint")
+        )
+        term = (
+            (idf.cast("double") / 10000.0)
+            * (tf * (BM25_K1 + 1))
+            / (
+                tf
+                + BM25_K1
+                * (
+                    (1 - BM25_B)
+                    + BM25_B * (( F.col("len") * n).cast("double") / sl)
+                )
+            )
+        )
+        total = term if total is None else total + term
+    score_fp = F.floor(total * 10000 + 0.5).cast("bigint")
+    return scored.select("doc_id", score_fp.alias("score_fp"))
+
+
+#: RRF constant (Cormack et al. 2009's k=60) and hybrid cut
+RRF_K, RRF_TOPK = 60, 15
+
+
+@query(
+    "sim_hybrid_rrf",
+    oracle=f"""
+    WITH {_bm25_scored_cte()},
+    lexr AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score_fp DESC, doc_id) AS r_lex
+        FROM scored
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+          WHERE vec_id = 0),
+    vec AS (
+        SELECT vec_id,
+               round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe),
+                     4) AS sim
+        FROM embeddings, q
+    ),
+    vecr AS (
+        SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS r_vec
+        FROM vec
+    ),
+    fused AS (
+        SELECT doc_id, r_lex, r_vec,
+               CAST(1 AS DOUBLE) / ({RRF_K} + r_lex)
+                   + CAST(1 AS DOUBLE) / ({RRF_K} + r_vec) AS rrf
+        FROM lexr JOIN vecr ON doc_id = vec_id
+    )
+    SELECT doc_id, r_lex, r_vec,
+           floor(rrf * 1000000 + 0.5) / 1000000.0 AS rrf
+    FROM fused
+    ORDER BY floor(rrf * 1000000 + 0.5) DESC, doc_id
+    LIMIT {RRF_TOPK}
+    """,
+)
+def sim_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion (k=60, Cormack et al.
+    2009) of the BM25 keyword ranking and the dense cosine ranking
+    against query vector vec_id=0 — the fusion step every
+    lexical+vector search stack runs.
+
+    RRF operates on RANKS, which are exact integers on both engines
+    (both orderings cut on fixed-point scores with id tiebreaks), so
+    the fused score 1/(60+r_lex) + 1/(60+r_vec) divides identical
+    integers — no float provenance from either scorer leaks into the
+    fusion. Scale: each side's global ranking is a top-k problem
+    (TakeOrdered; the full row_number here ranks ALL docs only
+    because the fusion wants complete rank lists — at 100 TB you cut
+    both lists to the fusion window first, which bounds rank depth by
+    construction). The doc↔vec join is the modality bridge on the
+    shared id."""
+    t = Tables(spark, sf_dir)
+    lex = _bm25_scored(t).withColumn(
+        "r_lex",
+        F.row_number().over(
+            Window.orderBy(F.col("score_fp").desc(), "doc_id")
+        ),
+    )
+    q = t.embeddings.filter(F.col("vec_id") == 0).select(
+        to_double("embedding").alias("qe")
+    )
+    vec = t.embeddings.crossJoin(F.broadcast(q)).select(
+        "vec_id", r4(cosine(to_double("embedding"), F.col("qe"))).alias("sim")
+    )
+    vecr = vec.withColumn(
+        "r_vec",
+        F.row_number().over(Window.orderBy(F.col("sim").desc(), "vec_id")),
+    )
+    rrf = F.lit(1).cast("double") / (RRF_K + F.col("r_lex")) + F.lit(1).cast(
+        "double"
+    ) / (RRF_K + F.col("r_vec"))
+    rrf_fp = F.floor(rrf * 1000000 + 0.5)
+    return (
+        lex.join(vecr, lex.doc_id == vecr.vec_id)
+        .select("doc_id", "r_lex", "r_vec", rrf_fp.alias("rrf_fp"))
+        .orderBy(F.col("rrf_fp").desc(), "doc_id")
+        .limit(RRF_TOPK)
+        .select(
+            "doc_id",
+            F.col("r_lex").cast("bigint").alias("r_lex"),
+            F.col("r_vec").cast("bigint").alias("r_vec"),
+            (F.col("rrf_fp") / 1000000.0).alias("rrf"),
+        )
     )
