@@ -73,7 +73,7 @@ GRADE_DEFER = [
     "scan_binary_files", "sql_lateral_topn", "win_period_over_period",
     "dq_benford_leading_digit", "stream_stream_join",
     "scan_xml_roundtrip", "join_hint_shuffle_hash", "dq_filter_cascade",
-    "text_bm25_topk", "sim_hybrid_rrf",
+    "text_bm25_topk", "sim_hybrid_rrf", "merge_scd2_dimension",
 ]
 
 

@@ -52,6 +52,9 @@ HEADLINE = [
     "tpch_q1",                 # canonical scan-bound aggregate (r4)
     "tpch_q5",                 # canonical broadcast-star join (r4)
     "pack_sequences_greedy",   # training-sequence packing (r4)
+    "text_bm25_topk",          # shuffle-free keyword retrieval (r5)
+    "basket_brand_affinity",   # market-basket pair mining (r5)
+    "ts_anomaly_zscore",       # windowed anomaly detection (r5)
 ]
 
 

@@ -159,3 +159,96 @@ def mv_incremental_refresh(spark, sf_dir):
         return refreshed.localCheckpoint()
     finally:
         shutil.rmtree(snap_dir, ignore_errors=True)
+
+
+@query(
+    "merge_scd2_dimension",
+    oracle="""
+    WITH tiers AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN value < 50 THEN 'bronze'
+                    WHEN value < 200 THEN 'silver'
+                    ELSE 'gold' END AS tier
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, ts, event_id, tier,
+               CASE WHEN lag(tier) OVER w IS DISTINCT FROM tier
+                    THEN 1 ELSE 0 END AS is_change
+        FROM tiers
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, tier,
+               sum(is_change) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM runs
+    ),
+    versions AS (
+        SELECT user_id, tier, CAST(run_id AS BIGINT) AS version,
+               min(epoch_us(CAST(ts AS TIMESTAMP))) AS eff_from_us
+        FROM numbered GROUP BY user_id, tier, run_id
+    )
+    SELECT user_id, version, tier, eff_from_us,
+           lead(eff_from_us) OVER (PARTITION BY user_id
+                                   ORDER BY version) AS eff_to_us,
+           lead(eff_from_us) OVER (PARTITION BY user_id
+                                   ORDER BY version) IS NULL AS is_current
+    FROM versions
+    """,
+)
+def merge_scd2_dimension(spark, sf_dir):
+    """Slowly-changing-dimension type 2 build: each user's event
+    stream is classified into a value tier (bronze/silver/gold), and
+    CONSECUTIVE same-tier runs collapse into one dimension version
+    with [eff_from, eff_to) validity — the history table a warehouse
+    keeps for point-in-time joins (the complement of
+    merge_upsert_cdc's latest-wins type-1 merge, and the consumer of
+    join_interval_point's as-of lookup).
+
+    Classic run-length rewrite: change flag (lag ≠, null-safe for the
+    first row) → running-sum version number → one aggregate → lead()
+    for the closing bound; all four steps share the single user_id
+    exchange, so the 100 TB cost is one shuffle plus a rows-per-key
+    sort. Validity bounds are emitted as epoch microseconds (integer,
+    engine-exact; open end = NULL ∧ is_current)."""
+    t = Tables(spark, sf_dir)
+    tier = (
+        F.when(F.col("value") < 50, "bronze")
+        .when(F.col("value") < 200, "silver")
+        .otherwise("gold")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = t.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        tier.alias("tier"),
+        F.when(
+            ~F.lag(tier).over(w).eqNullSafe(tier), 1
+        )
+        .otherwise(0)
+        .alias("is_change"),
+    )
+    numbered = runs.select(
+        "user_id",
+        "ts",
+        "tier",
+        F.sum("is_change")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("run_id"),
+    )
+    versions = numbered.groupBy(
+        "user_id", "tier", F.col("run_id").cast("bigint").alias("version")
+    ).agg(F.min(F.unix_micros("ts")).alias("eff_from_us"))
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    eff_to = F.lead("eff_from_us").over(w2)
+    return versions.select(
+        "user_id",
+        "version",
+        "tier",
+        "eff_from_us",
+        eff_to.alias("eff_to_us"),
+        eff_to.isNull().alias("is_current"),
+    )
