@@ -74,6 +74,8 @@ GRADE_DEFER = [
     "dq_benford_leading_digit", "stream_stream_join",
     "scan_xml_roundtrip", "join_hint_shuffle_hash", "dq_filter_cascade",
     "text_bm25_topk", "sim_hybrid_rrf", "merge_scd2_dimension",
+    "events_markov_transition", "scan_time_travel",
+    "maintenance_cache_reuse",
 ]
 
 

@@ -340,3 +340,15 @@ def test_simhash_signature_map_only(spark, sf_dir):
     plan = physical_plan(QUERIES["dedup_simhash"](spark, sf_dir))
     # the signature fold must not introduce a per-token explode
     assert "Generate explode" not in plan
+
+
+def test_cache_reuse_hits_memory_scan(spark, sf_dir):
+    plan = physical_plan(QUERIES["maintenance_cache_reuse"](spark, sf_dir))
+    assert "InMemoryTableScan" in plan
+
+
+def test_time_travel_prunes_generations(spark, sf_dir):
+    plan = physical_plan(QUERIES["scan_time_travel"](spark, sf_dir))
+    # plan is post-localCheckpoint; the materialized result must not
+    # rescan parquet
+    assert "Scan parquet" not in plan

@@ -734,3 +734,51 @@ def dq_benford_leading_digit(spark, sf_dir):
             ffix(obs - bshare, 6).alias("excess"),
         )
     )
+
+
+@query(
+    "events_markov_transition",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id, event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    c AS (
+        SELECT cur, nxt, count(*) AS n FROM p
+        WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    t AS (SELECT cur, sum(n) AS row_total FROM c GROUP BY cur)
+    SELECT c.cur, c.nxt, c.n,
+           {ofix('CAST(c.n AS DOUBLE) / row_total', 6)} AS p_transition
+    FROM c JOIN t ON c.cur = t.cur
+    """,
+)
+def events_markov_transition(spark, sf_dir):
+    """First-order Markov transition matrix over event types: for
+    every (current → next) pair within a user's stream, the count and
+    the row-normalized transition probability — the model behind
+    next-action prediction and behavioral anomaly scoring.
+
+    One user_id window sort produces the successor pairs; the pair
+    and row-marginal aggregates both collapse onto the tiny
+    |types|² key space, and the probability divides two exact
+    integers. The |types|-row marginal broadcasts back — nothing
+    after the window touches event volume."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = t.events.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    c = p.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    tot = c.groupBy("cur").agg(F.sum("n").alias("row_total"))
+    return c.join(F.broadcast(tot), "cur").select(
+        "cur",
+        "nxt",
+        "n",
+        ffix(F.col("n").cast("double") / F.col("row_total"), 6).alias(
+            "p_transition"
+        ),
+    )

@@ -14,6 +14,7 @@ import tempfile
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from ..operators._util import dsum, osum
 from ..registry import query
 from ..smalldf import small_df
 from ..tables import Tables
@@ -178,3 +179,56 @@ def maintenance_zorder(spark, sf_dir):
         F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
         F.expr(zvalue_sql("l_partkey", "l_suppkey")).alias("zval"),
     )
+
+
+@query(
+    "maintenance_cache_reuse",
+    oracle=f"""
+    WITH sl AS (
+        SELECT o_orderstatus, o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey % 4 = 0
+    )
+    SELECT 'status' AS grain, o_orderstatus AS key,
+           count(*) AS n, {osum('o_totalprice')} AS revenue
+    FROM sl GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'priority', o_orderpriority, count(*), {osum('o_totalprice')}
+    FROM sl GROUP BY o_orderpriority
+    """,
+)
+def maintenance_cache_reuse(spark, sf_dir):
+    """Explicit materialization surface: a filtered projection is
+    persist()-ed once and served to two aggregations at different
+    grains — the interactive-session pattern (and the manual
+    counterpart of AQE's automatic exchange reuse, which only fires
+    when subtrees are exactly equal).
+
+    The second branch must hit InMemoryTableScan, not re-read parquet
+    (plan-asserted in tests/test_plans.py). Cache columnar batches
+    hold ONLY the projected 3 columns post-filter — at 100 TB you
+    persist the reduced relation, never the raw scan, and prefer
+    MEMORY_AND_DISK (the default) so eviction degrades to local disk
+    instead of recomputation."""
+    t = Tables(spark, sf_dir)
+    sl = (
+        t.orders.filter(F.col("o_orderkey") % 4 == 0)
+        .select("o_orderstatus", "o_orderpriority", "o_totalprice")
+        .persist()
+    )
+    a = sl.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), dsum("o_totalprice").alias("revenue")
+    ).select(
+        F.lit("status").alias("grain"),
+        F.col("o_orderstatus").alias("key"),
+        "n",
+        "revenue",
+    )
+    b = sl.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), dsum("o_totalprice").alias("revenue")
+    ).select(
+        F.lit("priority").alias("grain"),
+        F.col("o_orderpriority").alias("key"),
+        "n",
+        "revenue",
+    )
+    return a.unionAll(b)

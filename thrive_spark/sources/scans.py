@@ -12,6 +12,7 @@ import os
 import shutil
 import tempfile
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -433,5 +434,73 @@ def scan_binary_files(spark, sf_dir):
             )
             .localCheckpoint()
         )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "scan_time_travel",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        WHERE o_orderkey % 3 = 0
+    ),
+    merged AS (
+        SELECT k, CASE WHEN k % 5 = 0 THEN p + 1000 ELSE p END AS p
+        FROM base
+    )
+    SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+           {osum('p')} AS revenue
+    FROM base
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), count(*), {osum('p')}
+    FROM merged
+    """,
+)
+def scan_time_travel(spark, sf_dir):
+    """Snapshot time travel over a generation-partitioned table: gen 1
+    is the base orders slice, gen 2 a price-correction delta on every
+    15th key; querying AS OF version 1 replays only gen 1, while the
+    latest view merges generations latest-wins. The oracle derives
+    both snapshots from the source relation, proving the versioned
+    store reproduces history exactly.
+
+    This is the file-layout core of Iceberg/Delta time travel without
+    their metadata layer: generations are partition directories, so
+    AS OF v prunes to gen ≤ v AT THE SCAN (partition pruning on the
+    gen column — old snapshots cost nothing to keep), and latest-wins
+    is one row_number over the merge key ordered by gen DESC — the
+    same single-shuffle shape as merge_upsert_cdc. Deltas hold ONLY
+    changed keys, so storage and merge cost scale with churn, not
+    table size."""
+    t = Tables(spark, sf_dir)
+    base = t.orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    delta = base.filter(F.col("k") % 5 == 0).select(
+        "k", (F.col("p") + 1000).alias("p")
+    )
+    out = tempfile.mkdtemp(prefix="thrive_timetravel_")
+    try:
+        base.write.mode("overwrite").parquet(f"{out}/gen=1")
+        delta.write.mode("overwrite").parquet(f"{out}/gen=2")
+        tbl = spark.read.option("basePath", out).parquet(
+            f"{out}/gen=1", f"{out}/gen=2"
+        )
+
+        def snapshot(version: int):
+            w = Window.partitionBy("k").orderBy(F.col("gen").desc())
+            latest = (
+                tbl.filter(F.col("gen") <= version)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+            )
+            return latest.agg(
+                F.lit(version).cast("bigint").alias("version"),
+                F.count("*").alias("n_rows"),
+                dsum("p").alias("revenue"),
+            ).select("version", "n_rows", "revenue")
+
+        return snapshot(1).unionAll(snapshot(2)).localCheckpoint()
     finally:
         shutil.rmtree(out, ignore_errors=True)
