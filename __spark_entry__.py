@@ -75,7 +75,8 @@ GRADE_DEFER = [
     "scan_xml_roundtrip", "join_hint_shuffle_hash", "dq_filter_cascade",
     "text_bm25_topk", "sim_hybrid_rrf", "merge_scd2_dimension",
     "events_markov_transition", "scan_time_travel",
-    "maintenance_cache_reuse",
+    "maintenance_cache_reuse", "sim_hard_negatives",
+    "analytics_rfm_segments", "win_max_drawdown", "ts_seasonal_baseline",
 ]
 
 

@@ -782,3 +782,84 @@ def events_markov_transition(spark, sf_dir):
             "p_transition"
         ),
     )
+
+
+@query(
+    "analytics_rfm_segments",
+    oracle="""
+    WITH m AS (
+        SELECT user_id,
+               max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+               count(*) AS freq,
+               CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS monetary_fp
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    s AS (
+        SELECT user_id, freq, monetary_fp,
+               CAST(ntile(5) OVER (ORDER BY last_us, user_id) AS BIGINT)
+                   AS r_score,
+               CAST(ntile(5) OVER (ORDER BY freq, user_id) AS BIGINT)
+                   AS f_score,
+               CAST(ntile(5) OVER (ORDER BY monetary_fp, user_id) AS BIGINT)
+                   AS m_score
+        FROM m
+    )
+    SELECT user_id, r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                    THEN 'champion'
+                WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+                WHEN r_score >= 4 AND f_score <= 2 THEN 'new_promising'
+                WHEN r_score <= 2 AND f_score <= 2 AND m_score <= 2
+                    THEN 'hibernating'
+                ELSE 'core' END AS segment
+    FROM s
+    """,
+)
+def analytics_rfm_segments(spark, sf_dir):
+    """RFM segmentation: per-user Recency / Frequency / Monetary
+    quintile scores over purchase events, folded into the marketing
+    segments (champion / at-risk-loyal / new-promising / hibernating /
+    core) a CRM export carries.
+
+    All three metrics come from ONE purchase aggregate (max ts in
+    integer micros, count, fixed-point spend); the three ntile(5)
+    windows run over the |users|-row aggregate — post-aggregation
+    global windows, not raw-fact ones (for quantiles over raw 100 TB
+    facts, use win_ntile_percentile's range-partition rewrite). Every
+    ntile orders with a user_id tiebreak, so quintile boundaries are
+    engine-deterministic."""
+    t = Tables(spark, sf_dir)
+    m = (
+        t.events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("last_us"),
+            F.count("*").alias("freq"),
+            F.sum(fixed("value")).cast("bigint").alias("monetary_fp"),
+        )
+    )
+    s = m.select(
+        "user_id",
+        F.ntile(5).over(Window.orderBy("last_us", "user_id"))
+        .cast("bigint")
+        .alias("r_score"),
+        F.ntile(5).over(Window.orderBy("freq", "user_id"))
+        .cast("bigint")
+        .alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary_fp", "user_id"))
+        .cast("bigint")
+        .alias("m_score"),
+    )
+    r, f_, mm = F.col("r_score"), F.col("f_score"), F.col("m_score")
+    seg = (
+        F.when((r >= 4) & (f_ >= 4) & (mm >= 4), "champion")
+        .when((r <= 2) & (f_ >= 4), "at_risk_loyal")
+        .when((r >= 4) & (f_ <= 2), "new_promising")
+        .when((r <= 2) & (f_ <= 2) & (mm <= 2), "hibernating")
+        .otherwise("core")
+    )
+    return s.select(
+        "user_id", "r_score", "f_score", "m_score", seg.alias("segment")
+    )

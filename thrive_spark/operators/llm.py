@@ -433,3 +433,64 @@ def text_lang_distribution(spark, sf_dir):
         .join(F.broadcast(med), "lang")
         .select("lang", "source", "n_docs", "median_chars")
     )
+
+
+@query(
+    "sim_hard_negatives",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+                      CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 20),
+    pairs AS (
+        SELECT query_id, vec_id AS neg_id,
+               round(list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])),
+                     4) AS sim
+        FROM embeddings CROSS JOIN q
+        WHERE label <> q_label
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neg_id) AS rn
+        FROM pairs
+    )
+    SELECT query_id, neg_id, sim, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def sim_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each query
+    vector (vec_id < 20), the top-3 most-similar vectors with a
+    DIFFERENT label — the highest-value negatives for a triplet /
+    InfoNCE batch (easy negatives teach nothing; false negatives are
+    excluded by the label guard).
+
+    Same scale shape as sim_knn_cosine_topk: the query set broadcasts,
+    candidates stream through one scan, and the label inequality
+    prunes before ranking. At 100 TB swap the exact scan for the IVF
+    shortlist (sim_knn_ivf) and re-rank — the mining semantics
+    (different-label top-k) stay this query."""
+    t = Tables(spark, sf_dir)
+    q = t.embeddings.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        to_double("embedding").alias("qe"),
+    )
+    c = t.embeddings.select(
+        F.col("vec_id").alias("neg_id"),
+        "label",
+        to_double("embedding").alias("ce"),
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "neg_id",
+            r4(cosine(F.col("qe"), F.col("ce"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neg_id")
+    )
+    return pairs.withColumn(
+        "rn", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rn") <= 3)

@@ -425,3 +425,130 @@ def ts_anomaly_zscore(spark, sf_dir):
             ffix(z).alias("zscore"),
         )
     )
+
+
+@query(
+    "win_max_drawdown",
+    oracle=f"""
+    WITH r AS (
+        SELECT user_id, ts, event_id,
+               sum({_FIX}) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS equity_fp
+        FROM events
+    ),
+    d AS (
+        SELECT user_id, equity_fp,
+               max(equity_fp) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS peak_fp
+        FROM r
+    )
+    SELECT user_id,
+           CAST(max(peak_fp - equity_fp) AS BIGINT) AS max_drawdown_fp,
+           CAST(max(peak_fp) AS BIGINT) AS peak_fp
+    FROM d GROUP BY user_id
+    """,
+)
+def win_max_drawdown(spark, sf_dir):
+    """Maximum drawdown per user: treating the running fixed-point sum
+    of event values as an equity curve, the largest peak-to-trough
+    drop (max over time of running-max − current) — the risk metric
+    every portfolio/telemetry dashboard computes, and the canonical
+    composition of two prefix scans.
+
+    Both the running sum and the running max are single-pass window
+    folds over one (user_id) sort; the final aggregate reuses the
+    same partitioning, so the whole metric costs one shuffle. All
+    arithmetic is BIGINT on fixed-point values — no float provenance
+    at all."""
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = t.events.select(
+        "user_id",
+        F.sum(fixed("value")).over(w).alias("equity_fp"),
+        F.col("ts"),
+        F.col("event_id"),
+    )
+    d = r.select(
+        "user_id",
+        "equity_fp",
+        F.max("equity_fp").over(w).alias("peak_fp"),
+    )
+    return d.groupBy("user_id").agg(
+        F.max(F.col("peak_fp") - F.col("equity_fp"))
+        .cast("bigint")
+        .alias("max_drawdown_fp"),
+        F.max("peak_fp").cast("bigint").alias("peak_fp"),
+    )
+
+
+@query(
+    "ts_seasonal_baseline",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type, CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+               {_FIX} AS v_fp
+        FROM events
+    ),
+    base AS (
+        SELECT event_type, hr, count(*) AS n,
+               CAST(sum(v_fp) AS BIGINT) AS s_fp
+        FROM h GROUP BY event_type, hr
+    ),
+    dev AS (
+        SELECT h.event_type, h.hr,
+               CAST(h.v_fp * base.n - base.s_fp AS BIGINT) AS dev_n_fp,
+               base.n
+        FROM h JOIN base ON h.event_type = base.event_type
+                        AND h.hr = base.hr
+    )
+    SELECT event_type, hr, n,
+           {ofix('CAST(max(abs(dev_n_fp)) AS DOUBLE) / (n * 10000)')}
+               AS max_abs_dev,
+           {ofix('CAST(sum(abs(dev_n_fp)) AS DOUBLE) / (CAST(n AS DOUBLE)'
+                 ' * n * 10000)')} AS mean_abs_dev
+    FROM dev GROUP BY event_type, hr, n
+    """,
+)
+def ts_seasonal_baseline(spark, sf_dir):
+    """Hour-of-day seasonal baseline removal: each event's deviation
+    from its (event_type, hour) mean, rolled up to per-cell max and
+    mean absolute deviation — the de-seasonalization step before
+    thresholding time-series alerts (a 9 a.m. spike is only a spike
+    relative to 9 a.m. behavior).
+
+    Integer trick: deviation·n = v_fp·n − Σv_fp avoids dividing by n
+    per row — all deviations stay exact BIGINT until the final two
+    divisions per (type, hour) cell. The baseline is a 24×|types|
+    aggregate that BROADCASTS back onto the stream; both aggregates
+    map-side combine, so the event volume crosses the wire once."""
+    t = Tables(spark, sf_dir)
+    h = t.events.select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("hr"),
+        fixed("value").alias("v_fp"),
+    )
+    base = h.groupBy("event_type", "hr").agg(
+        F.count("*").alias("n"),
+        F.sum("v_fp").cast("bigint").alias("s_fp"),
+    )
+    dev = h.join(F.broadcast(base), ["event_type", "hr"]).select(
+        "event_type",
+        "hr",
+        "n",
+        (F.col("v_fp") * F.col("n") - F.col("s_fp"))
+        .cast("bigint")
+        .alias("dev_n_fp"),
+    )
+    return dev.groupBy("event_type", "hr", "n").agg(
+        ffix(
+            F.max(F.abs("dev_n_fp")).cast("double") / (F.col("n") * 10000)
+        ).alias("max_abs_dev"),
+        ffix(
+            F.sum(F.abs("dev_n_fp")).cast("double")
+            / (F.col("n").cast("double") * F.col("n") * 10000)
+        ).alias("mean_abs_dev"),
+    )
