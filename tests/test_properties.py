@@ -150,3 +150,14 @@ def test_log2_fixed_point_parity(spark):
     )
     assert (sp["a"] == dk["a"]).all()
     assert (sp["b"] == dk["b"]).all()
+
+
+def test_cms_one_sided_error(spark, sf_dir):
+    """CMS estimates never undercount, and width<|keys| forces at
+    least one real collision so the audit is non-vacuous."""
+    from thrive_spark.registry import QUERIES
+
+    pdf = QUERIES["agg_cms_frequency"](spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["overcount"] >= 0).all()
+    assert (pdf["est"] >= pdf["exact"]).all()

@@ -564,3 +564,69 @@ def agg_corr_exact(spark, sf_dir):
             "corr_qty_price"
         ),
     )
+
+
+#: Count-Min geometry: depth 4 × width 64.  Width is deliberately
+#: SMALLER than the key cardinality at test scale so collisions (and
+#: therefore visible overcounts) actually occur — the est ≥ exact
+#: one-sided error is property-tested in tests/test_properties.py.
+CMS_DEPTH, CMS_WIDTH = 4, 64
+
+
+@query("agg_cms_frequency")  # rows-only: xxhash64-seeded sketch
+def agg_cms_frequency(spark, sf_dir):
+    """Count-Min sketch frequency estimation: build a d×w counter grid
+    over the event stream's user_id traffic, then answer per-key
+    frequency queries from the SKETCH (min over d hashed counters) —
+    the fixed-memory substitute for exact per-key counts when the key
+    space is unbounded (IPs, URLs, session ids).
+
+    Distributed build: each event contributes +1 to d (row, hash(key,
+    row) mod w) cells — a groupBy on the d×w cell space, so the
+    shuffle carries AT MOST d·w rows per map partition regardless of
+    input size; the finished sketch is d·w longs (2 KB here) however
+    large the stream. Estimates join the candidate keys' d probe cells
+    back against the sketch and take the min — one broadcast join.
+    Exact counts ride along for the audit columns; CMS guarantees
+    est ≥ exact (one-sided), with overshoot bounded by ε·N for
+    w = ⌈e/ε⌉ at confidence 1−(1/2)^d. Width 64 < |keys| here forces
+    real collisions so the audit is non-vacuous. A production heavy-
+    hitter query filters est ≥ φ·N on the sketch alone; the full
+    per-key audit here exists to exhibit the one-sided error."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id")
+    rows = F.array(*[F.lit(r) for r in range(CMS_DEPTH)])
+    cells = ev.select(
+        F.explode(rows).alias("r"), F.col("user_id")
+    ).select(
+        "r",
+        F.pmod(F.xxhash64("user_id", F.col("r")), F.lit(CMS_WIDTH)).alias(
+            "pos"
+        ),
+    )
+    sketch = cells.groupBy("r", "pos").agg(F.count("*").alias("c"))
+
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact"))
+    probes = exact.select(
+        "user_id",
+        "exact",
+        F.explode(rows).alias("r"),
+    ).select(
+        "user_id",
+        "exact",
+        "r",
+        F.pmod(F.xxhash64("user_id", F.col("r")), F.lit(CMS_WIDTH)).alias(
+            "pos"
+        ),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "pos"])
+        .groupBy("user_id", "exact")
+        .agg(F.min("c").alias("est"))
+    )
+    return est.select(
+        "user_id",
+        "est",
+        "exact",
+        (F.col("est") - F.col("exact")).alias("overcount"),
+    )

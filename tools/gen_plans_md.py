@@ -42,6 +42,11 @@ IDS = [
     "pack_sequences_greedy",
     "dq_expectations",
     "cluster_topics_kmeans",
+    "text_bm25_topk",
+    "basket_brand_affinity",
+    "join_bloom_prefilter",
+    "merge_scd2_dimension",
+    "win_max_drawdown",
 ]
 
 KEEP = re.compile(

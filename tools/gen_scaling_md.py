@@ -39,6 +39,10 @@ IDS = [
     "cluster_topics_kmeans",
     "merge_upsert_cdc",
     "resample_gapfill",
+    "text_bm25_topk",
+    "basket_brand_affinity",
+    "ts_anomaly_zscore",
+    "merge_scd2_dimension",
 ]
 
 
