@@ -77,7 +77,7 @@ GRADE_DEFER = [
     "events_markov_transition", "scan_time_travel",
     "maintenance_cache_reuse", "sim_hard_negatives",
     "analytics_rfm_segments", "win_max_drawdown", "ts_seasonal_baseline",
-    "agg_cms_frequency",
+    "agg_cms_frequency", "text_pmi_bigrams", "analytics_audience_overlap",
 ]
 
 

@@ -863,3 +863,77 @@ def analytics_rfm_segments(spark, sf_dir):
     return s.select(
         "user_id", "r_score", "f_score", "m_score", seg.alias("segment")
     )
+
+
+@query(
+    "analytics_audience_overlap",
+    oracle=f"""
+    WITH u AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    c AS (SELECT event_type, count(*) AS n_users FROM u GROUP BY event_type),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_both
+        FROM u a JOIN u b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_both, ca.n_users AS n_a, cb.n_users AS n_b,
+           {ofix('CAST(n_both AS DOUBLE)'
+                 ' / (ca.n_users + cb.n_users - n_both)', 6)} AS jaccard
+    FROM pairs
+    JOIN c ca ON ca.event_type = type_a
+    JOIN c cb ON cb.event_type = type_b
+    """,
+)
+def analytics_audience_overlap(spark, sf_dir):
+    """Audience overlap matrix: for every pair of event types, the
+    user-set intersection size and Jaccard similarity — the audience-
+    planning query behind retargeting and cannibalization analysis.
+
+    The |users|×|types| distinct projection collapses event volume
+    first; the pair intersection is a self-join on user_id (the same
+    single-key shuffle every operator in this module uses), and the
+    per-type marginals broadcast back. Jaccard divides exact integers
+    via inclusion-exclusion — no float provenance. At sketch scale the
+    same output shape comes from per-type HLL unions
+    (agg_hll_sketch_union): exact here because the oracle demands it."""
+    t = Tables(spark, sf_dir)
+    u = t.events.select("event_type", "user_id").distinct()
+    c = u.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    a, b = u.alias("a"), u.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    ca = F.broadcast(
+        c.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a"))
+    )
+    cb = F.broadcast(
+        c.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b"))
+    )
+    return (
+        pairs.join(ca, "type_a")
+        .join(cb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            ffix(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -711,3 +711,97 @@ def sim_hybrid_rrf(spark, sf_dir):
             (F.col("rrf_fp") / 1000000.0).alias("rrf"),
         )
     )
+
+
+#: PMI collocation thresholds: drop bigrams seen fewer than this many
+#: times (PMI is noise below small counts)
+PMI_MIN_COUNT, PMI_TOPK = 25, 40
+
+
+@query(
+    "text_pmi_bigrams",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT toks[i] AS w1, toks[i + 1] AS w2
+        FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1))
+                          AS i) s
+    ),
+    cxy AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY w1, w2),
+    cx AS (SELECT w1 AS w, count(*) AS c_x FROM bg GROUP BY w1),
+    cy AS (SELECT w2 AS w, count(*) AS c_y FROM bg GROUP BY w2),
+    n AS (SELECT count(*) AS total FROM bg),
+    scored AS (
+        SELECT w1, w2, c_xy,
+               CAST(floor(log2(c_xy * total) * 10000 + 0.5) AS BIGINT)
+                   - CAST(floor(log2(c_x * c_y) * 10000 + 0.5) AS BIGINT)
+                   AS pmi_fp
+        FROM cxy
+        JOIN cx ON cx.w = w1
+        JOIN cy ON cy.w = w2, n
+        WHERE c_xy >= {PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, c_xy, pmi_fp / 10000.0 AS pmi
+    FROM scored
+    ORDER BY pmi_fp DESC, w1, w2
+    LIMIT {PMI_TOPK}
+    """,
+)
+def text_pmi_bigrams(spark, sf_dir):
+    """Collocation mining: top bigrams by pointwise mutual information
+    PMI = log2(c_xy·N / (c_x·c_y)) with a minimum-count gate — the
+    phrase detector (word2vec's phrase pass, "new york"-style merges)
+    a tokenizer pipeline runs before vocabulary induction.
+
+    PMI's argument is a RATIO OF INTEGERS, so it is computed as a
+    difference of floored log2s of integer products (c_xy·N and
+    c_x·c_y both « 2^63) — the cross-engine-exact pattern shared with
+    BM25's idf; ranking and the top-k cut happen on the integer
+    fixed-point PMI with a word tiebreak. Scale shape: one explode to
+    bigram pairs, then three hash aggregates whose results join back
+    on word keys — the unigram marginals are |vocab|-sized and
+    broadcast; nothing re-reads the corpus."""
+    t = Tables(spark, sf_dir)
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    tk = t.documents.select(toks.alias("toks"))
+    bg = tk.select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                F.slice(
+                    "toks", 2, F.greatest(F.size("toks") - 1, F.lit(0))
+                ),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    cxy = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    cx = bg.groupBy(F.col("w1").alias("w")).agg(F.count("*").alias("c_x"))
+    cy = bg.groupBy(F.col("w2").alias("w")).agg(F.count("*").alias("c_y"))
+    n = bg.agg(F.count("*").alias("total"))
+    scored = (
+        cxy.filter(F.col("c_xy") >= PMI_MIN_COUNT)
+        .join(F.broadcast(cx.withColumnRenamed("w", "w1")), "w1")
+        .join(F.broadcast(cy.withColumnRenamed("w", "w2")), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            (
+                F.floor(F.log2(F.col("c_xy") * F.col("total")) * 10000 + 0.5)
+                .cast("bigint")
+                - F.floor(F.log2(F.col("c_x") * F.col("c_y")) * 10000 + 0.5)
+                .cast("bigint")
+            ).alias("pmi_fp"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("pmi_fp").desc(), "w1", "w2")
+        .limit(PMI_TOPK)
+        .select("w1", "w2", "c_xy", (F.col("pmi_fp") / 10000.0).alias("pmi"))
+    )
