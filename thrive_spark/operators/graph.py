@@ -8,7 +8,9 @@ aggregates, so the same code runs at any scale Catalyst can shuffle.
 
 Scale shape: the edge list is built from a within-order pair explosion
 AFTER projecting line items to their (order, brand) distinct — cost is
-Σ|basket|², bounded by basket width, one shuffle on l_orderkey. The
+Σ|basket|², bounded by basket width, one shuffle on l_orderkey (the
+pairs are generated in-row from each order's collected brand array —
+see analytics._basket_pairs — not by a self-join). The
 triangle join uses the canonical a<b<c vertex ordering, which is the
 small-graph specialization of compact-forward / node-iterator triangle
 counting (Schank & Wagner 2005): each triangle is enumerated exactly
@@ -86,18 +88,9 @@ def graph_copurchase_stats(spark, sf_dir):
         .select("l_orderkey", "p_brand")
         .distinct()
     )
-    a, b = ob.alias("a"), ob.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.p_brand") < F.col("b.p_brand")),
-        )
-        .groupBy(
-            F.col("a.p_brand").alias("src"), F.col("b.p_brand").alias("dst")
-        )
-        .agg(F.count("*").alias("w"))
-    )
+    from .analytics import _basket_pairs
+
+    e = _basket_pairs(ob).groupBy("src", "dst").agg(F.count("*").alias("w"))
     deg = (
         e.select(F.col("src").alias("v"), "w")
         .unionAll(e.select(F.col("dst").alias("v"), "w"))
