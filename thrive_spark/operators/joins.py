@@ -629,3 +629,36 @@ def join_hint_shuffle_hash(spark, sf_dir):
             dsum("o_totalprice").alias("revenue"),
         )
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           min(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_purchase_ts
+    FROM events
+    """,
+)
+def join_asof_forward(spark, sf_dir):
+    """As-of FORWARD join: each event matched to the user's next
+    strictly-later 'purchase' — the time-to-conversion lookup, and the
+    mirror of join_asof_backward (same one-shuffle window plan with
+    the frame flipped to FOLLOWING; Spark evaluates forward frames in
+    the same single pass by scanning the partition from the end)."""
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    return t.events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .over(w)
+        .alias("next_purchase_ts"),
+    )

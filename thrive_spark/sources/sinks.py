@@ -186,3 +186,56 @@ def sink_jsonl_shards(spark, sf_dir):
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "sink_partition_overwrite_dynamic",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN lang = 'en'
+                         THEN CAST(n_chars AS BIGINT) + 1
+                         ELSE CAST(n_chars AS BIGINT) END) AS BIGINT)
+               AS chars_total
+    FROM documents GROUP BY lang
+    """,
+)
+def sink_partition_overwrite_dynamic(spark, sf_dir):
+    """Dynamic partition overwrite (INSERT OVERWRITE semantics with
+    ``partitionOverwriteMode=dynamic``): the full documents table is
+    written partitioned by lang, then a REVISED en-slice (n_chars+1)
+    is overwrite-written — and only the lang=en directory is replaced;
+    every other partition must survive untouched. The oracle states
+    the expected post-merge per-partition totals, so a STATIC
+    overwrite (which would have truncated the other partitions — the
+    classic production data-loss foot-gun this mode exists to prevent)
+    fails the hash.
+
+    At 100 TB this is the nightly-restatement pattern: recompute only
+    the partitions that changed, leave the rest of the table's files
+    in place; the write cost scales with the restated slice, not the
+    table."""
+    t = Tables(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="thrive_dynover_")
+    try:
+        docs = t.documents.select("doc_id", "n_chars", "lang")
+        docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+        revised = docs.filter(F.col("lang") == "en").withColumn(
+            "n_chars", F.col("n_chars") + 1
+        )
+        (
+            revised.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("lang")
+            .parquet(out)
+        )
+        back = spark.read.parquet(out)
+        return (
+            back.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("chars_total"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
