@@ -65,5 +65,5 @@ def load_all() -> None:
         vectors,
         windows,
     )
-    from .sources import formats, maintenance, scans, sinks  # noqa: F401
+    from .sources import formats, maintenance, pyds, scans, sinks  # noqa: F401
     from .functions import banks  # noqa: F401
