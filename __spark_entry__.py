@@ -79,7 +79,8 @@ GRADE_DEFER = [
     "analytics_rfm_segments", "win_max_drawdown", "ts_seasonal_baseline",
     "agg_cms_frequency", "text_pmi_bigrams", "analytics_audience_overlap",
     "join_asof_forward", "sink_partition_overwrite_dynamic",
-    "scan_python_datasource",
+    "scan_python_datasource", "win_nth_value", "agg_moments_skew_kurtosis",
+    "sql_pivot_clause",
 ]
 
 

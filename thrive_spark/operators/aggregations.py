@@ -630,3 +630,99 @@ def agg_cms_frequency(spark, sf_dir):
         "exact",
         (F.col("est") - F.col("exact")).alias("overcount"),
     )
+
+
+@query(
+    "agg_moments_skew_kurtosis",
+    oracle="""
+    WITH x AS (
+        SELECT event_type,
+               CAST(CAST(floor(value * 10000 + 0.5) AS BIGINT) AS HUGEINT)
+                   AS v
+        FROM events
+    ),
+    s AS (
+        SELECT event_type, count(*) AS n,
+               sum(v) AS s1, sum(v * v) AS s2,
+               sum(v * v * v) AS s3, sum(v * v * v * v) AS s4
+        FROM x GROUP BY event_type
+    ),
+    d AS (
+        SELECT event_type, n,
+               CAST(n AS DOUBLE) AS nn,
+               CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+               CAST(s3 AS DOUBLE) AS d3, CAST(s4 AS DOUBLE) AS d4
+        FROM s
+    ),
+    m AS (
+        SELECT event_type, n,
+               (d2 - d1 * d1 / nn) / nn AS m2,
+               (d3 - 3 * d1 * d2 / nn + 2 * d1 * d1 * d1 / (nn * nn)) / nn
+                   AS m3,
+               (d4 - 4 * d1 * d3 / nn + 6 * d1 * d1 * d2 / (nn * nn)
+                   - 3 * d1 * d1 * d1 * d1 / (nn * nn * nn)) / nn AS m4
+        FROM d
+    )
+    SELECT event_type, n,
+           floor(m3 / (m2 * sqrt(m2)) * 10000 + 0.5) / 10000.0 AS skewness,
+           floor((m4 / (m2 * m2) - 3) * 10000 + 0.5) / 10000.0
+               AS excess_kurtosis
+    FROM m WHERE m2 > 0
+    """,
+)
+def agg_moments_skew_kurtosis(spark, sf_dir):
+    """Population skewness and excess kurtosis per event type, computed
+    from EXACT integer power sums — the engines' built-in skewness()/
+    kurtosis() disagree on bias correction AND on float accumulation
+    order, so the built-ins are unusable cross-engine; raw moments are
+    not.
+
+    Σx..Σx⁴ accumulate in 128-bit integer space (DECIMAL(38,0) /
+    HUGEINT: x ≤ 5·10⁶ in fixed-point units → Σx⁴ ≲ 10³² « 10³⁸),
+    which is merge-order-proof like every fixed-point sum in this
+    repo; the central-moment algebra then runs in doubles with the
+    SAME operation order both sides (sqrt not pow — IEEE sqrt is
+    correctly rounded, pow is not guaranteed). One hash aggregate,
+    map-side combined; the moment algebra costs nothing at any
+    scale."""
+    t = Tables(spark, sf_dir)
+    x = t.events.select(
+        "event_type", fixed("value").cast("decimal(38,0)").alias("v")
+    )
+    v = F.col("v")
+    s = x.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    nn = F.col("n").cast("double")
+    d1, d2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    d3, d4 = F.col("s3").cast("double"), F.col("s4").cast("double")
+    m2 = (d2 - d1 * d1 / nn) / nn
+    m3 = (d3 - 3 * d1 * d2 / nn + 2 * d1 * d1 * d1 / (nn * nn)) / nn
+    m4 = (
+        d4
+        - 4 * d1 * d3 / nn
+        + 6 * d1 * d1 * d2 / (nn * nn)
+        - 3 * d1 * d1 * d1 * d1 / (nn * nn * nn)
+    ) / nn
+    return (
+        s.select(
+            "event_type",
+            "n",
+            m2.alias("m2"),
+            m3.alias("m3"),
+            m4.alias("m4"),
+        )
+        .filter(F.col("m2") > 0)
+        .select(
+            "event_type",
+            "n",
+            (F.floor(F.col("m3") / (F.col("m2") * F.sqrt("m2")) * 10000 + 0.5)
+             / 10000.0).alias("skewness"),
+            (F.floor((F.col("m4") / (F.col("m2") * F.col("m2")) - 3) * 10000
+                     + 0.5) / 10000.0).alias("excess_kurtosis"),
+        )
+    )

@@ -215,3 +215,48 @@ def sql_lateral_topn(spark, sf_dir):
         WHERE c.c_custkey <= 200
         """
     )
+
+
+@query(
+    "sql_pivot_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS f_n,
+           sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+               FILTER (WHERE o_orderstatus = 'F') / 10000.0 AS f_rev,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS o_n,
+           sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+               FILTER (WHERE o_orderstatus = 'O') / 10000.0 AS o_rev,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS p_n,
+           sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+               FILTER (WHERE o_orderstatus = 'P') / 10000.0 AS p_rev
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sql_pivot_clause(spark, sf_dir):
+    """The SQL PIVOT clause with MULTIPLE aggregates per pivot value
+    (count + exact revenue per order status) — the spreadsheet-shaped
+    rotation driven through the SQL surface rather than the DataFrame
+    ``pivot()`` API (pivot_status_by_segment covers that form).
+
+    Catalyst compiles PIVOT to the same single Expand + hash aggregate
+    as GROUPING SETS — one shuffle, no per-column scans; the oracle
+    spells the rotation as FILTERed aggregates, which is also the
+    portable form for engines without PIVOT. The IN list is explicit:
+    an unlisted-values pivot needs a driver-side distinct pass first,
+    which is why auto-pivot is an anti-pattern at 100 TB."""
+    t = Tables(spark, sf_dir)
+    t.register_views()
+    return spark.sql(
+        """
+        SELECT * FROM (
+            SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders
+        )
+        PIVOT (
+            count(*) AS n,
+            sum(CAST(floor(o_totalprice * 10000 + 0.5D) AS BIGINT)) / 10000.0D
+                AS rev
+            FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p)
+        )
+        """
+    )

@@ -541,3 +541,33 @@ def win_pct_of_total(spark, sf_dir):
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@query(
+    "win_nth_value",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           nth_value(o_orderkey, 2) OVER w AS second_order_key,
+           nth_value(o_orderkey, 3) OVER w AS third_order_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_nth_value(spark, sf_dir):
+    """nth_value over the full partition frame: each customer's 2nd
+    and 3rd order key in date order (NULL when fewer exist) — rounds
+    out the positional window bank (first/last/lag/lead/nth). The
+    dropDuplicates collapses the per-row window output to one row per
+    customer on the same partitioning the window already shuffled."""
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return t.orders.select(
+        "o_custkey",
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order_key"),
+        F.nth_value("o_orderkey", 3).over(w).alias("third_order_key"),
+    ).dropDuplicates()
