@@ -80,7 +80,8 @@ GRADE_DEFER = [
     "agg_cms_frequency", "text_pmi_bigrams", "analytics_audience_overlap",
     "join_asof_forward", "sink_partition_overwrite_dynamic",
     "scan_python_datasource", "win_nth_value", "agg_moments_skew_kurtosis",
-    "sql_pivot_clause",
+    "sql_pivot_clause", "events_common_paths", "sample_oversample_minority",
+    "udf_pandas_window_agg",
 ]
 
 

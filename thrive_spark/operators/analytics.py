@@ -954,3 +954,53 @@ def analytics_audience_overlap(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "events_common_paths",
+    oracle="""
+    WITH p AS (
+        SELECT event_type || '>' || lead(event_type, 1) OVER w
+                   || '>' || lead(event_type, 2) OVER w AS path
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT path, count(*) AS n
+    FROM p WHERE path IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT 20
+    """,
+)
+def events_common_paths(spark, sf_dir):
+    """Top 3-step behavior paths: the most frequent consecutive
+    event-type trigrams across all user streams — the "common paths"
+    view of product analytics (the aggregate complement of
+    events_pattern_triple's fixed-pattern match).
+
+    lead()-probes on one user_id window sort build the trigram label
+    in-row (string concat null-propagates at stream tails, filtered);
+    the count collapses onto ≤|types|³ keys and the top-k is a
+    TakeOrdered — after the one window shuffle nothing scales with
+    event volume."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    path = F.concat_ws(
+        ">",
+        F.col("event_type"),
+        F.lead("event_type", 1).over(w),
+        F.lead("event_type", 2).over(w),
+    )
+    # concat_ws skips nulls (unlike ||): require all three legs
+    full = F.when(
+        F.lead("event_type", 2).over(w).isNotNull()
+        & F.lead("event_type", 1).over(w).isNotNull(),
+        path,
+    )
+    p = t.events.select(full.alias("path")).filter(F.col("path").isNotNull())
+    return (
+        p.groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )

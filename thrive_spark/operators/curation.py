@@ -841,3 +841,61 @@ def dq_filter_cascade(spark, sf_dir):
         "n_docs",
         ffix(F.col("n_docs").cast("double") / F.col("tot"), 6).alias("share"),
     )
+
+
+@query(
+    "sample_oversample_minority",
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT max(n) AS mx FROM c),
+    f AS (
+        SELECT lang, n,
+               least((mx + n - 1) // n, 4) AS factor
+        FROM c, m
+    ),
+    e AS (
+        SELECT d.doc_id, d.lang, f.factor,
+               unnest(generate_series(1, f.factor)) AS copy_idx
+        FROM documents d JOIN f USING (lang)
+    )
+    SELECT lang, CAST(factor AS BIGINT) AS factor,
+           count(*) AS n_rows,
+           count(DISTINCT doc_id) AS n_docs
+    FROM e GROUP BY lang, factor
+    """,
+)
+def sample_oversample_minority(spark, sf_dir):
+    """Minority-language oversampling: each language is replicated
+    ⌈max_lang/|lang|⌉ times (capped ×4 — unbounded repetition of a
+    tiny slice overfits), the UPSAMPLING complement of the repo's
+    hash-threshold downsamplers (sample_temperature_domains etc.).
+
+    Factors come from one 5-row aggregate joined back broadcast; the
+    replication is explode(sequence(1, factor)) — map-only, no
+    shuffle of the corpus, and the copy index rides along so a
+    downstream shuffle can't silently dedup replicas. Integer-ceil
+    (mx+n−1) div n keeps the factor computation float-free."""
+    t = Tables(spark, sf_dir)
+    c = t.documents.groupBy("lang").agg(F.count("*").alias("n"))
+    m = c.agg(F.max("n").alias("mx"))
+    f = c.crossJoin(F.broadcast(m)).select(
+        "lang",
+        F.least(
+            F.expr("(mx + n - 1) div n"), F.lit(4).cast("bigint")
+        ).alias("factor"),
+    )
+    e = (
+        t.documents.select("doc_id", "lang")
+        .join(F.broadcast(f), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "factor",
+            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("factor")))
+            .alias("copy_idx"),
+        )
+    )
+    return e.groupBy("lang", "factor").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )

@@ -255,3 +255,49 @@ def udf_pandas_iter_model(spark, sf_dir):
         "doc_id",
         score("text", "lang").alias("score"),
     )
+
+
+@query(
+    "udf_pandas_window_agg",
+    oracle="""
+    SELECT event_id, user_id,
+           (CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) OVER w
+                 AS DOUBLE)
+            / count(*) OVER w) / 10000.0 AS mean7
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def udf_pandas_window_agg(spark, sf_dir):
+    """A grouped-agg pandas UDF evaluated OVER A WINDOW FRAME — the
+    API corner where custom Python aggregation meets windowing (Spark
+    ships each bounded frame to the UDF as a pandas Series). The UDF
+    computes an explicit sum/len mean over fixed-point longs, so the
+    arithmetic (int64 sum → one float division) is exactly the
+    oracle's — no pandas `.mean()` (its pairwise summation would be a
+    second float provenance to reason about).
+
+    Slow-path economics: every frame materializes through Arrow, so a
+    built-in avg().over(w) beats this by an order of magnitude
+    (win_moving_avg is that twin) — the operator exists because the
+    reference's surface includes custom window aggregation; use it
+    only for logic built-ins can't express."""
+    from pyspark.sql import Window
+
+    @F.pandas_udf("double")
+    def mean_fp(v: pd.Series) -> float:
+        return float(v.sum()) / len(v)
+
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    xf = F.floor(F.col("value") * 10000 + 0.5).cast("bigint")
+    return t.events.select(
+        "event_id",
+        "user_id",
+        (mean_fp(xf).over(w) / 10000.0).alias("mean7"),
+    )
