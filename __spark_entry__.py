@@ -81,7 +81,7 @@ GRADE_DEFER = [
     "join_asof_forward", "sink_partition_overwrite_dynamic",
     "scan_python_datasource", "win_nth_value", "agg_moments_skew_kurtosis",
     "sql_pivot_clause", "events_common_paths", "sample_oversample_minority",
-    "udf_pandas_window_agg",
+    "udf_pandas_window_agg", "multimodal_audio_wav",
 ]
 
 

@@ -207,3 +207,99 @@ def multimodal_frame_sample(spark, sf_dir):
     return src.mapInPandas(
         frames, "doc_id long, frame_idx int, frame_bytes int, frame_md5 string"
     )
+
+
+#: synthetic waveform geometry: 1000 samples @ 8 kHz per clip
+WAV_N, WAV_RATE, WAV_DOCS = 1000, 8000, 32
+
+
+@query(
+    "multimodal_audio_wav",
+    oracle=f"""
+    WITH s AS (
+        SELECT d.doc_id, ((d.doc_id * 31 + g.i * 7) % 2001) - 1000 AS v
+        FROM (SELECT doc_id FROM documents WHERE doc_id < {WAV_DOCS}) d,
+             LATERAL (SELECT unnest(generate_series(0, {WAV_N - 1})) AS i) g
+    )
+    SELECT doc_id,
+           CAST({WAV_N} AS BIGINT) AS n_samples,
+           CAST({WAV_RATE} AS BIGINT) AS sample_rate,
+           CAST(sum(v) AS BIGINT) AS sum_amp,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq,
+           floor(sqrt(CAST(sum(v * v) AS DOUBLE) / {WAV_N}) * 10000 + 0.5)
+               / 10000.0 AS rms
+    FROM s GROUP BY doc_id
+    """,
+)
+def multimodal_audio_wav(spark, sf_dir):
+    """REAL audio codec round trip, no stub: a deterministic int16
+    waveform per document is encoded to RIFF/WAV with the stdlib
+    ``wave`` writer, shipped as a binary column, then PARSED BACK by
+    the ``wave`` reader in a second Arrow stage — header fields
+    (rate, width, frame count) and PCM payload both come from the
+    decode, and the oracle recomputes every sufficient statistic from
+    the generator, so a byte-level codec fault fails the hash.
+
+    This upgrades the audio leg of the multimodal family to the same
+    status as the PPM/BMP image decode (multimodal_decode_stub's
+    docstring holds only for library-bound codecs like MP3/FLAC).
+    Scale shape: both stages are mapInPandas — bytes stream through
+    Python in columnar batches, nothing shuffles; per-clip stats are
+    int64-exact, RMS is one IEEE sqrt."""
+    import io
+    import math
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    base = t.documents.filter(F.col("doc_id") < WAV_DOCS).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = np.arange(WAV_N, dtype=np.int64)
+                v = ((int(doc_id) * 31 + i * 7) % 2001 - 1000).astype("<i2")
+                buf = io.BytesIO()
+                w = wave.open(buf, "wb")
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(WAV_RATE)
+                w.writeframes(v.tobytes())
+                w.close()
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "wav": blobs})
+
+    enc = base.mapInPandas(encode, "doc_id long, wav binary")
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["wav"]):
+                w = wave.open(io.BytesIO(bytes(blob)), "rb")
+                n, rate = w.getnframes(), w.getframerate()
+                v = np.frombuffer(w.readframes(n), dtype="<i2").astype(
+                    np.int64
+                )
+                ss, s = int((v * v).sum()), int(v.sum())
+                rms = math.floor(math.sqrt(ss / n) * 10000 + 0.5) / 10000.0
+                rows.append((int(doc_id), n, rate, s, ss, rms))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "sample_rate",
+                    "sum_amp",
+                    "sum_sq",
+                    "rms",
+                ],
+            )
+
+    return enc.mapInPandas(
+        decode,
+        "doc_id long, n_samples long, sample_rate long, "
+        "sum_amp long, sum_sq long, rms double",
+    )
