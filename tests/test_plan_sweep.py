@@ -36,6 +36,8 @@ ALLOWED_ARROW_PYTHON = {
     "cluster_topics_kmeans",
     "dedup_semantic_cluster",  # per-cell BLAS gram via applyInPandas
     "tokenizer_apply_bpe",  # per-doc BPE re-tokenize, map-only Arrow pass
+    "multimodal_audio_wav",  # WAV codec encode/decode, map-only Arrow passes
+    "udf_pandas_window_agg",  # pandas UDF over window frames (slow-path exhibit)
     "multimodal_decode_stub",
     "multimodal_frame_sample",
     "join_asof_cogroup",

@@ -171,41 +171,63 @@ def multimodal_decode_stub(spark, sf_dir):
     )
 
 
-@query("multimodal_frame_sample")  # rows-only: frame explosion shape
+@query("multimodal_frame_sample")  # rows-only: Spark-side synthesis
 def multimodal_frame_sample(spark, sf_dir):
-    """Video-style frame sampling: treat the binary as a sequence of
-    fixed-size frames, emit every 4th frame's offset + checksum —
-    the explode-to-frames plumbing (one row in, many out) that a real
-    video pipeline needs, with the codec stubbed to byte slices."""
+    """Video-style frame sampling, REAL demux as of round 5: each
+    document becomes a multi-frame "video" container (concatenated
+    binary P6 PPM frames — the netpbm stream format, which is how
+    ppm video pipes actually work), and the sampler PARSES the
+    container: it walks P6 headers to find frame boundaries, then
+    fully decodes every ``stride``-th frame via ``decode_image`` for
+    dimensions + channel means. One row in, many frame-rows out — the
+    explode shape — with a genuine header-driven demux instead of
+    fixed byte slices. Codecs with inter-frame compression (H.264…)
+    remain the honest library-bound boundary."""
     t = Tables(spark, sf_dir)
-    frame_size, stride = 32, 4
+    n_frames, stride = 8, 3
 
     def frames(batches):
-        import hashlib
-
         import pandas as pd
 
         for pdf in batches:
             rows = []
             for doc_id, b in zip(pdf["doc_id"], pdf["img"]):
-                n_frames = max(len(b) // frame_size, 1)
-                for i in range(0, n_frames, stride):
-                    chunk = bytes(b[i * frame_size : (i + 1) * frame_size])
-                    rows.append(
-                        (
-                            int(doc_id),
-                            i,
-                            len(chunk),
-                            hashlib.md5(chunk).hexdigest(),
+                payload = bytes(b)
+                # build the container: frame i is the payload rolled
+                # by i bytes — deterministic, all frames distinct
+                video = b"".join(
+                    encode_ppm(payload[i:] + payload[:i])
+                    for i in range(n_frames)
+                )
+                # demux: walk P6 headers to find frame boundaries
+                pos, idx = 0, 0
+                while pos < len(video):
+                    assert video[pos : pos + 2] == b"P6"
+                    hdr_end = video.index(b"\n", video.index(b"\n", video.index(b"\n", pos) + 1) + 1) + 1
+                    dims = video[pos:hdr_end].split()
+                    w, h = int(dims[1]), int(dims[2])
+                    frame_end = hdr_end + w * h * 3
+                    if idx % stride == 0:
+                        m = decode_image(video[pos:frame_end])
+                        rows.append(
+                            (
+                                int(doc_id),
+                                idx,
+                                m["width"],
+                                m["height"],
+                                ",".join(str(v) for v in m["channel_means"]),
+                            )
                         )
-                    )
+                    pos, idx = frame_end, idx + 1
             yield pd.DataFrame(
-                rows, columns=["doc_id", "frame_idx", "frame_bytes", "frame_md5"]
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height", "feature"],
             )
 
     src = t.documents.select("doc_id", F.encode("text", "UTF-8").alias("img"))
     return src.mapInPandas(
-        frames, "doc_id long, frame_idx int, frame_bytes int, frame_md5 string"
+        frames,
+        "doc_id long, frame_idx int, width int, height int, feature string",
     )
 
 
