@@ -119,3 +119,40 @@ def test_maxsim_matches_numpy(spark, sf_dir):
     assert [(int(a), int(b)) for a, b in got_pairs] == [
         (int(a), int(b)) for a, b in want
     ]
+
+
+def test_mllib_minhash_agrees_with_handrolled(spark, sf_dir):
+    """The MLlib MinHashLSH variant must recover most of the
+    hand-rolled band-join's verified near-dup pairs (same shingle
+    space, library hashes)."""
+    from thrive_spark.registry import QUERIES
+
+    hand = {
+        (int(r.doc_a), int(r.doc_b))
+        for r in QUERIES["dedup_fuzzy_minhash"](spark, sf_dir).collect()
+    }
+    lib = {
+        (int(r.doc_a), int(r.doc_b))
+        for r in QUERIES["dedup_minhash_mllib"](spark, sf_dir).collect()
+    }
+    assert hand, "hand-rolled twin found no pairs — vacuous test"
+    recall = len(hand & lib) / len(hand)
+    assert recall >= 0.7, f"MLlib minhash recall vs hand-rolled: {recall}"
+
+
+def test_mllib_brp_recall_vs_exact(spark, sf_dir):
+    """BRP-LSH top-5 on unit vectors must recover most of the exact
+    cosine top-5 (euclidean order == cosine order on unit vectors)."""
+    from thrive_spark.registry import QUERIES
+
+    exact = {
+        (int(r.query_id), int(r.neighbor_id))
+        for r in QUERIES["sim_knn_cosine_topk"](spark, sf_dir).collect()
+    }
+    approx = {
+        (int(r.query_id), int(r.neighbor_id))
+        for r in QUERIES["sim_knn_mllib_brp"](spark, sf_dir).collect()
+    }
+    assert exact
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"BRP recall vs exact: {recall}"

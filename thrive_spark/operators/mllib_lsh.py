@@ -1,0 +1,131 @@
+"""MLlib-backed LSH operators — the `pyspark.ml` alternates SURVEY
+§4.3 designates for the hand-rolled MinHash / random-projection paths
+(operators/llm.py, ann.py): same algorithms, library implementation,
+exercising the ml-pipeline surface (Transformer → Estimator.fit →
+approxSimilarityJoin) that a production 100 TB dedup would reach for
+first.
+
+Both are rows-only: MLlib's hash seeds are JVM-internal and cannot be
+reproduced in the DuckDB oracle; quality is gated instead by pytest
+(agreement with the exact/hand-rolled twins — tests/test_ann.py
+pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import Tables
+from ._util import r4
+
+#: Jaccard-distance acceptance for the MLlib minhash join (matches the
+#: hand-rolled dedup_fuzzy_minhash's 0.8 similarity bar: dist ≤ 0.2)
+MLLIB_MINHASH_DIST = 0.2
+
+
+@query("dedup_minhash_mllib")  # rows-only: MLlib hash seeds
+def dedup_minhash_mllib(spark, sf_dir):
+    """MinHash LSH via MLlib: tokenize → binary HashingTF →
+    MinHashLSH.fit → approxSimilarityJoin, keeping pairs with Jaccard
+    distance ≤ 0.2 — the library counterpart of dedup_fuzzy_minhash's
+    hand-rolled band join (agreement between the two is asserted in
+    tests).
+
+    Scale notes: approxSimilarityJoin explodes each side by its hash
+    tables and equi-joins on (table, hash) — the SAME banded-bucket
+    plan the hand-rolled operator builds manually, so its scaling
+    argument carries over; numHashTables trades recall for join
+    fan-out. HashingTF keeps the token space fixed-width (2^18), so
+    feature vectors never grow with vocabulary."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    t = Tables(spark, sf_dir)
+    # word 3-shingles — the SAME feature space as the hand-rolled
+    # twin; bare token SETS are far too coarse on a bounded vocabulary
+    # (30k false pairs at sf0.01 when prototyped with tokens)
+    docs = t.documents.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, greatest(size(filter(split(text, ' '),"
+            " x -> x != '')) - 2, 0)), i -> concat_ws(' ',"
+            " element_at(filter(split(text, ' '), x -> x != ''), i),"
+            " element_at(filter(split(text, ' '), x -> x != ''), i + 1),"
+            " element_at(filter(split(text, ' '), x -> x != ''), i + 2)))"
+        ).alias("tokens"),
+    ).filter(F.size("tokens") > 0)
+    tf = HashingTF(
+        inputCol="tokens", outputCol="features", numFeatures=1 << 18,
+        binary=True,
+    )
+    feats = tf.transform(docs)
+    mh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    )
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, MLLIB_MINHASH_DIST, distCol="jaccard_dist"
+    )
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            r4(F.col("jaccard_dist")).alias("jaccard_dist"),
+        )
+    )
+
+
+@query("sim_knn_mllib_brp")  # rows-only: MLlib hash seeds
+def sim_knn_mllib_brp(spark, sf_dir):
+    """Random-projection LSH ANN via MLlib: L2-normalized embeddings →
+    BucketedRandomProjectionLSH → approxSimilarityJoin of the query
+    set (vec_id < 20) against the corpus → per-query top-5 by
+    euclidean distance. On unit vectors euclidean order IS cosine
+    order (‖a−b‖² = 2−2·a·b), so this is the library twin of
+    sim_knn_cosine_topk and of the hand-rolled hyperplane LSH
+    (ann.py); recall against the exact ranking is gated in tests.
+
+    Scale: the join is bucket-equi per hash table (no all-pairs), and
+    the query side broadcasts; bucketLength controls the
+    recall/fan-out trade like the hand-rolled variant's band width."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    t = Tables(spark, sf_dir)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    unit = t.embeddings.select(
+        "vec_id",
+        array_to_vector(
+            F.transform("embedding", lambda x: x.cast("double") / norm)
+        ).alias("v"),
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="v", outputCol="hashes", numHashTables=6,
+        bucketLength=0.5, seed=42,
+    )
+    model = brp.fit(unit)
+    q = unit.filter(F.col("vec_id") < 20)
+    pairs = model.approxSimilarityJoin(q, unit, 2.0, distCol="dist").filter(
+        F.col("datasetA.vec_id") != F.col("datasetB.vec_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist"), F.col("neighbor_id")
+    )
+    return (
+        pairs.select(
+            F.col("datasetA.vec_id").alias("query_id"),
+            F.col("datasetB.vec_id").alias("neighbor_id"),
+            F.col("dist"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", r4("dist").alias("dist"), "rn")
+    )

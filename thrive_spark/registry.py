@@ -50,6 +50,7 @@ def load_all() -> None:
         matching,
         joins,
         llm,
+        mllib_lsh,
         multimodal,
         pq,
         predicates,
