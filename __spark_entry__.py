@@ -82,7 +82,8 @@ GRADE_DEFER = [
     "scan_python_datasource", "win_nth_value", "agg_moments_skew_kurtosis",
     "sql_pivot_clause", "events_common_paths", "sample_oversample_minority",
     "udf_pandas_window_agg", "multimodal_audio_wav",
-    "dedup_minhash_mllib", "sim_knn_mllib_brp",
+    "dedup_minhash_mllib", "sim_knn_mllib_brp", "cluster_kmeans_mllib",
+    "graph_pagerank",
 ]
 
 

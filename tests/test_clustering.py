@@ -53,3 +53,22 @@ def test_lloyd_iterations_do_not_increase_inertia(spark, sf_dir):
         return float((1.0 - sims.max(axis=1)).sum())
 
     assert total_inertia(3) <= total_inertia(0) + 1e-9
+
+
+def test_mllib_kmeans_covers_all_points(spark, sf_dir):
+    from thrive_spark.registry import QUERIES
+    from thrive_spark.tables import Tables
+
+    pdf = QUERIES["cluster_kmeans_mllib"](spark, sf_dir).toPandas()
+    total = Tables(spark, sf_dir).embeddings.count()
+    assert pdf["n_points"].sum() == total
+    assert len(pdf) >= 2, "degenerate single-cluster result"
+
+
+def test_pagerank_mass_and_positivity(spark, sf_dir):
+    from thrive_spark.registry import QUERIES
+
+    pdf = QUERIES["graph_pagerank"](spark, sf_dir).toPandas()
+    assert (pdf["pagerank"] > 0).all()
+    # rank mass conserved up to damping leakage + rounding
+    assert abs(pdf["pagerank"].sum() - 1.0) < 0.01

@@ -124,3 +124,68 @@ def graph_copurchase_stats(spark, sf_dir):
         F.col("strength").cast("bigint").alias("strength"),
         F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_tri"),
     )
+
+
+@query("graph_pagerank")  # rows-only: iterative float refinement
+def graph_pagerank(spark, sf_dir):
+    """PageRank (damping 0.85, 6 power iterations — converged to
+    <1e-4 max delta on this graph; round count is the knob) on the brand
+    co-purchase graph — the iterative-propagation complement of the
+    one-shot degree/triangle metrics above, and the same
+    join-aggregate-per-round shape as dedup_cluster_components.
+
+    Each round: ranks join the out-degree-normalized edge list,
+    contributions aggregate per destination, damping re-centers. The
+    graph here is tiny (≤25 nodes), but every round is expressed as
+    edge-table joins, so the identical code runs when edges are 10^11
+    rows; localCheckpoint per round cuts the lineage exactly like the
+    components loop. Convergence-quality (rank mass ≈ 1, ordering
+    stability) is pytest-gated since iterative float refinement has
+    no SQL oracle."""
+    ob = _co_order_brands(spark, sf_dir)
+    from .analytics import _basket_pairs
+
+    und = _basket_pairs(ob).groupBy("src", "dst").agg(F.count("*").alias("w"))
+    edges = und.select("src", "dst").unionAll(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()  # scalar: |brands|, bounded
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(6):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(0.15 / n_nodes)
+                    + 0.85 * F.coalesce("s", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        F.col("node").alias("brand"),
+        (F.floor(F.col("rank") * 1000000 + 0.5) / 1000000.0).alias("pagerank"),
+    )
+
+
+def _co_order_brands(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.select("l_orderkey", "l_partkey")
+        .join(
+            F.broadcast(t.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )

@@ -129,3 +129,35 @@ def sim_knn_mllib_brp(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", r4("dist").alias("dist"), "rn")
     )
+
+
+@query("cluster_kmeans_mllib")  # rows-only: seeded iterative refinement
+def cluster_kmeans_mllib(spark, sf_dir):
+    """KMeans via pyspark.ml — the library twin of the hand-rolled
+    Lloyd loop (clustering.py), exercising Estimator.fit +
+    model.transform over vector columns. Emits per-cluster sizes;
+    quality (full coverage, no empty/degenerate clustering) is gated
+    in tests/test_clustering.py.
+
+    Scale: MLlib KMeans runs the same per-partition-partials
+    aggregation the hand-rolled loop documents, with k·dim driver
+    state — the library adds KMeans|| init, which removes the
+    k-scans-of-data seeding cost at 100 TB."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    t = Tables(spark, sf_dir)
+    vecs = t.embeddings.select(
+        "vec_id",
+        array_to_vector(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("v"),
+    )
+    km = KMeans(k=8, seed=42, maxIter=20, featuresCol="v")
+    model = km.fit(vecs)
+    pred = model.transform(vecs)
+    return (
+        pred.groupBy(F.col("prediction").cast("bigint").alias("cluster_id"))
+        .agg(F.count("*").alias("n_points"))
+        .orderBy("cluster_id")
+    )
