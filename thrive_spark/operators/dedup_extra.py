@@ -299,10 +299,12 @@ def dedup_cluster_components(spark, sf_dir):
         .toDF("src", "nbr")
         .localCheckpoint()  # pair generation runs once, not per round
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+    # seed labels with min(self, neighbors) — this IS round one of the
+    # propagation, fused into the init aggregate (saves one full
+    # join+checkpoint+count cycle; near-clique components then
+    # converge in 1-2 further rounds)
+    labels = edges.groupBy(F.col("src").alias("node")).agg(
+        F.least(F.min("src"), F.min("nbr")).alias("label")
     )
     while True:
         prop = (
