@@ -1004,3 +1004,81 @@ def events_common_paths(spark, sf_dir):
         .orderBy(F.col("n").desc(), "path")
         .limit(20)
     )
+
+
+@query(
+    "events_session_metrics",
+    oracle="""
+    WITH o AS (
+        SELECT event_id, user_id, ts, event_type, value,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    marked AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                            OR epoch_us(ts) - epoch_us(prev_ts)
+                               > 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+        FROM o
+    ),
+    sess AS (
+        SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS session_idx
+        FROM marked
+    )
+    SELECT user_id, session_idx,
+           count(*) AS n_events,
+           max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+           sum(CAST(floor((CASE WHEN event_type = 'purchase' THEN value
+                                ELSE 0.0 END) * 10000 + 0.5) AS BIGINT))
+               / 10000.0 AS session_revenue
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def events_session_metrics(spark, sf_dir):
+    """The session mart: one row per (user, session) with event count,
+    duration, purchase count and fixed-point session revenue — the
+    table product analytics actually joins against, built on the same
+    lag → flag → running-sum sessionization as sessionize_ids but
+    aggregated to session grain.
+
+    The window chain and the final aggregate all key on user_id — one
+    exchange end to end; duration is integer microseconds. This is
+    the batch mirror of stream_session_window's session_window()
+    aggregate (30-minute gap, same fixed-point revenue units)."""
+    t = Tables(spark, sf_dir)
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lag("ts").over(w_ord)
+    )
+    marked = t.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(
+            F.lag("ts").over(w_ord).isNull() | (gap_us > 1800 * 1_000_000), 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = marked.withColumn(
+        "session_idx", F.sum("is_new").over(w_run).cast("bigint")
+    )
+    purchase_val = F.when(
+        F.col("event_type") == "purchase", F.col("value")
+    ).otherwise(0.0)
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias(
+            "duration_us"
+        ),
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+        dsum(purchase_val).alias("session_revenue"),
+    )
