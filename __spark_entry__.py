@@ -83,7 +83,8 @@ GRADE_DEFER = [
     "sql_pivot_clause", "events_common_paths", "sample_oversample_minority",
     "udf_pandas_window_agg", "multimodal_audio_wav",
     "dedup_minhash_mllib", "sim_knn_mllib_brp", "cluster_kmeans_mllib",
-    "graph_pagerank", "events_session_metrics",
+    "graph_pagerank", "events_session_metrics", "analytics_ab_test",
+    "stream_stream_join_outer",
 ]
 
 

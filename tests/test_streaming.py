@@ -165,3 +165,30 @@ def test_interval_join_equals_twin(spark, sf_dir, stream_dir):
     )
     want = streaming_twins.stream_stream_join(spark, sf_dir).toPandas()
     assert canon(got, got.columns) == canon(want, want.columns)
+
+
+def test_interval_join_outer_subset_of_twin(spark, sf_dir, stream_dir):
+    """Outer-join rows surface one micro-batch after the watermark
+    move, so the stream may lag the twin on the unmatched tail —
+    matched pairs must agree exactly; every streamed row must appear
+    in the twin."""
+    got = run_stream(
+        spark,
+        ops.interval_join_view_purchase_outer(read_stream(spark, stream_dir)),
+        "append",
+        "t_ivjo",
+    )
+    want = streaming_twins.stream_stream_join_outer(spark, sf_dir).toPandas()
+    got_rows = set(canon_rows(got))
+    want_rows = set(canon_rows(want))
+    assert got_rows <= want_rows
+    matched = lambda rows: {r for r in rows if "NULL" not in r}  # noqa: E731
+    assert matched(got_rows) == matched(want_rows)
+
+
+def canon_rows(pdf):
+    cols = sorted(pdf.columns)
+    return [
+        tuple("NULL" if v != v or v is None else str(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    ]

@@ -1082,3 +1082,73 @@ def events_session_metrics(spark, sf_dir):
         F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
         dsum(purchase_val).alias("session_revenue"),
     )
+
+
+@query(
+    "analytics_ab_test",
+    oracle=f"""
+    WITH assign AS (
+        SELECT user_id, user_id % 2 AS arm FROM (
+            SELECT DISTINCT user_id FROM events
+        )
+    ),
+    conv AS (
+        SELECT a.arm,
+               count(*) AS n_users,
+               count(*) FILTER (WHERE p.user_id IS NOT NULL) AS n_converted,
+               CAST(coalesce(sum(p.rev_fp), 0) AS BIGINT) AS rev_fp
+        FROM assign a LEFT JOIN (
+            SELECT user_id,
+                   sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS rev_fp
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ) p ON a.user_id = p.user_id
+        GROUP BY a.arm
+    )
+    SELECT CAST(arm AS BIGINT) AS arm, n_users, n_converted,
+           rev_fp / 10000.0 AS revenue,
+           {ofix('CAST(n_converted AS DOUBLE) / n_users', 6)} AS conv_rate
+    FROM conv
+    """,
+)
+def analytics_ab_test(spark, sf_dir):
+    """A/B experiment readout: users deterministically assigned to
+    arms by id parity (the hash-mod assignment real experiment
+    platforms use — stable under reprocessing, no rand()), with
+    per-arm population, converter count, exact revenue and conversion
+    rate. The z-statistic is left to the consumer: the sufficient
+    statistics here are exact integers, which is the part an engine
+    must get right.
+
+    One distinct + one pre-aggregated left join on user_id (the
+    per-user revenue rollup collapses events BEFORE the join), then a
+    2-row aggregate — nothing after the first exchange scales with
+    event volume."""
+    t = Tables(spark, sf_dir)
+    assign = t.events.select("user_id").distinct().select(
+        "user_id", (F.col("user_id") % 2).alias("arm")
+    )
+    p = (
+        t.events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(fixed("value")).alias("rev_fp"))
+    )
+    conv = (
+        assign.join(p, "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.count_if(F.col("rev_fp").isNotNull()).alias("n_converted"),
+            F.coalesce(F.sum("rev_fp"), F.lit(0)).cast("bigint").alias(
+                "rev_fp"
+            ),
+        )
+    )
+    return conv.select(
+        F.col("arm").cast("bigint").alias("arm"),
+        "n_users",
+        "n_converted",
+        (F.col("rev_fp") / 10000.0).alias("revenue"),
+        ffix(F.col("n_converted").cast("double") / F.col("n_users"), 6).alias(
+            "conv_rate"
+        ),
+    )

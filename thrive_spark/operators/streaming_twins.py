@@ -303,3 +303,66 @@ def stream_stream_join(spark, sf_dir):
     from ..streaming.ops import interval_join_view_purchase
 
     return interval_join_view_purchase(t.events)
+
+
+@query(
+    "stream_stream_join_outer",
+    oracle="""
+    WITH v AS (
+        SELECT event_id AS view_id, user_id, epoch_us(CAST(ts AS TIMESTAMP))
+                   AS v_us
+        FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+        SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) - 7200000000 AS w
+        FROM events
+    )
+    SELECT v.view_id, v.user_id, p.purchase_id,
+           p.p_us - v.v_us AS lag_us
+    FROM v LEFT JOIN p
+      ON v.user_id = p.user_id
+     AND p.p_us >= v.v_us AND p.p_us <= v.v_us + 3600000000
+    , wm
+    WHERE p.purchase_id IS NOT NULL
+       OR v.v_us + 3600000000 < wm.w
+    """,
+)
+def stream_stream_join_outer(spark, sf_dir):
+    """Batch twin of the LEFT OUTER stream–stream interval join:
+    matched view→purchase pairs PLUS null-extended rows for views
+    whose match window closed under the final watermark (max event
+    time − 2 h). The watermark cutoff is part of the SEMANTICS, not an
+    artifact: a view near the stream tail is still 'pending' — the
+    engine cannot yet prove no purchase will arrive — so neither the
+    stream nor this twin emits it unmatched. Both sides of that rule
+    are integer-microsecond arithmetic, so the emitted set is
+    engine-exact; state-size reasoning is identical to the inner
+    variant (streaming/ops.py)."""
+    t = Tables(spark, sf_dir)
+    from ..streaming.ops import interval_join_view_purchase_outer
+
+    joined = interval_join_view_purchase_outer(t.events)
+    wm = t.events.agg(
+        (F.max(F.unix_micros("ts")) - 7200 * 1_000_000).alias("w")
+    )
+    # re-derive each view's timestamp to apply the watermark cutoff on
+    # the unmatched branch (the joined output carries only lag_us)
+    views = t.events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.unix_micros("ts").alias("v_us"),
+    )
+    out = (
+        joined.join(views, "view_id")
+        .crossJoin(F.broadcast(wm))
+        .filter(
+            F.col("purchase_id").isNotNull()
+            | (F.col("v_us") + 3600 * 1_000_000 < F.col("w"))
+        )
+        .select("view_id", "user_id", "purchase_id", "lag_us")
+    )
+    return out

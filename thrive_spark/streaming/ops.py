@@ -268,3 +268,47 @@ def interval_join_view_purchase(events: DataFrame) -> DataFrame:
         F.col("v_user").alias("user_id"),
         (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"),
     )
+
+
+def interval_join_view_purchase_outer(events: DataFrame) -> DataFrame:
+    """LEFT OUTER stream–stream interval join: like
+    interval_join_view_purchase, but views with NO purchase inside
+    their hour emit once the watermark proves no match can arrive
+    (null purchase columns). Outer emission is watermark-driven: a
+    view's state is released when watermark > v_ts + 1 h, which with
+    the 2-hour delay means max-seen-ts − 2 h must pass v_ts + 1 h —
+    the exact cutoff the batch twin encodes. (Engine note: unmatched
+    rows surface one micro-batch AFTER the watermark move — the test
+    asserts subset/exact accordingly.)"""
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = v.join(
+        p,
+        F.expr(
+            "v_user = p_user AND p_ts >= v_ts "
+            "AND p_ts <= v_ts + INTERVAL 1 HOUR"
+        ),
+        "left_outer",
+    )
+    return joined.select(
+        "view_id",
+        F.col("v_user").alias("user_id"),
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"),
+    )
