@@ -84,7 +84,8 @@ GRADE_DEFER = [
     "udf_pandas_window_agg", "multimodal_audio_wav",
     "dedup_minhash_mllib", "sim_knn_mllib_brp", "cluster_kmeans_mllib",
     "graph_pagerank", "events_session_metrics", "analytics_ab_test",
-    "stream_stream_join_outer",
+    "stream_stream_join_outer", "attribution_linear_window",
+    "dq_referential_integrity", "text_novelty_fraction",
 ]
 
 

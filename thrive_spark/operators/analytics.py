@@ -1152,3 +1152,85 @@ def analytics_ab_test(spark, sf_dir):
             "conv_rate"
         ),
     )
+
+
+@query(
+    "attribution_linear_window",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS p_us,
+               CAST(floor(value * 10000 + 0.5) AS BIGINT) AS rev_fp
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT event_id AS touch_id, user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    pairs AS (
+        SELECT p.purchase_id, p.rev_fp, t.event_type,
+               count(*) OVER (PARTITION BY p.purchase_id) AS n_touches
+        FROM p JOIN touch t
+          ON p.user_id = t.user_id
+         AND t.t_us >= p.p_us - 3600000000 AND t.t_us < p.p_us
+    )
+    SELECT event_type AS channel,
+           count(*) AS n_credits,
+           CAST(sum((rev_fp * 1000) // n_touches) AS BIGINT) / 10000000.0
+               AS credited_revenue
+    FROM pairs GROUP BY event_type
+    """,
+)
+def attribution_linear_window(spark, sf_dir):
+    """Linear multi-touch attribution: each purchase's revenue splits
+    EQUALLY across the user's view/click touches in the preceding
+    hour; credited revenue rolls up per channel — the multi-touch
+    complement of attribution_first_touch.
+
+    The purchase↔touch pairing is a user-keyed interval join (equi key
+    + integer-microsecond band, same plan family as
+    stream_stream_join); the per-purchase touch count is a window on
+    the pair set partitioned by purchase — so splitting is exact:
+    rev_fp/n_touches divides an integer by an integer, summed after
+    flooring only at the final projection. Caveat stated in the
+    contract: Σ of per-touch double shares is order-sensitive in the
+    16th digit, so the oracle and Spark both sum the SAME
+    fixed-point-seeded doubles would still be order-sensitive in the
+    last bits, so each credit is floored to an exact integer at 1e-7
+    resolution FIRST ((rev_fp·1000) div n_touches) and the rollup is a
+    pure BIGINT sum — merge-order-proof like every money sum here.
+    """
+    t = Tables(spark, sf_dir)
+    p = t.events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("p_us"),
+        fixed("value").alias("rev_fp"),
+    )
+    touch = t.events.filter(
+        F.col("event_type").isin("view", "click")
+    ).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type"),
+        F.unix_micros("ts").alias("t_us"),
+    )
+    pairs = p.join(
+        touch,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_us") >= F.col("p_us") - 3600 * 1_000_000)
+        & (F.col("t_us") < F.col("p_us")),
+    ).select(
+        "purchase_id",
+        "rev_fp",
+        "event_type",
+    )
+    w = Window.partitionBy("purchase_id")
+    shared = pairs.withColumn("n_touches", F.count("*").over(w))
+    credit_fp = F.expr("(rev_fp * 1000) div n_touches")
+    return shared.groupBy(F.col("event_type").alias("channel")).agg(
+        F.count("*").alias("n_credits"),
+        (F.sum(credit_fp).cast("bigint") / 10000000.0).alias(
+            "credited_revenue"
+        ),
+    )

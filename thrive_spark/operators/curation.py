@@ -899,3 +899,63 @@ def sample_oversample_minority(spark, sf_dir):
         F.count("*").alias("n_rows"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, count(*) AS n_child,
+           count(*) FILTER (WHERE o.o_orderkey IS NOT NULL) AS n_matched,
+           count(*) FILTER (WHERE o.o_orderkey IS NULL) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders->customer', count(*),
+           count(*) FILTER (WHERE c.c_custkey IS NOT NULL),
+           count(*) FILTER (WHERE c.c_custkey IS NULL)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem->part', count(*),
+           count(*) FILTER (WHERE p.p_partkey IS NOT NULL),
+           count(*) FILTER (WHERE p.p_partkey IS NULL)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def dq_referential_integrity(spark, sf_dir):
+    """Referential-integrity audit: every declared FK edge of the star
+    schema (lineitem→orders, orders→customer, lineitem→part) checked
+    with child/matched/orphan counts — the constraint check a lake
+    without enforced FKs must run as a query (and the audit you run
+    BEFORE trusting an inner join not to silently drop rows).
+
+    Each edge is a left join counted in one pass; parent sides
+    broadcast where they fit. A healthy corpus reports zero orphans —
+    the non-vacuous content is the exact child/match totals, which
+    shift the moment ingestion drops or duplicates a parent."""
+    t = Tables(spark, sf_dir)
+
+    def edge(name, child, ckey, parent, pkey, bcast):
+        par = parent.select(pkey)
+        if bcast:
+            par = F.broadcast(par)
+        j = child.select(ckey).join(
+            par, F.col(ckey) == F.col(pkey), "left"
+        )
+        return j.agg(
+            F.lit(name).alias("fk"),
+            F.count("*").alias("n_child"),
+            F.count_if(F.col(pkey).isNotNull()).alias("n_matched"),
+            F.count_if(F.col(pkey).isNull()).alias("n_orphans"),
+        ).select("fk", "n_child", "n_matched", "n_orphans")
+
+    return (
+        edge("lineitem->orders", t.lineitem, "l_orderkey", t.orders,
+             "o_orderkey", False)
+        .unionAll(
+            edge("orders->customer", t.orders, "o_custkey", t.customer,
+                 "c_custkey", True)
+        )
+        .unionAll(
+            edge("lineitem->part", t.lineitem, "l_partkey", t.part,
+                 "p_partkey", True)
+        )
+    )

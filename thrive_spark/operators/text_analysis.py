@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..tables import Tables
 from ..functions.vectors import cosine, to_double
-from ._util import ffix, r4
+from ._util import ffix, ofix, r4
 
 #: tiny per-language stopword lists for the n-gram/stopword heuristic;
 #: deliberately small so the heuristic is cheap (a real system would
@@ -804,4 +804,70 @@ def text_pmi_bigrams(spark, sf_dir):
         scored.orderBy(F.col("pmi_fp").desc(), "w1", "w2")
         .limit(PMI_TOPK)
         .select("w1", "w2", "c_xy", (F.col("pmi_fp") / 10000.0).alias("pmi"))
+    )
+
+
+@query(
+    "text_novelty_fraction",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    tg AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS g
+        FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2))
+                          AS i) s
+        WHERE len(toks) >= 3
+    ),
+    firstseen AS (SELECT g, min(doc_id) AS first_doc FROM tg GROUP BY g)
+    SELECT tg.doc_id,
+           count(*) AS n_grams,
+           count(*) FILTER (WHERE f.first_doc = tg.doc_id) AS n_novel,
+           {ofix('CAST(count(*) FILTER (WHERE f.first_doc = tg.doc_id)'
+                 ' AS DOUBLE) / count(*)', 6)} AS novelty
+    FROM tg JOIN firstseen f ON tg.g = f.g
+    GROUP BY tg.doc_id
+    """,
+)
+def text_novelty_fraction(spark, sf_dir):
+    """Corpus-order novelty scoring: the fraction of each document's
+    distinct word trigrams that appear for the FIRST time in that
+    document (first = lowest doc_id — ingestion order) — the
+    freshness/redundancy signal curation uses to prefer novel text
+    over recombinations of what the corpus already holds (and the
+    aggregate view of decontaminate_ngram_overlap's pairwise check).
+
+    Shape: trigrams build in-row (the shingle transform — no
+    token-level explode), dedup per doc, then ONE gram-keyed
+    aggregate finds each gram's first document and joins back on the
+    same gram key — two shuffles on the gram domain total; the
+    novelty ratio divides two exact counts."""
+    t = Tables(spark, sf_dir)
+    tg = (
+        t.documents.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(filter(split(text,"
+                    " ' '), x -> x != '')) - 2, 0)), i -> concat_ws(' ',"
+                    " element_at(filter(split(text, ' '), x -> x != ''), i),"
+                    " element_at(filter(split(text, ' '), x -> x != ''),"
+                    " i + 1),"
+                    " element_at(filter(split(text, ' '), x -> x != ''),"
+                    " i + 2)))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    firstseen = tg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    joined = tg.join(firstseen, "g")
+    novel = F.count_if(F.col("first_doc") == F.col("doc_id"))
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        novel.alias("n_novel"),
+        ffix(novel.cast("double") / F.count("*"), 6).alias("novelty"),
     )
