@@ -355,15 +355,25 @@ def win_gaps_islands(spark, sf_dir):
     ).drop("grp")
 
 
+def _basket_arrays(ob):
+    """One row per order with its sorted distinct brand set.
+    collect_set dedups within the group, so the input needs NO prior
+    distinct — this is the ONLY shuffle of the basket pipeline."""
+    return ob.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("p_brand")).alias("bs")
+    )
+
+
 def _basket_pairs(ob):
     """(src < dst) brand pairs per order, generated in-row: collect
     each order's sorted brand set, then an array-comprehension lambda
     expands the i<j combinations — no self-join, no second shuffle of
     the basket table. Shared by basket_brand_affinity and
     graph_copurchase_stats."""
-    arr = ob.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("p_brand")).alias("bs")
-    )
+    return _pairs_from_arrays(_basket_arrays(ob))
+
+
+def _pairs_from_arrays(arr):
     return arr.select(
         F.explode(
             F.expr(
@@ -426,12 +436,22 @@ def basket_brand_affinity(spark, sf_dir):
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .select("l_orderkey", "p_brand")
-        .distinct()
     )
-    bc = ob.groupBy("p_brand").agg(F.count("*").alias("c"))
-    tot = ob.agg(F.countDistinct("l_orderkey").alias("t"))
+    # everything below derives from ONE l_orderkey shuffle: collect_set
+    # dedups in the group (no separate distinct pass), marginals and
+    # the order total come from the collected arrays; the three
+    # consumers share the exchange via ReuseExchange (a localCheckpoint
+    # here measured SLOWER — materialization cost exceeds the reuse win
+    # at every tested scale)
+    arr = _basket_arrays(ob)
+    bc = (
+        arr.select(F.explode("bs").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = arr.agg(F.count("*").alias("t"))
     pc = (
-        _basket_pairs(ob)
+        _pairs_from_arrays(arr)
         .groupBy(
             F.col("src").alias("brand_a"), F.col("dst").alias("brand_b")
         )

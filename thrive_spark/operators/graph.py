@@ -86,10 +86,10 @@ def graph_copurchase_stats(spark, sf_dir):
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .select("l_orderkey", "p_brand")
-        .distinct()
     )
     from .analytics import _basket_pairs
 
+    # no distinct pass: _basket_pairs' collect_set dedups in-group
     e = _basket_pairs(ob).groupBy("src", "dst").agg(F.count("*").alias("w"))
     deg = (
         e.select(F.col("src").alias("v"), "w")
@@ -187,5 +187,4 @@ def _co_order_brands(spark, sf_dir):
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .select("l_orderkey", "p_brand")
-        .distinct()
     )
