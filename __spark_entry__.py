@@ -86,6 +86,7 @@ GRADE_DEFER = [
     "graph_pagerank", "events_session_metrics", "analytics_ab_test",
     "stream_stream_join_outer", "attribution_linear_window",
     "dq_referential_integrity", "text_novelty_fraction",
+    "cdc_snapshot_diff", "text_zipf_slope", "sink_compression_matrix",
 ]
 
 

@@ -103,3 +103,13 @@ def test_pipeline_from_yaml(spark, sf_dir, tmp_path):
     assert len(p.run()) == 1
     assert spark.read.parquet(out).count() > 0
     assert p.run() == []  # ledger carried over, idempotent
+
+
+def test_compression_matrix_ordering(spark, sf_dir):
+    from thrive_spark.registry import QUERIES
+
+    pdf = QUERIES["sink_compression_matrix"](spark, sf_dir).toPandas()
+    by = dict(zip(pdf["codec"], pdf["n_bytes"]))
+    assert by["zstd"] < by["none"] and by["snappy"] < by["none"]
+    assert by["gzip"] < by["snappy"]  # text compresses well under gzip/zstd
+    assert pdf["n_rows"].nunique() == 1  # every codec round-trips all rows

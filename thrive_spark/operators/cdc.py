@@ -252,3 +252,65 @@ def merge_scd2_dimension(spark, sf_dir):
         eff_to.alias("eff_to_us"),
         eff_to.isNull().alias("is_current"),
     )
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+        WHERE o_orderkey % 11 <> 0
+    ),
+    curr AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 50
+                    ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 13 <> 0
+    )
+    SELECT CASE WHEN b.k IS NULL THEN 'added'
+                WHEN c.k IS NULL THEN 'removed'
+                WHEN b.price <> c.price THEN 'changed'
+                ELSE 'unchanged' END AS change,
+           count(*) AS n,
+           CAST(min(coalesce(b.k, c.k)) AS BIGINT) AS sample_key
+    FROM base b FULL JOIN curr c ON b.k = c.k
+    GROUP BY 1
+    """,
+)
+def cdc_snapshot_diff(spark, sf_dir):
+    """Snapshot reconciliation: FULL OUTER join of yesterday's and
+    today's snapshot on the business key, classifying every row as
+    added / removed / changed / unchanged with counts and a sample
+    key — the diff report run before trusting a CDC feed (and the
+    inverse operation of merge_upsert_cdc: diff recovers the
+    changelog a merge consumed). Snapshots are modulo-derived from
+    orders so the oracle states the expected report exactly.
+
+    One key-equi full join = one shuffle both sides; the change
+    classification is a projection and the report collapses to 4
+    rows. Price comparison is on the raw stored doubles — equality of
+    UNCHANGED values is exact (same parquet bits), which is precisely
+    what makes full-join diffing sound."""
+    t = Tables(spark, sf_dir)
+    base = t.orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("bk"), F.col("o_totalprice").alias("bprice")
+    )
+    curr = t.orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        F.col("o_orderkey").alias("ck"),
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 50
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("cprice"),
+    )
+    j = base.join(curr, base.bk == curr.ck, "full_outer")
+    change = (
+        F.when(F.col("bk").isNull(), "added")
+        .when(F.col("ck").isNull(), "removed")
+        .when(F.col("bprice") != F.col("cprice"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.groupBy(change.alias("change")).agg(
+        F.count("*").alias("n"),
+        F.min(F.coalesce("bk", "ck")).cast("bigint").alias("sample_key"),
+    )

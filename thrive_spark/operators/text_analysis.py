@@ -871,3 +871,89 @@ def text_novelty_fraction(spark, sf_dir):
         novel.alias("n_novel"),
         ffix(novel.cast("double") / F.count("*"), 6).alias("novelty"),
     )
+
+
+#: Zipf fit depth: regression over the top-K token ranks per language
+ZIPF_TOPK = 50
+
+
+@query(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, unnest(list_filter(string_split(text, ' '),
+                                        t -> t <> '')) AS tk
+        FROM documents
+    ),
+    c AS (SELECT lang, tk, count(*) AS cnt FROM tok GROUP BY lang, tk),
+    ranked AS (
+        SELECT lang, cnt,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY cnt DESC, tk) AS rnk
+        FROM c
+    ),
+    pts AS (
+        SELECT lang,
+               CAST(floor(log2(rnk) * 10000 + 0.5) AS BIGINT) AS x,
+               CAST(floor(log2(cnt) * 10000 + 0.5) AS BIGINT) AS y
+        FROM ranked WHERE rnk <= {ZIPF_TOPK}
+    ),
+    s AS (
+        SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy
+        FROM pts GROUP BY lang
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_points,
+           floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) * 10000 + 0.5)
+               / 10000.0 AS zipf_slope
+    FROM s
+    """,
+)
+def text_zipf_slope(spark, sf_dir):
+    """Zipf-law fit per language: least-squares slope of log2(count)
+    against log2(rank) over the top-{50} tokens — healthy natural text
+    sits near −1; a slope collapsing toward 0 flags template/spam
+    corpora, making this a distribution-level quality gate (the
+    corpus-level sibling of the per-doc entropy score).
+
+    Ranks and counts are integers, so both regression coordinates are
+    floored log2s of integers (the property-tested parity class) and
+    the OLS slope is integer algebra (n·Σxy − ΣxΣy, n·Σx² − (Σx)²)
+    down to ONE double division. Cost: the token count table, one
+    |vocab|-sized window for ranks, then a {50}-point regression per
+    language — the explode is this operator's only data-scale term."""
+    t = Tables(spark, sf_dir)
+    tok = t.documents.select(
+        "lang",
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("tk"),
+    )
+    c = tok.groupBy("lang", "tk").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "tk")
+    pts = (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ZIPF_TOPK)
+        .select(
+            "lang",
+            F.floor(F.log2("rnk") * 10000 + 0.5).cast("bigint").alias("x"),
+            F.floor(F.log2("cnt") * 10000 + 0.5).cast("bigint").alias("y"),
+        )
+    )
+    s = pts.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    slope = (n * F.col("sxy") - sx * sy).cast("double") / (
+        n * F.col("sxx") - sx * sx
+    ).cast("double")
+    return s.select(
+        "lang",
+        n.cast("bigint").alias("n_points"),
+        (F.floor(slope * 10000 + 0.5) / 10000.0).alias("zipf_slope"),
+    )

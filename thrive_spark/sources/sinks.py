@@ -9,6 +9,8 @@ partition pruning for free.
 
 from __future__ import annotations
 
+import math
+import os
 import shutil
 import sqlite3
 import tempfile
@@ -236,6 +238,54 @@ def sink_partition_overwrite_dynamic(spark, sf_dir):
                 F.sum("n_chars").cast("bigint").alias("chars_total"),
             )
             .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@query("sink_compression_matrix")  # rows-only: byte sizes are
+# layout-deterministic but not SQL-derivable
+def sink_compression_matrix(spark, sf_dir):
+    """Codec matrix for the parquet sink: the same sorted
+    single-file slice written with snappy / zstd / gzip / none,
+    reporting bytes on disk and the compression ratio vs uncompressed
+    — the measurement behind a storage-codec decision (at 100 TB the
+    answer is usually zstd for cold data, snappy for hot, and this
+    operator is the harness that proves it on YOUR data).
+
+    The write is coalesce(1) + sortWithinPartitions so the byte counts
+    are run-deterministic; read-back row counts pin that every codec
+    round-trips losslessly. tests/test_pipeline.py asserts
+    zstd < snappy < uncompressed ordering."""
+    t = Tables(spark, sf_dir)
+    slice_df = (
+        t.documents.select("doc_id", "text", "lang")
+        .coalesce(1)
+        .sortWithinPartitions("doc_id")
+    )
+    out = tempfile.mkdtemp(prefix="thrive_codec_")
+    rows = []
+    try:
+        for codec in ("none", "snappy", "zstd", "gzip"):
+            path = f"{out}/{codec}"
+            slice_df.write.mode("overwrite").option(
+                "compression", codec
+            ).parquet(path)
+            nbytes = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+            n_back = spark.read.parquet(path).count()
+            rows.append((codec, nbytes, n_back))
+        base = next(b for c, b, _ in rows if c == "none")
+        return small_df(
+            spark,
+            [
+                (c, b, n, math.floor(b / base * 10000 + 0.5) / 10000.0)
+                for c, b, n in rows
+            ],
+            "codec string, n_bytes long, n_rows long, ratio double",
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
