@@ -87,6 +87,7 @@ GRADE_DEFER = [
     "stream_stream_join_outer", "attribution_linear_window",
     "dq_referential_integrity", "text_novelty_fraction",
     "cdc_snapshot_diff", "text_zipf_slope", "sink_compression_matrix",
+    "curation_pipeline_e2e",
 ]
 
 

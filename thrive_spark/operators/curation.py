@@ -959,3 +959,115 @@ def dq_referential_integrity(spark, sf_dir):
                  "p_partkey", True)
         )
     )
+
+
+@query(
+    "curation_pipeline_e2e",
+    oracle="""
+    WITH gated AS (
+        SELECT doc_id, lang, text,
+               len(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS n_tok
+        FROM documents
+        WHERE n_chars BETWEEN 100 AND 20000
+          AND len(list_filter(string_split(text, ' '), t -> t <> ''))
+              >= 20
+    ),
+    uniq AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                         ORDER BY doc_id) AS rn
+            FROM gated
+        ) WHERE rn = 1
+    ),
+    train AS (
+        SELECT * FROM uniq
+        WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 10 < 9
+    ),
+    chunks AS (
+        SELECT lang, least(40, n_tok - s.start + 1) AS chunk_tokens
+        FROM train, LATERAL (SELECT unnest(generate_series(1, n_tok, 32))
+                             AS start) s
+    )
+    SELECT g.lang,
+           (SELECT count(*) FROM gated WHERE lang = g.lang) AS n_gated,
+           (SELECT count(*) FROM uniq WHERE lang = g.lang) AS n_unique,
+           (SELECT count(*) FROM train WHERE lang = g.lang) AS n_train,
+           CAST((SELECT coalesce(sum(n_tok), 0) FROM train
+                 WHERE lang = g.lang) AS BIGINT) AS n_train_tokens,
+           (SELECT count(*) FROM chunks WHERE lang = g.lang) AS n_chunks
+    FROM (SELECT DISTINCT lang FROM gated) g
+    """,
+)
+def curation_pipeline_e2e(spark, sf_dir):
+    """The curation pipeline END TO END as one declarative plan:
+    quality gates (length band + minimum tokens) → exact dedup (keep
+    lowest doc_id per content hash) → deterministic 90 % train split
+    (md5-threshold, reshuffle-proof) → 40/32 sliding-window chunking —
+    reporting per-language survivors at every stage plus final token
+    and chunk counts. Each stage is the registered standalone
+    operator's logic (dq_filter_cascade, dedup_exact_hash,
+    split_train_holdout, chunk_fixed_tokens) composed in one query,
+    which is how the pipeline actually ships: Catalyst fuses the
+    gates into the scan, the dedup is the only wide exchange, and
+    the split is a pushable filter — so the WHOLE pipeline costs one
+    shuffle plus a map-side chunk explosion, not four jobs.
+
+    Every stage count is exact-integer; the pipeline report is what a
+    training-data release publishes next to the corpus."""
+    t = Tables(spark, sf_dir)
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    gated = (
+        t.documents.filter(F.col("n_chars").between(100, 20000))
+        .withColumn("n_tok", F.size(toks))
+        .filter(F.col("n_tok") >= 20)
+        .select("doc_id", "lang", "text", "n_tok")
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    uniq = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    train = uniq.filter(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 10
+        < 9
+    )
+    chunks = train.select(
+        "lang",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n_tok"), F.lit(32))
+        ).alias("start"),
+        "n_tok",
+    ).select(
+        "lang",
+        F.least(F.lit(40), F.col("n_tok") - F.col("start") + 1).alias(
+            "chunk_tokens"
+        ),
+    )
+    g = gated.groupBy("lang").agg(F.count("*").alias("n_gated"))
+    u = uniq.groupBy("lang").agg(F.count("*").alias("n_unique"))
+    tr = train.groupBy("lang").agg(
+        F.count("*").alias("n_train"),
+        F.sum("n_tok").cast("bigint").alias("n_train_tokens"),
+    )
+    ch = chunks.groupBy("lang").agg(F.count("*").alias("n_chunks"))
+    return (
+        g.join(u, "lang", "left")
+        .join(tr, "lang", "left")
+        .join(ch, "lang", "left")
+        .select(
+            "lang",
+            "n_gated",
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+            F.coalesce("n_train", F.lit(0)).alias("n_train"),
+            F.coalesce("n_train_tokens", F.lit(0)).cast("bigint").alias(
+                "n_train_tokens"
+            ),
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+        )
+    )
