@@ -1254,3 +1254,61 @@ def attribution_linear_window(spark, sf_dir):
             "credited_revenue"
         ),
     )
+
+
+@query(
+    "analytics_peak_concurrency",
+    oracle="""
+    WITH pts AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS t, 1 AS d,
+               event_id AS tb
+        FROM events
+        UNION ALL
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) + 300000000, -1,
+               event_id + 1000000000
+        FROM events
+    ),
+    sweep AS (
+        SELECT t, sum(d) OVER (ORDER BY t, d, tb
+                               ROWS UNBOUNDED PRECEDING) AS live
+        FROM pts
+    )
+    SELECT CAST(max(live) AS BIGINT) AS peak_concurrent,
+           CAST(min(live) AS BIGINT) AS min_live
+    FROM sweep
+    """,
+)
+def analytics_peak_concurrency(spark, sf_dir):
+    """Peak concurrency via the sweep line: every event opens a
+    5-minute activity interval; +1/−1 endpoint markers sorted by time
+    give a running 'live interval' count whose max is the peak — the
+    capacity-planning number (max concurrent sessions/connections)
+    that a naive self-join computes in O(n²) and this plan in one
+    sort. Endpoint ties order ends (−1) BEFORE starts at the same
+    microsecond via the d sort key, the half-open [t, t+5 min)
+    convention, mirrored exactly in both engines.
+
+    The global running sum uses one un-partitioned window over 2n
+    marker rows — for 100 TB, pre-aggregate markers per (time-bucket)
+    first (Σd per bucket), sweep buckets, then rescan only the peak
+    bucket: the two-level sweep keeps the global sort at bucket
+    granularity."""
+    t = Tables(spark, sf_dir)
+    us = F.unix_micros("ts")
+    starts = t.events.select(
+        us.alias("t"), F.lit(1).alias("d"), F.col("event_id").alias("tb")
+    )
+    ends = t.events.select(
+        (us + 300 * 1_000_000).alias("t"),
+        F.lit(-1).alias("d"),
+        (F.col("event_id") + 1_000_000_000).alias("tb"),
+    )
+    pts = starts.unionAll(ends)
+    w = Window.orderBy("t", "d", "tb").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sweep = pts.select(F.sum("d").over(w).alias("live"))
+    return sweep.agg(
+        F.max("live").cast("bigint").alias("peak_concurrent"),
+        F.min("live").cast("bigint").alias("min_live"),
+    )

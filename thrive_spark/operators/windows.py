@@ -571,3 +571,65 @@ def win_nth_value(spark, sf_dir):
         F.nth_value("o_orderkey", 2).over(w).alias("second_order_key"),
         F.nth_value("o_orderkey", 3).over(w).alias("third_order_key"),
     ).dropDuplicates()
+
+
+@query(
+    "win_sliding_median",
+    oracle=f"""
+    WITH x AS (
+        SELECT event_id, user_id,
+               CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v, ts
+        FROM events
+    ),
+    f AS (
+        SELECT event_id, user_id,
+               list_sort(list(v) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS BETWEEN 14 PRECEDING
+                                       AND CURRENT ROW)) AS fr
+        FROM x
+    )
+    SELECT event_id, user_id,
+           CASE WHEN len(fr) % 2 = 1
+                THEN CAST(fr[(len(fr) + 1) // 2] AS DOUBLE) / 10000.0
+                ELSE (fr[len(fr) // 2] + fr[len(fr) // 2 + 1]) / 2.0
+                     / 10000.0
+           END AS med15
+    FROM f
+    """,
+)
+def win_sliding_median(spark, sf_dir):
+    """EXACT rolling median over a 15-row trailing frame per user —
+    the robust-statistics window the built-in aggregates don't offer
+    (percentile_approx is estimate-grade; this is exact).
+
+    The frame's fixed-point values collect into an in-row array,
+    sort JVM-side, and the middle element (or the half-up mean of the
+    two middles — integer + one dyadic division, engine-exact) is
+    selected positionally. Cost: O(k log k) per row for frame size k —
+    fine for dashboard-scale frames; for k in the thousands switch to
+    the two-heap streaming median inside applyInPandasWithState.
+    Collect-over-frame is bounded by the frame, so memory is O(k)
+    regardless of partition size."""
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-14, 0)
+    )
+    fr = F.sort_array(F.collect_list(fixed("value")).over(w))
+    n = F.size(fr)
+    odd = F.element_at(fr, ((n + 1) / 2).cast("int")).cast("double") / 10000.0
+    even = (
+        (
+            F.element_at(fr, (n / 2).cast("int"))
+            + F.element_at(fr, (n / 2).cast("int") + 1)
+        )
+        / 2.0
+        / 10000.0
+    )
+    return t.events.select(
+        "event_id",
+        "user_id",
+        F.when(n % 2 == 1, odd).otherwise(even).alias("med15"),
+    )
