@@ -88,7 +88,7 @@ GRADE_DEFER = [
     "dq_referential_integrity", "text_novelty_fraction",
     "cdc_snapshot_diff", "text_zipf_slope", "sink_compression_matrix",
     "curation_pipeline_e2e", "win_sliding_median",
-    "analytics_peak_concurrency",
+    "analytics_peak_concurrency", "events_dau_wau", "scan_csv_dialect",
 ]
 
 

@@ -1312,3 +1312,63 @@ def analytics_peak_concurrency(spark, sf_dir):
         F.max("live").cast("bigint").alias("peak_concurrent"),
         F.min("live").cast("bigint").alias("min_live"),
     )
+
+
+@query(
+    "events_dau_wau",
+    oracle="""
+    WITH pres AS (
+        SELECT DISTINCT user_id,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS d
+        FROM events
+    ),
+    span AS (SELECT min(d) AS d0, max(d) AS d1 FROM pres),
+    served AS (
+        SELECT p.user_id, p.d + k.k AS target_d
+        FROM pres p, (SELECT unnest(generate_series(0, 6)) AS k) k
+    ),
+    wau AS (
+        SELECT target_d AS d, count(DISTINCT user_id) AS wau
+        FROM served GROUP BY target_d
+    ),
+    dau AS (SELECT d, count(*) AS dau FROM pres GROUP BY d)
+    SELECT dau.d AS day_num, dau.dau, wau.wau
+    FROM dau JOIN wau ON dau.d = wau.d, span
+    WHERE dau.d BETWEEN span.d0 + 6 AND span.d1
+    """,
+)
+def events_dau_wau(spark, sf_dir):
+    """DAU and trailing-7-day WAU per day — THE engagement series, via
+    the presence-expansion rewrite: windowed COUNT(DISTINCT) doesn't
+    exist as a window aggregate in either engine, so each (user, day)
+    presence row is exploded to the 7 target days it can serve and
+    WAU becomes a plain distinct-count per target day. Output starts
+    at the first day with a full trailing week (partial-week rows
+    would understate WAU).
+
+    Cost: presence collapses events to |users|×|active days| first
+    (the big win), the explosion is ×7 of THAT, and both aggregates
+    shuffle on the day key. The same rewrite gives MAU with k=0..29 —
+    ×30 of the presence table, still far below event volume."""
+    t = Tables(spark, sf_dir)
+    pres = t.events.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d"),
+    ).distinct()
+    span = pres.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    served = pres.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"), "d"
+    ).select("user_id", (F.col("d") + F.col("k")).alias("target_d"))
+    wau = served.groupBy(F.col("target_d").alias("d")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    dau = pres.groupBy("d").agg(F.count("*").alias("dau"))
+    return (
+        dau.join(wau, "d")
+        .crossJoin(F.broadcast(span))
+        .filter(F.col("d").between(F.col("d0") + 6, F.col("d1")))
+        .select(F.col("d").alias("day_num"), "dau", "wau")
+    )

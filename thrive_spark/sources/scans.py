@@ -504,3 +504,76 @@ def scan_time_travel(spark, sf_dir):
         return snapshot(1).unionAll(snapshot(2)).localCheckpoint()
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "scan_csv_dialect",
+    oracle="""
+    WITH payload AS (
+        SELECT doc_id,
+               'v="' || lang || '",' || CAST(n_chars AS VARCHAR)
+                   || chr(10) || source AS tricky
+        FROM documents WHERE doc_id < 256
+    )
+    SELECT count(*) AS n_rows,
+           min(md5(tricky)) AS content_probe,
+           CAST(sum(strlen(tricky)) AS BIGINT) AS bytes_logical
+    FROM payload
+    """,
+)
+def scan_csv_dialect(spark, sf_dir):
+    """CSV dialect torture round trip: a synthesized field containing
+    the SEPARATOR, the QUOTE character, and an EMBEDDED NEWLINE per
+    row is written with quoting/escaping on and read back with
+    ``multiLine`` — the oracle pins the digest of the ORIGINAL
+    strings, so any mis-quoting, mis-escaping, or record-splitting
+    corruption fails the hash. This is the failure mode that silently
+    shreds real-world CSV feeds; the explicit-dialect options
+    (quote, escape, multiLine) are the contract under test.
+
+    Scale caveat stated honestly: multiLine CSV cannot split files on
+    newlines, so each file parses on ONE task — acceptable for
+    moderate feed files, a reason to re-encode to parquet at ingest
+    for anything bigger (scan_csv_roundtrip covers the splittable
+    fast path)."""
+    t = Tables(spark, sf_dir)
+    tricky = F.concat(
+        F.lit('v="'),
+        F.col("lang"),
+        F.lit('",'),
+        F.col("n_chars").cast("string"),
+        F.lit("\n"),
+        F.col("source"),
+    )
+    src = t.documents.filter(F.col("doc_id") < 256).select(
+        "doc_id", tricky.alias("tricky")
+    )
+    out = tempfile.mkdtemp(prefix="thrive_csvd_")
+    try:
+        (
+            src.write.mode("overwrite")
+            .option("header", "true")
+            .option("quote", '"')
+            .option("escape", '"')
+            .csv(out)
+        )
+        back = (
+            spark.read.schema("doc_id long, tricky string")
+            .option("header", "true")
+            .option("quote", '"')
+            .option("escape", '"')
+            .option("multiLine", "true")
+            .csv(out)
+        )
+        return (
+            back.agg(
+                F.count("*").alias("n_rows"),
+                F.min(F.md5("tricky")).alias("content_probe"),
+                F.sum(F.length("tricky")).cast("bigint").alias(
+                    "bytes_logical"
+                ),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
