@@ -589,3 +589,50 @@ def fn_string_agg(spark, sf_dir):
             ).alias("members")
         )
     )
+
+
+@query(
+    "fn_masking_bank",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(c_mktsegment,
+               '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+               AS seg_masked,
+           regexp_replace(c_mktsegment, '[A-Za-z]', '*', 'g') AS seg_starred,
+           substr(c_mktsegment, 1, 2) ||
+               repeat('*', greatest(strlen(c_mktsegment) - 2, 0))
+               AS seg_prefix_only,
+           md5(CAST(c_custkey AS VARCHAR) || ':' || c_mktsegment)
+               AS seg_tokenized
+    FROM customer WHERE c_custkey <= 500
+    """,
+)
+def fn_masking_bank(spark, sf_dir):
+    """Data-masking function bank — the governance surface for
+    PII-safe analytics exports: Spark's ``mask()`` (class-preserving
+    substitution), full character starring, prefix-reveal masking,
+    and deterministic tokenization (keyed hash — referentially stable
+    across tables, so masked data still joins).
+
+    The oracle spells mask() as its regexp definition (upper→X,
+    lower→x, digit→n), which is also the portable form. All four are
+    map-only scalar functions — masking 100 TB costs a scan; put it
+    in the export writer, not a post-pass. (The repo's
+    text_redact_pii covers free-text PII; this bank covers COLUMN
+    masking.)"""
+    t = Tables(spark, sf_dir)
+    seg = F.col("c_mktsegment")
+    return t.customer.filter(F.col("c_custkey") <= 500).select(
+        "c_custkey",
+        F.mask(seg).alias("seg_masked"),
+        F.regexp_replace(seg, "[A-Za-z]", "*").alias("seg_starred"),
+        F.concat(
+            F.substring(seg, 1, 2),
+            F.expr(
+                "repeat('*', greatest(length(c_mktsegment) - 2, 0))"
+            ),
+        ).alias("seg_prefix_only"),
+        F.md5(
+            F.concat(F.col("c_custkey").cast("string"), F.lit(":"), seg)
+        ).alias("seg_tokenized"),
+    )

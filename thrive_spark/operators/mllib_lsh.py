@@ -25,6 +25,29 @@ from ._util import r4
 MLLIB_MINHASH_DIST = 0.2
 
 
+def _shingled_docs(t):
+    """(doc_id, tokens=word-3-shingles). The token array MATERIALIZES
+    in its own projection before the shingle transform references it —
+    inlining filter(split(text)) inside the lambda makes Catalyst
+    re-derive the whole array per element access, the O(tokens²)
+    pitfall SCALE.md documents for explode."""
+    tk = F.filter(F.split("text", " "), lambda x: x != "")
+    base = t.documents.select("doc_id", tk.alias("tk"))
+    n2 = F.greatest(F.size("tk") - 2, F.lit(0))
+    shingles = F.zip_with(
+        F.slice("tk", 1, n2),
+        F.zip_with(
+            F.slice("tk", 2, n2),
+            F.slice("tk", 3, n2),
+            lambda b, c: F.concat(b, F.lit(" "), c),
+        ),
+        lambda a, bc: F.concat(a, F.lit(" "), bc),
+    )
+    return base.select("doc_id", shingles.alias("tokens")).filter(
+        F.size("tokens") > 0
+    )
+
+
 @query("dedup_minhash_mllib")  # rows-only: MLlib hash seeds
 def dedup_minhash_mllib(spark, sf_dir):
     """MinHash LSH via MLlib: tokenize → binary HashingTF →
@@ -45,16 +68,7 @@ def dedup_minhash_mllib(spark, sf_dir):
     # word 3-shingles — the SAME feature space as the hand-rolled
     # twin; bare token SETS are far too coarse on a bounded vocabulary
     # (30k false pairs at sf0.01 when prototyped with tokens)
-    docs = t.documents.select(
-        "doc_id",
-        F.expr(
-            "transform(sequence(1, greatest(size(filter(split(text, ' '),"
-            " x -> x != '')) - 2, 0)), i -> concat_ws(' ',"
-            " element_at(filter(split(text, ' '), x -> x != ''), i),"
-            " element_at(filter(split(text, ' '), x -> x != ''), i + 1),"
-            " element_at(filter(split(text, ' '), x -> x != ''), i + 2)))"
-        ).alias("tokens"),
-    ).filter(F.size("tokens") > 0)
+    docs = _shingled_docs(t)
     tf = HashingTF(
         inputCol="tokens", outputCol="features", numFeatures=1 << 18,
         binary=True,

@@ -846,21 +846,15 @@ def text_novelty_fraction(spark, sf_dir):
     same gram key — two shuffles on the gram domain total; the
     novelty ratio divides two exact counts."""
     t = Tables(spark, sf_dir)
+    # shingles via zip_with over slices — the array is referenced
+    # per ROW, never inside a per-element lambda (where CollapseProject
+    # re-inlines the token pipeline and the build goes O(tokens²); the
+    # same fix took the MLlib minhash variant from 18 s to 4 s at sf0.1)
+    from .mllib_lsh import _shingled_docs
+
     tg = (
-        t.documents.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, greatest(size(filter(split(text,"
-                    " ' '), x -> x != '')) - 2, 0)), i -> concat_ws(' ',"
-                    " element_at(filter(split(text, ' '), x -> x != ''), i),"
-                    " element_at(filter(split(text, ' '), x -> x != ''),"
-                    " i + 1),"
-                    " element_at(filter(split(text, ' '), x -> x != ''),"
-                    " i + 2)))"
-                )
-            ).alias("g"),
-        )
+        _shingled_docs(t)
+        .select("doc_id", F.explode("tokens").alias("g"))
         .distinct()
     )
     firstseen = tg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
