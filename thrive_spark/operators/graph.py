@@ -146,8 +146,18 @@ def graph_pagerank(spark, sf_dir):
     from .analytics import _basket_pairs
 
     und = _basket_pairs(ob).groupBy("src", "dst").agg(F.count("*").alias("w"))
-    edges = und.select("src", "dst").unionAll(
-        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    edges = (
+        und.select("src", "dst")
+        .unionAll(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        # the heavy fact-derived aggregation runs ONCE, then the loop
+        # iterates on a single-partition checkpointed edge list — the
+        # per-round fixed cost is what dominates a small graph (on a
+        # 10^11-edge graph drop the coalesce; the rounds are then
+        # data-bound and the partitioning should stay wide)
+        .coalesce(1)
+        .localCheckpoint()
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()  # scalar: |brands|, bounded
