@@ -161,3 +161,62 @@ def test_cms_one_sided_error(spark, sf_dir):
     assert len(pdf) > 0
     assert (pdf["overcount"] >= 0).all()
     assert (pdf["est"] >= pdf["exact"]).all()
+
+
+def test_sliding_median_matches_pandas(spark, sf_dir):
+    """win_sliding_median == pandas rolling(15).median() on the
+    fixed-point values — an independent implementation check."""
+    from thrive_spark.registry import QUERIES
+    from thrive_spark.tables import Tables
+
+    got = (
+        QUERIES["win_sliding_median"](spark, sf_dir)
+        .toPandas()
+        .set_index("event_id")["med15"]
+    )
+    ev = (
+        Tables(spark, sf_dir)
+        .events.select("event_id", "user_id", "ts", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    import numpy as np
+
+    ev["v"] = np.floor(ev["value"] * 10000 + 0.5)
+    want = (
+        ev.groupby("user_id")["v"]
+        .rolling(15, min_periods=1)
+        .median()
+        .reset_index(level=0, drop=True)
+        / 10000.0
+    )
+    want.index = ev["event_id"]
+    joined = got.to_frame("got").join(want.to_frame("want"))
+    assert (joined["got"] - joined["want"]).abs().max() < 1e-9
+
+
+def test_ewma_close_to_untruncated(spark, sf_dir):
+    """The 8-tap truncated EWMA must sit within the truncation bound
+    (0.5^8 of the value range) of pandas' untruncated ewm."""
+    from thrive_spark.registry import QUERIES
+    from thrive_spark.tables import Tables
+
+    got = (
+        QUERIES["ts_ewma_halflife"](spark, sf_dir)
+        .toPandas()
+        .set_index("event_id")["ewma"]
+    )
+    ev = (
+        Tables(spark, sf_dir)
+        .events.select("event_id", "user_id", "ts", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    want = (
+        ev.groupby("user_id")["value"]
+        .transform(lambda s: s.ewm(alpha=0.5, adjust=True).mean())
+    )
+    want.index = ev["event_id"]
+    joined = got.to_frame("got").join(want.to_frame("want"))
+    bound = ev["value"].max() * (0.5**8) + 1e-3
+    assert (joined["got"] - joined["want"]).abs().max() <= bound
