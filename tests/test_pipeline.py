@@ -113,3 +113,28 @@ def test_compression_matrix_ordering(spark, sf_dir):
     assert by["zstd"] < by["none"] and by["snappy"] < by["none"]
     assert by["gzip"] < by["snappy"]  # text compresses well under gzip/zstd
     assert pdf["n_rows"].nunique() == 1  # every codec round-trips all rows
+
+
+def test_config_run_dsl_ops(spark, sf_dir):
+    """The extended DSL vocabulary (join / aggregate / dedup) lowers
+    correctly, and a committed ledger makes the next cycle a no-op."""
+    from thrive_spark.registry import QUERIES
+    from thrive_spark.sources.pipeline import Pipeline
+
+    out = QUERIES["pipeline_config_run"](spark, sf_dir).toPandas()
+    assert len(out) > 0 and {"n_name", "hr", "n_events", "sum_value"} <= set(
+        out.columns
+    )
+    # dedup op: latest-wins leaves one row per key
+    import pandas as pd
+
+    src = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [1, 1, 2], "ver": [1, 2, 1], "v": ["a", "b", "c"]}
+        )
+    )
+    p = Pipeline({"name": "x", "sink": {}, "transforms": []}, spark)
+    deduped = p._apply_transform(
+        src, {"op": "dedup", "keys": ["k"], "order_by": ["ver"]}
+    ).toPandas()
+    assert sorted(deduped["v"]) == ["b", "c"]

@@ -66,5 +66,5 @@ def load_all() -> None:
         vectors,
         windows,
     )
-    from .sources import formats, maintenance, pyds, scans, sinks  # noqa: F401
+    from .sources import formats, maintenance, pipeline, pyds, scans, sinks  # noqa: F401
     from .functions import banks  # noqa: F401
