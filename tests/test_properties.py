@@ -42,6 +42,13 @@ def _spark_rows(spark, vals, col):
 @given(vals=st.lists(INT_TOKEN, min_size=1, max_size=6))
 @SETTINGS
 def test_try_cast_bigint_parity(spark, vals):
+    import re
+
+    from hypothesis import assume
+
+    # bare sign + whitespace is a PINNED divergence (see
+    # test_try_cast_bigint_known_divergence): DuckDB parses '- ' as 0
+    assume(not any(re.fullmatch(r"\s*[-+]\s*", v) for v in vals))
     got = _spark_rows(
         spark, vals, __import__("pyspark.sql.functions", fromlist=["col"]).col("v").try_cast("bigint")
     )
@@ -103,13 +110,15 @@ def test_try_cast_bigint_pinned_edges(spark, s):
     assert got == want, (s, got, want)
 
 
-@pytest.mark.parametrize("s", ["1.5", "1e3"])
+@pytest.mark.parametrize("s", ["1.5", "1e3", "- ", "+ "])
 def test_try_cast_bigint_known_divergence(spark, s):
     """PINNED ENGINE DIVERGENCE (found by this suite): DuckDB
     TRY_CAST(VARCHAR AS BIGINT) accepts decimal/exponent forms and
-    rounds ('1.5'→2, '1e3'→1000); Spark's ANSI try_cast rejects them
-    (NULL). Oracle SQL for any operator casting strings to integers
-    must avoid these shapes or cast via DOUBLE explicitly."""
+    rounds ('1.5'→2, '1e3'→1000) AND parses a bare sign followed by
+    whitespace as 0 ('- '→0, r5 find); Spark's ANSI try_cast rejects
+    all of these (NULL). Oracle SQL for any operator casting strings
+    to integers must avoid these shapes or cast via DOUBLE
+    explicitly."""
     from pyspark.sql import functions as F
 
     assert _spark_rows(spark, [s], F.col("v").try_cast("bigint")) == [None]
