@@ -297,6 +297,9 @@ def dedup_cluster_components(spark, sf_dir):
     edges = (
         pairs.union(pairs.select("dup_id", "keep_id"))
         .toDF("src", "nbr")
+        .coalesce(1)  # near-dup edge lists are tiny; single-partition
+        # rounds avoid per-round multi-task overhead (same small-graph
+        # regime note as graph_pagerank — drop for data-bound graphs)
         .localCheckpoint()  # pair generation runs once, not per round
     )
     # seed labels with min(self, neighbors) — this IS round one of the
