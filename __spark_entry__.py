@@ -89,7 +89,8 @@ GRADE_DEFER = [
     "cdc_snapshot_diff", "text_zipf_slope", "sink_compression_matrix",
     "curation_pipeline_e2e", "win_sliding_median",
     "analytics_peak_concurrency", "events_dau_wau", "scan_csv_dialect",
-    "fn_masking_bank", "pipeline_config_run",
+    "fn_masking_bank", "pipeline_config_run", "fn_collation_bank",
+    "split_kfold_assign",
 ]
 
 

@@ -636,3 +636,52 @@ def fn_masking_bank(spark, sf_dir):
             F.concat(F.col("c_custkey").cast("string"), F.lit(":"), seg)
         ).alias("seg_tokenized"),
     )
+
+
+@query(
+    "fn_collation_bank",
+    oracle="""
+    WITH m AS (
+        SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_name)
+                    ELSE p_name END AS name_mixed
+        FROM part
+    )
+    SELECT lower(name_mixed) AS name_ci,
+           count(*) AS n,
+           count(DISTINCT name_mixed) AS n_case_variants,
+           min(name_mixed) AS min_binary
+    FROM m GROUP BY lower(name_mixed)
+    """,
+)
+def fn_collation_bank(spark, sf_dir):
+    """Spark 4 collation surface: grouping and distinct-counting under
+    ``COLLATE UTF8_LCASE`` on a deliberately case-mixed column —
+    case-insensitive semantics declared on the TYPE instead of
+    scattering lower() through every predicate (the governance win:
+    one declaration, every comparison/join/group obeys it).
+
+    The oracle mirrors with explicit lower(), which is also the
+    portable translation; min() stays on the binary column so the
+    output exposes both collations side by side. Collated comparisons
+    run JVM-side with no normalization copies — at 100 TB that is one
+    less full-column transform per case-insensitive join."""
+    t = Tables(spark, sf_dir)
+    mixed = F.when(
+        F.col("p_partkey") % 2 == 0, F.upper("p_name")
+    ).otherwise(F.col("p_name"))
+    m = t.part.select(mixed.alias("name_mixed"))
+    ci = F.expr("name_mixed COLLATE UTF8_LCASE")
+    return (
+        m.groupBy(ci.alias("name_key"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("name_mixed").alias("n_case_variants"),
+            F.min("name_mixed").alias("min_binary"),
+        )
+        .select(
+            F.lower("name_key").alias("name_ci"),
+            "n",
+            "n_case_variants",
+            "min_binary",
+        )
+    )

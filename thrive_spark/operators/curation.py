@@ -1071,3 +1071,46 @@ def curation_pipeline_e2e(spark, sf_dir):
             F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
         )
     )
+
+
+@query(
+    "split_kfold_assign",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, lang,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))
+                    AS BIGINT) % 5 AS fold
+        FROM documents
+    )
+    SELECT fold, lang, count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM f GROUP BY fold, lang
+    """,
+)
+def split_kfold_assign(spark, sf_dir):
+    """Deterministic 5-fold cross-validation assignment: fold =
+    hash(doc_id) mod k from a DIFFERENT md5 window than the
+    train/holdout split (chars 9–16 vs 1–8), so fold membership is
+    independent of that split — the evaluation-protocol complement of
+    split_train_holdout. Per-(fold, lang) counts expose stratification
+    quality; folds are a pure function of the key (reshuffle-proof,
+    reproducible across runs and engines), which is the property
+    rand()-based folding silently lacks.
+
+    Map-only assignment + one small aggregate; joining any fold's
+    train set (fold <> i) is a pushable filter, never a shuffle."""
+    t = Tables(spark, sf_dir)
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10
+        ).cast("bigint")
+        % 5
+    )
+    return (
+        t.documents.select("doc_id", "lang", fold.alias("fold"))
+        .groupBy("fold", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+    )
