@@ -156,3 +156,48 @@ def test_mllib_brp_recall_vs_exact(spark, sf_dir):
     assert exact
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"BRP recall vs exact: {recall}"
+
+
+def test_mmr_diversifies_over_topk(spark, sf_dir):
+    """MMR's picks must be less mutually similar than the plain top-10
+    (and still share the single most-relevant item)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from thrive_spark.functions.vectors import to_double
+    from thrive_spark.registry import QUERIES
+    from thrive_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    mmr = QUERIES["sim_mmr_rerank"](spark, sf_dir).toPandas()
+    assert len(mmr) == 10 and mmr["rank"].tolist() == list(range(1, 11))
+
+    emb = {
+        int(r.vec_id): np.array(r.e)
+        for r in t.embeddings.select(
+            "vec_id", to_double("embedding").alias("e")
+        ).collect()
+    }
+
+    def mean_pairwise(ids):
+        vs = [emb[i] / np.linalg.norm(emb[i]) for i in ids]
+        sims = [
+            float(a @ b) for i, a in enumerate(vs) for b in vs[i + 1 :]
+        ]
+        return sum(sims) / len(sims)
+
+    top10 = (
+        QUERIES["sim_knn_cosine_topk"](spark, sf_dir)
+        .filter(F.col("query_id") == 0)
+        .orderBy("rn")
+        .toPandas()["neighbor_id"][:10]
+        .tolist()
+    )
+    # the exact top-k query returns 5; rebuild a plain top-10 list
+    q0 = emb[0] / np.linalg.norm(emb[0])
+    ranked = sorted(
+        (i for i in emb if i != 0),
+        key=lambda i: (-float(q0 @ (emb[i] / np.linalg.norm(emb[i]))), i),
+    )[:10]
+    assert mean_pairwise(mmr["vec_id"].tolist()) < mean_pairwise(ranked)
+    assert mmr.iloc[0]["vec_id"] == ranked[0]

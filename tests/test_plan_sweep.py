@@ -37,6 +37,7 @@ ALLOWED_ARROW_PYTHON = {
     "dedup_semantic_cluster",  # per-cell BLAS gram via applyInPandas
     "tokenizer_apply_bpe",  # per-doc BPE re-tokenize, map-only Arrow pass
     "multimodal_audio_wav",  # WAV codec encode/decode, map-only Arrow passes
+    "sim_mmr_rerank",  # greedy MMR on the shortlist runs in one Arrow batch
     "udf_pandas_window_agg",  # pandas UDF over window frames (slow-path exhibit)
     "multimodal_decode_stub",
     "multimodal_frame_sample",

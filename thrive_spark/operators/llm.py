@@ -494,3 +494,72 @@ def sim_hard_negatives(spark, sf_dir):
     return pairs.withColumn(
         "rn", F.row_number().over(w).cast("bigint")
     ).filter(F.col("rn") <= 3)
+
+
+#: MMR re-ranking: shortlist depth, output depth, relevance/diversity mix
+MMR_SHORTLIST, MMR_K, MMR_LAMBDA = 50, 10, 0.5
+
+
+@query("sim_mmr_rerank")  # rows-only: iterative greedy selection
+def sim_mmr_rerank(spark, sf_dir):
+    """Maximal-Marginal-Relevance re-ranking for query vec_id=0:
+    greedily pick 10 results maximizing λ·sim(query, d) −
+    (1−λ)·max_sim(d, already-picked) — the diversification pass
+    between retrieval and an LLM context window (plain top-k returns
+    ten near-copies of the best hit; MMR trades a little relevance
+    for coverage).
+
+    Two-stage shape: the DISTRIBUTED part is the exact cosine
+    shortlist (broadcast query, one candidate scan, TakeOrdered 50);
+    the greedy loop — inherently sequential, k·shortlist dot products
+    — runs in ONE Arrow batch on the shortlist only. That split is
+    the point: never run the O(k·n) greedy against the corpus; run it
+    against a shortlist whose size is a constant. Greedy selection
+    has no SQL formulation → rows-only; the diversity win over plain
+    top-k is asserted in tests/test_ann.py."""
+    t = Tables(spark, sf_dir)
+    q = t.embeddings.filter(F.col("vec_id") == 0).select(
+        to_double("embedding").alias("qe")
+    )
+    cand = (
+        t.embeddings.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            to_double("embedding").alias("ce"),
+            r4(cosine(to_double("embedding"), F.col("qe"))).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(MMR_SHORTLIST)
+    )
+
+    def mmr(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(["rel", "vec_id"], ascending=[False, True])
+        vecs = np.array([np.array(v) for v in pdf["ce"]])
+        vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        rel = pdf["rel"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        picked: list[int] = []
+        max_sim = np.zeros(len(pdf))
+        for rank in range(min(MMR_K, len(pdf))):
+            score = MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * max_sim
+            score[picked] = -np.inf
+            i = int(np.argmax(score))  # ties: first index, deterministic
+            picked.append(i)
+            max_sim = np.maximum(max_sim, vecs @ vecs[i])
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(picked) + 1),
+                "vec_id": ids[picked],
+                "rel": rel[picked],
+            }
+        )
+
+    return (
+        cand.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(mmr, "rank long, vec_id long, rel double")
+    )
