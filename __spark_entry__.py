@@ -90,7 +90,8 @@ GRADE_DEFER = [
     "curation_pipeline_e2e", "win_sliding_median",
     "analytics_peak_concurrency", "events_dau_wau", "scan_csv_dialect",
     "fn_masking_bank", "pipeline_config_run", "fn_collation_bank",
-    "split_kfold_assign", "sim_mmr_rerank",
+    "split_kfold_assign", "sim_mmr_rerank", "text_lang_confusion",
+    "agg_weighted_mean",
 ]
 
 

@@ -726,3 +726,44 @@ def agg_moments_skew_kurtosis(spark, sf_dir):
                      + 0.5) / 10000.0).alias("excess_kurtosis"),
         )
     )
+
+
+@query(
+    "agg_weighted_mean",
+    oracle="""
+    WITH x AS (
+        SELECT l_returnflag,
+               CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT) AS p_fp,
+               CAST(l_quantity AS BIGINT) AS q
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(sum(q) AS BIGINT) AS total_qty,
+           CAST(sum(p_fp * q) AS BIGINT) / 10000.0 / CAST(sum(q) AS BIGINT)
+               AS wavg_price
+    FROM x GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_mean(spark, sf_dir):
+    """Quantity-weighted mean price per return flag — the weighted
+    average that a plain avg() silently gets wrong (unit price and
+    volume are correlated), computed exactly: quantities are whole
+    numbers (cast BIGINT exactly), prices fixed-point, so Σ(p·q) is
+    pure integer arithmetic (≤ 10⁹·50·|rows| « 2⁶³ at any tested
+    scale) and ONE double division at the end is the only float op —
+    both engines divide identical integers. Map-side-combined hash
+    aggregate; nothing but the 3-row result leaves the executors."""
+    t = Tables(spark, sf_dir)
+    x = t.lineitem.select(
+        "l_returnflag",
+        fixed("l_extendedprice").alias("p_fp"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    return x.groupBy("l_returnflag").agg(
+        F.sum("q").cast("bigint").alias("total_qty"),
+        (
+            F.sum(F.col("p_fp") * F.col("q")).cast("bigint")
+            / 10000.0
+            / F.sum("q").cast("bigint")
+        ).alias("wavg_price"),
+    )

@@ -951,3 +951,75 @@ def text_zipf_slope(spark, sf_dir):
         n.cast("bigint").alias("n_points"),
         (F.floor(slope * 10000 + 0.5) / 10000.0).alias("zipf_slope"),
     )
+
+
+@query(
+    "text_lang_confusion",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, lang,
+               {_lang_hits_sql('en')} AS h_en,
+               {_lang_hits_sql('es')} AS h_es,
+               {_lang_hits_sql('de')} AS h_de,
+               {_lang_hits_sql('fr')} AS h_fr,
+               {_lang_hits_sql('zh')} AS h_zh
+        FROM documents
+    ),
+    g AS (
+        SELECT lang AS actual,
+               CASE WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr
+                         AND h_en >= h_zh THEN 'en'
+                    WHEN h_es >= h_de AND h_es >= h_fr AND h_es >= h_zh
+                        THEN 'es'
+                    WHEN h_de >= h_fr AND h_de >= h_zh THEN 'de'
+                    WHEN h_fr >= h_zh THEN 'fr'
+                    ELSE 'zh' END AS guessed
+        FROM h
+    ),
+    t AS (SELECT actual, count(*) AS n_actual FROM g GROUP BY actual)
+    SELECT g.actual, g.guessed, count(*) AS n,
+           {ofix('CAST(count(*) AS DOUBLE) / n_actual', 6)} AS row_share
+    FROM g JOIN t ON g.actual = t.actual
+    GROUP BY g.actual, g.guessed, t.n_actual
+    """,
+)
+def text_lang_confusion(spark, sf_dir):
+    """Classifier-evaluation rollup for the stopword language-ID: the
+    (actual, guessed) confusion matrix with row-normalized shares —
+    diagonal = per-language recall, off-diagonal cells name exactly
+    WHICH languages bleed into which (the artifact a model card
+    publishes, and the aggregate verdict on text_lang_id's per-doc
+    guesses).
+
+    Same map-only hit counting as text_lang_id, then two tiny
+    aggregates on the ≤|langs|² key space; shares divide exact
+    counts. The evaluation costs one corpus scan regardless of
+    scale."""
+    t = Tables(spark, sf_dir)
+    langs = ["en", "es", "de", "fr", "zh"]
+    h = t.documents.select(
+        F.col("lang").alias("actual"),
+        *[_lang_hits_spark(lg).alias(f"h_{lg}") for lg in langs],
+    )
+    guess = F.lit("zh")
+    for lg in reversed(langs[:-1]):
+        later = [f"h_{x}" for x in langs[langs.index(lg) + 1 :]]
+        cond = F.lit(True)
+        for other in later:
+            cond = cond & (F.col(f"h_{lg}") >= F.col(other))
+        guess = F.when(cond, F.lit(lg)).otherwise(guess)
+    g = h.select("actual", guess.alias("guessed"))
+    tot = g.groupBy("actual").agg(F.count("*").alias("n_actual"))
+    return (
+        g.groupBy("actual", "guessed")
+        .agg(F.count("*").alias("n"))
+        .join(F.broadcast(tot), "actual")
+        .select(
+            "actual",
+            "guessed",
+            "n",
+            ffix(F.col("n").cast("double") / F.col("n_actual"), 6).alias(
+                "row_share"
+            ),
+        )
+    )
