@@ -91,7 +91,7 @@ GRADE_DEFER = [
     "analytics_peak_concurrency", "events_dau_wau", "scan_csv_dialect",
     "fn_masking_bank", "pipeline_config_run", "fn_collation_bank",
     "split_kfold_assign", "sim_mmr_rerank", "text_lang_confusion",
-    "agg_weighted_mean",
+    "agg_weighted_mean", "fn_try_bank", "agg_hll_precision_sweep",
 ]
 
 

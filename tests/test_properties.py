@@ -229,3 +229,17 @@ def test_ewma_close_to_untruncated(spark, sf_dir):
     joined = got.to_frame("got").join(want.to_frame("want"))
     bound = ev["value"].max() * (0.5**8) + 1e-3
     assert (joined["got"] - joined["want"]).abs().max() <= bound
+
+
+def test_hll_precision_error_bounds(spark, sf_dir):
+    from thrive_spark.registry import QUERIES
+
+    row = QUERIES["agg_hll_precision_sweep"](spark, sf_dir).collect()[0]
+    exact = row["exact"]
+    for col, rsd in (
+        ("est_rsd_001", 0.01),
+        ("est_rsd_005", 0.05),
+        ("est_rsd_010", 0.10),
+    ):
+        err = abs(row[col] - exact) / exact
+        assert err <= 3 * rsd, (col, row[col], exact, err)

@@ -685,3 +685,51 @@ def fn_collation_bank(spark, sf_dir):
             "min_binary",
         )
     )
+
+
+@query(
+    "fn_try_bank",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE o_totalprice / (o_orderkey % 3) END AS c_try_divide,
+           CAST(NULL AS BIGINT) AS c_try_add_overflow,
+           CASE WHEN o_orderkey % 7 = 0
+                THEN CAST(o_orderkey AS BIGINT) * 1000000
+                ELSE NULL END AS c_try_mul,
+           CASE WHEN o_orderkey % 5 + 1 <= 3
+                THEN ['a','b','c'][CAST(o_orderkey % 5 + 1 AS INT)]
+                ELSE NULL END AS c_try_element
+    FROM orders
+    """,
+)
+def fn_try_bank(spark, sf_dir):
+    """ANSI-safe `try_*` surface: division by a sometimes-zero
+    denominator, BIGINT-overflow addition, conditional multiplication,
+    and out-of-bounds array indexing — each yielding NULL instead of a
+    job-killing exception. This is the error-containment contract ETL
+    needs under ANSI mode (one malformed row must not fail a 100 TB
+    job); the oracle spells each as its explicit CASE guard, which is
+    both the portable translation and the documentation of WHEN each
+    function nulls.
+
+    c_try_add_overflow pins the overflow behavior concretely:
+    BIGINT_MAX + (o_orderkey+1) overflows for every row (keys start
+    at 0), so the column is identically NULL — an engine that wraps
+    around instead would fail the hash."""
+    t = Tables(spark, sf_dir)
+    k = F.col("o_orderkey")
+    return t.orders.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), k % 3).alias("c_try_divide"),
+        F.try_add(F.lit(9223372036854775807).cast("bigint"), k + 1).alias(
+            "c_try_add_overflow"
+        ),
+        F.when(k % 7 == 0, F.try_multiply(k.cast("bigint"), F.lit(1000000)))
+        .otherwise(F.lit(None).cast("bigint"))
+        .alias("c_try_mul"),
+        F.try_element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            (k % 5 + 1).cast("int"),
+        ).alias("c_try_element"),
+    )

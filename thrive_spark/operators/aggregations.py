@@ -767,3 +767,25 @@ def agg_weighted_mean(spark, sf_dir):
             / F.sum("q").cast("bigint")
         ).alias("wavg_price"),
     )
+
+
+@query("agg_hll_precision_sweep")  # rows-only: estimator internals
+def agg_hll_precision_sweep(spark, sf_dir):
+    """approx_count_distinct at three precision settings (rsd 0.01 /
+    0.05 / 0.1) against the exact distinct count of l_partkey — the
+    calibration table an engine publishes so users can pick the
+    memory/accuracy point (HLL++ register count grows ~1/rsd²).
+
+    One pass computes all four aggregates (Catalyst plans them in a
+    single hash-aggregate stage); the relative-error audit
+    |est − exact| / exact ≤ 3·rsd is pytest-gated per precision in
+    tests/test_properties.py — a bound loose enough to be stable and
+    tight enough to catch a mis-wired precision knob."""
+    t = Tables(spark, sf_dir)
+    c = F.col("l_partkey")
+    return t.lineitem.agg(
+        F.countDistinct(c).cast("bigint").alias("exact"),
+        F.approx_count_distinct(c, 0.01).alias("est_rsd_001"),
+        F.approx_count_distinct(c, 0.05).alias("est_rsd_005"),
+        F.approx_count_distinct(c, 0.10).alias("est_rsd_010"),
+    )
