@@ -72,3 +72,16 @@ def test_pagerank_mass_and_positivity(spark, sf_dir):
     assert (pdf["pagerank"] > 0).all()
     # rank mass conserved up to damping leakage + rounding
     assert abs(pdf["pagerank"].sum() - 1.0) < 0.01
+
+
+def test_textrank_favors_connected_words(spark, sf_dir):
+    from thrive_spark.registry import QUERIES
+
+    pdf = QUERIES["text_textrank_keywords"](spark, sf_dir).toPandas()
+    assert len(pdf) == 25
+    assert (pdf["textrank"] > 0).all()
+    # the corpus' ubiquitous vocabulary must dominate the top ranks
+    top = set(pdf["word"][:10])
+    assert top & {"scan", "column", "window", "order", "sort", "join",
+                  "value", "key", "query", "group", "a", "part", "line",
+                  "agg", "merge"}, top

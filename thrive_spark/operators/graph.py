@@ -146,24 +146,37 @@ def graph_pagerank(spark, sf_dir):
     from .analytics import _basket_pairs
 
     und = _basket_pairs(ob).groupBy("src", "dst").agg(F.count("*").alias("w"))
+    ranks = pagerank(und.select("src", "dst"), rounds=6)
+    return ranks.select(
+        F.col("node").alias("brand"),
+        (F.floor(F.col("rank") * 1000000 + 0.5) / 1000000.0).alias("pagerank"),
+    )
+
+
+def pagerank(und_edges, rounds: int = 6, damping: float = 0.85):
+    """Damped power iteration over an UNDIRECTED edge list (src, dst)
+    — shared by graph_pagerank and text_textrank_keywords.
+
+    The heavy upstream derivation runs ONCE into a single-partition
+    checkpointed edge list; each round is one join + per-destination
+    aggregate + damping re-center, localCheckpoint cutting lineage.
+    The coalesce(1) is the small-graph regime (per-round fixed cost
+    dominates); on a 10^11-edge graph drop it — the rounds are then
+    data-bound and the partitioning should stay wide."""
     edges = (
-        und.select("src", "dst")
-        .unionAll(
-            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        und_edges.unionAll(
+            und_edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
         )
-        # the heavy fact-derived aggregation runs ONCE, then the loop
-        # iterates on a single-partition checkpointed edge list — the
-        # per-round fixed cost is what dominates a small graph (on a
-        # 10^11-edge graph drop the coalesce; the rounds are then
-        # data-bound and the partitioning should stay wide)
         .coalesce(1)
         .localCheckpoint()
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()
-    n_nodes = nodes.count()  # scalar: |brands|, bounded
+    n_nodes = nodes.count()  # scalar: |vertices|, bounded
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-    for _ in range(6):
+    for _ in range(rounds):
         contribs = (
             edges.join(ranks, edges.src == ranks.node)
             .join(deg, "src")
@@ -176,16 +189,13 @@ def graph_pagerank(spark, sf_dir):
             .select(
                 "node",
                 (
-                    F.lit(0.15 / n_nodes)
-                    + 0.85 * F.coalesce("s", F.lit(0.0))
+                    F.lit((1 - damping) / n_nodes)
+                    + damping * F.coalesce("s", F.lit(0.0))
                 ).alias("rank"),
             )
             .localCheckpoint()
         )
-    return ranks.select(
-        F.col("node").alias("brand"),
-        (F.floor(F.col("rank") * 1000000 + 0.5) / 1000000.0).alias("pagerank"),
-    )
+    return ranks
 
 
 def _co_order_brands(spark, sf_dir):
@@ -197,4 +207,49 @@ def _co_order_brands(spark, sf_dir):
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .select("l_orderkey", "p_brand")
+    )
+
+
+@query("text_textrank_keywords")  # rows-only: iterative float refinement
+def text_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word co-occurrence graph (adjacent-token edges across the
+    corpus), top 25 words by rank — the unsupervised keyword pass a
+    corpus card runs, and a second client of the shared
+    :func:`pagerank` loop (the graph machinery generalizes past the
+    sales schema).
+
+    The co-occurrence edge list comes from the SAME in-row bigram
+    construction as text_pmi_bigrams (zip_with over slices — no
+    quadratic lambda), deduped to distinct undirected pairs; rank
+    quality is gated in tests (stopword-like high-degree words must
+    rank above rare words)."""
+    from ..tables import Tables as _T
+
+    t = _T(spark, sf_dir)
+    tk = F.filter(F.split("text", " "), lambda x: x != "")
+    base = t.documents.select(tk.alias("tk"))
+    n2 = F.greatest(F.size("tk") - 1, F.lit(0))
+    bigrams = base.select(
+        F.explode(
+            F.zip_with(
+                F.slice("tk", 1, n2),
+                F.slice("tk", 2, n2),
+                lambda a, b: F.struct(
+                    F.least(a, b).alias("src"), F.greatest(a, b).alias("dst")
+                ),
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
+    und = bigrams.filter(F.col("src") != F.col("dst")).distinct()
+    ranks = pagerank(und, rounds=6)
+    return (
+        ranks.orderBy(F.col("rank").desc(), "node")
+        .limit(25)
+        .select(
+            F.col("node").alias("word"),
+            (F.floor(F.col("rank") * 1000000 + 0.5) / 1000000.0).alias(
+                "textrank"
+            ),
+        )
     )
