@@ -59,3 +59,44 @@ def test_restart_from_checkpoint_no_duplicates(spark, sf_dir, stream_dir, tmp_pa
     # and the second run really did append beyond phase 1
     assert got.count() > n_phase1
     assert got.select(F.max("batch_id")).collect()[0][0] >= half
+
+
+def test_available_now_incremental_batches(spark, sf_dir, tmp_path):
+    """Trigger.AvailableNow: the batch-like incremental run — each
+    invocation drains exactly the files the checkpoint hasn't seen,
+    then stops. This is Structured Streaming's native counterpart of
+    the dirlist ledger (sources/incremental.py): same exactly-once
+    contract, state in the checkpoint instead of a parquet ledger."""
+    from pyspark.sql import functions as F
+
+    from thrive_spark.tables import Tables
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out = "t_avnow"
+    ev = Tables(spark, sf_dir).events.select("event_id", "user_id", "value")
+    ev.filter(F.col("event_id") % 3 == 0).write.parquet(f"{src}/f1")
+
+    def drain():
+        q = (
+            spark.readStream.schema("event_id long, user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+            .groupBy()
+            .count()
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.table(out).collect()[0][0]
+
+    n1_expected = ev.filter(F.col("event_id") % 3 == 0).count()
+    assert drain() == n1_expected
+    # new file lands; the next AvailableNow run picks up ONLY the delta
+    ev.filter(F.col("event_id") % 3 == 1).write.parquet(f"{src}/f2")
+    total = drain()
+    assert total == ev.filter(F.col("event_id") % 3 != 2).count()
