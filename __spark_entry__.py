@@ -92,7 +92,8 @@ GRADE_DEFER = [
     "fn_masking_bank", "pipeline_config_run", "fn_collation_bank",
     "split_kfold_assign", "sim_mmr_rerank", "text_lang_confusion",
     "agg_weighted_mean", "fn_try_bank", "agg_hll_precision_sweep",
-    "text_textrank_keywords",
+    "text_textrank_keywords", "fn_surrogate_key_bank",
+    "analytics_survival_table",
 ]
 
 

@@ -733,3 +733,67 @@ def fn_try_bank(spark, sf_dir):
             (k % 5 + 1).cast("int"),
         ).alias("c_try_element"),
     )
+
+
+@query(
+    "fn_surrogate_key_bank",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey, c_mktsegment, c_nationkey FROM customer
+        WHERE c_custkey <= 300
+    ),
+    k AS (
+        SELECT *, md5('cust:' || CAST(c_custkey AS VARCHAR)) AS h
+        FROM base
+    )
+    SELECT c_custkey,
+           substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-'
+               || substr(h, 13, 4) || '-' || substr(h, 17, 4) || '-'
+               || substr(h, 21, 12) AS uuid_key,
+           'cust|' || CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment
+               AS composite_key,
+           row_number() OVER (ORDER BY c_mktsegment, c_custkey)
+               AS dense_seq_key
+    FROM k
+    """,
+)
+def fn_surrogate_key_bank(spark, sf_dir):
+    """Surrogate-key minting bank — the identity layer of a warehouse
+    load: a UUID-shaped key from the namespaced md5 of the business
+    key (deterministic and collision-safe like UUIDv5 — unlike
+    ``uuid()``/``monotonically_increasing_id()``, which are
+    nondeterministic per run and therefore EXCLUDED from this bank on
+    purpose), a delimited composite natural key, and a dense ordinal
+    minted by row_number over a total business order.
+
+    The first two are map-only and reshuffle-proof (pure functions of
+    the row); the ordinal needs a global sort and is the one to avoid
+    at 100 TB unless the consumer truly needs dense integers — the
+    docstring IS the design guidance."""
+    t = Tables(spark, sf_dir)
+    base = t.customer.filter(F.col("c_custkey") <= 300)
+    h = F.md5(F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")))
+    k = base.select("c_custkey", "c_mktsegment", "c_nationkey", h.alias("h"))
+    uuid_key = F.concat_ws(
+        "-",
+        F.substring("h", 1, 8),
+        F.substring("h", 9, 4),
+        F.substring("h", 13, 4),
+        F.substring("h", 17, 4),
+        F.substring("h", 21, 12),
+    )
+    from pyspark.sql import Window
+
+    return k.select(
+        "c_custkey",
+        uuid_key.alias("uuid_key"),
+        F.concat_ws(
+            "|",
+            F.lit("cust"),
+            F.col("c_nationkey").cast("string"),
+            F.col("c_mktsegment"),
+        ).alias("composite_key"),
+        F.row_number()
+        .over(Window.orderBy("c_mktsegment", "c_custkey"))
+        .alias("dense_seq_key"),
+    )

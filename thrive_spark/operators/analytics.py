@@ -1372,3 +1372,111 @@ def events_dau_wau(spark, sf_dir):
         .filter(F.col("d").between(F.col("d0") + 6, F.col("d1")))
         .select(F.col("d").alias("day_num"), "dau", "wau")
     )
+
+
+@query(
+    "analytics_survival_table",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(ts) AS t0 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+        SELECT s.user_id,
+               min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS p_us
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= s.t0
+        GROUP BY s.user_id
+    ),
+    horizon AS (
+        SELECT s.user_id,
+               CASE WHEN p.p_us IS NOT NULL THEN
+                    (p.p_us - epoch_us(CAST(s.t0 AS TIMESTAMP)))
+                        // 86400000000
+               END AS t_event,
+               ((SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) FROM events)
+                   - epoch_us(CAST(s.t0 AS TIMESTAMP))) // 86400000000
+                   AS t_censor
+        FROM s LEFT JOIN p ON s.user_id = p.user_id
+    ),
+    expanded AS (
+        SELECT h.user_id, h.t_event, g.d
+        FROM horizon h,
+             LATERAL (SELECT unnest(generate_series(0,
+                 coalesce(h.t_event, h.t_censor))) AS d) g
+    )
+    SELECT CAST(d AS BIGINT) AS day_t,
+           count(*) AS n_at_risk,
+           count(*) FILTER (WHERE t_event = d) AS n_converted
+    FROM expanded GROUP BY d
+    """,
+)
+def analytics_survival_table(spark, sf_dir):
+    """Survival / time-to-event table for signup → first purchase:
+    for every day t since signup, how many users were still at risk
+    (not yet converted, observation window not yet exhausted) and how
+    many converted exactly at t — with RIGHT-CENSORING handled the
+    Kaplan-Meier way (users who never purchase contribute risk only
+    up to the end of their observed window). The downstream S(t)
+    product is one consumer-side fold over these EXACT integers —
+    emitting the at-risk table instead of S(t) keeps the operator
+    float-free.
+
+    Shape: two user-keyed min-aggregates on one exchange, a scalar
+    horizon broadcast, then each user expands to its ≤|days| at-risk
+    rows — |users|×|days| « events, and the day rollup is the only
+    further shuffle."""
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("p_us"))
+    )
+    maxus = ev.agg(F.max(F.unix_micros("ts")).alias("mx"))
+    day = 86400 * 1_000_000
+    h = (
+        s.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(maxus))
+        .select(
+            "user_id",
+            F.when(
+                F.col("p_us").isNotNull(),
+                (F.col("p_us") - F.unix_micros("t0"))
+                .cast("bigint")
+                / F.lit(day),
+            )
+            .cast("bigint")
+            .alias("t_event_raw"),
+            ((F.col("mx") - F.unix_micros("t0")) / F.lit(day))
+            .cast("bigint")
+            .alias("t_censor"),
+        )
+        .select(
+            "user_id",
+            F.expr(
+                "CASE WHEN t_event_raw IS NOT NULL THEN t_event_raw END"
+            ).alias("t_event"),
+            "t_censor",
+        )
+    )
+    expanded = h.select(
+        "t_event",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.coalesce("t_event", "t_censor"),
+            )
+        ).alias("d"),
+    )
+    return expanded.groupBy(F.col("d").cast("bigint").alias("day_t")).agg(
+        F.count("*").alias("n_at_risk"),
+        F.count_if(F.col("t_event") == F.col("d")).alias("n_converted"),
+    )
