@@ -93,7 +93,8 @@ GRADE_DEFER = [
     "split_kfold_assign", "sim_mmr_rerank", "text_lang_confusion",
     "agg_weighted_mean", "fn_try_bank", "agg_hll_precision_sweep",
     "text_textrank_keywords", "fn_surrogate_key_bank",
-    "analytics_survival_table",
+    "analytics_survival_table", "analytics_user_streaks",
+    "dq_schema_diff",
 ]
 
 

@@ -1480,3 +1480,70 @@ def analytics_survival_table(spark, sf_dir):
         F.count("*").alias("n_at_risk"),
         F.count_if(F.col("t_event") == F.col("d")).alias("n_converted"),
     )
+
+
+@query(
+    "analytics_user_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS d
+        FROM events
+    ),
+    o AS (
+        SELECT user_id, d,
+               d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+                   AS grp
+        FROM days
+    ),
+    islands AS (
+        SELECT user_id, count(*) AS len, max(d) AS d_end
+        FROM o GROUP BY user_id, grp
+    ),
+    lastday AS (SELECT user_id, max(d) AS last_d FROM days GROUP BY user_id)
+    SELECT i.user_id,
+           count(*) AS n_streaks,
+           CAST(max(i.len) AS BIGINT) AS longest_streak,
+           CAST(max(CASE WHEN i.d_end = l.last_d THEN i.len END) AS BIGINT)
+               AS current_streak
+    FROM islands i JOIN lastday l ON i.user_id = l.user_id
+    GROUP BY i.user_id
+    """,
+)
+def analytics_user_streaks(spark, sf_dir):
+    """Per-user activity streaks: number of maximal consecutive-day
+    runs, the longest, and the CURRENT streak (the run ending on the
+    user's last active day) — the gamification/engagement rollup built
+    on the same day-number − row_number islands as win_gaps_islands,
+    collapsed to one row per user.
+
+    Every step (distinct days, island window, both rollups, the
+    last-day join) rides the single user_id partitioning; day numbers
+    are exact integers so streak arithmetic is engine-free."""
+    t = Tables(spark, sf_dir)
+    days = t.events.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    o = days.withColumn("grp", F.col("d") - F.row_number().over(w))
+    islands = o.groupBy("user_id", "grp").agg(
+        F.count("*").alias("len"), F.max("d").alias("d_end")
+    )
+    lastday = days.groupBy("user_id").agg(F.max("d").alias("last_d"))
+    return (
+        islands.join(lastday, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_streaks"),
+            F.max("len").cast("bigint").alias("longest_streak"),
+            F.max(
+                F.when(F.col("d_end") == F.col("last_d"), F.col("len"))
+            )
+            .cast("bigint")
+            .alias("current_streak"),
+        )
+    )

@@ -577,3 +577,69 @@ def scan_csv_dialect(spark, sf_dir):
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "dq_schema_diff",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('doc_id',  'BIGINT', 'BIGINT',  'unchanged'),
+        ('lang',    'STRING', NULL,      'removed'),
+        ('n_chars', 'BIGINT', 'DOUBLE',  'type_changed'),
+        ('source',  NULL,     'STRING',  'added'),
+        ('text',    'STRING', 'STRING',  'unchanged')
+    ) AS t(col_name, old_type, new_type, status)
+    """,
+)
+def dq_schema_diff(spark, sf_dir):
+    """Structural drift report between two table generations: per
+    column, old type / new type / added / removed / type_changed —
+    the schema-registry check run BEFORE mergeSchema quietly unions a
+    widened column into your table (scan_schema_evolution proves
+    Spark CAN merge; this operator is the governance gate deciding
+    whether it SHOULD). The diff is computed from the parquet footers
+    alone — no data is scanned, so the check is free at any table
+    size.
+
+    Two generations are derived from documents with a removed column,
+    an added column, and an n_chars widening; the oracle pins the
+    expected report as literals — a drift in how Spark reports parquet
+    logical types would surface here."""
+    t = Tables(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="thrive_schemadiff_")
+    try:
+        t.documents.select("doc_id", "text", "lang", "n_chars").limit(
+            10
+        ).write.mode("overwrite").parquet(f"{out}/g1")
+        t.documents.select(
+            "doc_id",
+            "text",
+            "source",
+            F.col("n_chars").cast("double").alias("n_chars"),
+        ).limit(10).write.mode("overwrite").parquet(f"{out}/g2")
+        old = {
+            f.name: f.dataType.simpleString().upper()
+            for f in spark.read.parquet(f"{out}/g1").schema.fields
+        }
+        new = {
+            f.name: f.dataType.simpleString().upper()
+            for f in spark.read.parquet(f"{out}/g2").schema.fields
+        }
+        rows = []
+        for col in sorted(set(old) | set(new)):
+            if col not in new:
+                rows.append((col, old[col], None, "removed"))
+            elif col not in old:
+                rows.append((col, None, new[col], "added"))
+            elif old[col] != new[col]:
+                rows.append((col, old[col], new[col], "type_changed"))
+            else:
+                rows.append((col, old[col], new[col], "unchanged"))
+        return small_df(
+            spark,
+            rows,
+            "col_name string, old_type string, new_type string, "
+            "status string",
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
