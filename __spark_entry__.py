@@ -94,7 +94,7 @@ GRADE_DEFER = [
     "agg_weighted_mean", "fn_try_bank", "agg_hll_precision_sweep",
     "text_textrank_keywords", "fn_surrogate_key_bank",
     "analytics_survival_table", "analytics_user_streaks",
-    "dq_schema_diff",
+    "dq_schema_diff", "join_point_in_time_scd2", "sql_cluster_by",
 ]
 
 

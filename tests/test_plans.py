@@ -352,3 +352,11 @@ def test_time_travel_prunes_generations(spark, sf_dir):
     # plan is post-localCheckpoint; the materialized result must not
     # rescan parquet
     assert "Scan parquet" not in plan
+
+
+def test_cluster_by_partition_local_sort(spark, sf_dir):
+    plan = physical_plan(QUERIES["sql_cluster_by"](spark, sf_dir))
+    assert "hashpartitioning(o_custkey" in plan
+    # partition-local sort (global flag false), not a total order
+    assert "ASC NULLS FIRST], false, 0" in plan
+    assert "rangepartitioning" not in plan

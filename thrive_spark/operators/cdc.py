@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import Tables
+from ._util import dsum
 
 
 @query(
@@ -313,4 +314,87 @@ def cdc_snapshot_diff(spark, sf_dir):
     return j.groupBy(change.alias("change")).agg(
         F.count("*").alias("n"),
         F.min(F.coalesce("bk", "ck")).cast("bigint").alias("sample_key"),
+    )
+
+
+@query(
+    "join_point_in_time_scd2",
+    oracle="""
+    WITH tiers AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN value < 50 THEN 'bronze'
+                    WHEN value < 200 THEN 'silver'
+                    ELSE 'gold' END AS tier
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, ts, event_id, tier,
+               CASE WHEN lag(tier) OVER w IS DISTINCT FROM tier
+                    THEN 1 ELSE 0 END AS is_change
+        FROM tiers
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, tier,
+               sum(is_change) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM runs
+    ),
+    dim AS (
+        SELECT user_id, tier,
+               min(epoch_us(CAST(ts AS TIMESTAMP))) AS eff_from_us,
+               lead(min(epoch_us(CAST(ts AS TIMESTAMP)))) OVER (
+                   PARTITION BY user_id ORDER BY CAST(run_id AS BIGINT))
+                   AS eff_to_us
+        FROM numbered GROUP BY user_id, tier, run_id
+    )
+    SELECT d.tier AS tier_at_purchase,
+           count(*) AS n_purchases,
+           sum(CAST(floor(e.value * 10000 + 0.5) AS BIGINT)) / 10000.0
+               AS revenue
+    FROM events e JOIN dim d
+      ON e.user_id = d.user_id
+     AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= d.eff_from_us
+     AND (d.eff_to_us IS NULL
+          OR epoch_us(CAST(e.ts AS TIMESTAMP)) < d.eff_to_us)
+    WHERE e.event_type = 'purchase'
+    GROUP BY d.tier
+    """,
+)
+def join_point_in_time_scd2(spark, sf_dir):
+    """Point-in-time join against the SCD2 dimension — the CONSUMER of
+    merge_scd2_dimension, and the query every history table exists
+    for: each purchase credits the tier that was valid AT ITS
+    TIMESTAMP ([eff_from, eff_to) with an open current interval), so
+    revenue attributes to the tier the user held then, not the tier
+    they hold now (the correctness difference between type-1 and
+    type-2 dimensions, made visible).
+
+    Plan: the dimension build and the fact join share the user_id
+    key; the validity predicate is a residual range filter on an
+    equi join — the standard PIT shape (and why SCD2 tables cluster
+    by key, not time). Interval bounds stay integer microseconds."""
+    t = Tables(spark, sf_dir)
+    dim = merge_scd2_dimension(spark, sf_dir).select(
+        F.col("user_id").alias("d_user"),
+        "tier",
+        "eff_from_us",
+        "eff_to_us",
+    )
+    p = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("e_us"), "value"
+    )
+    j = p.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("e_us") >= F.col("eff_from_us"))
+        & (
+            F.col("eff_to_us").isNull()
+            | (F.col("e_us") < F.col("eff_to_us"))
+        ),
+    )
+    return j.groupBy(F.col("tier").alias("tier_at_purchase")).agg(
+        F.count("*").alias("n_purchases"),
+        dsum("value").alias("revenue"),
     )

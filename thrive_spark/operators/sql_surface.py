@@ -260,3 +260,32 @@ def sql_pivot_clause(spark, sf_dir):
         )
         """
     )
+
+
+@query(
+    "sql_cluster_by",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderstatus
+    FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def sql_cluster_by(spark, sf_dir):
+    """The physical-layout SQL surface: CLUSTER BY (= DISTRIBUTE BY +
+    SORT BY) routes rows to partitions by key hash and sorts within
+    each — the statement form of repartition().sortWithinPartitions(),
+    and the pre-shaping step before a bucketed write or a
+    partition-local merge. Row CONTENT is layout-independent (the
+    oracle is a plain filter — hashing is order-insensitive); the
+    plan must carry the exchange + partition-local sort, asserted in
+    tests/test_plans.py, with no global sort node (CLUSTER BY is NOT
+    ORDER BY — that distinction is the scale point: partition-local
+    sorts parallelize, global total orders funnel)."""
+    t = Tables(spark, sf_dir)
+    t.register_views()
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_orderstatus
+        FROM orders WHERE o_totalprice > 300000
+        CLUSTER BY o_custkey
+        """
+    )
