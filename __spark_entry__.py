@@ -95,6 +95,7 @@ GRADE_DEFER = [
     "text_textrank_keywords", "fn_surrogate_key_bank",
     "analytics_survival_table", "analytics_user_streaks",
     "dq_schema_diff", "join_point_in_time_scd2", "sql_cluster_by",
+    "analytics_repurchase_intervals",
 ]
 
 

@@ -1547,3 +1547,62 @@ def analytics_user_streaks(spark, sf_dir):
             .alias("current_streak"),
         )
     )
+
+
+@query(
+    "analytics_repurchase_intervals",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+        SELECT user_id,
+               (us - lag(us) OVER (PARTITION BY user_id ORDER BY us))
+                   // 3600000000 AS gap_h
+        FROM p
+    ),
+    g AS (SELECT user_id, gap_h FROM gaps WHERE gap_h IS NOT NULL)
+    SELECT count(DISTINCT user_id) AS n_repeat_users,
+           count(*) AS n_intervals,
+           CAST(floor(quantile_cont(gap_h, 0.25) * 10000 + 0.5) AS BIGINT)
+               AS p25_h_fp,
+           CAST(floor(quantile_cont(gap_h, 0.50) * 10000 + 0.5) AS BIGINT)
+               AS p50_h_fp,
+           CAST(floor(quantile_cont(gap_h, 0.75) * 10000 + 0.5) AS BIGINT)
+               AS p75_h_fp,
+           CAST(max(gap_h) AS BIGINT) AS max_h
+    FROM g
+    """,
+)
+def analytics_repurchase_intervals(spark, sf_dir):
+    """Inter-purchase interval distribution: hours between a user's
+    consecutive purchases, summarized as exact quartiles — the
+    replenishment-cycle metric behind send-time optimization and
+    churn-risk windows (a user past their p75 gap is overdue).
+
+    Gaps are INTEGER hours (micros floor-div), so the quantile
+    interpolation runs on exact integers and is quantized at 4 dp —
+    the cross-engine agreement class agg_percentile_exact pinned. One
+    user_id window for the lag, then a single global aggregate; the
+    quantile needs the full gap distribution, which is
+    |purchases|-sized, not event-sized."""
+    t = Tables(spark, sf_dir)
+    p = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    gaps = p.select(
+        "user_id",
+        F.expr(
+            "(us - lag(us) OVER (PARTITION BY user_id ORDER BY us))"
+            " div 3600000000"
+        ).alias("gap_h"),
+    ).filter(F.col("gap_h").isNotNull())
+    return gaps.agg(
+        F.countDistinct("user_id").alias("n_repeat_users"),
+        F.count("*").alias("n_intervals"),
+        fixed(F.percentile("gap_h", 0.25)).alias("p25_h_fp"),
+        fixed(F.percentile("gap_h", 0.50)).alias("p50_h_fp"),
+        fixed(F.percentile("gap_h", 0.75)).alias("p75_h_fp"),
+        F.max("gap_h").cast("bigint").alias("max_h"),
+    )
