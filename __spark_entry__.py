@@ -95,7 +95,8 @@ GRADE_DEFER = [
     "text_textrank_keywords", "fn_surrogate_key_bank",
     "analytics_survival_table", "analytics_user_streaks",
     "dq_schema_diff", "join_point_in_time_scd2", "sql_cluster_by",
-    "analytics_repurchase_intervals",
+    "analytics_repurchase_intervals", "union_by_name_evolved",
+    "scan_file_metadata_provenance",
 ]
 
 

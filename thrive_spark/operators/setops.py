@@ -102,3 +102,39 @@ def except_all_multiset(spark, sf_dir):
     left = t.lineitem.filter(F.col("l_quantity") > 25).select("l_returnflag")
     right = t.lineitem.filter(F.col("l_discount") > 0.05).select("l_returnflag")
     return left.exceptAll(right)
+
+
+@query(
+    "union_by_name_evolved",
+    oracle="""
+    SELECT doc_id, lang, n_chars, source FROM (
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(NULL AS VARCHAR) AS source
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, lang, CAST(NULL AS BIGINT), source
+        FROM documents WHERE doc_id % 2 = 1
+    )
+    """,
+)
+def union_by_name_evolved(spark, sf_dir):
+    """unionByName(allowMissingColumns=True) across two generations
+    with DIFFERENT projections — the schema-evolution-tolerant union
+    (positional unionAll would silently pair lang with n_chars; this
+    matches by NAME and null-fills the gaps), i.e. how you read a
+    table whose old files lack a column without rewriting them.
+
+    The oracle spells the same thing as explicit NULL-padded UNION
+    ALL — the portable form, and the documentation of exactly which
+    columns each branch is missing. Pure map-side: union is a plan
+    concatenation, no shuffle."""
+    t = Tables(spark, sf_dir)
+    old_gen = t.documents.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    new_gen = t.documents.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "source"
+    )
+    return old_gen.unionByName(new_gen, allowMissingColumns=True).select(
+        "doc_id", "lang", "n_chars", "source"
+    )

@@ -643,3 +643,51 @@ def dq_schema_diff(spark, sf_dir):
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "scan_file_metadata_provenance",
+    oracle="""
+    SELECT lang, count(*) AS n_rows,
+           count(DISTINCT CAST(n_chars AS BIGINT)) AS n_char_variants
+    FROM documents GROUP BY lang
+    """,
+)
+def scan_file_metadata_provenance(spark, sf_dir):
+    """Per-file provenance via the hidden ``_metadata`` struct: the
+    documents table is re-written partitioned by lang, read back with
+    ``_metadata.file_path`` / ``file_size`` projected, and the
+    per-language rollup is ASSERTED to agree with file provenance —
+    every row's file path must sit under its own lang= directory (a
+    row whose content and provenance disagree fails the filter and
+    the count drops). The lineage columns every audit pipeline wants
+    come from the reader for free — no path-parsing UDFs.
+
+    The oracle states the content-side truth; the Spark side only
+    matches it if the provenance check holds for every row."""
+    t = Tables(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="thrive_meta_")
+    try:
+        t.documents.write.mode("overwrite").partitionBy("lang").parquet(out)
+        back = spark.read.parquet(out).select(
+            "lang",
+            "n_chars",
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.file_size").alias("fs"),
+        )
+        consistent = back.filter(
+            F.col("fp").contains(F.concat(F.lit("lang="), F.col("lang")))
+            & (F.col("fs") > 0)
+        )
+        return (
+            consistent.groupBy("lang")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.countDistinct(F.col("n_chars").cast("bigint")).alias(
+                    "n_char_variants"
+                ),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
