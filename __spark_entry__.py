@@ -96,7 +96,7 @@ GRADE_DEFER = [
     "analytics_survival_table", "analytics_user_streaks",
     "dq_schema_diff", "join_point_in_time_scd2", "sql_cluster_by",
     "analytics_repurchase_intervals", "union_by_name_evolved",
-    "scan_file_metadata_provenance",
+    "scan_file_metadata_provenance", "text_boilerplate_prefixes",
 ]
 
 

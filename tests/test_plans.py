@@ -360,3 +360,11 @@ def test_cluster_by_partition_local_sort(spark, sf_dir):
     # partition-local sort (global flag false), not a total order
     assert "ASC NULLS FIRST], false, 0" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_topn_window_group_limit_pushdown(spark, sf_dir):
+    """rank-filter top-n must engage WindowGroupLimit (Spark 3.5+):
+    each partition keeps only k rows BEFORE the full sort/window,
+    the optimization that makes windowed top-n viable at 100 TB."""
+    plan = physical_plan(QUERIES["win_row_number_topn"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan

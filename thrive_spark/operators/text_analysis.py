@@ -1023,3 +1023,61 @@ def text_lang_confusion(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "text_boilerplate_prefixes",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, source,
+               array_to_string(
+                   list_filter(string_split(text, ' '), t -> t <> '')[1:8],
+                   ' ') AS prefix
+        FROM documents
+    ),
+    c AS (
+        SELECT source, prefix, count(*) AS n_docs
+        FROM p GROUP BY source, prefix
+    ),
+    t AS (SELECT source, sum(n_docs) AS tot FROM c GROUP BY source)
+    SELECT c.source, md5(c.prefix) AS prefix_hash, c.n_docs,
+           floor(CAST(c.n_docs AS DOUBLE) / tot * 1000000 + 0.5)
+               / 1000000.0 AS share
+    FROM c JOIN t ON c.source = t.source
+    WHERE c.n_docs >= 3
+    """,
+)
+def text_boilerplate_prefixes(spark, sf_dir):
+    """Boilerplate detection: 8-token document prefixes repeated ≥3
+    times within a source, with their share of that source's docs —
+    the template-header finder behind C4-style boilerplate stripping
+    (a prefix carried by half a source's documents is navigation/
+    licence text, not content). Prefixes are reported hashed (they
+    can be long); the share divides exact counts.
+
+    Map-only prefix extraction, one (source, prefix) aggregate, and a
+    source-marginal broadcast back — the same one-shuffle audit shape
+    as the other corpus gates."""
+    t = Tables(spark, sf_dir)
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    p = t.documents.select(
+        "source", F.array_join(F.slice(toks, 1, 8), " ").alias("prefix")
+    )
+    c = p.groupBy("source", "prefix").agg(F.count("*").alias("n_docs"))
+    tot = c.groupBy("source").agg(F.sum("n_docs").alias("tot"))
+    return (
+        c.filter(F.col("n_docs") >= 3)
+        .join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            F.md5("prefix").alias("prefix_hash"),
+            "n_docs",
+            (
+                F.floor(
+                    F.col("n_docs").cast("double") / F.col("tot") * 1000000
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("share"),
+        )
+    )
