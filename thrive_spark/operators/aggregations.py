@@ -789,3 +789,44 @@ def agg_hll_precision_sweep(spark, sf_dir):
         F.approx_count_distinct(c, 0.05).alias("est_rsd_005"),
         F.approx_count_distinct(c, 0.10).alias("est_rsd_010"),
     )
+
+
+@query(
+    "agg_grouping_id_rollup",
+    oracle="""
+    SELECT coalesce(l_returnflag, '__ALL__') AS flag,
+           coalesce(l_linestatus, '__ALL__') AS status,
+           CAST(CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END
+                + CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS gid,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_id_rollup(spark, sf_dir):
+    """ROLLUP with grouping_id(): the bitmask that tells subtotal rows
+    apart from data rows — indispensable the moment a grouping column
+    can itself be NULL (coalesce alone can't distinguish 'NULL flag'
+    from 'all flags'; the id can). Spark emits grouping_id() natively;
+    the oracle reconstructs the same bitmask from the rollup's NULL
+    pattern (valid here because the grouping keys are non-null in the
+    data — exactly the situation where the two encodings agree, which
+    the hash verifies).
+
+    Same single Expand + hash aggregate as every grouping-sets query
+    — the id column is metadata, not an extra pass."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("__ALL__")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("__ALL__")).alias("status"),
+            "gid",
+            "n",
+        )
+    )
