@@ -97,7 +97,8 @@ GRADE_DEFER = [
     "dq_schema_diff", "join_point_in_time_scd2", "sql_cluster_by",
     "analytics_repurchase_intervals", "union_by_name_evolved",
     "scan_file_metadata_provenance", "text_boilerplate_prefixes",
-    "agg_grouping_id_rollup",
+    "agg_grouping_id_rollup", "dedup_canonical_url",
+    "join_multi_semi_flags",
 ]
 
 

@@ -479,3 +479,80 @@ def dedup_semantic_cluster(spark, sf_dir):
     return assigned.groupBy("cell").applyInPandas(
         prune, "vec_id long, cell long, kept boolean, dup_of long"
     )
+
+
+@query(
+    "dedup_canonical_url",
+    oracle="""
+    WITH truth AS (
+        SELECT doc_id,
+               'https://www.example.com/docs/'
+                   || CAST(doc_id // 4 AS VARCHAR)
+                   || CASE WHEN doc_id % 4 = 3 THEN '?ref=home'
+                           ELSE '' END AS canonical
+        FROM documents
+    )
+    SELECT canonical, count(*) AS n_variants,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc
+    FROM truth GROUP BY canonical
+    """,
+)
+def dedup_canonical_url(spark, sf_dir):
+    """URL canonicalization ahead of dedup — the web-curation step
+    that collapses scheme/case/trailing-slash/tracking-parameter
+    variants of one page: four messy variants per page (http vs
+    https, uppercased host, trailing slash, utm_* tracking params,
+    one genuine ?ref param that must SURVIVE) are synthesized, then
+    normalized with a regex pipeline (lowercase → https → strip
+    utm_* → collapse '/?' → strip trailing slash) and grouped.
+
+    The oracle is INDEPENDENT ground truth built from the page key —
+    not a re-run of the regexes — so a canonicalization bug (eating
+    the ref param, missing a trailing slash) breaks the hash, not
+    just changes both sides. Map-only until the canonical-key
+    aggregate; at web scale this replaces a raw-URL dedup that would
+    miss ~¾ of these duplicates."""
+    t = Tables(spark, sf_dir)
+    m = F.col("doc_id") % 4
+    page = F.expr("CAST(doc_id div 4 AS STRING)")
+    messy = (
+        F.when(
+            m == 1,
+            F.concat(
+                F.lit("HTTP://WWW.EXAMPLE.COM/docs/"), page, F.lit("/")
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("https://www.example.com/docs/"),
+                page,
+                F.lit("?utm_source=feed&utm_campaign=x"),
+            ),
+        )
+        .when(
+            m == 3,
+            F.concat(
+                F.lit("https://www.example.com/docs/"),
+                page,
+                F.lit("/?ref=home&utm_medium=em"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("https://www.example.com/docs/"), page)
+        )
+    )
+    u = F.lower(messy)
+    u = F.regexp_replace(u, "^http://", "https://")
+    u = F.regexp_replace(u, "utm_[^&]*&", "")
+    u = F.regexp_replace(u, "[?&]utm_[^&]*$", "")
+    u = F.regexp_replace(u, "/\\?", "?")
+    u = F.regexp_replace(u, "/$", "")
+    return (
+        t.documents.select("doc_id", u.alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.min("doc_id").cast("bigint").alias("keep_doc"),
+        )
+    )

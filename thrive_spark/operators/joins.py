@@ -662,3 +662,60 @@ def join_asof_forward(spark, sf_dir):
         .over(w)
         .alias("next_purchase_ts"),
     )
+
+
+@query(
+    "join_multi_semi_flags",
+    oracle="""
+    WITH f AS (
+        SELECT o_custkey,
+               count(*) AS n_orders,
+               count(*) FILTER (WHERE o_totalprice > 300000)
+                   AS n_high_value,
+               count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                   AS n_urgent
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, c.c_mktsegment,
+           f.o_custkey IS NOT NULL AS has_orders,
+           coalesce(f.n_high_value, 0) > 0 AS has_high_value,
+           coalesce(f.n_urgent, 0) > 0 AS has_urgent,
+           CAST(coalesce(f.n_orders, 0) AS BIGINT) AS n_orders
+    FROM customer c LEFT JOIN f ON c.c_custkey = f.o_custkey
+    """,
+)
+def join_multi_semi_flags(spark, sf_dir):
+    """Multi-existence enrichment: customers flagged with THREE
+    different EXISTS conditions against orders (any order / any
+    high-value order / any urgent order) in ONE pass — the idiomatic
+    rewrite of three correlated EXISTS subqueries (three semi joins =
+    three shuffles of the fact) into one conditional aggregation +
+    one left join.
+
+    The fact table is read and shuffled ONCE; each extra flag is one
+    more FILTERed aggregate on the same exchange — the marginal cost
+    of an additional EXISTS drops from a full semi join to one
+    aggregate column. This is the enrichment-flags pattern every
+    audience-builder UI compiles to."""
+    t = Tables(spark, sf_dir)
+    f = t.orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.count_if(F.col("o_totalprice") > 300000).alias("n_high_value"),
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+    )
+    return (
+        t.customer.select("c_custkey", "c_mktsegment")
+        .join(f, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.col("o_custkey").isNotNull().alias("has_orders"),
+            (F.coalesce("n_high_value", F.lit(0)) > 0).alias(
+                "has_high_value"
+            ),
+            (F.coalesce("n_urgent", F.lit(0)) > 0).alias("has_urgent"),
+            F.coalesce("n_orders", F.lit(0)).cast("bigint").alias(
+                "n_orders"
+            ),
+        )
+    )
