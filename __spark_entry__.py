@@ -98,7 +98,8 @@ GRADE_DEFER = [
     "analytics_repurchase_intervals", "union_by_name_evolved",
     "scan_file_metadata_provenance", "text_boilerplate_prefixes",
     "agg_grouping_id_rollup", "dedup_canonical_url",
-    "join_multi_semi_flags",
+    "join_multi_semi_flags", "analytics_churn_rate",
+    "scan_ignore_corrupt_files",
 ]
 
 

@@ -119,3 +119,20 @@ def test_zorder_layout_skips(spark, sf_dir, tmp_path):
     # z-order: files cover compact z-tiles → strictly narrower on both.
     assert sum(spans_x) < 0.8 * len(files) * full_x
     assert sum(spans_y) < 0.8 * len(files) * full_y
+
+
+def test_corrupt_file_fails_without_option(spark, sf_dir, tmp_path):
+    """The other side of scan_ignore_corrupt_files' trade: without
+    ignoreCorruptFiles the read must FAIL FAST, not silently skip."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from thrive_spark.tables import Tables
+
+    out = str(tmp_path / "d")
+    Tables(spark, sf_dir).orders.limit(10).coalesce(1).write.parquet(out)
+    (tmp_path / "d" / "part-corrupt.parquet").write_bytes(b"PAR1junk")
+    with pytest.raises(Exception, match="(?i)parquet|corrupt|footer"):
+        spark.read.option("ignoreCorruptFiles", "false").parquet(
+            out
+        ).count()

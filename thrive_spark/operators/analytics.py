@@ -1606,3 +1606,78 @@ def analytics_repurchase_intervals(spark, sf_dir):
         fixed(F.percentile("gap_h", 0.75)).alias("p75_h_fp"),
         F.max("gap_h").cast("bigint").alias("max_h"),
     )
+
+
+@query(
+    "analytics_churn_rate",
+    oracle=f"""
+    WITH pres AS (
+        SELECT DISTINCT user_id,
+               CAST(date_diff('day', DATE '1970-01-05', CAST(ts AS DATE))
+                    // 7 AS BIGINT) AS m
+        FROM events
+    ),
+    span AS (SELECT min(m) AS m0, max(m) AS m1 FROM pres),
+    pairs AS (
+        SELECT a.m, count(*) AS n_active,
+               count(*) FILTER (WHERE b.user_id IS NULL) AS n_churned
+        FROM pres a
+        LEFT JOIN pres b
+          ON a.user_id = b.user_id AND b.m = a.m + 1
+        GROUP BY a.m
+    )
+    SELECT m AS week_id, n_active, n_churned,
+           {ofix('CAST(n_churned AS DOUBLE) / n_active', 6)} AS churn_rate
+    FROM pairs, span WHERE m < span.m1
+    """,
+)
+def analytics_churn_rate(spark, sf_dir):
+    """Week-over-week churn: of the users active in week w, the
+    share with NO activity in w+1 — the retention complement of
+    cohort_retention, on the same Monday-anchored integer week ids
+    (week granularity because the test corpus spans ~2 weeks; the
+    operator is granularity-generic). The final week is excluded
+    (its churn is right-censored — see analytics_survival_table).
+
+    Presence collapses events to |users|×|months| first; the churn
+    test is a self left-join on (user, m+1) — one user_id-keyed
+    shuffle — and rates divide exact counts."""
+    t = Tables(spark, sf_dir)
+    pres = t.events.select(
+        "user_id",
+        F.floor(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-05").cast("date")
+            )
+            / 7
+        )
+        .cast("bigint")
+        .alias("m"),
+    ).distinct()
+    span = pres.agg(F.max("m").alias("m1"))
+    a, b = pres.alias("a"), pres.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.m") == F.col("a.m") + 1),
+            "left",
+        )
+        .groupBy(F.col("a.m").alias("m"))
+        .agg(
+            F.count("*").alias("n_active"),
+            F.count_if(F.col("b.user_id").isNull()).alias("n_churned"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(span))
+        .filter(F.col("m") < F.col("m1"))
+        .select(
+            F.col("m").alias("week_id"),
+            "n_active",
+            "n_churned",
+            ffix(
+                F.col("n_churned").cast("double") / F.col("n_active"), 6
+            ).alias("churn_rate"),
+        )
+    )

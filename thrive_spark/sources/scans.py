@@ -691,3 +691,42 @@ def scan_file_metadata_provenance(spark, sf_dir):
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "scan_ignore_corrupt_files",
+    oracle=f"""
+    SELECT count(*) AS n_rows, {osum('o_totalprice')} AS revenue
+    FROM orders WHERE o_orderkey % 9 = 0
+    """,
+)
+def scan_ignore_corrupt_files(spark, sf_dir):
+    """Corrupt-file resilience: a directory holding one valid parquet
+    file AND one garbage file (truncated bytes with a .parquet name —
+    the torn upload / partial write every object store eventually
+    serves) is read with ``ignoreCorruptFiles`` — the job completes
+    with exactly the valid file's rows, pinned by the oracle. Without
+    the option this read THROWS (asserted in tests/test_tables.py),
+    so the operator documents both sides of the trade: availability
+    with explicit data-loss accounting vs fail-fast.
+
+    File-level skip happens at footer validation, before any row
+    decoding — the check costs one footer read per file."""
+    t = Tables(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="thrive_corrupt_")
+    try:
+        t.orders.filter(F.col("o_orderkey") % 9 == 0).coalesce(
+            1
+        ).write.mode("overwrite").parquet(out)
+        with open(os.path.join(out, "part-corrupt.parquet"), "wb") as fh:
+            fh.write(b"PAR1garbage-not-a-real-footer")
+        back = (
+            spark.read.option("ignoreCorruptFiles", "true")
+            .parquet(out)
+        )
+        return back.agg(
+            F.count("*").alias("n_rows"),
+            dsum("o_totalprice").alias("revenue"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
