@@ -99,7 +99,8 @@ GRADE_DEFER = [
     "scan_file_metadata_provenance", "text_boilerplate_prefixes",
     "agg_grouping_id_rollup", "dedup_canonical_url",
     "join_multi_semi_flags", "analytics_churn_rate",
-    "scan_ignore_corrupt_files",
+    "scan_ignore_corrupt_files", "intersect_all_multiset",
+    "agg_minmax_scaling",
 ]
 
 

@@ -830,3 +830,51 @@ def agg_grouping_id_rollup(spark, sf_dir):
             "n",
         )
     )
+
+
+@query(
+    "agg_minmax_scaling",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               CAST(min(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS mn,
+               CAST(max(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS mx
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CASE WHEN mx > mn THEN
+               floor(CAST(CAST(floor(e.value * 10000 + 0.5) AS BIGINT) - mn
+                          AS DOUBLE) / (mx - mn) * 1000000 + 0.5) / 1000000.0
+           END AS value_scaled
+    FROM events e JOIN b ON e.event_type = b.event_type
+    """,
+)
+def agg_minmax_scaling(spark, sf_dir):
+    """Per-group min-max normalization to [0,1] — the feature-scaling
+    primitive of an ML prep pipeline, grouped by event type so each
+    signal normalizes against its own range. Bounds come from one
+    fixed-point aggregate broadcast back onto the stream (the same
+    two-pass-one-shuffle shape as dq_outlier_iqr); the scaled value
+    divides exact integers, floored at 6 dp. Degenerate groups
+    (mx = mn) emit NULL rather than a divide-by-zero."""
+    t = Tables(spark, sf_dir)
+    b = t.events.groupBy("event_type").agg(
+        F.min(fixed("value")).cast("bigint").alias("mn"),
+        F.max(fixed("value")).cast("bigint").alias("mx"),
+    )
+    scaled = (fixed("value") - F.col("mn")).cast("double") / (
+        F.col("mx") - F.col("mn")
+    )
+    return (
+        t.events.join(F.broadcast(b), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.when(
+                F.col("mx") > F.col("mn"),
+                F.floor(scaled * 1000000 + 0.5) / 1000000.0,
+            ).alias("value_scaled"),
+        )
+    )

@@ -138,3 +138,24 @@ def union_by_name_evolved(spark, sf_dir):
     return old_gen.unionByName(new_gen, allowMissingColumns=True).select(
         "doc_id", "lang", "n_chars", "source"
     )
+
+
+@query(
+    "intersect_all_multiset",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0
+    """,
+)
+def intersect_all_multiset(spark, sf_dir):
+    """INTERSECT ALL — the multiset intersection that preserves
+    duplicate counts (each key appears min(count_left, count_right)
+    times), completing the set-op family next to except_all_multiset.
+    Catalyst rewrites it as a count-min aggregation + generate, one
+    shuffle per side — no distinct pass flattens the multiplicities,
+    which is the entire semantic difference from plain INTERSECT."""
+    t = Tables(spark, sf_dir)
+    a = t.orders.filter(F.col("o_orderkey") % 2 == 0).select("o_custkey")
+    b = t.orders.filter(F.col("o_orderkey") % 3 == 0).select("o_custkey")
+    return a.intersectAll(b)
