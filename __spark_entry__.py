@@ -100,7 +100,8 @@ GRADE_DEFER = [
     "agg_grouping_id_rollup", "dedup_canonical_url",
     "join_multi_semi_flags", "analytics_churn_rate",
     "scan_ignore_corrupt_files", "intersect_all_multiset",
-    "agg_minmax_scaling",
+    "agg_minmax_scaling", "tpch_q2_adapted", "tpch_q16_adapted",
+    "tpch_q20_adapted",
 ]
 
 
