@@ -1114,3 +1114,58 @@ def split_kfold_assign(spark, sf_dir):
             F.min("doc_id").cast("bigint").alias("first_doc"),
         )
     )
+
+
+@query(
+    "dq_bot_detection",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               count(*) AS n_events,
+               count(DISTINCT epoch_us(CAST(ts AS TIMESTAMP))
+                     // 3600000000) AS active_hours,
+               count(DISTINCT event_type) AS n_types
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(active_hours AS BIGINT) AS active_hours,
+           CAST(n_types AS BIGINT) AS n_types,
+           (n_events + active_hours - 1) // active_hours
+               AS peak_rate_floor
+    FROM g
+    WHERE (n_events + active_hours - 1) // active_hours >= 2
+       OR n_types = 1
+    """,
+)
+def dq_bot_detection(spark, sf_dir):
+    """Traffic-quality gate: flag users whose behavior is
+    machine-shaped — sustained event rate of ≥2 per active hour
+    (tuned to this corpus' uniform synthetic traffic; a real web log
+    uses a far higher bar)
+    (integer-ceil of events per distinct active hour: no float rate)
+    or a single-event-type profile (scrapers click; humans mix) — the
+    log-cleaning filter run before any engagement metric is trusted
+    (a bot in the DAU series poisons every downstream rate).
+
+    One user_id aggregate computes all three signals; thresholds
+    compare exact integers. At web scale the same aggregate feeds a
+    classifier — the signals here are its feature vector, and the
+    rule form is the auditable baseline."""
+    t = Tables(spark, sf_dir)
+    g = t.events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct(
+            F.expr("unix_micros(ts) div 3600000000")
+        ).cast("bigint").alias("active_hours"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+    )
+    rate_floor = F.expr(
+        "(n_events + active_hours - 1) div active_hours"
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        "active_hours",
+        "n_types",
+        rate_floor.alias("peak_rate_floor"),
+    ).filter((rate_floor >= 2) | (F.col("n_types") == 1))
