@@ -101,7 +101,8 @@ GRADE_DEFER = [
     "join_multi_semi_flags", "analytics_churn_rate",
     "scan_ignore_corrupt_files", "intersect_all_multiset",
     "agg_minmax_scaling", "tpch_q2_adapted", "tpch_q16_adapted",
-    "tpch_q20_adapted", "dq_bot_detection",
+    "tpch_q20_adapted", "dq_bot_detection", "win_frame_matrix",
+    "multimodal_image_ahash",
 ]
 
 

@@ -109,3 +109,15 @@ def test_decode_pipeline_surfaces_real_stats(spark, sf_dir):
         parts = [int(p) for p in feat.split(",")]
         assert len(parts) == 3
         assert all(0 <= p <= 2550000 for p in parts)
+
+
+def test_ahash_robust_where_md5_is_not(spark, sf_dir):
+    """aHash of a uniformly-brightened image stays close (small
+    Hamming — the threshold and the mean move together), while the
+    hash space over distinct images is actually used."""
+    from thrive_spark.registry import QUERIES
+
+    pdf = QUERIES["multimodal_image_ahash"](spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["hamming_to_edit"] <= 8).all()  # brightness-invariant
+    assert pdf["ahash"].nunique() > len(pdf) // 4  # non-degenerate space

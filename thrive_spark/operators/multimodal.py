@@ -325,3 +325,67 @@ def multimodal_audio_wav(spark, sf_dir):
         "doc_id long, n_samples long, sample_rate long, "
         "sum_amp long, sum_sq long, rms double",
     )
+
+
+@query("multimodal_image_ahash")  # rows-only: pixel math has no SQL oracle
+def multimodal_image_ahash(spark, sf_dir):
+    """Perceptual image fingerprinting on the REAL decoder: each
+    document's PPM image (encode_ppm → decode_image pixel buffer) is
+    average-hashed — downsample to an 8×8 grayscale grid, threshold
+    each cell against the mean, pack 64 bits — the aHash that finds
+    near-duplicate images under global edits, where byte hashes see
+    nothing. Emits the hash plus its Hamming distance to a BRIGHTENED
+    variant of the same image (+8 on every channel, clamped) — aHash
+    thresholds against the image's own mean, so a uniform brightness
+    shift moves cells and mean together and the distance stays near
+    zero while md5 changes completely: the property that makes
+    perceptual hashing worth its cost, asserted in
+    tests/test_multimodal.py.
+
+    Same mapInPandas Arrow-batch shape as the other codec stages;
+    downstream dedup is a band join over hash prefixes exactly like
+    dedup_simhash's."""
+    t = Tables(spark, sf_dir)
+
+    def ahash_bytes(payload: bytes):
+        import numpy as np
+
+        meta = decode_image(encode_ppm(payload))
+        w, h = meta["width"], meta["height"]
+        px = np.frombuffer(
+            encode_ppm(payload)[-(w * h * 3):], dtype=np.uint8
+        ).reshape(h, w, 3)
+        gray = px.astype(np.uint32).sum(axis=2) // 3
+        ys = (np.arange(8) * h) // 8
+        xs = (np.arange(8) * w) // 8
+        grid = gray[np.ix_(ys, xs)]
+        bits = (grid >= grid.mean()).flatten()
+        return int("".join("1" if b else "0" for b in bits), 2)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["img"]):
+                payload = bytes(b)
+                h1 = ahash_bytes(payload)
+                brightened = bytes(min(x + 8, 255) for x in payload)
+                h2 = ahash_bytes(brightened)
+                rows.append(
+                    (
+                        int(doc_id),
+                        f"{h1:016x}",
+                        bin(h1 ^ h2).count("1"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "ahash", "hamming_to_edit"]
+            )
+
+    src = t.documents.filter(F.col("doc_id") < 128).select(
+        "doc_id", F.encode("text", "UTF-8").alias("img")
+    )
+    return src.mapInPandas(
+        run, "doc_id long, ahash string, hamming_to_edit int"
+    )

@@ -633,3 +633,54 @@ def win_sliding_median(spark, sf_dir):
         "user_id",
         F.when(n % 2 == 1, odd).otherwise(even).alias("med15"),
     )
+
+
+@query(
+    "win_frame_matrix",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS run_sum_fp,
+           CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS trail4_fp,
+           CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT)
+               AS center5_fp,
+           CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS future_fp
+    FROM events
+    """,
+)
+def win_frame_matrix(spark, sf_dir):
+    """The ROWS-frame matrix in one pass: expanding (running),
+    trailing, centered, and strictly-future frames over the SAME
+    window sort — four frame families, one exchange, one sort
+    (Catalyst evaluates same-spec frames in a single Window node;
+    only the frame cursors differ). All sums are fixed-point BIGINT,
+    so every cell is exact at any merge order. The strictly-future
+    frame is the one naive implementations get wrong (it excludes
+    the current row); its presence pins the off-by-one."""
+    t = Tables(spark, sf_dir)
+    base = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    v = fixed("value")
+    return t.events.select(
+        "event_id",
+        "user_id",
+        F.sum(v)
+        .over(base.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("run_sum_fp"),
+        F.sum(v).over(base.rowsBetween(-3, 0)).alias("trail4_fp"),
+        F.sum(v).over(base.rowsBetween(-2, 2)).alias("center5_fp"),
+        F.sum(v)
+        .over(base.rowsBetween(1, Window.unboundedFollowing))
+        .alias("future_fp"),
+    )
