@@ -102,7 +102,7 @@ GRADE_DEFER = [
     "scan_ignore_corrupt_files", "intersect_all_multiset",
     "agg_minmax_scaling", "tpch_q2_adapted", "tpch_q16_adapted",
     "tpch_q20_adapted", "dq_bot_detection", "win_frame_matrix",
-    "multimodal_image_ahash",
+    "multimodal_image_ahash", "tpch_q9_adapted", "tpch_q11_adapted",
 ]
 
 

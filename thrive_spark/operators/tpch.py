@@ -9,13 +9,13 @@ double sums in engine-exact fixed point (operators/_util.dsum).
 
 Schema adaptations (FIXTURES.md — the corpus is TPC-H-ish, not full
 TPC-H): there is no ``partsupp`` table and no comment/phone/shipmode/
-commitdate columns. Q9/Q11 remain out of scope (they need
-availqty/supplycost, which nothing observable stands in for), while
-Q2/Q16/Q20 are ADAPTED (suffix ``_adapted``): the part↔supplier
-relation derives from the distinct pairs observed in lineitem, cost
-from integer-exact observed unit prices, and availqty-style
-predicates from dominant shipped share — each keeps the canonical
-join topology, correlated-aggregate shape, and output form. Other
+commitdate columns, so ALL 22 query shapes now ship with five of them
+ADAPTED (suffix ``_adapted``): the part↔supplier relation derives
+from the distinct pairs observed in lineitem, supply cost from
+integer-exact observed unit prices (Q2: min avg, Q9: best floor),
+stock value from shipped value (Q11), and availqty-style predicates
+from dominant shipped share (Q20) — each keeps the canonical join
+topology, correlated-aggregate shape, and output form. Other
 predicates are re-targeted to existing columns (noted per query).
 Every query keeps the canonical join topology and aggregation shape —
 that is what exercises the optimizer at 100 TB, not the literal
@@ -1146,4 +1146,152 @@ def tpch_q20_adapted(spark, sf_dir):
         )
         .select("s_name", "n_name")
         .orderBy("s_name")
+    )
+
+
+@query(
+    "tpch_q9_adapted",
+    oracle="""
+    WITH unit_cost AS (
+        SELECT l_partkey,
+               CAST(min(CAST(floor(l_extendedprice * 10000 + 0.5)
+                             AS BIGINT)
+                        // CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   AS cost_fp
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000
+                          + 0.5) AS BIGINT)
+               - CAST(l.l_quantity AS BIGINT) * uc.cost_fp) / 10000.0
+               AS sum_profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN unit_cost uc ON l.l_partkey = uc.l_partkey
+    WHERE p.p_name LIKE '%blue%'
+    GROUP BY n.n_name, o_year
+    """,
+)
+def tpch_q9_adapted(spark, sf_dir):
+    """TPC-H Q9 (product-type profit), adapted: with no
+    ps_supplycost ('green' parts re-targeted to the corpus' 'blue'
+    vocabulary), the cost basis becomes the OBSERVED floor of each
+    part's best unit price (min over the corpus of
+    fixed(extendedprice) div quantity) — profit = discounted revenue
+    − quantity·cost, per (supplier nation, order year). The canonical
+    five-way topology survives intact: part name LIKE scope,
+    lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ orders, year extraction,
+    nation×year rollup; the cost side is one extra part-keyed
+    aggregate joined back (exactly where partsupp would have joined).
+
+    Everything stays in fixed-point BIGINT through the profit sum —
+    per-row profit is an integer expression, so the rollup is
+    merge-order-proof. Scale: the unit-cost aggregate shares the
+    fact's l_partkey exchange; dims broadcast; one nation×year
+    shuffle."""
+    t = Tables(spark, sf_dir)
+    unit_cost = t.lineitem.groupBy("l_partkey").agg(
+        F.min(
+            F.expr(
+                "CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)"
+                " div CAST(l_quantity AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("cost_fp")
+    )
+    blue = t.part.filter(F.col("p_name").like("%blue%")).select(
+        "p_partkey"
+    )
+    sn = t.supplier.join(
+        F.broadcast(t.nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    profit_fp = F.expr(
+        "CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)"
+        " AS BIGINT) - CAST(l_quantity AS BIGINT) * cost_fp"
+    )
+    return (
+        t.lineitem.join(
+            F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            t.orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(unit_cost, "l_partkey")
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg((F.sum(profit_fp) / 10000.0).alias("sum_profit"))
+    )
+
+
+@query(
+    "tpch_q11_adapted",
+    oracle="""
+    WITH pv AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(floor(l_extendedprice * 10000 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS value_fp
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(sum(value_fp) AS BIGINT) AS t FROM pv)
+    SELECT l_partkey AS ps_partkey, value_fp / 10000.0 AS part_value
+    FROM pv, tot
+    WHERE value_fp * 1000 > t
+    ORDER BY value_fp DESC, l_partkey
+    """,
+)
+def tpch_q11_adapted(spark, sf_dir):
+    """TPC-H Q11 (important stock identification), adapted: the stock
+    value ps_availqty·ps_supplycost becomes the OBSERVED shipped value
+    per part through one nation's suppliers (Σ fixed(extendedprice)),
+    and the famous HAVING-against-a-scalar-subquery survives exactly:
+    keep parts whose value exceeds 0.1 % of the nation's total
+    (value·1000 > total — the fraction test in pure BIGINT, no float
+    threshold). Canonical output: parts by value descending.
+
+    Scale: one nation-filtered fact aggregate (supplier/nation
+    broadcast); the grand total is a 1-row broadcast back over the
+    part-value table — the decorrelated form Catalyst produces for
+    the original's scalar subquery."""
+    t = Tables(spark, sf_dir)
+    sn = (
+        t.supplier.join(
+            F.broadcast(
+                t.nation.filter(F.col("n_name") == "NATION_7").select(
+                    "n_nationkey"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    pv = (
+        t.lineitem.join(
+            F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(fixed("l_extendedprice")).cast("bigint").alias("value_fp"))
+    )
+    tot = pv.agg(F.sum("value_fp").cast("bigint").alias("t"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_fp") * 1000 > F.col("t"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            (F.col("value_fp") / 10000.0).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "ps_partkey")
     )
