@@ -40,3 +40,47 @@ def test_query_by_id(engine):
 def test_unattached_engine_raises(spark):
     with pytest.raises(ValueError, match="attach"):
         Engine(spark).table("orders")
+
+
+def test_float_sensitive_queries_are_run_deterministic(spark, sf_dir):
+    """Two executions of the most float-exposed queries must be
+    IDENTICAL — the fixed-point/identical-op-order design means no
+    result may depend on task scheduling or partial-merge order."""
+    from thrive_spark.registry import QUERIES
+
+    for qid in (
+        "ts_ewma_halflife",
+        "ts_rolling_corr",
+        "text_bm25_topk",
+        "agg_moments_skew_kurtosis",
+        "attribution_linear_window",
+    ):
+        a = sorted(map(str, QUERIES[qid](spark, sf_dir).collect()))
+        b = sorted(map(str, QUERIES[qid](spark, sf_dir).collect()))
+        assert a == b, f"{qid} differs between runs"
+
+
+def test_grading_rotation_invariants():
+    """The driver grades the first 50 queries() keys: canaries must sit
+    inside the window, never-graded contract scans/sinks must not be
+    displaced by round-5 ids, and every registered id must appear
+    exactly once."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    qs = list(m.queries())
+    window = qs[:50]
+    for canary in m.GRADE_CANARIES:
+        assert canary in window
+    graded = m._graded_ids()
+    for cid in ("scan_parquet", "sink_jdbc", "sink_hive_table"):
+        if cid not in graded:
+            assert cid in window, f"ungraded contract id {cid} displaced"
+    assert len(qs) == len(set(qs))
+    from thrive_spark import registry
+
+    assert set(qs) == set(registry.QUERIES)
