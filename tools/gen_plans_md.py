@@ -47,6 +47,8 @@ IDS = [
     "join_bloom_prefilter",
     "merge_scd2_dimension",
     "win_max_drawdown",
+    "tpch_q2_adapted",
+    "tpch_q9_adapted",
 ]
 
 KEEP = re.compile(
