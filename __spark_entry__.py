@@ -30,6 +30,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # sentinels.  GRADE_ROTATION pins this round's preferred order for
 # ids not yet graded; new/unlisted ids queue after it.
 GRADE_ROTATION = [
+    # r6 priority (r5 verdict): the five adapted TPC-H shapes and the
+    # end-to-end curation pipeline get official rows first
+    "tpch_q2_adapted", "tpch_q9_adapted", "tpch_q11_adapted",
+    "tpch_q16_adapted", "tpch_q20_adapted", "curation_pipeline_e2e",
     # function banks (incl. the round-2 array-output fix class)
     "fn_string_bank", "fn_date_bank", "fn_math_bank", "fn_conditional_bank",
     "fn_array_bank", "fn_array_explode", "fn_map_bank", "fn_json_bank",
@@ -87,7 +91,7 @@ GRADE_DEFER = [
     "stream_stream_join_outer", "attribution_linear_window",
     "dq_referential_integrity", "text_novelty_fraction",
     "cdc_snapshot_diff", "text_zipf_slope", "sink_compression_matrix",
-    "curation_pipeline_e2e", "win_sliding_median",
+    "win_sliding_median",
     "analytics_peak_concurrency", "events_dau_wau", "scan_csv_dialect",
     "fn_masking_bank", "pipeline_config_run", "fn_collation_bank",
     "split_kfold_assign", "sim_mmr_rerank", "text_lang_confusion",
@@ -100,9 +104,8 @@ GRADE_DEFER = [
     "agg_grouping_id_rollup", "dedup_canonical_url",
     "join_multi_semi_flags", "analytics_churn_rate",
     "scan_ignore_corrupt_files", "intersect_all_multiset",
-    "agg_minmax_scaling", "tpch_q2_adapted", "tpch_q16_adapted",
-    "tpch_q20_adapted", "dq_bot_detection", "win_frame_matrix",
-    "multimodal_image_ahash", "tpch_q9_adapted", "tpch_q11_adapted",
+    "agg_minmax_scaling", "dq_bot_detection", "win_frame_matrix",
+    "multimodal_image_ahash",
 ]
 
 
@@ -147,24 +150,26 @@ _GRADE_WINDOW = 50
 
 def _rotated(mapping: dict) -> dict:
     graded = _graded_ids()
-    # never-graded ids: hand-prioritized picks first, then the rest
-    # (hash-checkable before rows-only, registry order within)
+    # never-graded ids: hand-prioritized picks first, then the rest.
+    # r6 tightening: hash-checkable ids beat rows-only ids across the
+    # WHOLE never-graded pool (not per-class) — rows-only entries must
+    # never occupy a window slot while an oracle-bearing id waits.
+    # Within each (oracle?, deferred?) class, GRADE_DEFER list order
+    # then registry order decides.
     pri = [k for k in GRADE_ROTATION if k in mapping and k not in graded]
-    backlog = [
+    defer_rank = {k: i for i, k in enumerate(GRADE_DEFER)}
+    rest = [
         k
         for k in mapping
-        if k not in graded
-        and k not in pri
-        and k not in GRADE_CANARIES
-        and k not in GRADE_DEFER
+        if k not in graded and k not in pri and k not in GRADE_CANARIES
     ]
-    pri += sorted(backlog, key=lambda k: (k not in registry.ORACLE,))
-    # deferred ids keep list order within each class, hash-checkable
-    # first — if the deferred block straddles a window boundary, the
-    # spillover is rows-only ids, not contract-grade hash checks
     pri += sorted(
-        [k for k in GRADE_DEFER if k in mapping and k not in graded],
-        key=lambda k: (k not in registry.ORACLE,),
+        rest,
+        key=lambda k: (
+            k not in registry.ORACLE,  # hash-checkable first
+            k in defer_rank,  # fresh backlog before deferred block
+            defer_rank.get(k, -1),  # deferred keep their list order
+        ),
     )
     # canaries occupy the window's last slots; overflow queues behind
     cut = _GRADE_WINDOW - len(GRADE_CANARIES)
