@@ -121,3 +121,25 @@ def test_bpe_train_matches_reference_and_roundtrips(spark, sf_dir):
     # BPE can only shorten: token count per doc <= symbol chars
     assert (applied["n_bpe_tokens"] <= applied["n_symbol_chars"]).all()
     assert (applied["n_bpe_tokens"] > 0).all()
+
+
+def test_bpe_vocab_collect_is_bounded(spark, sf_dir, monkeypatch):
+    """The driver-side word-frequency table must respect MAX_VOCAB —
+    with the cap forced below the corpus vocabulary, the collect
+    returns exactly MAX_VOCAB rows and keeps the MOST FREQUENT words
+    (r5 verdict: unbounded collect was the scale flag)."""
+    from thrive_spark.operators import tokenizer
+    from thrive_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    full = tokenizer._word_freqs(t)
+    assert len(full) <= tokenizer.MAX_VOCAB
+
+    monkeypatch.setattr(tokenizer, "MAX_VOCAB", 32)
+    capped = tokenizer._word_freqs(t)
+    assert len(capped) == 32
+    # the cap keeps the head of the frequency distribution: every kept
+    # count >= the max dropped count
+    kept = {w for w, _ in capped}
+    dropped_max = max(n for w, n in full if w not in kept)
+    assert min(n for _, n in capped) >= dropped_max

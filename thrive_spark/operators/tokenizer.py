@@ -35,9 +35,27 @@ from ..tables import Tables
 N_MERGES = 24
 END = "</w>"
 
+#: driver-state bound on the word-frequency table.  A 100 TB web
+#: corpus has 10⁸–10⁹ distinct "words" (typo'd, concatenated, binary
+#: junk) — far past what any driver should collect.  Production BPE
+#: trainers prune the tail first (merges learned from hapaxes are
+#: noise), so we keep the MAX_VOCAB most frequent words at or above
+#: MIN_COUNT; the cap makes the collect provably O(MAX_VOCAB) no
+#: matter the corpus.  2^20 rows × ~30 B ≈ 32 MB worst case.  At the
+#: test scale factors the distinct vocabulary is far below the cap,
+#: so the trained merge table is unchanged.
+MAX_VOCAB = 1 << 20
+MIN_COUNT = 1  # raise to >=5 for web-scale corpora
+
 
 def _word_freqs(t) -> list[tuple[str, int]]:
-    """Corpus → (word, count) — the one data-sized job, one shuffle."""
+    """Corpus → (word, count) — the one data-sized job, one shuffle.
+
+    The collect is BOUNDED: frequency-threshold + top-MAX_VOCAB cap
+    (deterministic tie-break on the word) before anything reaches the
+    driver.  The sort-limit runs on the already-aggregated word table
+    (vocab-sized, corpus-independent), so the only corpus-sized stage
+    remains the word-count aggregate."""
     rows = (
         t.documents.select(
             F.explode(
@@ -49,7 +67,10 @@ def _word_freqs(t) -> list[tuple[str, int]]:
         )
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()  # bounded: distinct words, not corpus tokens
+        .filter(F.col("n") >= MIN_COUNT)
+        .orderBy(F.col("n").desc(), F.col("w"))
+        .limit(MAX_VOCAB)
+        .collect()
     )
     return sorted((r["w"], int(r["n"])) for r in rows)
 
