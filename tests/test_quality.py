@@ -135,9 +135,10 @@ def test_bpe_vocab_collect_is_bounded(spark, sf_dir, monkeypatch):
     full = tokenizer._word_freqs(t)
     assert len(full) <= tokenizer.MAX_VOCAB
 
-    monkeypatch.setattr(tokenizer, "MAX_VOCAB", 32)
+    cap = min(16, len(full) - 1)  # force the cap below the corpus vocab
+    monkeypatch.setattr(tokenizer, "MAX_VOCAB", cap)
     capped = tokenizer._word_freqs(t)
-    assert len(capped) == 32
+    assert len(capped) == cap
     # the cap keeps the head of the frequency distribution: every kept
     # count >= the max dropped count
     kept = {w for w, _ in capped}
