@@ -91,3 +91,34 @@ def oround(expr: str, nd: int = 4) -> str:
     """DuckDB round with the float→double cast (SURVEY §2: DuckDB round
     on FLOAT leaves float32 artifacts)."""
     return f"round(CAST(({expr}) AS DOUBLE), {nd})"
+
+
+#: Below this row count, iterative-loop state (edge lists, label/rank
+#: tables) is laid out on a single partition: per-round scheduler/task
+#: fixed cost dominates on toy graphs (measured ~2x/round), and one
+#: task of <=2M narrow rows is well under an executor's memory.  Above
+#: it, the natural wide partitioning is kept — at 100 TB a near-dup
+#: edge list is billions of rows and a single-partition round would
+#: serialize them through one core (r5 verdict scale flag).
+SMALL_ITER_STATE_MAX_ROWS = 2_000_000
+
+
+def compact_iter_state(df, small_max_rows: int | None = None):
+    """Materialize loop-invariant state once and pick its layout by
+    MEASURED size, not by assumption.
+
+    Returns ``(df, n_rows)``.  The upstream derivation runs exactly
+    once (``localCheckpoint`` first), so the sizing ``count()`` is a
+    cheap scan of materialized blocks, not a recompute; the
+    small-regime ``coalesce(1)`` is a narrow op on top of the
+    checkpoint, not a second materialization.  ``small_max_rows=None``
+    reads :data:`SMALL_ITER_STATE_MAX_ROWS` at call time (tests force
+    the wide path by monkeypatching it to 0).
+    """
+    if small_max_rows is None:
+        small_max_rows = SMALL_ITER_STATE_MAX_ROWS
+    df = df.localCheckpoint()
+    n = df.count()
+    if n <= small_max_rows:
+        df = df.coalesce(1)
+    return df, n

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import Tables
-from ._util import r4
+from ._util import compact_iter_state, r4
 from .llm import COSINE_THRESHOLD
 
 SIMHASH_BITS = 32
@@ -294,13 +294,14 @@ def dedup_cluster_components(spark, sf_dir):
     The convergence check is a driver-side count() — one scalar per
     round, not a collect of the data."""
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("keep_id", "dup_id")
-    edges = (
-        pairs.union(pairs.select("dup_id", "keep_id"))
-        .toDF("src", "nbr")
-        .coalesce(1)  # near-dup edge lists are tiny; single-partition
-        # rounds avoid per-round multi-task overhead (same small-graph
-        # regime note as graph_pagerank — drop for data-bound graphs)
-        .localCheckpoint()  # pair generation runs once, not per round
+    # pair generation runs once (checkpoint), then the layout is picked
+    # by MEASURED edge count: single-partition rounds below the _util
+    # threshold (per-round fixed cost dominates), natural wide
+    # partitioning above it (billion-edge lists must not serialize
+    # through one core) — r5 verdict flag, same switch as the kmeans
+    # partial-reduce path
+    edges, _n_edges = compact_iter_state(
+        pairs.union(pairs.select("dup_id", "keep_id")).toDF("src", "nbr")
     )
     # seed labels with min(self, neighbors) — this IS round one of the
     # propagation, fused into the init aggregate (saves one full

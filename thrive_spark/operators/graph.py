@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import Tables
+from ._util import compact_iter_state
 
 
 @query(
@@ -157,20 +158,20 @@ def pagerank(und_edges, rounds: int = 6, damping: float = 0.85):
     """Damped power iteration over an UNDIRECTED edge list (src, dst)
     — shared by graph_pagerank and text_textrank_keywords.
 
-    The heavy upstream derivation runs ONCE into a single-partition
-    checkpointed edge list; each round is one join + per-destination
-    aggregate + damping re-center, localCheckpoint cutting lineage.
-    The coalesce(1) is the small-graph regime (per-round fixed cost
-    dominates); on a 10^11-edge graph drop it — the rounds are then
-    data-bound and the partitioning should stay wide."""
-    edges = (
+    The heavy upstream derivation runs ONCE into a checkpointed edge
+    list; each round is one join + per-destination aggregate + damping
+    re-center, localCheckpoint cutting lineage.  The layout is picked
+    by MEASURED edge count (``_util.compact_iter_state``): single
+    partition in the small-graph regime where per-round fixed cost
+    dominates, natural wide partitioning on data-bound graphs — a
+    10^11-edge graph must not serialize through one core (r5 verdict
+    flag; tests/test_graph_scale.py exercises the wide path)."""
+    edges, _n_edges = compact_iter_state(
         und_edges.unionAll(
             und_edges.select(
                 F.col("dst").alias("src"), F.col("src").alias("dst")
             )
         )
-        .coalesce(1)
-        .localCheckpoint()
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()  # scalar: |vertices|, bounded
