@@ -84,3 +84,15 @@ def test_grading_rotation_invariants():
     from thrive_spark import registry
 
     assert set(qs) == set(registry.QUERIES)
+
+    # r6 discipline: while ANY hash-checkable id is still ungraded, no
+    # rows-only id may hold a window slot (the window is the scarce
+    # resource; rows-only checks are strictly weaker evidence)
+    fresh = [k for k in window if k not in graded and k not in m.GRADE_CANARIES]
+    ungraded_oracle = [
+        k for k in registry.QUERIES if k not in graded and k in registry.ORACLE
+    ]
+    if len(ungraded_oracle) >= len(fresh):
+        assert all(k in registry.ORACLE for k in fresh), [
+            k for k in fresh if k not in registry.ORACLE
+        ]

@@ -316,18 +316,21 @@ def dedup_cluster_components(spark, sf_dir):
             .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
         )
+        # convergence flag is computed IN the propagation join (r6):
+        # the old shape re-joined new labels to old ones for the
+        # changed-count — one extra join+shuffle job per round; the
+        # flag column makes the check a narrow scan of the checkpoint
         new = (
             labels.join(prop, labels.node == prop.src)
-            .select("node", F.least("label", "nbr_min").alias("label"))
+            .select(
+                "node",
+                F.least("label", "nbr_min").alias("label"),
+                (F.col("nbr_min") < F.col("label")).alias("_improved"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
-        labels = new
+        changed = new.filter("_improved").count()
+        labels = new.drop("_improved")
         if changed == 0:
             break
     w = Window.partitionBy("cluster_id")

@@ -24,6 +24,7 @@ explicit.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -166,21 +167,23 @@ def pagerank(und_edges, rounds: int = 6, damping: float = 0.85):
     dominates, natural wide partitioning on data-bound graphs — a
     10^11-edge graph must not serialize through one core (r5 verdict
     flag; tests/test_graph_scale.py exercises the wide path)."""
+    sym = und_edges.unionAll(
+        und_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # out-degree is loop-invariant: fold it into the edge list ONCE
+    # (window over src, materialized with the checkpoint) so each
+    # round runs one join, not two (r6)
     edges, _n_edges = compact_iter_state(
-        und_edges.unionAll(
-            und_edges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
+        sym.withColumn(
+            "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
         )
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()  # scalar: |vertices|, bounded
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(rounds):
         contribs = (
             edges.join(ranks, edges.src == ranks.node)
-            .join(deg, "src")
             .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
