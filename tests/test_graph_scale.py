@@ -52,3 +52,45 @@ def test_iterative_loops_wide_path_matches_compact(spark, sf_dir, qid, monkeypat
             assert abs(c[k] - w[k]) <= 1e-6, (k, c[k], w[k])
     else:
         assert compact == wide
+
+
+def test_large_small_star_collapses_adversarial_chain(spark):
+    """A 300-node path graph is the propagation worst case (diameter
+    = n rounds); large-star/small-star must collapse it to one
+    component labeled by the minimum inside O(log n) alternations —
+    max_rounds=12 > log2(300) would leave far nodes mislabeled if
+    convergence were slower, so correctness here proves the bound."""
+    from pyspark.sql import functions as F
+
+    from thrive_spark.operators.dedup_extra import cc_large_small_star
+
+    n = 300
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("nbr")
+    )
+    sym = chain.union(chain.select(F.col("nbr").alias("src"), F.col("src").alias("nbr")))
+    labels = cc_large_small_star(sym, max_rounds=12).collect()
+    assert len(labels) == n
+    assert all(r["label"] == 0 for r in labels)
+
+
+def test_large_small_star_matches_propagation_on_multi_component(spark):
+    """Two disjoint components + an isolated pair: both CC engines
+    must produce identical (node, label) sets."""
+    from pyspark.sql import functions as F
+
+    from thrive_spark.operators.dedup_extra import (
+        _cc_label_propagation,
+        cc_large_small_star,
+    )
+
+    pairs = [(10, 11), (11, 12), (12, 13), (20, 21), (21, 22), (30, 31)]
+    e = spark.createDataFrame(pairs, "src long, nbr long")
+    sym = e.union(e.select(F.col("nbr").alias("src"), F.col("src").alias("nbr")))
+    lss = {(r["node"], r["label"]) for r in cc_large_small_star(sym).collect()}
+    prop = {(r["node"], r["label"]) for r in _cc_label_propagation(sym.localCheckpoint()).collect()}
+    assert lss == prop
+    assert lss == {
+        (10, 10), (11, 10), (12, 10), (13, 10),
+        (20, 20), (21, 20), (22, 20), (30, 30), (31, 30),
+    }

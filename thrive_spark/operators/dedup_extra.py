@@ -293,20 +293,46 @@ def dedup_cluster_components(spark, sf_dir):
 
     The convergence check is a driver-side count() — one scalar per
     round, not a collect of the data."""
+    from . import _util
+
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("keep_id", "dup_id")
-    # pair generation runs once (checkpoint), then the layout is picked
-    # by MEASURED edge count: single-partition rounds below the _util
-    # threshold (per-round fixed cost dominates), natural wide
-    # partitioning above it (billion-edge lists must not serialize
-    # through one core) — r5 verdict flag, same switch as the kmeans
-    # partial-reduce path
-    edges, _n_edges = compact_iter_state(
+    # pair generation runs once (checkpoint), then the layout AND the
+    # algorithm are picked by MEASURED edge count (r5 verdict flag,
+    # same switch idiom as the kmeans partial-reduce path):
+    # - small regime: single-partition min-label propagation — per-
+    #   round fixed cost dominates, diameter is small for near-clique
+    #   dup graphs, so 2-3 cheap rounds win;
+    # - wide regime: large-star/small-star — O(log n) rounds even on
+    #   adversarial chain graphs, no one-task serialization.
+    edges, n_edges = compact_iter_state(
         pairs.union(pairs.select("dup_id", "keep_id")).toDF("src", "nbr")
     )
-    # seed labels with min(self, neighbors) — this IS round one of the
-    # propagation, fused into the init aggregate (saves one full
-    # join+checkpoint+count cycle; near-clique components then
-    # converge in 1-2 further rounds)
+    if n_edges <= _util.SMALL_ITER_STATE_MAX_ROWS:
+        labels = _cc_label_propagation(edges)
+    else:
+        labels = cc_large_small_star(edges)
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+        )
+        .withColumn("cluster_size", F.count("*").over(w).cast("bigint"))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
+def _cc_label_propagation(edges):
+    """Min-label propagation over a SYMMETRIC (src, nbr) edge list →
+    (node, label). Round count = component diameter; the small-graph
+    engine of :func:`dedup_cluster_components`.
+
+    Seed labels with min(self, neighbors) — that IS round one of the
+    propagation, fused into the init aggregate (saves one full
+    join+checkpoint+count cycle; near-clique components then converge
+    in 1-2 further rounds). The convergence flag is computed IN the
+    propagation join, so the changed-count is a narrow scan of the
+    checkpoint, not an extra join job per round."""
     labels = edges.groupBy(F.col("src").alias("node")).agg(
         F.least(F.min("src"), F.min("nbr")).alias("label")
     )
@@ -316,10 +342,6 @@ def dedup_cluster_components(spark, sf_dir):
             .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
         )
-        # convergence flag is computed IN the propagation join (r6):
-        # the old shape re-joined new labels to old ones for the
-        # changed-count — one extra join+shuffle job per round; the
-        # flag column makes the check a narrow scan of the checkpoint
         new = (
             labels.join(prop, labels.node == prop.src)
             .select(
@@ -333,14 +355,87 @@ def dedup_cluster_components(spark, sf_dir):
         labels = new.drop("_improved")
         if changed == 0:
             break
-    w = Window.partitionBy("cluster_id")
-    return (
-        labels.select(
-            F.col("node").alias("doc_id"),
-            F.col("label").alias("cluster_id"),
+    return labels
+
+
+def cc_large_small_star(edges, max_rounds: int = 64):
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) over a SYMMETRIC (src, nbr) edge list → (node, label).
+
+    Converges in O(log n) alternations on ANY graph shape — including
+    the adversarial long chains where label propagation needs
+    diameter-many rounds — which is why it is the wide-regime engine
+    of :func:`dedup_cluster_components`.  Per alternation:
+
+    - large-star: every undirected edge {u,v}, u<v (picked once from
+      its smaller endpoint via ``nbr > src``) re-points the larger end
+      at m(u) = min(Γ(u) ∪ {u});
+    - small-star: every edge, picked from its LARGER endpoint, plus
+      the endpoint itself, re-points at the min of the smaller
+      neighborhood.
+
+    Both are one groupBy + one join of the edge list — the same
+    shuffle shape as a propagation round, never a collect.  Edge sets
+    shrink toward stars centered at component minima; convergence is
+    detected by an order-independent (count, xxhash-sum) checksum, one
+    scalar aggregate per alternation.  ``localCheckpoint`` per
+    alternation cuts lineage exactly like the propagation loop.
+    Nodes never drop out mid-iteration: an endpoint with no smaller
+    neighbor is its own m(u), so every node keeps at least one
+    incident edge until it lands in a star."""
+
+    def _sym(und):
+        return und.union(
+            und.select(F.col("nbr").alias("src"), F.col("src").alias("nbr"))
         )
-        .withColumn("cluster_size", F.count("*").over(w).cast("bigint"))
-        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+
+    def _checksum(e):
+        # bit_xor, not sum: order-independent like sum, but can't hit
+        # ANSI long overflow; the edge set is distinct so XOR
+        # cancellation can't alias two different sets with equal count
+        # except by hash collision
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(src, nbr))").alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    prev = None
+    for _ in range(max_rounds):
+        # large-star: m(u) over the FULL neighborhood of the smaller
+        # endpoint; emissions (v, m(u)) for v > u
+        m = (
+            edges.groupBy("src")
+            .agg(F.min("nbr").alias("mn"))
+            .select("src", F.least("mn", F.col("src")).alias("m"))
+        )
+        und = (
+            edges.join(m, "src")
+            .filter(F.col("nbr") > F.col("src"))
+            .select(F.col("nbr").alias("src"), F.col("m").alias("nbr"))
+            .filter(F.col("src") != F.col("nbr"))
+            .distinct()
+        )
+        # small-star: from the larger endpoint over smaller neighbors
+        low = _sym(und).filter(F.col("nbr") < F.col("src"))
+        ms = low.groupBy("src").agg(F.min("nbr").alias("m"))
+        und = (
+            low.join(ms, "src")
+            .select(F.col("nbr").alias("src"), F.col("m").alias("nbr"))
+            .union(ms.select(F.col("src"), F.col("m").alias("nbr")))
+            .filter(F.col("src") != F.col("nbr"))
+            .distinct()
+            .localCheckpoint()
+        )
+        edges = _sym(und)
+        cur = _checksum(und)
+        if cur == prev:
+            break
+        prev = cur
+    # converged: stars centered at component minima
+    return edges.groupBy(F.col("src").alias("node")).agg(
+        F.least(F.min("src"), F.min("nbr")).alias("label")
     )
 
 
