@@ -94,3 +94,50 @@ def test_large_small_star_matches_propagation_on_multi_component(spark):
         (10, 10), (11, 10), (12, 10), (13, 10),
         (20, 20), (21, 20), (22, 20), (30, 30), (31, 30),
     }
+
+
+def test_large_small_star_matches_union_find_on_random_graphs(spark):
+    """Seeded random graphs, LSS vs an independent driver-side
+    union-find: labels must agree exactly (label = component min)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from thrive_spark.operators.dedup_extra import cc_large_small_star
+
+    for seed, n_nodes, n_edges in ((1, 60, 40), (2, 120, 200), (3, 200, 120)):
+        rng = random.Random(seed)
+        pairs = sorted(
+            {
+                tuple(sorted(rng.sample(range(n_nodes), 2)))
+                for _ in range(n_edges)
+            }
+        )
+        # union-find oracle
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for p in pairs for v in p}
+        want = {
+            (v, min(u for u in touched if find(u) == find(v)))
+            for v in touched
+        }
+
+        e = spark.createDataFrame(pairs, "src long, nbr long")
+        sym = e.union(
+            e.select(F.col("nbr").alias("src"), F.col("src").alias("nbr"))
+        )
+        got = {
+            (r["node"], r["label"])
+            for r in cc_large_small_star(sym).collect()
+        }
+        assert got == want, f"seed={seed}"
