@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import Tables
-from ._util import compact_iter_state, r4
+from ._util import compact_iter_state, ffix, ofix, r4
 from .llm import COSINE_THRESHOLD
 
 SIMHASH_BITS = 32
@@ -202,6 +202,151 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .withColumn("j", j)
         .filter(F.col("j") >= NGRAM_JACCARD_THRESHOLD)
         .select("keep_id", "dup_id", r4(F.col("j")).alias("jaccard"))
+    )
+
+
+CONTAIN_MIN_SHINGLES = 10
+
+
+@query(
+    "dedup_shingle_containment",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents
+    ),
+    d AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(tk) - 2, 0)),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+               )) AS sh
+        FROM w
+    ),
+    s AS (
+        SELECT doc_id, lang, sh, len(sh) AS sz FROM d
+        WHERE len(sh) >= {CONTAIN_MIN_SHINGLES}
+    ),
+    pairs AS (
+        SELECT a.doc_id AS sub_id, b.doc_id AS host_id,
+               len(list_intersect(a.sh, b.sh)) AS isect, a.sz AS sub_sz
+        FROM s a JOIN s b
+          ON a.lang = b.lang
+         AND (a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id))
+    )
+    SELECT sub_id, host_id,
+           {ofix('CAST(isect AS DOUBLE) / sub_sz')} AS containment
+    FROM pairs WHERE 5 * isect >= 4 * sub_sz
+    """,
+)
+def dedup_shingle_containment(spark, sf_dir):
+    """Containment near-dup: C(A,B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ 0.8
+    over word-3-shingle sets, A the smaller set — the asymmetric
+    complement of :func:`dedup_ngram_jaccard`.  Jaccard misses the
+    host/sub-document case (a doc quoted whole inside a much larger
+    one scores J ≈ |A|/|B| → 0 but C = 1); containment is how
+    training pipelines catch embedded-passage duplication between
+    corpus documents (same notion as eval-set decontamination, applied
+    train-train).
+
+    Exact SSJoin-style prefix filtering (Chaudhuri et al. ICDE'06;
+    Xiao et al. WWW'08), adapted to the asymmetric predicate:
+
+    - C ≥ t forces ≥ ceil(t·|A|) of A's shingles into B, so a prefix
+      of |A| - ceil(t·|A|) + 1 of A's shingles (fixed total order)
+      must hit B — the candidate join runs PREFIX(A) ⋈ POSTINGS(B),
+      slim exploded rows, never the shingle arrays.  No length upper
+      bound exists (B may be arbitrarily large — that is the point),
+      so unlike the Jaccard path there is no size-ratio prune; the
+      inverted-index side is the FULL shingle postings, one shuffle,
+      linear in corpus size.
+    - Prefix length in exact integer arithmetic (t = 4/5):
+      sz - ((4·sz + 4) div 5) + 1 — no float ceil at any scale.
+    - Verify fetches the two sorted shingle arrays per DEDUPLICATED
+      candidate pair and filters 5·isect ≥ 4·|A| in integers; the
+      reported containment is ffix'd for cross-engine hash parity.
+
+    Scale: shingle universes are Zipf-tailed, so prefix shingles
+    (lexicographic here — tiny synthetic vocabulary; rarest-first via
+    a df sketch in production) have short postings; the candidate
+    row count is Σ_prefix-shingle df², not the lang-block
+    cross-product.  3-shingles, not unigrams, keep the key space
+    selective (measured: 27k distinct shingles / max df 25 at sf0.1
+    vs a 31-word unigram vocabulary)."""
+    t = Tables(spark, sf_dir)
+    tk = F.filter(F.split("text", " "), lambda x: x != "")
+    base = t.documents.select("doc_id", "lang", tk.alias("tk"))
+    # zip_with over slices — never index a computed array inside a
+    # per-element lambda (CollapseProject re-inlines it per element,
+    # the O(tokens²) pitfall SCALE.md documents)
+    n2 = F.greatest(F.size("tk") - 2, F.lit(0))
+    shingles = F.zip_with(
+        F.slice("tk", 1, n2),
+        F.zip_with(
+            F.slice("tk", 2, n2),
+            F.slice("tk", 3, n2),
+            lambda b, c: F.concat(b, F.lit(" "), c),
+        ),
+        lambda a, bc: F.concat(a, F.lit(" "), bc),
+    )
+    d = (
+        base.select(
+            "doc_id",
+            "lang",
+            F.array_sort(F.array_distinct(shingles)).alias("sh"),
+        )
+        .withColumn("sz", F.size("sh"))
+        .filter(F.col("sz") >= CONTAIN_MIN_SHINGLES)
+    )
+    pre = d.select(
+        "doc_id",
+        "lang",
+        "sz",
+        F.explode_outer(
+            F.expr("slice(sh, 1, sz - ((4 * sz + 4) div 5) + 1)")
+        ).alias("psh"),
+    ).filter(F.col("psh").isNotNull())
+    postings = d.select(
+        "doc_id",
+        "lang",
+        "sz",
+        F.explode_outer("sh").alias("tok"),
+    ).filter(F.col("tok").isNotNull())
+    cand = (
+        pre.alias("s")
+        .join(
+            postings.alias("h"),
+            (F.col("s.lang") == F.col("h.lang"))
+            & (F.col("s.psh") == F.col("h.tok"))
+            & (
+                (F.col("s.sz") < F.col("h.sz"))
+                | (
+                    (F.col("s.sz") == F.col("h.sz"))
+                    & (F.col("s.doc_id") < F.col("h.doc_id"))
+                )
+            ),
+        )
+        .select(
+            F.col("s.doc_id").alias("sub_id"),
+            F.col("h.doc_id").alias("host_id"),
+        )
+        .dropDuplicates()
+    )
+    sets = d.select("doc_id", "sh", "sz")
+    isect = F.size(F.array_intersect("sa.sh", "sb.sh"))
+    return (
+        cand.join(sets.alias("sa"), cand.sub_id == F.col("sa.doc_id"))
+        .join(sets.alias("sb"), cand.host_id == F.col("sb.doc_id"))
+        .withColumn("isect", isect)
+        .filter(5 * F.col("isect") >= 4 * F.col("sa.sz"))
+        .select(
+            "sub_id",
+            "host_id",
+            ffix(F.col("isect").cast("double") / F.col("sa.sz")).alias(
+                "containment"
+            ),
+        )
     )
 
 
