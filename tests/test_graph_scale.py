@@ -141,3 +141,41 @@ def test_large_small_star_matches_union_find_on_random_graphs(spark):
             for r in cc_large_small_star(sym).collect()
         }
         assert got == want, f"seed={seed}"
+
+
+def test_containment_catches_host_sub_pairs_jaccard_misses(spark, tmp_path):
+    """The asymmetric case containment exists for: doc A quoted whole
+    inside a 5x-larger doc B has J(A,B) ≈ |A|/|B| ≈ 0.2 (pruned by
+    the Jaccard size-ratio filter before any intersection), but
+    C(A,B) = 1.0 — dedup_shingle_containment must report the pair."""
+    import pandas as pd
+
+    from thrive_spark.registry import QUERIES
+
+    words = [f"w{i:03d}" for i in range(40)]
+    sub = " ".join(words)  # 40 tokens, 38 distinct shingles
+    host = " ".join(
+        [f"pre{i:03d}" for i in range(80)]
+        + words
+        + [f"post{i:03d}" for i in range(80)]
+    )
+    other = " ".join(f"x{i:03d}" for i in range(40))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "lang": ["en", "en", "en"],
+            "text": [sub, host, other],
+            "n_chars": [len(sub), len(host), len(other)],
+        }
+    )
+    sf_dir = str(tmp_path / "sfcontain")
+    spark.createDataFrame(pdf).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = QUERIES["dedup_shingle_containment"](spark, sf_dir).collect()
+    assert [(r["sub_id"], r["host_id"], r["containment"]) for r in got] == [
+        (1, 2, 1.0)
+    ]
+    jac = QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    assert not any(
+        {r["keep_id"], r["dup_id"]} == {1, 2} for r in jac
+    ), "size-divergent pair should be invisible to Jaccard"

@@ -368,3 +368,13 @@ def test_topn_window_group_limit_pushdown(spark, sf_dir):
     the optimization that makes windowed top-n viable at 100 TB."""
     plan = physical_plan(QUERIES["win_row_number_topn"](spark, sf_dir))
     assert "WindowGroupLimit" in plan
+
+
+def test_containment_candidate_join_is_hash_keyed(spark, sf_dir):
+    """The prefix⋈postings candidate join must key on the equi pair
+    (lang, shingle) — an equi hash/merge join with the size-order
+    predicate as a residual filter, never a nested-loop over the
+    corpus."""
+    plan = physical_plan(QUERIES["dedup_shingle_containment"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
