@@ -54,6 +54,7 @@ def test_float_sensitive_queries_are_run_deterministic(spark, sf_dir):
         "text_bm25_topk",
         "agg_moments_skew_kurtosis",
         "attribution_linear_window",
+        "dedup_shingle_containment",
     ):
         a = sorted(map(str, QUERIES[qid](spark, sf_dir).collect()))
         b = sorted(map(str, QUERIES[qid](spark, sf_dir).collect()))
@@ -96,3 +97,25 @@ def test_grading_rotation_invariants():
         assert all(k in registry.ORACLE for k in fresh), [
             k for k in fresh if k not in registry.ORACLE
         ]
+
+
+def test_bench_compact_recap_fits_driver_tail_capture():
+    """The driver archives only the last ~2000 chars of bench stdout;
+    the compact recap line (metric/value/queries/reps/sf) must stay
+    comfortably inside that window even with worst-case widths."""
+    import json
+
+    import bench
+
+    recap = json.dumps(
+        {
+            "metric": "suite_warm_sec",
+            "value": 9999.999,
+            "unit": "sec",
+            "queries": {qid: 9999.999 for qid in bench.HEADLINE},
+            "n_errors": 99,
+            "reps": 99,
+            "sf": 0.1,
+        }
+    )
+    assert len(recap) < 1800, len(recap)

@@ -49,6 +49,7 @@ IDS = [
     "win_max_drawdown",
     "tpch_q2_adapted",
     "tpch_q9_adapted",
+    "dedup_shingle_containment",
 ]
 
 KEEP = re.compile(
