@@ -43,6 +43,8 @@ IDS = [
     "basket_brand_affinity",
     "ts_anomaly_zscore",
     "merge_scd2_dimension",
+    "dedup_shingle_containment",
+    "dedup_cluster_components",
 ]
 
 
