@@ -74,7 +74,37 @@ def embed_normalize_quantize(spark, sf_dir):
     )
 
 
-@query("sim_maxsim_multivector")  # rows-only: float reduction order
+def _maxsim_oracle() -> str:
+    """DuckDB twin of the MaxSim reduction with BIT-IDENTICAL float
+    order: each 8-dim dot product is an explicit left-associated
+    8-term sum (matching Spark's ``aggregate`` left fold from 0D —
+    0 + x == x exactly in IEEE), the per-query-sub max is variadic
+    ``greatest`` (order-free), and the 8 maxes sum left-to-right like
+    the generated ``+`` chain.  The query bag (vec_id 7) is fetched
+    by subquery instead of literals so the oracle stays static SQL."""
+
+    def dot(i: int, j: int) -> str:
+        return " + ".join(
+            f"(CAST(e.embedding[{j * 8 + k}] AS DOUBLE)"
+            f" * CAST(q.qe[{i * 8 + k}] AS DOUBLE))"
+            for k in range(1, 9)
+        )
+
+    maxsim = " + ".join(
+        "greatest(" + ", ".join(f"({dot(i, j)})" for j in range(8)) + ")"
+        for i in range(8)
+    )
+    return f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7)
+    SELECT e.vec_id,
+           CAST(floor(({maxsim}) * 10000 + 0.5) AS BIGINT) AS maxsim_fp
+    FROM embeddings e, q
+    ORDER BY maxsim_fp DESC, e.vec_id
+    LIMIT 10
+    """
+
+
+@query("sim_maxsim_multivector", oracle=_maxsim_oracle())
 def sim_maxsim_multivector(spark, sf_dir):
     """Late-interaction (ColBERT-style MaxSim) retrieval: documents
     and the query are BAGS of sub-vectors; score = Σ_q max_d ⟨q, d⟩.
