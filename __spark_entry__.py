@@ -106,8 +106,8 @@ GRADE_DEFER = [
     "scan_ignore_corrupt_files", "intersect_all_multiset",
     "agg_minmax_scaling", "dq_bot_detection", "win_frame_matrix",
     "multimodal_image_ahash",
-    # r6 registration (the round's single new id, behind all backlog)
-    "dedup_shingle_containment",
+    # r6 registrations (two ids, behind all backlog)
+    "dedup_shingle_containment", "agg_mode_categorical",
 ]
 
 

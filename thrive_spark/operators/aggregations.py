@@ -878,3 +878,70 @@ def agg_minmax_scaling(spark, sf_dir):
             ).alias("value_scaled"),
         )
     )
+
+
+@query(
+    "agg_mode_categorical",
+    oracle="""
+    WITH c AS (
+        SELECT c_mktsegment, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, o_orderpriority
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY n DESC, o_orderpriority) AS rn,
+               CAST(count(*) FILTER (WHERE TRUE) OVER (
+                   PARTITION BY c_mktsegment, n) AS BIGINT) AS n_at_count
+        FROM c
+    )
+    SELECT c_mktsegment,
+           o_orderpriority AS modal_priority,
+           n AS modal_count,
+           n_at_count AS n_tied
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode_categorical(spark, sf_dir):
+    """Exact categorical mode per group — modal order priority per
+    market segment — with a DETERMINISTIC tie-break and a tie count.
+
+    Both Spark (3.4+) and DuckDB ship a built-in ``mode()`` aggregate,
+    but neither defines tie order (Spark picks an arbitrary hash-map
+    winner, DuckDB first-seen), so the built-ins can disagree run to
+    run AND engine to engine — unusable under a value-hash contract.
+    The portable pattern: count per (group, value), then
+    ``row_number() OVER (ORDER BY n DESC, value)`` — one extra window
+    over the (already tiny) count table, fully deterministic, and it
+    exposes ``n_tied`` (how many values share the modal count), which
+    the built-ins silently discard.
+
+    Scale: the count aggregate reduces the fact table to
+    |groups × distinct values| rows before the window — the window
+    never sees fact-table cardinality."""
+    t = Tables(spark, sf_dir)
+    c = (
+        t.orders.join(
+            F.broadcast(t.customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("n"), "o_orderpriority"
+    )
+    wt = Window.partitionBy("c_mktsegment", "n")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_tied", F.count("*").over(wt).cast("bigint"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("n").alias("modal_count"),
+            "n_tied",
+        )
+    )
