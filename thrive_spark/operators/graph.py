@@ -24,7 +24,6 @@ explicit.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -170,14 +169,13 @@ def pagerank(und_edges, rounds: int = 6, damping: float = 0.85):
     sym = und_edges.unionAll(
         und_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    # out-degree is loop-invariant: fold it into the edge list ONCE
-    # (window over src, materialized with the checkpoint) so each
-    # round runs one join, not two (r6)
-    edges, _n_edges = compact_iter_state(
-        sym.withColumn(
-            "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
-        )
-    )
+    # out-degree is loop-invariant: fold it into the edge list ONCE so
+    # each round runs one join, not two (r6). groupBy + join, NOT a
+    # count-over-window: the aggregate partial-combines map-side and
+    # the join gets AQE skew splitting, so a celebrity vertex's 10^8
+    # edges never serialize through one window task.
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges, _n_edges = compact_iter_state(sym.join(deg, "src"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()  # scalar: |vertices|, bounded
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
