@@ -298,6 +298,11 @@ def dedup_shingle_containment(spark, sf_dir):
         )
         .withColumn("sz", F.size("sh"))
         .filter(F.col("sz") >= CONTAIN_MIN_SHINGLES)
+        # three consumers (prefix explode, postings explode, verify
+        # arrays) with no shareable exchange — checkpoint turns three
+        # corpus-wide shingle passes into one (measured 3.17→2.28 s at
+        # sf0.1; the q17/q21 shared-subtree pattern)
+        .localCheckpoint()
     )
     pre = d.select(
         "doc_id",
