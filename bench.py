@@ -106,37 +106,22 @@ def main() -> None:
         spread[qid] = round((max(samples) - min(samples)) / med, 3) if med else 0.0
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_warm_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "variance": spread,
-                "min": best,
-                "errors": errors,
-                "reps": reps,
-                "sf": sf,
-            }
-        )
-    )
+    # Both stdout lines derive from ONE dict so the contract fields can
+    # never drift; the recap carries "recap": true so a consumer that
+    # scans every line cannot double-count the suite total.
+    headline = {
+        "metric": "suite_warm_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "reps": reps,
+        "sf": sf,
+    }
+    print(json.dumps({**headline, "variance": spread, "min": best, "errors": errors}))
     # Compact recap LAST (see module docstring): contract fields only,
     # no variance/min/errors payload, so the driver's 2000-char tail
     # always ends with one complete parseable headline line.
-    print(
-        json.dumps(
-            {
-                "metric": "suite_warm_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "n_errors": len(errors),
-                "reps": reps,
-                "sf": sf,
-            }
-        )
-    )
+    print(json.dumps({**headline, "recap": True, "n_errors": len(errors)}))
 
 
 if __name__ == "__main__":

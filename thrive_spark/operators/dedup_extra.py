@@ -546,16 +546,21 @@ def cc_large_small_star(edges, max_rounds: int = 64):
 
     def _checksum(e):
         # bit_xor, not sum: order-independent like sum, but can't hit
-        # ANSI long overflow; the edge set is distinct so XOR
-        # cancellation can't alias two different sets with equal count
-        # except by hash collision
+        # ANSI long overflow.  TWO independent accumulators (the second
+        # re-hashes with a salt column, i.e. a different effective
+        # seed) so that XOR cancellation between four edges
+        # (h(a)^h(b) == h(c)^h(d)) would have to hold under BOTH hash
+        # functions simultaneously — collision probability ~2^-128,
+        # negligible even adversarially.
         row = e.agg(
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(src, nbr))").alias("h"),
+            F.expr("bit_xor(xxhash64(nbr, src, 2654435769))").alias("h2"),
         ).collect()[0]
-        return row["n"], row["h"]
+        return row["n"], row["h"], row["h2"]
 
     prev = None
+    converged = False
     for _ in range(max_rounds):
         # large-star: m(u) over the FULL neighborhood of the smaller
         # endpoint; emissions (v, m(u)) for v > u
@@ -585,8 +590,18 @@ def cc_large_small_star(edges, max_rounds: int = 64):
         edges = _sym(und)
         cur = _checksum(und)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # An unconverged exit would silently return labels from a
+        # non-star edge set (wrong cluster labels).  O(log n) rounds
+        # suffice, so exhausting max_rounds means the input violated a
+        # precondition (e.g. non-symmetric edges) — fail loudly.
+        raise RuntimeError(
+            f"cc_large_small_star: no convergence in {max_rounds} rounds; "
+            "labels would be unreliable (is the edge list symmetric?)"
+        )
     # converged: stars centered at component minima
     return edges.groupBy(F.col("src").alias("node")).agg(
         F.least(F.min("src"), F.min("nbr")).alias("label")
