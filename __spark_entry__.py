@@ -108,6 +108,10 @@ GRADE_DEFER = [
     "multimodal_image_ahash",
     # r6 registrations (two ids, behind all backlog)
     "dedup_shingle_containment", "agg_mode_categorical",
+    # r7 registrations (behind all backlog; oracle-bearing ids still
+    # outrank older rows-only backlog via the hash-checkable-first key)
+    "graph_degree_histogram", "graph_jaccard_neighbors",
+    "ts_ohlc_bars", "ts_vwap_daily", "ts_dow_hour_profile",
 ]
 
 

@@ -255,3 +255,165 @@ def text_textrank_keywords(spark, sf_dir):
             ),
         )
     )
+
+
+_EDGE_CTE = """
+    WITH ob AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    e AS (
+        SELECT DISTINCT a.p_brand AS src, b.p_brand AS dst
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    ),
+    sym AS (
+        SELECT src AS v, dst AS u FROM e
+        UNION ALL
+        SELECT dst AS v, src AS u FROM e
+    )
+"""
+
+
+@query(
+    "graph_degree_histogram",
+    oracle="""
+    WITH tk AS (
+        SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT least(toks[i], toks[i + 1]) AS src,
+               greatest(toks[i], toks[i + 1]) AS dst
+        FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1))
+                          AS i) s
+        WHERE toks[i] <> toks[i + 1]
+    ),
+    e AS (SELECT DISTINCT src, dst FROM bg),
+    sym AS (
+        SELECT src AS v FROM e UNION ALL SELECT dst FROM e
+    ),
+    deg AS (SELECT v, count(*) AS degree FROM sym GROUP BY v)
+    SELECT degree, count(*) AS n_vertices
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_histogram(spark, sf_dir):
+    """Degree distribution of the word co-occurrence graph (the
+    textrank edge list): how many vertices have each degree — the
+    first diagnostic run on any graph before choosing join strategies.
+    A power-law tail here is the signal that triggers the degeneracy-
+    ordering upgrade noted in the module docstring, and (unlike the
+    tiny complete brand graph) word co-occurrence actually HAS one.
+
+    Two aggregates over the symmetric edge list — both partial-combine
+    map-side, so the shuffle carries (vertex, partial-count) then
+    (degree, partial-count) rows only; no vertex set or adjacency list
+    ever materializes on one node."""
+    t = Tables(spark, sf_dir)
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    base = t.documents.select(toks.alias("tk"))
+    n2 = F.greatest(F.size("tk") - 1, F.lit(0))
+    e = (
+        base.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("tk", 1, n2),
+                    F.slice("tk", 2, n2),
+                    lambda a, b: F.struct(
+                        F.least(a, b).alias("src"),
+                        F.greatest(a, b).alias("dst"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    sym = e.select("src").unionAll(e.select(F.col("dst").alias("src")))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_vertices"))
+
+
+@query(
+    "graph_jaccard_neighbors",
+    oracle=_EDGE_CTE
+    + """
+    , deg AS (SELECT v, count(*) AS degree FROM sym GROUP BY v),
+    inter AS (
+        SELECT e.src, e.dst, count(*) AS n_common
+        FROM e
+        JOIN sym sa ON sa.v = e.src
+        JOIN sym sb ON sb.v = e.dst AND sb.u = sa.u
+        GROUP BY e.src, e.dst
+    )
+    SELECT e.src, e.dst,
+           CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+           CAST(da.degree + db.degree - coalesce(i.n_common, 0) - 2
+                AS BIGINT) AS n_union,
+           floor(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+                 / (da.degree + db.degree - coalesce(i.n_common, 0) - 2)
+                 * 10000 + 0.5) / 10000.0 AS jaccard
+    FROM e
+    LEFT JOIN inter i ON i.src = e.src AND i.dst = e.dst
+    JOIN deg da ON da.v = e.src
+    JOIN deg db ON db.v = e.dst
+    """,
+)
+def graph_jaccard_neighbors(spark, sf_dir):
+    """Neighbor-set Jaccard similarity for every edge of the brand
+    co-purchase graph — the classic link-prediction / community-edge
+    strength primitive (an edge whose endpoints share most neighbors is
+    intra-community; a low-Jaccard edge is a bridge).
+
+    |N(a)∩N(b)| comes from the wedge join (edges ⋈ adjacency ⋈
+    adjacency on the shared neighbor), the same Σ deg² bounded shape as
+    the triangle pass above — never |V|² pairs, only existing edges are
+    scored. |N(a)∪N(b)| = deg(a)+deg(b)−common−2 (each endpoint sits in
+    the other's neighbor set but not its own, so subtracting the two
+    mutual memberships leaves the union of *other* neighbors — the
+    convention that makes a pendant edge score 0, not 1/1).
+
+    Both engines compute the final ratio as one double division of
+    exact integers (IEEE-exact, identical), then fixed-point floor —
+    hash-stable without fixed-point accumulation."""
+    ob = _co_order_brands(spark, sf_dir)
+    from .analytics import _basket_pairs
+
+    e = _basket_pairs(ob).distinct()
+    sym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).select(F.col("src").alias("v"), F.col("dst").alias("u"))
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("degree"))
+    sa, sb = sym.alias("sa"), sym.alias("sb")
+    inter = (
+        e.join(sa, F.col("sa.v") == F.col("src"))
+        .join(
+            sb,
+            (F.col("sb.v") == F.col("dst")) & (F.col("sb.u") == F.col("sa.u")),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = deg.select(F.col("v").alias("src"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("v").alias("dst"), F.col("degree").alias("deg_b"))
+    common = F.coalesce("n_common", F.lit(0))
+    n_union = F.col("deg_a") + F.col("deg_b") - common - F.lit(2)
+    return (
+        e.join(inter, ["src", "dst"], "left")
+        .join(da, "src")
+        .join(db, "dst")
+        .select(
+            "src",
+            "dst",
+            common.cast("bigint").alias("n_common"),
+            n_union.cast("bigint").alias("n_union"),
+            (
+                F.floor(
+                    common.cast("double") / n_union * 10000 + 0.5
+                )
+                / 10000.0
+            ).alias("jaccard"),
+        )
+    )

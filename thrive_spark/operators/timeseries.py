@@ -552,3 +552,143 @@ def ts_seasonal_baseline(spark, sf_dir):
             / (F.col("n").cast("double") * F.col("n") * 10000)
         ).alias("mean_abs_dev"),
     )
+
+
+@query(
+    "ts_ohlc_bars",
+    oracle=f"""
+    WITH k AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               value,
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 16, '0')
+                 || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
+        FROM events
+    )
+    SELECT event_type, day,
+           {ofix('arg_min(value, ord_key)')} AS open,
+           {ofix('max(value)')} AS high,
+           {ofix('min(value)')} AS low,
+           {ofix('arg_max(value, ord_key)')} AS close,
+           count(*) AS n_ticks,
+           {osum('value')} AS volume
+    FROM k GROUP BY event_type, day
+    """,
+)
+def ts_ohlc_bars(spark, sf_dir):
+    """OHLC candlestick rollup: per (series, day) the first / highest /
+    lowest / last observed value plus tick count and summed volume —
+    the canonical downsample every market-data or metrics store ships.
+
+    Open/close are arg_min/arg_max over a composite string key
+    (zero-padded epoch-micros ++ event_id) because neither engine's
+    arg_min takes a tuple key and ties on raw timestamps would make
+    the answer nondeterministic (same discipline as agg_argminmax).
+    One partial+final hash aggregate — no window, no sort: at 100 TB
+    each map task pre-folds its slice to one candle per (series, day)
+    before the shuffle, so reducers see |series|·|days| rows."""
+    t = Tables(spark, sf_dir)
+    ord_key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 16, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        t.events.select(
+            "event_type",
+            F.col("ts").cast("date").cast("string").alias("day"),
+            "value",
+            ord_key.alias("ord_key"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            ffix(F.min_by("value", F.col("ord_key"))).alias("open"),
+            ffix(F.max("value")).alias("high"),
+            ffix(F.min("value")).alias("low"),
+            ffix(F.max_by("value", F.col("ord_key"))).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            dsum("value").alias("volume"),
+        )
+    )
+
+
+@query(
+    "ts_vwap_daily",
+    oracle=f"""
+    SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS day,
+           CAST({osum('l_quantity')} AS BIGINT) AS total_qty,
+           {osum('l_extendedprice * l_quantity')} AS notional,
+           {ofix(f"({osum('l_extendedprice * l_quantity')}) / ({osum('l_quantity')})")}
+               AS vwap
+    FROM lineitem GROUP BY day
+    """,
+)
+def ts_vwap_daily(spark, sf_dir):
+    """Volume-weighted average price per ship day:
+    VWAP = Σ(price·qty) / Σ(qty) — the denominator-weighted mean that
+    a plain avg() gets wrong, and the standard execution-quality
+    benchmark for any trade/sales tape.
+
+    Both sums are fixed-point longs (order-insensitive, engine-exact);
+    the per-row price·qty product is one IEEE multiply, identical in
+    both engines, BEFORE fixing — so the quotient divides two exact
+    doubles and ffix presents it. Single map-side-combined aggregate
+    keyed by day; no shuffle carries raw line items, only per-day
+    partials."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.select(
+            F.col("l_shipdate").cast("date").cast("string").alias("day"),
+            "l_quantity",
+            "l_extendedprice",
+        )
+        .groupBy("day")
+        .agg(
+            dsum("l_quantity").cast("bigint").alias("total_qty"),
+            dsum(F.col("l_extendedprice") * F.col("l_quantity")).alias(
+                "notional"
+            ),
+            ffix(
+                dsum(F.col("l_extendedprice") * F.col("l_quantity"))
+                / dsum("l_quantity")
+            ).alias("vwap"),
+        )
+    )
+
+
+@query(
+    "ts_dow_hour_profile",
+    oracle=f"""
+    SELECT dayofweek(ts) AS dow, hour(ts) AS hr,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           {ofix(f"({osum('value')}) / count(*)")} AS avg_value
+    FROM events GROUP BY dow, hr
+    """,
+)
+def ts_dow_hour_profile(spark, sf_dir):
+    """Seasonality fingerprint: event volume, distinct users, and mean
+    value in every (day-of-week × hour-of-day) cell — the 7×24 heatmap
+    behind staffing/capacity dashboards and the seasonal-naive
+    forecaster's lookup table.
+
+    Day-of-week convention bridged explicitly: Spark's dayofweek() is
+    1–7 Sunday=1, DuckDB's is 0–6 Sunday=0, so Spark emits
+    dayofweek−1. The mean divides a fixed-point exact sum by an exact
+    count (one IEEE divide, identical both engines). Fixed 168-cell
+    output regardless of input scale; count(DISTINCT) partial-
+    aggregates per cell."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.select(
+            (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hr"),
+            "user_id",
+            "value",
+        )
+        .groupBy("dow", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            ffix(dsum("value") / F.count(F.lit(1))).alias("avg_value"),
+        )
+    )
