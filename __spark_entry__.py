@@ -112,6 +112,10 @@ GRADE_DEFER = [
     # outrank older rows-only backlog via the hash-checkable-first key)
     "graph_degree_histogram", "graph_jaccard_neighbors",
     "ts_ohlc_bars", "ts_vwap_daily", "ts_dow_hour_profile",
+    "analytics_pareto_share", "analytics_new_vs_returning",
+    "analytics_cohort_ltv", "dedup_exact_substring",
+    "text_readability_flesch", "tokenizer_vocab_coverage",
+    "split_temporal_holdout",
 ]
 
 

@@ -1681,3 +1681,220 @@ def analytics_churn_rate(spark, sf_dir):
             ).alias("churn_rate"),
         )
     )
+
+
+@query(
+    "analytics_pareto_share",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+                   AS rev_fp
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT rev_fp,
+               ntile(10) OVER (ORDER BY rev_fp DESC, o_custkey) AS decile
+        FROM cust
+    ),
+    agg AS (
+        SELECT decile, count(*) AS n_customers,
+               sum(rev_fp) AS dec_fp
+        FROM ranked GROUP BY decile
+    ),
+    tot AS (SELECT sum(dec_fp) AS t FROM agg)
+    SELECT decile, n_customers, dec_fp / 10000.0 AS decile_revenue,
+           floor(CAST(sum(dec_fp) OVER (ORDER BY decile) AS DOUBLE)
+                 / t * 10000 + 0.5) / 10000.0 AS cum_share
+    FROM agg, tot
+    """,
+)
+def analytics_pareto_share(spark, sf_dir):
+    """Pareto / 80-20 concentration curve: customers bucketed into
+    revenue deciles (best spenders first), each decile's revenue and
+    the cumulative share of total — the one-glance answer to "do 20 %
+    of customers drive 80 % of revenue?".
+
+    The ntile window runs over the |customers|-row aggregate, not the
+    fact table (post-aggregation bounded, same discipline as RFM);
+    ordering is unique (fixed-point revenue desc, custkey) so tile
+    assignment is deterministic in both engines. Revenue stays in
+    exact fixed-point longs through the cumulative sum — the only
+    float op is the final share division of two exact values."""
+    t = Tables(spark, sf_dir)
+    cust = t.orders.groupBy("o_custkey").agg(
+        F.sum(fixed("o_totalprice")).alias("rev_fp")
+    )
+    ranked = cust.withColumn(
+        "decile",
+        F.ntile(10).over(
+            Window.orderBy(F.col("rev_fp").desc(), F.col("o_custkey"))
+        ),
+    )
+    agg = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev_fp").alias("dec_fp"),
+    )
+    w_cum = Window.orderBy("decile")
+    w_tot = Window.orderBy("decile").rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return agg.select(
+        "decile",
+        "n_customers",
+        (F.col("dec_fp") / 10000.0).alias("decile_revenue"),
+        (
+            F.floor(
+                F.sum("dec_fp").over(w_cum).cast("double")
+                / F.sum("dec_fp").over(w_tot)
+                * 10000
+                + 0.5
+            )
+            / 10000.0
+        ).alias("cum_share"),
+    )
+
+
+@query(
+    "analytics_new_vs_returning",
+    oracle="""
+    WITH f AS (
+        SELECT o_custkey, min(strftime(o_orderdate, '%Y-%m')) AS m0
+        FROM orders GROUP BY o_custkey
+    ),
+    o AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month, o_custkey,
+               o_totalprice
+        FROM orders
+    )
+    SELECT o.month, count(*) AS n_orders,
+           count(DISTINCT o.o_custkey) AS n_customers,
+           count(DISTINCT CASE WHEN f.m0 = o.month THEN o.o_custkey END)
+               AS n_new,
+           count(DISTINCT o.o_custkey)
+             - count(DISTINCT CASE WHEN f.m0 = o.month THEN o.o_custkey END)
+               AS n_returning,
+           sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) / 10000.0
+               AS revenue
+    FROM o JOIN f ON o.o_custkey = f.o_custkey
+    GROUP BY o.month
+    """,
+)
+def analytics_new_vs_returning(spark, sf_dir):
+    """Monthly new-vs-returning customer split: per calendar month the
+    order count, distinct actives, how many were placing their FIRST
+    ever order that month, the returning remainder, and revenue — the
+    top strip of every growth dashboard.
+
+    First-month assignment is min() over the customer's month strings
+    (lexicographic == chronological for yyyy-MM, engine-neutral — no
+    date_trunc divergence). The |customers|-row first-order table
+    joins back by customer key; at 100 TB both sides shuffle once on
+    o_custkey and the month rollup partial-aggregates map-side. The
+    conditional count(DISTINCT CASE...) counts each new customer once
+    regardless of their order count that month."""
+    t = Tables(spark, sf_dir)
+    o = t.orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    f = o.groupBy("o_custkey").agg(F.min("month").alias("m0"))
+    new_cust = F.when(F.col("m0") == F.col("month"), F.col("o_custkey"))
+    return (
+        o.join(f, "o_custkey")
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct(new_cust).alias("n_new"),
+            (
+                F.countDistinct("o_custkey") - F.countDistinct(new_cust)
+            ).alias("n_returning"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "analytics_cohort_ltv",
+    oracle="""
+    WITH f AS (
+        SELECT o_custkey,
+               min(year(o_orderdate) * 12 + month(o_orderdate)) AS m0
+        FROM orders GROUP BY o_custkey
+    ),
+    sizes AS (SELECT m0, count(*) AS cohort_users FROM f GROUP BY m0),
+    rev AS (
+        SELECT f.m0,
+               year(o.o_orderdate) * 12 + month(o.o_orderdate) - f.m0
+                   AS age_months,
+               sum(CAST(floor(o.o_totalprice * 10000 + 0.5) AS BIGINT))
+                   AS rev_fp
+        FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT CAST(m0 // 12 AS VARCHAR) || '-' ||
+               lpad(CAST(m0 % 12 + 1 AS VARCHAR), 2, '0') AS cohort,
+           age_months, cohort_users,
+           rev_fp / 10000.0 AS period_revenue,
+           sum(rev_fp) OVER (PARTITION BY m0 ORDER BY age_months)
+               / 10000.0 AS cum_revenue,
+           floor(CAST(sum(rev_fp) OVER (PARTITION BY m0
+                                        ORDER BY age_months) AS DOUBLE)
+                 / cohort_users / 10000.0 * 10000 + 0.5) / 10000.0
+               AS ltv_per_user
+    FROM rev JOIN sizes USING (m0)
+    """,
+)
+def analytics_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, revenue accumulated by months-since-first-order, normalized
+    per cohort user — the LTV table that payback-period and CAC
+    decisions read off.
+
+    Months are linearized as year·12+month (pure integer arithmetic —
+    no months_between float, no engine date_trunc quirks; the label is
+    rebuilt from the integer). Revenue is fixed-point through the
+    cumulative window (exact at any merge order); the per-user
+    division happens once per output cell on exact operands. The
+    cumulative window partitions by cohort — |months| rows per
+    partition after the (m0, age) pre-aggregate, never raw orders."""
+    t = Tables(spark, sf_dir)
+    mcol = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    o = t.orders.select(
+        "o_custkey", mcol.alias("m"), "o_totalprice"
+    )
+    f = o.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    sizes = f.groupBy("m0").agg(F.count(F.lit(1)).alias("cohort_users"))
+    rev = (
+        o.join(f, "o_custkey")
+        .groupBy("m0", (F.col("m") - F.col("m0")).alias("age_months"))
+        .agg(F.sum(fixed("o_totalprice")).alias("rev_fp"))
+    )
+    w = Window.partitionBy("m0").orderBy("age_months")
+    cohort = F.concat(
+        F.floor(F.col("m0") / 12).cast("bigint").cast("string"),
+        F.lit("-"),
+        F.lpad((F.col("m0") % 12 + 1).cast("string"), 2, "0"),
+    )
+    return (
+        rev.join(sizes, "m0")
+        .select(
+            cohort.alias("cohort"),
+            "age_months",
+            "cohort_users",
+            (F.col("rev_fp") / 10000.0).alias("period_revenue"),
+            (F.sum("rev_fp").over(w) / 10000.0).alias("cum_revenue"),
+            (
+                F.floor(
+                    F.sum("rev_fp").over(w).cast("double")
+                    / F.col("cohort_users")
+                    / 10000.0
+                    * 10000
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("ltv_per_user"),
+        )
+    )

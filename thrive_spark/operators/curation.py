@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import Tables
-from ._util import ffix, ofix, r4
+from ._util import dsum, ffix, ofix, osum, r4
 
 #: md5-hex first-char thresholds per language — the per-stratum keep
 #: fraction in 16ths (en kept at 4/16, zh fully kept, etc.); tune per
@@ -1169,3 +1169,79 @@ def dq_bot_detection(spark, sf_dir):
         "n_types",
         rate_floor.alias("peak_rate_floor"),
     ).filter((rate_floor >= 2) | (F.col("n_types") == 1))
+
+
+HOLDOUT_CUTOFF = "2000-07-01"  # train < cutoff <= test
+
+
+@query(
+    "split_temporal_holdout",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_custkey, o_totalprice,
+               CASE WHEN o_orderdate < TIMESTAMP '{HOLDOUT_CUTOFF}'
+                    THEN 'train' ELSE 'test' END AS split
+        FROM orders
+    ),
+    sides AS (
+        SELECT o_custkey,
+               count(CASE WHEN split = 'train' THEN 1 END) AS n_tr,
+               count(CASE WHEN split = 'test' THEN 1 END) AS n_te
+        FROM o GROUP BY o_custkey
+    )
+    SELECT split,
+           count(*) AS n_orders,
+           count(DISTINCT o.o_custkey) AS n_customers,
+           {osum('o_totalprice')} AS revenue,
+           count(DISTINCT CASE WHEN s.n_tr > 0 AND s.n_te > 0
+                               THEN o.o_custkey END) AS n_overlap_customers,
+           count(DISTINCT CASE WHEN s.n_tr = 0 OR s.n_te = 0
+                               THEN o.o_custkey END) AS n_exclusive_customers
+    FROM o JOIN sides s USING (o_custkey)
+    GROUP BY split
+    """,
+)
+def split_temporal_holdout(spark, sf_dir):
+    """Time-based train/holdout split — the leakage-safe alternative
+    to random splits for anything with temporal drift: orders strictly
+    before the cutoff train, the rest evaluate. Reports per split the
+    volume, distinct customers, revenue, and the entity-overlap audit
+    (customers seen on BOTH sides vs one side only — the cold-start /
+    leakage census a feature-store split review asks for).
+
+    The split predicate is a pure column comparison (partition-
+    prunable when the table is date-partitioned — at 100 TB the train
+    scan never touches holdout partitions); the overlap audit joins
+    the |customers|-row per-side count table back on the key, so the
+    only wide shuffle is on o_custkey."""
+    t = Tables(spark, sf_dir)
+    o = t.orders.select(
+        "o_custkey",
+        "o_totalprice",
+        F.when(
+            F.col("o_orderdate") < F.lit(HOLDOUT_CUTOFF).cast("timestamp"),
+            F.lit("train"),
+        )
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    sides = o.groupBy("o_custkey").agg(
+        F.count(F.when(F.col("split") == "train", F.lit(1))).alias("n_tr"),
+        F.count(F.when(F.col("split") == "test", F.lit(1))).alias("n_te"),
+    )
+    both = (F.col("n_tr") > 0) & (F.col("n_te") > 0)
+    return (
+        o.join(sides, "o_custkey")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            dsum("o_totalprice").alias("revenue"),
+            F.countDistinct(
+                F.when(both, F.col("o_custkey"))
+            ).alias("n_overlap_customers"),
+            F.countDistinct(
+                F.when(~both, F.col("o_custkey"))
+            ).alias("n_exclusive_customers"),
+        )
+    )

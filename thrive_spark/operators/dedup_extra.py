@@ -824,3 +824,110 @@ def dedup_canonical_url(spark, sf_dir):
             F.min("doc_id").cast("bigint").alias("keep_doc"),
         )
     )
+
+
+SUBSTR_K = 8  # exact-match window length in tokens (Lee et al. use 50
+# BPE tokens on web corpora; 8 word tokens keeps the check non-vacuous
+# on this corpus's 10-99-token documents)
+
+
+@query(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(tk[i : i + {SUBSTR_K - 1}], ' ')) AS gh
+        FROM w, LATERAL (SELECT unnest(generate_series(
+                 1, len(tk) - {SUBSTR_K - 1})) AS i) s
+    ),
+    df AS (SELECT gh, count(*) AS n_docs FROM g GROUP BY gh)
+    SELECT g.doc_id,
+           count(*) AS n_windows,
+           count(CASE WHEN df.n_docs > 1 THEN 1 END) AS n_shared,
+           floor(CAST(count(CASE WHEN df.n_docs > 1 THEN 1 END) AS DOUBLE)
+                 / count(*) * 10000 + 0.5) / 10000.0 AS shared_frac
+    FROM g JOIN df USING (gh)
+    GROUP BY g.doc_id
+    """,
+)
+def dedup_exact_substring(spark, sf_dir):
+    """Exact-substring contamination scan (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 — the ExactSubstr pass): every sliding K-token
+    window is hashed, and a document is scored by the fraction of its
+    distinct windows that also occur verbatim in some OTHER document —
+    the doc-level summary a trim/drop policy consumes (the disjoint-
+    window sibling dedup_paragraph_exact canonicalizes passages;
+    this one measures cross-document verbatim overlap).
+
+    The K-gram array is built in log2(K) linear zip_with passes over
+    token-slice pairs (1→2→4→8 tokens), NEVER via per-element
+    element_at over a computed array — the CollapseProject re-inline
+    trap documented in SCALE.md; each pass doubles the window using
+    two slices of the PREVIOUS pass's named column. Windows shuffle as
+    16-byte md5s, never as text: the gram table groupBys on the hash
+    (same shape as dedup_exact_hash), document-frequency is a second
+    hash aggregate, and the join back to per-doc windows carries
+    (hash, count) only. At 100 TB this is the suffix-array-free
+    formulation: Σ doc_len gram rows, two hash shuffles, no sort."""
+    t = Tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("tk"),
+    ).localCheckpoint()  # one tokenization; g2/g4/g8 each read it twice
+    n = F.size("tk")
+    # doubling passes: g2[i] = tk[i]+tk[i+1]; g4[i] = g2[i]+g2[i+2];
+    # g8[i] = g4[i]+g4[i+4] — every slice length is max(n-k+1, 0)
+    d2 = d.select(
+        "doc_id",
+        F.zip_with(
+            F.slice("tk", 1, F.greatest(n - 1, F.lit(0))),
+            F.slice("tk", 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ).alias("g2"),
+    )
+    n2 = F.size("g2")
+    d4 = d2.select(
+        "doc_id",
+        F.zip_with(
+            F.slice("g2", 1, F.greatest(n2 - 2, F.lit(0))),
+            F.slice("g2", 3, F.greatest(n2 - 2, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ).alias("g4"),
+    )
+    n4 = F.size("g4")
+    g = (
+        d4.select(
+            "doc_id",
+            F.explode_outer(
+                F.zip_with(
+                    F.slice("g4", 1, F.greatest(n4 - 4, F.lit(0))),
+                    F.slice("g4", 5, F.greatest(n4 - 4, F.lit(0))),
+                    lambda a, b: F.md5(F.concat_ws(" ", a, b)),
+                )
+            ).alias("gh"),
+        )
+        .filter(F.col("gh").isNotNull())
+        .distinct()
+    )
+    df_ = g.groupBy("gh").agg(F.count(F.lit(1)).alias("n_docs"))
+    shared = F.count(F.when(F.col("n_docs") > 1, F.lit(1)))
+    return (
+        g.join(df_, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            shared.alias("n_shared"),
+            (
+                F.floor(
+                    shared.cast("double") / F.count(F.lit(1)) * 10000 + 0.5
+                )
+                / 10000.0
+            ).alias("shared_frac"),
+        )
+    )

@@ -1081,3 +1081,64 @@ def text_boilerplate_prefixes(spark, sf_dir):
             ).alias("share"),
         )
     )
+
+
+@query(
+    "text_readability_flesch",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_words,
+               greatest(len(regexp_extract_all(text, '[.!?]')), 1)
+                   AS n_sentences,
+               greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+                   AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           floor((206.835
+                  - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                  - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
+                 * 10000 + 0.5) / 10000.0 AS flesch
+    FROM m
+    """,
+)
+def text_readability_flesch(spark, sf_dir):
+    """Flesch reading-ease per document — the grade-level gate corpus
+    curation applies alongside Gopher-style quality rules (very low
+    scores flag run-on machine text, very high ones flag word salad).
+
+    Syllables use the standard regex proxy (maximal vowel-group runs,
+    y counted as a vowel); sentences count terminal punctuation with a
+    floor of 1. Everything is a map-only projection: two regexp_count
+    scans + one split per row, no shuffle at all — the output is keyed
+    by doc_id. The score arithmetic is three IEEE ops on exact
+    integer-ratio doubles with literal constants, identical in both
+    engines, then fixed-point floor presentation."""
+    t = Tables(spark, sf_dir)
+    n_words = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    n_sent = F.greatest(F.regexp_count("text", F.lit("[.!?]")), F.lit(1))
+    n_syl = F.greatest(
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")), F.lit(1)
+    )
+    m = t.documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015)
+          * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(84.6)
+          * (F.col("n_syllables").cast("double") / F.col("n_words"))
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (F.floor(score * 10000 + 0.5) / 10000.0).alias("flesch"),
+    )

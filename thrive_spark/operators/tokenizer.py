@@ -176,3 +176,80 @@ def tokenizer_apply_bpe(spark, sf_dir):
     return t.documents.select("doc_id", "text").mapInPandas(
         tok, "doc_id long, n_bpe_tokens long, n_symbol_chars long"
     )
+
+
+VOCAB_CUTS = (100, 500, 2000)
+
+
+@query(
+    "tokenizer_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+            AS w
+        FROM documents
+    ),
+    freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM freq
+    ),
+    tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM freq)
+    SELECT cut.n AS vocab_size,
+           CAST(sum(CASE WHEN r <= cut.n THEN c ELSE 0 END) AS BIGINT)
+               AS covered_tokens,
+           CAST(tot.total AS BIGINT) AS total_tokens,
+           CAST(tot.vocab AS BIGINT) AS distinct_words,
+           floor(CAST(sum(CASE WHEN r <= cut.n THEN c ELSE 0 END)
+                      AS DOUBLE) / tot.total * 10000 + 0.5) / 10000.0
+               AS coverage
+    FROM ranked, tot,
+         (SELECT unnest([{", ".join(str(c) for c in VOCAB_CUTS)}]) AS n) cut
+    GROUP BY cut.n, tot.total, tot.vocab
+    """,
+)
+def tokenizer_vocab_coverage(spark, sf_dir):
+    """Vocabulary-size sweep: what fraction of corpus token
+    occurrences a top-N frequency-ranked vocabulary covers, for N in
+    {VOCAB_CUTS} — the curve a tokenizer designer reads before fixing
+    vocab size (and the OOV-rate budget that follows from it).
+
+    The rank window runs over the |vocab|-row frequency aggregate
+    (post-aggregation bounded, the BPE trainer's own discipline — the
+    corpus itself never sorts); ordering is unique via the word
+    tiebreak. The three cuts come from one conditional-sum pass over
+    the ranked vocab crossed with a 3-row literal — not three scans.
+    Output is {len(VOCAB_CUTS)} rows regardless of corpus size."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    tok = t.documents.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    ranked = freq.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "w"))
+        .alias("r"),
+    )
+    cuts = small_df(
+        t.spark, [(int(n),) for n in VOCAB_CUTS], "n long"
+    )
+    covered = F.sum(F.when(F.col("r") <= F.col("n"), F.col("c")).otherwise(F.lit(0)))
+    return (
+        ranked.crossJoin(F.broadcast(cuts))
+        .groupBy(F.col("n").alias("vocab_size"))
+        .agg(
+            covered.cast("bigint").alias("covered_tokens"),
+            F.sum("c").cast("bigint").alias("total_tokens"),
+            F.count(F.lit(1)).alias("distinct_words"),
+            (
+                F.floor(
+                    covered.cast("double") / F.sum("c") * 10000 + 0.5
+                )
+                / 10000.0
+            ).alias("coverage"),
+        )
+    )
