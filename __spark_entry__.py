@@ -116,6 +116,8 @@ GRADE_DEFER = [
     "analytics_cohort_ltv", "dedup_exact_substring",
     "text_readability_flesch", "tokenizer_vocab_coverage",
     "split_temporal_holdout",
+    "sql_window_qualify", "sql_values_inline_dim", "sql_any_all_rewrite",
+    "dq_freshness_lag",
 ]
 
 

@@ -1245,3 +1245,46 @@ def split_temporal_holdout(spark, sf_dir):
             ).alias("n_exclusive_customers"),
         )
     )
+
+
+@query(
+    "dq_freshness_lag",
+    oracle="""
+    WITH g AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS g_us
+               FROM events),
+    p AS (
+        SELECT event_type,
+               count(*) AS n_events,
+               max(epoch_us(CAST(ts AS TIMESTAMP))) AS p_us
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_events,
+           (g_us - p_us) // 60000000 AS lag_minutes,
+           (g_us - p_us) > CAST(86400000000 AS BIGINT) AS is_stale
+    FROM p, g
+    """,
+)
+def dq_freshness_lag(spark, sf_dir):
+    """Per-stream freshness audit: how far each event type's newest
+    record trails the newest record anywhere — the staleness monitor a
+    data-platform SLA dashboard polls (a feed whose max(ts) lags the
+    global watermark by >24 h is flagged).
+
+    Timestamps compare as integer epoch-micros (no interval
+    arithmetic, no engine date_diff divergence; the minute lag is an
+    integer floor-div). One partial+final aggregate per stream plus a
+    1-row global max broadcast-joined back — the scalar-join idiom, so
+    the fact table is scanned once and nothing wide shuffles."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("event_type", F.unix_micros("ts").alias("us"))
+    p = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.max("us").alias("p_us")
+    )
+    g = ev.agg(F.max("us").alias("g_us"))
+    lag = F.col("g_us") - F.col("p_us")
+    return p.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n_events",
+        F.expr("(g_us - p_us) div 60000000").alias("lag_minutes"),
+        (lag > 24 * 3600 * 1000000).alias("is_stale"),
+    )

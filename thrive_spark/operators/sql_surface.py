@@ -289,3 +289,128 @@ def sql_cluster_by(spark, sf_dir):
         CLUSTER BY o_custkey
         """
     )
+
+
+@query(
+    "sql_window_qualify",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) / 10000.0
+               AS o_totalprice,
+           row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+    FROM orders
+    QUALIFY rnk <= 2
+    """,
+)
+def sql_window_qualify(spark, sf_dir):
+    """QUALIFY-style window filtering through the SQL surface: each
+    customer's two priciest orders. Spark has no QUALIFY keyword, so
+    the filter sits one subquery out — but Catalyst's
+    WindowGroupLimit/TopK pushdown recognizes the rank-then-filter
+    shape and prunes per-partition before the full window sort, which
+    IS the QUALIFY execution strategy (the DuckDB oracle literally
+    uses QUALIFY; both produce the identical relation). Ties broken by
+    orderkey so the top-2 cut is deterministic."""
+    t = Tables(spark, sf_dir)
+    t.register_views()
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               floor(o_totalprice * 10000 + 0.5) / 1e4
+                   AS o_totalprice,
+               rnk
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+            FROM orders
+        ) WHERE rnk <= 2
+        """
+    )
+
+
+@query(
+    "sql_values_inline_dim",
+    oracle=f"""
+    WITH tier(o_orderpriority, tier, weight) AS (
+        VALUES ('1-URGENT',  'expedite', 3),
+               ('2-HIGH',    'expedite', 2),
+               ('3-MEDIUM',  'standard', 1),
+               ('4-NOT SPECIFIED', 'standard', 1),
+               ('5-LOW',     'defer',    0)
+    )
+    SELECT tier, count(*) AS n_orders,
+           CAST(sum(weight) AS BIGINT) AS weight_sum,
+           {osum('o_totalprice')} AS revenue
+    FROM orders JOIN tier USING (o_orderpriority)
+    GROUP BY tier
+    """,
+)
+def sql_values_inline_dim(spark, sf_dir):
+    """Inline VALUES dimension join through the SQL surface — the
+    ad-hoc lookup-table idiom (priority → SLA tier) analysts paste
+    into queries instead of creating a table. Catalyst folds the
+    VALUES into a LocalRelation and broadcasts it, so the fact scan
+    joins against an in-memory 5-row dim: no shuffle, no temp table,
+    and the aggregate partial-combines map-side on the 3-value tier
+    key."""
+    t = Tables(spark, sf_dir)
+    t.register_views()
+    return spark.sql(
+        """
+        WITH tier AS (
+            SELECT * FROM VALUES
+                ('1-URGENT',  'expedite', 3),
+                ('2-HIGH',    'expedite', 2),
+                ('3-MEDIUM',  'standard', 1),
+                ('4-NOT SPECIFIED', 'standard', 1),
+                ('5-LOW',     'defer',    0)
+            AS tier(o_orderpriority, tier, weight)
+        )
+        SELECT tier, count(*) AS n_orders,
+               sum(weight) AS weight_sum,
+               sum(cast(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+                   / 1e4 AS revenue
+        FROM orders JOIN tier USING (o_orderpriority)
+        GROUP BY tier
+        """
+    )
+
+
+@query(
+    "sql_any_all_rewrite",
+    oracle=f"""
+    SELECT s_suppkey, s_name,
+           CAST(floor(s_acctbal * 10000 + 0.5) AS BIGINT) / 10000.0
+               AS s_acctbal
+    FROM supplier
+    WHERE s_acctbal > ALL (
+        SELECT c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal < 5000
+    )
+    """,
+)
+def sql_any_all_rewrite(spark, sf_dir):
+    """Quantified comparison (x > ALL (subquery)) — Spark SQL has no
+    ALL/ANY subquery operator, so the portable rewrite is the scalar
+    aggregate: > ALL S ≡ > (SELECT max(S)) when S is non-empty and
+    null-free (acctbal is NOT NULL here; the empty-set edge would need
+    a coalesce guard). The oracle runs the genuine ALL form — the
+    rewrite must produce the identical relation. Catalyst executes the
+    scalar subquery as a one-row broadcast: the big scan is filtered
+    map-side, no join materializes."""
+    t = Tables(spark, sf_dir)
+    t.register_views()
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name,
+               floor(s_acctbal * 10000 + 0.5) / 1e4 AS s_acctbal
+        FROM supplier
+        WHERE s_acctbal > (
+            SELECT max(c_acctbal) FROM customer
+            WHERE c_mktsegment = 'BUILDING' AND c_acctbal < 5000
+        )
+        """
+    )
