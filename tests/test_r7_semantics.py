@@ -1,0 +1,174 @@
+"""Semantic invariants for the round-7 operators — properties the
+oracle hash can't express (monotonicity, conservation, bounds), so a
+future refactor that stays self-consistent in BOTH engines still trips
+these if it breaks the meaning."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from thrive_spark.registry import QUERIES
+from thrive_spark.tables import Tables
+
+
+def test_jaccard_neighbors_bounded_and_edgewise(spark, sf_dir):
+    rows = QUERIES["graph_jaccard_neighbors"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["src"] < r["dst"]  # canonical orientation
+        assert 0 <= r["n_common"] <= r["n_union"] or r["n_union"] == 0
+        assert 0.0 <= r["jaccard"] <= 1.0
+
+
+def test_degree_histogram_conserves_vertices(spark, sf_dir):
+    hist = QUERIES["graph_degree_histogram"](spark, sf_dir).collect()
+    assert hist
+    # Σ degree·n_vertices = 2·|E| (handshake lemma) — even total
+    stubs = sum(r["degree"] * r["n_vertices"] for r in hist)
+    assert stubs % 2 == 0 and stubs > 0
+
+
+def test_ohlc_bars_ordering_invariants(spark, sf_dir):
+    for r in QUERIES["ts_ohlc_bars"](spark, sf_dir).collect():
+        assert r["low"] <= r["high"]
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        assert r["n_ticks"] >= 1
+
+
+def test_vwap_between_min_and_max_price(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    bounds = (
+        t.lineitem.agg(
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        ).collect()[0]
+    )
+    for r in QUERIES["ts_vwap_daily"](spark, sf_dir).collect():
+        assert bounds["lo"] - 1e-6 <= r["vwap"] <= bounds["hi"] + 1e-6
+
+
+def test_dow_hour_profile_cell_count(spark, sf_dir):
+    rows = QUERIES["ts_dow_hour_profile"](spark, sf_dir).collect()
+    assert len(rows) <= 168
+    assert all(0 <= r["dow"] <= 6 and 0 <= r["hr"] <= 23 for r in rows)
+    t = Tables(spark, sf_dir)
+    assert sum(r["n_events"] for r in rows) == t.events.count()
+
+
+def test_pareto_share_monotone_to_one(spark, sf_dir):
+    rows = sorted(
+        QUERIES["analytics_pareto_share"](spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, len(rows) + 1))
+    shares = [r["cum_share"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(shares, shares[1:]))
+    assert math.isclose(shares[-1], 1.0, abs_tol=1e-3)
+    # deciles ordered best-first: first decile's revenue is the max
+    revs = [r["decile_revenue"] for r in rows]
+    assert revs[0] == max(revs)
+
+
+def test_new_vs_returning_partitions_actives(spark, sf_dir):
+    rows = QUERIES["analytics_new_vs_returning"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_new"] + r["n_returning"] == r["n_customers"]
+    # every customer is new exactly once across all months
+    t = Tables(spark, sf_dir)
+    assert sum(r["n_new"] for r in rows) == (
+        t.orders.select("o_custkey").distinct().count()
+    )
+
+
+def test_cohort_ltv_cumulative_monotone(spark, sf_dir):
+    from collections import defaultdict
+
+    curves = defaultdict(list)
+    for r in QUERIES["analytics_cohort_ltv"](spark, sf_dir).collect():
+        curves[r["cohort"]].append((r["age_months"], r["cum_revenue"]))
+    assert curves
+    for pts in curves.values():
+        pts.sort()
+        vals = [v for _, v in pts]
+        assert all(a <= b + 1e-9 for a, b in zip(vals, vals[1:]))
+
+
+def test_exact_substring_shared_frac_bounds(spark, sf_dir):
+    rows = QUERIES["dedup_exact_substring"](spark, sf_dir).collect()
+    assert rows
+    n_docs_with_overlap = 0
+    for r in rows:
+        assert 0 <= r["n_shared"] <= r["n_windows"]
+        assert 0.0 <= r["shared_frac"] <= 1.0
+        n_docs_with_overlap += r["n_shared"] > 0
+    # sharing is mutual: overlapping docs come in groups >= 2 (or none)
+    assert n_docs_with_overlap != 1
+
+
+def test_vocab_coverage_monotone_in_cut(spark, sf_dir):
+    rows = sorted(
+        QUERIES["tokenizer_vocab_coverage"](spark, sf_dir).collect(),
+        key=lambda r: r["vocab_size"],
+    )
+    assert rows
+    cov = [r["coverage"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(cov, cov[1:]))
+    for r in rows:
+        assert r["covered_tokens"] <= r["total_tokens"]
+        # a cut >= the whole vocabulary must cover everything
+        if r["vocab_size"] >= r["distinct_words"]:
+            assert r["covered_tokens"] == r["total_tokens"]
+
+
+def test_temporal_holdout_no_date_leakage(spark, sf_dir):
+    from thrive_spark.operators.curation import HOLDOUT_CUTOFF
+
+    t = Tables(spark, sf_dir)
+    rows = {
+        r["split"]: r
+        for r in QUERIES["split_temporal_holdout"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {"train", "test"}
+    cut = F.lit(HOLDOUT_CUTOFF).cast("timestamp")
+    assert rows["train"]["n_orders"] == t.orders.filter(
+        F.col("o_orderdate") < cut
+    ).count()
+    assert (
+        rows["train"]["n_orders"] + rows["test"]["n_orders"]
+        == t.orders.count()
+    )
+    # overlap symmetric: both splits report the same overlap census
+    assert (
+        rows["train"]["n_overlap_customers"]
+        == rows["test"]["n_overlap_customers"]
+    )
+
+
+def test_freshness_lag_has_zero_row(spark, sf_dir):
+    rows = QUERIES["dq_freshness_lag"](spark, sf_dir).collect()
+    assert rows
+    # the stream holding the global max has zero lag
+    assert min(r["lag_minutes"] for r in rows) == 0
+    assert all(r["lag_minutes"] >= 0 for r in rows)
+
+
+def test_readability_flesch_sane_range(spark, sf_dir):
+    rows = QUERIES["text_readability_flesch"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_words"] > 0
+        # proxy-syllable Flesch stays in a plausible band
+        assert -400.0 < r["flesch"] <= 206.835
+
+
+def test_qualify_returns_top2_per_customer(spark, sf_dir):
+    rows = QUERIES["sql_window_qualify"](spark, sf_dir).collect()
+    from collections import Counter
+
+    per_cust = Counter(r["o_custkey"] for r in rows)
+    assert max(per_cust.values()) <= 2
+    assert all(r["rnk"] in (1, 2) for r in rows)
