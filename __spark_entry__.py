@@ -117,7 +117,7 @@ GRADE_DEFER = [
     "text_readability_flesch", "tokenizer_vocab_coverage",
     "split_temporal_holdout",
     "sql_window_qualify", "sql_values_inline_dim", "sql_any_all_rewrite",
-    "dq_freshness_lag",
+    "dq_freshness_lag", "scan_text_roundtrip", "events_time_to_convert",
 ]
 
 

@@ -1898,3 +1898,69 @@ def analytics_cohort_ltv(spark, sf_dir):
             ).alias("ltv_per_user"),
         )
     )
+
+
+@query(
+    "events_time_to_convert",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id,
+               min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t1
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= v.t0
+        GROUP BY e.user_id
+    ),
+    lag AS (
+        SELECT (t1 - t0) // 60000000 AS mins FROM p JOIN v USING (user_id)
+    )
+    SELECT count(*) AS n_converted,
+           min(mins) AS min_minutes,
+           round(quantile_cont(mins, 0.5), 4) AS median_minutes,
+           round(quantile_cont(mins, 0.9), 4) AS p90_minutes,
+           max(mins) AS max_minutes
+    FROM lag
+    """,
+)
+def events_time_to_convert(spark, sf_dir):
+    """Conversion-latency distribution: per user, minutes between
+    first view and first subsequent purchase, summarized as exact
+    min/median/p90/max — the "how long does the funnel take" companion
+    to funnel_conversion's "how many make it".
+
+    Latencies are integer epoch-micro differences floor-divided to
+    minutes BEFORE the percentile (integer inputs, so the interpolated
+    quantile arithmetic is the agg_percentile_exact-proven
+    cross-engine pattern). Two per-user min() aggregates shuffle on
+    user_id once each; the final summary is a single-row fold of the
+    |converted-users| lag table."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("us") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    lag = p.join(v, "user_id").select(
+        F.expr("(t1 - t0) div 60000000").alias("mins")
+    )
+    return lag.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("mins").alias("min_minutes"),
+        r4(F.percentile("mins", 0.5)).alias("median_minutes"),
+        r4(F.percentile("mins", 0.9)).alias("p90_minutes"),
+        F.max("mins").alias("max_minutes"),
+    )

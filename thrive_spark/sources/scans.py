@@ -730,3 +730,60 @@ def scan_ignore_corrupt_files(spark, sf_dir):
         ).localCheckpoint()
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "scan_text_roundtrip",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM documents GROUP BY lang
+    """,
+)
+def scan_text_roundtrip(spark, sf_dir):
+    """Plain-text source round trip — the rawest ingestion format an
+    LLM corpus pipeline meets (one record per line, no schema, no
+    types): documents serialize as tab-separated ``doc_id\\tlang\\ttext``
+    lines via the text sink, come back through ``spark.read.text`` as a
+    single ``value`` column, and are re-parsed with split(). The corpus
+    is ASCII with no embedded tabs/newlines (FIXTURES.md), so the
+    framing is lossless — which the per-language char-count aggregate
+    proves against the parquet originals.
+
+    Scale shape: the text source is line-splittable, so a 100 TB dump
+    parallelizes like CSV; parsing is two split() calls, map-only, and
+    the only shuffle is the tiny per-lang rollup. substring_index
+    keeps everything after the second tab intact (text itself could
+    legally contain no delimiter only — no regex, no quoting pass)."""
+    t = Tables(spark, sf_dir)
+    lines = t.documents.select(
+        F.concat_ws(
+            "\t",
+            F.col("doc_id").cast("string"),
+            "lang",
+            "text",
+        ).alias("value")
+    )
+    out = tempfile.mkdtemp(prefix="thrive_text_")
+    try:
+        lines.write.mode("overwrite").text(out)
+        back = spark.read.text(out).select(
+            F.split_part("value", F.lit("\t"), F.lit(1))
+            .cast("bigint")
+            .alias("doc_id"),
+            F.split_part("value", F.lit("\t"), F.lit(2)).alias("lang"),
+            F.substring_index("value", "\t", -1).alias("text"),
+        )
+        return (
+            back.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+                F.min("doc_id").alias("min_doc"),
+                F.max("doc_id").alias("max_doc"),
+            )
+            .localCheckpoint()  # materialize before the temp dir vanishes
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
