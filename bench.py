@@ -57,6 +57,8 @@ HEADLINE = [
     "text_bm25_topk",          # shuffle-free keyword retrieval (r5)
     "basket_brand_affinity",   # market-basket pair mining (r5)
     "ts_anomaly_zscore",       # windowed anomaly detection (r5)
+    "dedup_exact_substring",   # ExactSubstr overlap scan (r7)
+    "ts_ohlc_bars",            # arg_min/max candle rollup (r7)
 ]
 
 
