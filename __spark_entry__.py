@@ -118,6 +118,9 @@ GRADE_DEFER = [
     "split_temporal_holdout",
     "sql_window_qualify", "sql_values_inline_dim", "sql_any_all_rewrite",
     "dq_freshness_lag", "scan_text_roundtrip", "events_time_to_convert",
+    "dedup_canonical_mapping", "dedup_rate_by_source",
+    "ts_interarrival_stats", "embed_centroid_by_label",
+    "join_asof_tolerance",
 ]
 
 

@@ -931,3 +931,68 @@ def dedup_exact_substring(spark, sf_dir):
             ).alias("shared_frac"),
         )
     )
+
+
+@query(
+    "dedup_canonical_mapping",
+    oracle="""
+    WITH h AS (SELECT doc_id, md5(text) AS th FROM documents),
+    k AS (SELECT th, min(doc_id) AS keep_id, count(*) AS n_copies
+          FROM h GROUP BY th)
+    SELECT h.doc_id, k.keep_id, h.doc_id <> k.keep_id AS is_dup,
+           k.n_copies
+    FROM h JOIN k USING (th)
+    """,
+)
+def dedup_canonical_mapping(spark, sf_dir):
+    """The actionable form of exact dedup: a full doc_id → keeper
+    mapping (smallest doc_id per content hash wins) with an is_dup
+    flag — what a downstream filter or redirect table actually
+    consumes, where dedup_exact_hash reports the group census.
+
+    Shuffle discipline: documents travel as (doc_id, 16-byte md5)
+    projections; the group table is |distinct contents| rows and joins
+    back on the hash — with AQE this becomes a broadcast when the
+    distinct side is small, and a plain hash join keyed by md5 (no
+    skew: hashes are uniform) when it is not."""
+    t = Tables(spark, sf_dir)
+    h = t.documents.select("doc_id", F.md5("text").alias("th"))
+    k = h.groupBy("th").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return h.join(k, "th").select(
+        "doc_id",
+        "keep_id",
+        (F.col("doc_id") != F.col("keep_id")).alias("is_dup"),
+        "n_copies",
+    )
+
+
+@query(
+    "dedup_rate_by_source",
+    oracle="""
+    SELECT source, count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique,
+           floor((count(*) - count(DISTINCT md5(text)))
+                 * 10000.0 / count(*) + 0.5) / 10000.0 AS dup_rate
+    FROM documents GROUP BY source
+    """,
+)
+def dedup_rate_by_source(spark, sf_dir):
+    """Duplicate-rate scorecard per ingestion source — the triage view
+    that decides WHERE dedup effort goes (a crawl source at 40 %
+    exact-dup rate gets a pipeline fix; 2 % is background noise).
+
+    count(DISTINCT md5) partial-aggregates per source; the shuffle
+    carries (source, hash) pairs — never text. The rate divides two
+    exact counts (one IEEE multiply+divide, identical both engines)
+    before fixed-point presentation."""
+    t = Tables(spark, sf_dir)
+    dup = F.count(F.lit(1)) - F.countDistinct(F.md5("text"))
+    return t.documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (
+            F.floor(dup * 10000.0 / F.count(F.lit(1)) + 0.5) / 10000.0
+        ).alias("dup_rate"),
+    )

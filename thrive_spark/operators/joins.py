@@ -719,3 +719,65 @@ def join_multi_semi_flags(spark, sf_dir):
             ),
         )
     )
+
+
+ASOF_TOLERANCE_S = 3600  # max lookback: 1 hour
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH m AS (
+        SELECT event_id, user_id, ts,
+               max(CASE WHEN event_type = 'signup'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_us
+        FROM events
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) - prev_us
+                     <= CAST({ASOF_TOLERANCE_S} AS BIGINT) * 1000000
+                THEN prev_us END AS signup_us,
+           coalesce(epoch_us(CAST(ts AS TIMESTAMP)) - prev_us
+                        <= CAST({ASOF_TOLERANCE_S} AS BIGINT) * 1000000,
+                    FALSE) AS matched
+    FROM m
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of backward join WITH a tolerance bound (pandas
+    merge_asof(tolerance=...) semantics): each event matches the
+    user's most recent prior signup ONLY if it happened within the
+    last hour — stale state must not silently attach, the difference
+    between "last known price" and "price from last Tuesday".
+
+    Same single-shuffle running-max window as join_asof_backward; the
+    tolerance is a post-window null-out on integer epoch-micros (no
+    interval arithmetic, no second pass). A match expires per-event,
+    not per-partition, so correctness doesn't depend on session
+    windows or state TTL."""
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_us = F.max(
+        F.when(F.col("event_type") == "signup", F.unix_micros("ts"))
+    ).over(w)
+    in_tol = (F.unix_micros("ts") - F.col("prev_us")) <= (
+        ASOF_TOLERANCE_S * 1_000_000
+    )
+    return (
+        t.events.select("event_id", "user_id", "ts", "event_type")
+        .withColumn("prev_us", prev_us)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(in_tol, F.col("prev_us")).alias("signup_us"),
+            F.coalesce(in_tol, F.lit(False)).alias("matched"),
+        )
+    )

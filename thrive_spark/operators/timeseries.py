@@ -692,3 +692,56 @@ def ts_dow_hour_profile(spark, sf_dir):
             ffix(dsum("value") / F.count(F.lit(1))).alias("avg_value"),
         )
     )
+
+
+@query(
+    "ts_interarrival_stats",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               (epoch_us(CAST(ts AS TIMESTAMP))
+                - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                    (PARTITION BY event_type
+                     ORDER BY ts, event_id)) // 1000000 AS gap_s
+        FROM events
+    )
+    SELECT event_type, count(*) AS n_gaps,
+           min(gap_s) AS min_gap_s,
+           round(quantile_cont(gap_s, 0.5), 4) AS median_gap_s,
+           round(quantile_cont(gap_s, 0.9), 4) AS p90_gap_s,
+           max(gap_s) AS max_gap_s
+    FROM s WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def ts_interarrival_stats(spark, sf_dir):
+    """Inter-arrival time distribution per stream: the gap between
+    consecutive events in integer seconds, summarized as exact
+    min/median/p90/max — the arrival-process fingerprint capacity
+    planning and anomaly thresholds (and the resample bucket width)
+    are derived from.
+
+    Gaps are integer epoch-micro differences floor-divided BEFORE the
+    percentile (the agg_percentile_exact-proven cross-engine
+    interpolation pattern on integer inputs). One window pass
+    partitioned by the low-cardinality stream key, then a per-stream
+    fold; at 100 TB the window partitions by (stream, coarse time
+    bucket) instead — noted, since a single celebrity stream must not
+    serialize through one task."""
+    t = Tables(spark, sf_dir)
+    s = t.events.select(
+        "event_type",
+        F.expr(
+            "(unix_micros(ts) - lag(unix_micros(ts)) OVER "
+            "(PARTITION BY event_type ORDER BY ts, event_id)) div 1000000"
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    from ._util import r4 as _r4
+
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_s").alias("min_gap_s"),
+        _r4(F.percentile("gap_s", 0.5)).alias("median_gap_s"),
+        _r4(F.percentile("gap_s", 0.9)).alias("p90_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.vectors import to_double
 from ..registry import query
 from ..tables import Tables
 
@@ -150,4 +151,75 @@ def sim_maxsim_multivector(spark, sf_dir):
         )
         .orderBy(F.desc("maxsim_fp"), "vec_id")
         .limit(10)
+    )
+
+
+@query(
+    "embed_centroid_by_label",
+    oracle="""
+    WITH d AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS dim,
+               unnest(embedding) AS v
+        FROM embeddings
+    ),
+    m AS (
+        SELECT label, dim,
+               sum(CAST(floor(CAST(v AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+                   / 10000.0 / count(*) AS mv
+        FROM d GROUP BY label, dim
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           (SELECT count(*) FROM embeddings e
+            WHERE e.label = m.label) AS n_vecs,
+           list(floor(mv * 10000 + 0.5) / 10000.0 ORDER BY dim)
+               AS centroid
+    FROM m GROUP BY label
+    """,
+)
+def embed_centroid_by_label(spark, sf_dir):
+    """Per-class embedding centroids — the prototype vectors behind
+    nearest-centroid classification, IVF coarse quantizers, and
+    SemDeDup's cluster stage, computed exactly: each dimension's mean
+    is a fixed-point sum (merge-order-proof) divided by the class
+    count, so the centroid is hash-identical across engines — this op
+    is the oracle-checkable counterpart of the sampled/iterative
+    k-means trainers.
+
+    Scale shape: posexplode to (label, dim, value) triples — rows =
+    n·d but each is 20 bytes — then ONE hash aggregate on the
+    (label, dim) composite key (partial map-side combine does n/cores
+    of the work before the shuffle); the |labels|·d mean table folds
+    back to arrays with sort_array(collect_list) over ≤d-element
+    groups. The driver never sees a vector; K×d lives distributed."""
+    t = Tables(spark, sf_dir)
+    d = t.embeddings.select(
+        "label", F.posexplode(to_double(F.col("embedding"))).alias("dim", "v")
+    )
+    m = d.groupBy("label", "dim").agg(
+        (
+            F.sum(F.floor(F.col("v") * 10000 + 0.5).cast("long"))
+            / 10000.0
+            / F.count(F.lit(1))
+        ).alias("mv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        m.groupBy(F.col("label").cast("bigint").alias("label"))
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "dim",
+                            (F.floor(F.col("mv") * 10000 + 0.5) / 10000.0).alias(
+                                "v"
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["v"],
+            ).alias("centroid"),
+        )
     )
