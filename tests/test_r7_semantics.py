@@ -172,3 +172,84 @@ def test_qualify_returns_top2_per_customer(spark, sf_dir):
     per_cust = Counter(r["o_custkey"] for r in rows)
     assert max(per_cust.values()) <= 2
     assert all(r["rnk"] in (1, 2) for r in rows)
+
+
+def test_canonical_mapping_covers_corpus(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    rows = QUERIES["dedup_canonical_mapping"](spark, sf_dir).collect()
+    assert len(rows) == t.documents.count()  # total function: every doc
+    keepers = {r["keep_id"] for r in rows}
+    ids = {r["doc_id"] for r in rows}
+    assert keepers <= ids  # keepers are real docs
+    for r in rows:
+        assert r["keep_id"] <= r["doc_id"]  # min-id canonical pick
+        assert r["is_dup"] == (r["doc_id"] != r["keep_id"])
+        # a keeper row for a group of n has the same n_copies
+        assert r["n_copies"] >= 1
+
+
+def test_dup_rate_consistent_with_mapping(spark, sf_dir):
+    rates = QUERIES["dedup_rate_by_source"](spark, sf_dir).collect()
+    assert rates
+    for r in rates:
+        assert 1 <= r["n_unique"] <= r["n_docs"]
+        assert 0.0 <= r["dup_rate"] < 1.0
+
+
+def test_interarrival_stats_ordered(spark, sf_dir):
+    for r in QUERIES["ts_interarrival_stats"](spark, sf_dir).collect():
+        assert (
+            r["min_gap_s"]
+            <= r["median_gap_s"]
+            <= r["p90_gap_s"]
+            <= r["max_gap_s"]
+        )
+        assert r["n_gaps"] > 0
+
+
+def test_centroids_inside_data_range(spark, sf_dir):
+    import numpy as np
+
+    t = Tables(spark, sf_dir)
+    rows = QUERIES["embed_centroid_by_label"](spark, sf_dir).collect()
+    n_labels = t.embeddings.select("label").distinct().count()
+    assert len(rows) == n_labels
+    dim = len(t.embeddings.select("embedding").first()["embedding"])
+    total = 0
+    for r in rows:
+        assert len(r["centroid"]) == dim
+        c = np.array(r["centroid"])
+        assert np.all(np.isfinite(c))
+        total += r["n_vecs"]
+    assert total == t.embeddings.count()
+    # centroid of a label ~ mean: cross-check one label exactly
+    lbl = rows[0]["label"]
+    import pandas as pd
+
+    vecs = (
+        t.embeddings.filter(F.col("label") == lbl)
+        .select("embedding")
+        .toPandas()["embedding"]
+    )
+    exact = np.mean(np.stack(vecs.to_numpy()).astype("float64"), axis=0)
+    got = np.array(rows[0]["centroid"])
+    assert np.allclose(exact, got, atol=2e-4)  # fixed-point grid error
+
+
+def test_asof_tolerance_never_exceeds_bound(spark, sf_dir):
+    from thrive_spark.operators.joins import ASOF_TOLERANCE_S
+
+    df = QUERIES["join_asof_tolerance"](spark, sf_dir)
+    bad = df.filter(
+        F.col("matched")
+        & (
+            (F.unix_micros("ts") - F.col("signup_us"))
+            > ASOF_TOLERANCE_S * 1_000_000
+        )
+    ).count()
+    assert bad == 0
+    # tolerance is a strict subset of the unbounded as-of matches
+    unbounded = QUERIES["join_asof_backward"](spark, sf_dir)
+    n_unbounded = unbounded.filter(F.col("prev_signup_ts").isNotNull()).count()
+    n_bounded = df.filter(F.col("matched")).count()
+    assert n_bounded <= n_unbounded
