@@ -217,14 +217,13 @@ def test_centroids_inside_data_range(spark, sf_dir):
     dim = len(t.embeddings.select("embedding").first()["embedding"])
     total = 0
     for r in rows:
-        assert len(r["centroid"]) == dim
-        c = np.array(r["centroid"])
+        c = np.array([int(x) for x in r["centroid_fp"].split(",")]) / 1e4
+        assert len(c) == dim
         assert np.all(np.isfinite(c))
         total += r["n_vecs"]
     assert total == t.embeddings.count()
     # centroid of a label ~ mean: cross-check one label exactly
     lbl = rows[0]["label"]
-    import pandas as pd
 
     vecs = (
         t.embeddings.filter(F.col("label") == lbl)
@@ -232,7 +231,9 @@ def test_centroids_inside_data_range(spark, sf_dir):
         .toPandas()["embedding"]
     )
     exact = np.mean(np.stack(vecs.to_numpy()).astype("float64"), axis=0)
-    got = np.array(rows[0]["centroid"])
+    got = np.array(
+        [int(x) for x in rows[0]["centroid_fp"].split(",")]
+    ) / 1e4
     assert np.allclose(exact, got, atol=2e-4)  # fixed-point grid error
 
 

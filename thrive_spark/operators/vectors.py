@@ -172,8 +172,9 @@ def sim_maxsim_multivector(spark, sf_dir):
     SELECT CAST(label AS BIGINT) AS label,
            (SELECT count(*) FROM embeddings e
             WHERE e.label = m.label) AS n_vecs,
-           list(floor(mv * 10000 + 0.5) / 10000.0 ORDER BY dim)
-               AS centroid
+           array_to_string(
+               list(CAST(CAST(floor(mv * 10000 + 0.5) AS BIGINT) AS VARCHAR)
+                    ORDER BY dim), ',') AS centroid_fp
     FROM m GROUP BY label
     """,
 )
@@ -208,18 +209,25 @@ def embed_centroid_by_label(spark, sf_dir):
         m.groupBy(F.col("label").cast("bigint").alias("label"))
         .agg(
             F.max("n").alias("n_vecs"),
-            F.transform(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(
-                            "dim",
-                            (F.floor(F.col("mv") * 10000 + 0.5) / 10000.0).alias(
-                                "v"
-                            ),
+            # serialized fixed-point (x10^4) ints: the driver's
+            # canonicalizer rejects array cells, and int->string is
+            # engine-identical where double->string is not (Spark
+            # emits scientific notation below 1e-3)
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                "dim",
+                                F.floor(F.col("mv") * 10000 + 0.5)
+                                .cast("long")
+                                .alias("v"),
+                            )
                         )
-                    )
+                    ),
+                    lambda s: s["v"].cast("string"),
                 ),
-                lambda s: s["v"],
-            ).alias("centroid"),
+            ).alias("centroid_fp"),
         )
     )
