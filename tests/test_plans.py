@@ -378,3 +378,47 @@ def test_containment_candidate_join_is_hash_keyed(spark, sf_dir):
     plan = physical_plan(QUERIES["dedup_shingle_containment"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_qualify_engages_window_group_limit(spark, sf_dir):
+    """The QUALIFY-style rank filter must compile to the same
+    WindowGroupLimit pushdown as the DataFrame top-n — the SQL surface
+    must not lose the optimization."""
+    plan = physical_plan(QUERIES["sql_window_qualify"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_values_inline_dim_broadcasts(spark, sf_dir):
+    """The 5-row VALUES dim must fold to a LocalTableScan joined by
+    broadcast — no shuffle of the fact table for a lookup join."""
+    plan = physical_plan(QUERIES["sql_values_inline_dim"](spark, sf_dir))
+    assert "LocalTableScan" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_exact_substring_no_cartesian(spark, sf_dir):
+    """ExactSubstr must candidate-join on the gram hash — never
+    all-pairs over documents."""
+    plan = physical_plan(QUERIES["dedup_exact_substring"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_neighbors_wedge_join_hash_keyed(spark, sf_dir):
+    """The neighbor-intersection wedge join keys on equi columns —
+    hash/merge joins only, no nested loop over the edge list."""
+    plan = physical_plan(QUERIES["graph_jaccard_neighbors"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ohlc_single_aggregate_no_window(spark, sf_dir):
+    """OHLC bars are ONE partial+final aggregate (SortAggregate —
+    min_by/max_by declare order-sensitive buffers, so Spark picks the
+    sort-based impl; the partial still combines map-side) with a
+    single Exchange on the bar key. The composite arg_min key replaces
+    any per-bar Window pass."""
+    plan = physical_plan(QUERIES["ts_ohlc_bars"](spark, sf_dir))
+    assert "partial_min_by" in plan  # map-side combine proof
+    assert "Window" not in plan
+    assert plan.count("+- Exchange") == 1  # one shuffle, on the bar key

@@ -584,9 +584,13 @@ def ts_ohlc_bars(spark, sf_dir):
     (zero-padded epoch-micros ++ event_id) because neither engine's
     arg_min takes a tuple key and ties on raw timestamps would make
     the answer nondeterministic (same discipline as agg_argminmax).
-    One partial+final hash aggregate — no window, no sort: at 100 TB
-    each map task pre-folds its slice to one candle per (series, day)
-    before the shuffle, so reducers see |series|·|days| rows."""
+    One partial+final aggregate — no window: at 100 TB each map task
+    pre-folds its slice to one candle per (series, day) before the
+    shuffle, so reducers see |series|·|days| rows. (Physically a
+    SortAggregate: min_by/max_by declare order-sensitive buffers, so
+    Spark sorts each partition by the grouping key rather than
+    hashing — still map-side combined, single Exchange; asserted in
+    tests/test_plans.py.)"""
     t = Tables(spark, sf_dir)
     ord_key = F.concat(
         F.lpad(F.unix_micros("ts").cast("string"), 16, "0"),
