@@ -121,6 +121,8 @@ GRADE_DEFER = [
     "dedup_canonical_mapping", "dedup_rate_by_source",
     "ts_interarrival_stats", "embed_centroid_by_label",
     "join_asof_tolerance",
+    "win_rolling_extrema", "fn_timezone_bank",
+    "agg_order_width_histogram", "dq_psi_drift",
 ]
 
 

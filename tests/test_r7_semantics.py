@@ -254,3 +254,34 @@ def test_asof_tolerance_never_exceeds_bound(spark, sf_dir):
     n_unbounded = unbounded.filter(F.col("prev_signup_ts").isNotNull()).count()
     n_bounded = df.filter(F.col("matched")).count()
     assert n_bounded <= n_unbounded
+
+
+def test_rolling_extrema_envelope_contains_value(spark, sf_dir):
+    for r in QUERIES["win_rolling_extrema"](spark, sf_dir).collect():
+        assert r["roll_min"] <= r["day_value"] <= r["roll_max"]
+        assert abs(r["roll_range"] - (r["roll_max"] - r["roll_min"])) < 1e-9
+
+
+def test_psi_contributions_nonnegative(spark, sf_dir):
+    rows = QUERIES["dq_psi_drift"](spark, sf_dir).collect()
+    assert rows
+    # each PSI term (p-q)·ln(p/q) is >= 0: sign(p-q) == sign(ln(p/q))
+    assert all(r["psi_contrib"] >= 0.0 for r in rows)
+    total = sum(r["psi_contrib"] for r in rows)
+    assert total < 0.25  # the same distribution split in time: stable
+
+
+def test_order_width_histogram_conserves_lines(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    rows = QUERIES["agg_order_width_histogram"](spark, sf_dir).collect()
+    assert sum(r["n_lines"] * r["n_orders"] for r in rows) == (
+        t.lineitem.count()
+    )
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-2
+
+
+def test_timezone_bank_offsets_sane(spark, sf_dir):
+    for r in QUERIES["fn_timezone_bank"](spark, sf_dir).collect():
+        assert 0 <= r["ny_hour"] <= 23
+        assert r["ny_local"] < r["ts"]  # NY is always behind UTC
+        assert r["tokyo_local"] > r["ts"]  # Tokyo always ahead

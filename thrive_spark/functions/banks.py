@@ -797,3 +797,43 @@ def fn_surrogate_key_bank(spark, sf_dir):
         .over(Window.orderBy("c_mktsegment", "c_custkey"))
         .alias("dense_seq_key"),
     )
+
+
+@query(
+    "fn_timezone_bank",
+    oracle="""
+    SELECT event_id, ts,
+           timezone('America/New_York', ts AT TIME ZONE 'UTC') AS ny_local,
+           timezone('Asia/Tokyo', ts AT TIME ZONE 'UTC') AS tokyo_local,
+           hour(timezone('America/New_York', ts AT TIME ZONE 'UTC'))
+               AS ny_hour,
+           CAST(CAST(timezone('Asia/Tokyo', ts AT TIME ZONE 'UTC') AS DATE)
+                <> CAST(ts AS DATE) AS BOOLEAN) AS crosses_dateline
+    FROM events WHERE event_id < 200
+    """,
+)
+def fn_timezone_bank(spark, sf_dir):
+    """Timezone conversion bank: UTC event timestamps rendered as
+    DST-aware local wall-clock time in two zones, plus the derived
+    local hour and a did-the-date-shift flag — the "display in the
+    user's timezone" surface every analytics UI needs, exercised
+    against the IANA tzdb in BOTH engines (the oracle equivalence
+    pins down the semantics bridge: Spark ``from_utc_timestamp(ts,
+    tz)`` ≡ DuckDB ``timezone(tz, ts AT TIME ZONE 'UTC')`` — both
+    yield naive local wall time independent of session TZ).
+
+    Map-only projection with the filter pushed to the scan; tz
+    conversion is a per-row table lookup, no shuffle."""
+    t = Tables(spark, sf_dir)
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+    tk = F.from_utc_timestamp("ts", "Asia/Tokyo")
+    return t.events.filter(F.col("event_id") < 200).select(
+        "event_id",
+        "ts",
+        ny.alias("ny_local"),
+        tk.alias("tokyo_local"),
+        F.hour(ny).alias("ny_hour"),
+        (tk.cast("date") != F.col("ts").cast("date")).alias(
+            "crosses_dateline"
+        ),
+    )

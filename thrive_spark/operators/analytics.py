@@ -1964,3 +1964,47 @@ def events_time_to_convert(spark, sf_dir):
         r4(F.percentile("mins", 0.9)).alias("p90_minutes"),
         F.max("mins").alias("max_minutes"),
     )
+
+
+@query(
+    "agg_order_width_histogram",
+    oracle="""
+    WITH w AS (
+        SELECT l_orderkey, count(*) AS n_lines
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT n_lines, count(*) AS n_orders,
+           floor(count(*) * 10000.0
+                 / (SELECT count(*) FROM w) + 0.5) / 10000.0 AS share
+    FROM w GROUP BY n_lines
+    """,
+)
+def agg_order_width_histogram(spark, sf_dir):
+    """Aggregate-of-aggregate histogram: the distribution of order
+    WIDTH (line items per order) — the basket-depth profile that sizes
+    the pair-explosion cost of every within-order operator
+    (basket affinity, co-purchase graph: both are Σ width², read
+    directly off this table).
+
+    Two chained hash aggregates, both map-side combined (orderkey
+    rollup → width rollup); the denominator is a 1-row scalar
+    broadcast. The shuffle after pass one carries |orders| narrow
+    rows, pass two |distinct widths|."""
+    t = Tables(spark, sf_dir)
+    w = t.lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    tot = w.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        w.groupBy("n_lines")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_lines",
+            "n_orders",
+            (
+                F.floor(F.col("n_orders") * 10000.0 / F.col("t") + 0.5)
+                / 10000.0
+            ).alias("share"),
+        )
+    )

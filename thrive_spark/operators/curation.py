@@ -1288,3 +1288,79 @@ def dq_freshness_lag(spark, sf_dir):
         F.expr("(g_us - p_us) div 60000000").alias("lag_minutes"),
         (lag > 24 * 3600 * 1000000).alias("is_stale"),
     )
+
+
+PSI_BUCKET_W = 25000.0  # equi-width bins over o_totalprice
+
+
+@query(
+    "dq_psi_drift",
+    oracle=f"""
+    WITH o AS (
+        SELECT CAST(floor(o_totalprice / {PSI_BUCKET_W}) AS BIGINT)
+                   AS bucket,
+               o_orderdate < TIMESTAMP '{HOLDOUT_CUTOFF}' AS is_train
+        FROM orders
+    ),
+    b AS (
+        SELECT bucket,
+               count(CASE WHEN is_train THEN 1 END) AS n_train,
+               count(CASE WHEN NOT is_train THEN 1 END) AS n_test
+        FROM o GROUP BY bucket
+    ),
+    tot AS (
+        SELECT sum(n_train) AS nt, sum(n_test) AS ne, count(*) AS nb
+        FROM b
+    )
+    SELECT bucket, n_train, n_test,
+           floor((CAST(n_train + 1 AS DOUBLE) / (nt + nb)
+                  - CAST(n_test + 1 AS DOUBLE) / (ne + nb))
+                 * ln((CAST(n_train + 1 AS DOUBLE) / (nt + nb))
+                      / (CAST(n_test + 1 AS DOUBLE) / (ne + nb)))
+                 * 1000000 + 0.5) / 1000000.0 AS psi_contrib
+    FROM b, tot
+    """,
+)
+def dq_psi_drift(spark, sf_dir):
+    """Population Stability Index between the temporal train and
+    holdout splits, per value bucket — the standard drift monitor a
+    model-ops pipeline runs on every feature (PSI < 0.1 stable,
+    0.1–0.25 shifting, > 0.25 retrain): contribution_b =
+    (p_b − q_b)·ln(p_b/q_b) with Laplace-smoothed shares so empty
+    bins stay finite.
+
+    Shares are ratios of exact integers (one smoothing add, two
+    divides); ln on identical doubles matches across engines (the PMI
+    / BM25-idf precedent), presented on a 10^-6 fixed grid. One scan:
+    the split predicate and bucketing are per-row column ops, then a
+    single hash aggregate on the bucket key and a 1-row totals
+    broadcast — drift over 100 TB costs the same scan the histogram
+    already pays."""
+    t = Tables(spark, sf_dir)
+    o = t.orders.select(
+        F.floor(F.col("o_totalprice") / PSI_BUCKET_W)
+        .cast("bigint")
+        .alias("bucket"),
+        (
+            F.col("o_orderdate") < F.lit(HOLDOUT_CUTOFF).cast("timestamp")
+        ).alias("is_train"),
+    )
+    b = o.groupBy("bucket").agg(
+        F.count(F.when(F.col("is_train"), F.lit(1))).alias("n_train"),
+        F.count(F.when(~F.col("is_train"), F.lit(1))).alias("n_test"),
+    )
+    tot = b.agg(
+        F.sum("n_train").alias("nt"),
+        F.sum("n_test").alias("ne"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    p = (F.col("n_train") + 1).cast("double") / (F.col("nt") + F.col("nb"))
+    q = (F.col("n_test") + 1).cast("double") / (F.col("ne") + F.col("nb"))
+    return b.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_train",
+        "n_test",
+        (F.floor((p - q) * F.log(p / q) * 1000000 + 0.5) / 1000000.0).alias(
+            "psi_contrib"
+        ),
+    )

@@ -684,3 +684,59 @@ def win_frame_matrix(spark, sf_dir):
         .over(base.rowsBetween(1, Window.unboundedFollowing))
         .alias("future_fp"),
     )
+
+
+@query(
+    "win_rolling_extrema",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS v_fp
+        FROM events GROUP BY event_type, day
+    )
+    SELECT event_type, day,
+           v_fp / 10000.0 AS day_value,
+           min(v_fp) OVER w / 10000.0 AS roll_min,
+           max(v_fp) OVER w / 10000.0 AS roll_max,
+           (max(v_fp) OVER w - min(v_fp) OVER w) / 10000.0 AS roll_range
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_rolling_extrema(spark, sf_dir):
+    """Rolling 7-bucket min/max envelope over per-day series totals —
+    the support/resistance band (and the denominator of channel
+    indicators like the stochastic oscillator) that complements the
+    moving-average family with order statistics.
+
+    The heavy input collapses to |series|·|days| fixed-point partials
+    in one map-side-combined aggregate BEFORE any window; the extrema
+    window then runs over the tiny rollup, partitioned by the series
+    key. Min/max over fixed-point longs need no float discipline at
+    all — the frame result is exact in any engine."""
+    t = Tables(spark, sf_dir)
+    d = (
+        t.events.select(
+            "event_type",
+            F.col("ts").cast("date").cast("string").alias("day"),
+            "value",
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum(fixed("value")).alias("v_fp"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return d.select(
+        "event_type",
+        "day",
+        (F.col("v_fp") / 10000.0).alias("day_value"),
+        (F.min("v_fp").over(w) / 10000.0).alias("roll_min"),
+        (F.max("v_fp").over(w) / 10000.0).alias("roll_max"),
+        ((F.max("v_fp").over(w) - F.min("v_fp").over(w)) / 10000.0).alias(
+            "roll_range"
+        ),
+    )
