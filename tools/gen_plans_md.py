@@ -50,6 +50,10 @@ IDS = [
     "tpch_q2_adapted",
     "tpch_q9_adapted",
     "dedup_shingle_containment",
+    "dedup_exact_substring",
+    "graph_jaccard_neighbors",
+    "ts_ohlc_bars",
+    "sql_window_qualify",
 ]
 
 KEEP = re.compile(

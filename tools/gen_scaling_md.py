@@ -45,6 +45,10 @@ IDS = [
     "merge_scd2_dimension",
     "dedup_shingle_containment",
     "dedup_cluster_components",
+    "dedup_exact_substring",
+    "ts_ohlc_bars",
+    "graph_jaccard_neighbors",
+    "analytics_cohort_ltv",
 ]
 
 
