@@ -566,6 +566,22 @@ def agg_corr_exact(spark, sf_dir):
     )
 
 
+def _cms_pos():
+    """Portable CMS cell hash: conv(md5-prefix) — Spark
+    ``conv(substr(md5(k||':'||r),1,15),16,10)`` is bit-identical to
+    DuckDB ``('0x'||substr(md5(…),1,15))::BIGINT`` (60-bit value, no
+    sign issues), which is what upgraded this op from rows-only to
+    hash-checked (r7). xxhash64 would be ~3× cheaper per row but is
+    Spark-only; a production build on one engine would use it."""
+    key = F.concat(
+        F.col("user_id").cast("string"), F.lit(":"), F.col("r").cast("string")
+    )
+    return F.pmod(
+        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long"),
+        F.lit(CMS_WIDTH),
+    )
+
+
 #: Count-Min geometry: depth 4 × width 64.  Width is deliberately
 #: SMALLER than the key cardinality at test scale so collisions (and
 #: therefore visible overcounts) actually occur — the est ≥ exact
@@ -573,7 +589,33 @@ def agg_corr_exact(spark, sf_dir):
 CMS_DEPTH, CMS_WIDTH = 4, 64
 
 
-@query("agg_cms_frequency")  # rows-only: xxhash64-seeded sketch
+@query(
+    "agg_cms_frequency",
+    oracle="""
+    WITH r AS (SELECT unnest(generate_series(0, 3)) AS r),
+    cells AS (
+        SELECT r.r,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+                                   || CAST(r.r AS VARCHAR)), 1, 15))::BIGINT
+                   % 64 AS pos
+        FROM events, r
+    ),
+    sketch AS (SELECT r, pos, count(*) AS c FROM cells GROUP BY r, pos),
+    exact AS (SELECT user_id, count(*) AS exact
+              FROM events GROUP BY user_id),
+    probes AS (
+        SELECT user_id, exact, r.r,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+                                   || CAST(r.r AS VARCHAR)), 1, 15))::BIGINT
+                   % 64 AS pos
+        FROM exact, r
+    )
+    SELECT user_id, min(c) AS est, exact,
+           min(c) - exact AS overcount
+    FROM probes JOIN sketch USING (r, pos)
+    GROUP BY user_id, exact
+    """,
+)
 def agg_cms_frequency(spark, sf_dir):
     """Count-Min sketch frequency estimation: build a d×w counter grid
     over the event stream's user_id traffic, then answer per-key
@@ -598,12 +640,7 @@ def agg_cms_frequency(spark, sf_dir):
     rows = F.array(*[F.lit(r) for r in range(CMS_DEPTH)])
     cells = ev.select(
         F.explode(rows).alias("r"), F.col("user_id")
-    ).select(
-        "r",
-        F.pmod(F.xxhash64("user_id", F.col("r")), F.lit(CMS_WIDTH)).alias(
-            "pos"
-        ),
-    )
+    ).select("r", _cms_pos().alias("pos"))
     sketch = cells.groupBy("r", "pos").agg(F.count("*").alias("c"))
 
     exact = ev.groupBy("user_id").agg(F.count("*").alias("exact"))
@@ -611,14 +648,7 @@ def agg_cms_frequency(spark, sf_dir):
         "user_id",
         "exact",
         F.explode(rows).alias("r"),
-    ).select(
-        "user_id",
-        "exact",
-        "r",
-        F.pmod(F.xxhash64("user_id", F.col("r")), F.lit(CMS_WIDTH)).alias(
-            "pos"
-        ),
-    )
+    ).select("user_id", "exact", "r", _cms_pos().alias("pos"))
     est = (
         probes.join(F.broadcast(sketch), ["r", "pos"])
         .groupBy("user_id", "exact")

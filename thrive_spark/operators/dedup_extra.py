@@ -29,7 +29,43 @@ SIMHASH_BANDS = 4
 NGRAM_JACCARD_THRESHOLD = 0.8
 
 
-@query("dedup_simhash")  # rows-only: xxhash64-seeded signature
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS t
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+        FROM tok
+    ),
+    bits AS (
+        SELECT doc_id, i.i,
+               sum(CASE WHEN (h >> i.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM h, (SELECT unnest(generate_series(0, 31)) AS i) i
+        GROUP BY doc_id, i.i
+    ),
+    sig AS (
+        SELECT doc_id,
+               sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END)
+                   AS simhash
+        FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, simhash, b.b AS band,
+               (simhash >> (b.b * 8)) & 255 AS key
+        FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) b
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup: 32-bit signature (sign of per-bit vote sums
     over token hashes), banded candidate join (4 × 8-bit bands),
@@ -38,8 +74,11 @@ def dedup_simhash(spark, sf_dir):
     signature cheap while the band join stays selective.
 
     The signature is computed MAP-ONLY with a JVM higher-order fold:
-    tokens → xxhash64 array → 32-counter vote accumulator → packed
-    long, all inside one row. The previous explode + 32-column
+    tokens → portable 60-bit md5-conv hashes (bit-identical to the
+    DuckDB oracle's '0x'||md5-prefix cast — what upgraded this op
+    from rows-only to hash-checked in r7; xxhash64 is cheaper but
+    Spark-only) → 32-counter vote accumulator → packed long, all
+    inside one row. The previous explode + 32-column
     groupBy(doc_id) shape pushed |tokens| rows through a hash
     aggregate and a doc_id shuffle; the fold removes both (measured
     2.6× on the signature stage at sf0.01, identical signatures).
@@ -54,7 +93,7 @@ def dedup_simhash(spark, sf_dir):
               transform(
                 aggregate(
                   transform(filter(split(text, ' '), t -> t != ''),
-                            t -> xxhash64(t)),
+                            t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)),
                   array_repeat(0, {SIMHASH_BITS}),
                   (acc, h) -> transform(
                       acc, (v, i) -> v + IF(((h >> i) & 1) = 1, 1, -1))
@@ -101,7 +140,7 @@ def dedup_simhash(spark, sf_dir):
             F.col("b.doc_id").alias("doc_b"),
             F.bit_count(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            ).cast("bigint").alias("hamming"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
