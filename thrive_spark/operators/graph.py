@@ -127,7 +127,84 @@ def graph_copurchase_stats(spark, sf_dir):
     )
 
 
-@query("graph_pagerank")  # rows-only: iterative float refinement
+
+
+PR_SCALE = 10**12  # fixed-point rank grid (rank <= 1 -> fits long easily)
+PR_ROUNDS = 6
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as exact integers
+
+
+def _pagerank_rounds_sql(edge_cte: str, out_select: str) -> str:
+    """Unrolled integer-PageRank oracle: ``edge_cte`` must define
+    e(src, dst) (distinct undirected pairs); appends sym/deg/nodes and
+    PR_ROUNDS chained CTEs replicating the Spark loop's exact integer
+    arithmetic (per-edge floor-div, damped floor-div re-center), then
+    ``out_select`` formats from the final round r{PR_ROUNDS}."""
+    rounds_sql = []
+    for k in range(1, PR_ROUNDS + 1):
+        rounds_sql.append(f"""
+    r{k} AS (
+        SELECT nodes.node,
+               base.b + ({PR_DAMP_NUM} * coalesce(s.s, 0)) // {PR_DAMP_DEN}
+                   AS rf
+        FROM nodes
+        LEFT JOIN (
+            SELECT sym.dst AS node, sum(r.rf // deg.outdeg) AS s
+            FROM sym
+            JOIN r{k - 1} r ON sym.src = r.node
+            JOIN deg ON deg.src = sym.src
+            GROUP BY sym.dst
+        ) s ON s.node = nodes.node, base
+    )""")
+    return f"""
+    {edge_cte},
+    sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM sym),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    base AS (SELECT ({PR_SCALE} * ({PR_DAMP_DEN} - {PR_DAMP_NUM}))
+                        // ({PR_DAMP_DEN} * n) AS b FROM nn),
+    r0 AS (SELECT node, {PR_SCALE} // n AS rf FROM nodes, nn),
+    {",".join(rounds_sql)}
+    {out_select}
+    """
+
+
+_PR_BRAND_EDGES = """
+    WITH ob AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    e AS (
+        SELECT DISTINCT a.p_brand AS src, b.p_brand AS dst
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    )"""
+
+_PR_WORD_EDGES = """
+    WITH tk AS (
+        SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT least(toks[i], toks[i + 1]) AS src,
+               greatest(toks[i], toks[i + 1]) AS dst
+        FROM tk, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1))
+                          AS i) s
+        WHERE toks[i] <> toks[i + 1]
+    ),
+    e AS (SELECT DISTINCT src, dst FROM bg)"""
+
+
+@query(
+    "graph_pagerank",
+    oracle=_pagerank_rounds_sql(
+        _PR_BRAND_EDGES,
+        f"""SELECT node AS brand,
+           ((rf + 500000) // 1000000) / 1e6 AS pagerank
+    FROM r{PR_ROUNDS}""",
+    ),
+)
 def graph_pagerank(spark, sf_dir):
     """PageRank (damping 0.85, 6 power iterations — converged to
     <1e-4 max delta on this graph; round count is the knob) on the brand
@@ -140,21 +217,24 @@ def graph_pagerank(spark, sf_dir):
     graph here is tiny (≤25 nodes), but every round is expressed as
     edge-table joins, so the identical code runs when edges are 10^11
     rows; localCheckpoint per round cuts the lineage exactly like the
-    components loop. Convergence-quality (rank mass ≈ 1, ordering
-    stability) is pytest-gated since iterative float refinement has
-    no SQL oracle."""
+    components loop. The loop runs in EXACT fixed-point integers
+    (rank·10^12 longs; per-edge floor-div, damped floor-div
+    re-center), so every round is merge-order-proof and the whole
+    iteration hash-matches an unrolled-CTE DuckDB oracle — upgraded
+    from rows-only in r7. Convergence quality (mass ≈ 1, ordering)
+    stays pytest-gated."""
     ob = _co_order_brands(spark, sf_dir)
     from .analytics import _basket_pairs
 
     und = _basket_pairs(ob).groupBy("src", "dst").agg(F.count("*").alias("w"))
-    ranks = pagerank(und.select("src", "dst"), rounds=6)
+    ranks = pagerank(und.select("src", "dst"), rounds=PR_ROUNDS)
     return ranks.select(
         F.col("node").alias("brand"),
-        (F.floor(F.col("rank") * 1000000 + 0.5) / 1000000.0).alias("pagerank"),
+        (F.expr("(rf + 500000) div 1000000") / 1e6).alias("pagerank"),
     )
 
 
-def pagerank(und_edges, rounds: int = 6, damping: float = 0.85):
+def pagerank(und_edges, rounds: int = PR_ROUNDS):
     """Damped power iteration over an UNDIRECTED edge list (src, dst)
     — shared by graph_pagerank and text_textrank_keywords.
 
@@ -178,11 +258,19 @@ def pagerank(und_edges, rounds: int = 6, damping: float = 0.85):
     edges, _n_edges = compact_iter_state(sym.join(deg, "src"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()  # scalar: |vertices|, bounded
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    # EXACT fixed-point iteration (r7): ranks live as rank*PR_SCALE
+    # longs; every step is integer floor arithmetic (per-edge div,
+    # damped div re-center), so the loop is merge-order-proof and the
+    # whole refinement hash-matches an unrolled-CTE DuckDB oracle —
+    # floats would drift by partial-sum order and stay rows-only.
+    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (
+        PR_DAMP_DEN * n_nodes
+    )
+    ranks = nodes.withColumn("rf", F.lit(PR_SCALE // n_nodes).cast("long"))
     for _ in range(rounds):
         contribs = (
             edges.join(ranks, edges.src == ranks.node)
-            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .select("dst", F.expr("rf div outdeg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
@@ -191,9 +279,12 @@ def pagerank(und_edges, rounds: int = 6, damping: float = 0.85):
             .select(
                 "node",
                 (
-                    F.lit((1 - damping) / n_nodes)
-                    + damping * F.coalesce("s", F.lit(0.0))
-                ).alias("rank"),
+                    F.lit(base)
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(s, CAST(0 AS BIGINT)))"
+                        f" div {PR_DAMP_DEN}"
+                    )
+                ).cast("long").alias("rf"),
             )
             .localCheckpoint()
         )
@@ -212,7 +303,16 @@ def _co_order_brands(spark, sf_dir):
     )
 
 
-@query("text_textrank_keywords")  # rows-only: iterative float refinement
+@query(
+    "text_textrank_keywords",
+    oracle=_pagerank_rounds_sql(
+        _PR_WORD_EDGES,
+        f"""SELECT node AS word,
+           ((rf + 500000) // 1000000) / 1e6 AS textrank
+    FROM r{PR_ROUNDS}
+    ORDER BY rf DESC, node LIMIT 25""",
+    ),
+)
 def text_textrank_keywords(spark, sf_dir):
     """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
     over the word co-occurrence graph (adjacent-token edges across the
@@ -244,15 +344,13 @@ def text_textrank_keywords(spark, sf_dir):
         ).alias("p")
     ).select("p.src", "p.dst")
     und = bigrams.filter(F.col("src") != F.col("dst")).distinct()
-    ranks = pagerank(und, rounds=6)
+    ranks = pagerank(und, rounds=PR_ROUNDS)
     return (
-        ranks.orderBy(F.col("rank").desc(), "node")
+        ranks.orderBy(F.col("rf").desc(), "node")
         .limit(25)
         .select(
             F.col("node").alias("word"),
-            (F.floor(F.col("rank") * 1000000 + 0.5) / 1000000.0).alias(
-                "textrank"
-            ),
+            (F.expr("(rf + 500000) div 1000000") / 1e6).alias("textrank"),
         )
     )
 
