@@ -133,6 +133,11 @@ def _graded_ids() -> set[str]:
     as graded: those ids must re-enter the priority window so the next
     round's artifact proves the fix.  The most recent verdict wins —
     an id that failed in r3 but passed in r4 stays retired.
+
+    A rows-only verdict also stops counting once the operator GAINS an
+    oracle (r7 upgraded CMS/SimHash/PageRank/TextRank from seeded to
+    portable arithmetic): the id re-enters the window so the official
+    artifact records the stronger hash-checked verdict.
     """
     import glob
     import json
@@ -153,9 +158,8 @@ def _graded_ids() -> set[str]:
                     ran_rows_only = (
                         err == "no_oracle" and row.get("spark_rows") is not None
                     )
-                    ok = (
-                        err is None and row.get("hash_match") is not False
-                    ) or ran_rows_only
+                    hash_ok = err is None and row.get("hash_match") is not False
+                    ok = hash_ok or (ran_rows_only and k not in registry.ORACLE)
                     verdict[k] = ok
         except Exception:  # noqa: BLE001 — a corrupt artifact must not kill entry()
             pass
