@@ -1035,3 +1035,162 @@ def dedup_rate_by_source(spark, sf_dir):
             F.floor(dup * 10000.0 / F.count(F.lit(1)) + 0.5) / 10000.0
         ).alias("dup_rate"),
     )
+
+
+MHP_FAMS, MHP_BANDS, MHP_ROWS = 8, 4, 2  # 8 minhashes = 4 bands x 2 rows
+
+
+def _phash(col):
+    """Portable 60-bit hash (see CLAUDE.md): conv(md5-prefix) — bit-
+    identical to DuckDB ('0x'||substr(md5(x),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+@query(
+    "dedup_minhash_portable",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(tk) - 2, 0)),
+                   i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]
+               )) AS sh
+        FROM w
+    ),
+    hashes AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(s.s), 1, 15))::BIGINT AS h
+        FROM sh, LATERAL (SELECT unnest(sh.sh) AS s) s
+    ),
+    mh AS (
+        SELECT doc_id, i.i AS fam,
+               min(('0x' || substr(md5(CAST(h AS VARCHAR) || ':'
+                                       || CAST(i.i AS VARCHAR)), 1, 15)
+                    )::BIGINT) AS mh
+        FROM hashes, (SELECT unnest(generate_series(0, {MHP_FAMS - 1}))
+                      AS i) i
+        GROUP BY doc_id, i.i
+    ),
+    bands AS (
+        SELECT doc_id, b.b AS band,
+               CAST(max(CASE WHEN fam = {MHP_ROWS} * b.b THEN mh END)
+                    AS VARCHAR)
+               || '-' ||
+               CAST(max(CASE WHEN fam = {MHP_ROWS} * b.b + 1 THEN mh END)
+                    AS VARCHAR) AS key
+        FROM mh, (SELECT unnest(generate_series(0, {MHP_BANDS - 1}))
+                  AS b) b
+        WHERE fam IN ({MHP_ROWS} * b.b, {MHP_ROWS} * b.b + 1)
+        GROUP BY doc_id, b.b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS keep_id, b.doc_id AS dup_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sets AS (SELECT doc_id, list(DISTINCT h) AS s FROM hashes
+             GROUP BY doc_id)
+    SELECT keep_id, dup_id,
+           round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / (len(sa.s) + len(sb.s)
+                    - len(list_intersect(sa.s, sb.s))), 4) AS jaccard
+    FROM cand
+    JOIN sets sa ON sa.doc_id = keep_id
+    JOIN sets sb ON sb.doc_id = dup_id
+    WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+          >= {NGRAM_JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_portable(spark, sf_dir):
+    """MinHash-LSH near-dup dedup with ENGINE-PORTABLE hashes — the
+    same shingle → minhash → band-bucket → verify pipeline as
+    dedup_fuzzy_minhash, but every hash is the md5-conv 60-bit family
+    (CLAUDE.md), so the ENTIRE pipeline — candidate generation
+    included — hash-matches a DuckDB oracle. The xxhash64/Arrow
+    sibling stays the fast path (md5 costs ~3× per hash); this
+    variant is the cross-engine-auditable one, and the first where
+    the LSH bucketing itself (not just the verified output) is
+    oracle-pinned.
+
+    Scale shape is identical to the sibling: shingle sets stay in the
+    ARRAY domain per row (zip_with 3-gram build, no explode before
+    the band projection); the band join shuffles (doc_id, band, key)
+    only; hashed-shingle sets travel only for banded candidates."""
+    t = Tables(spark, sf_dir)
+    tk = F.filter(F.split("text", " "), lambda x: x != "")
+    d = t.documents.select("doc_id", tk.alias("tk"))
+    n3 = F.greatest(F.size("tk") - 2, F.lit(0))
+    tri = F.zip_with(
+        F.zip_with(
+            F.slice("tk", 1, n3),
+            F.slice("tk", 2, n3),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        F.slice("tk", 3, n3),
+        lambda ab, c: F.concat_ws(" ", ab, c),
+    )
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(F.transform(tri, _phash)).alias("s"),
+    ).localCheckpoint()  # shingle hashing feeds minhash AND verify
+    mh_cols = [
+        F.array_min(
+            F.transform(
+                "s",
+                lambda h, i=i: _phash(
+                    F.concat(h.cast("string"), F.lit(f":{i}"))
+                ),
+            )
+        ).alias(f"mh{i}")
+        for i in range(MHP_FAMS)
+    ]
+    sig = sh.select("doc_id", *mh_cols)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            F.col(f"mh{MHP_ROWS * b}").cast("string"),
+                            F.col(f"mh{MHP_ROWS * b + 1}").cast("string"),
+                        ).alias("key"),
+                    )
+                    for b in range(MHP_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("keep_id"),
+            F.col("b.doc_id").alias("dup_id"),
+        )
+        .dropDuplicates()
+    )
+    inter = F.size(F.array_intersect("sa.s", "sb.s"))
+    j = inter.cast("double") / (
+        F.size("sa.s") + F.size("sb.s") - inter
+    )
+    return (
+        cand.join(sh.alias("sa"), F.col("keep_id") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("dup_id") == F.col("sb.doc_id"))
+        .withColumn("j", j)
+        .filter(F.col("j") >= NGRAM_JACCARD_THRESHOLD)
+        .select("keep_id", "dup_id", r4(F.col("j")).alias("jaccard"))
+    )
