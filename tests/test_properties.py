@@ -243,3 +243,32 @@ def test_hll_precision_error_bounds(spark, sf_dir):
     ):
         err = abs(row[col] - exact) / exact
         assert err <= 3 * rsd, (col, row[col], exact, err)
+
+
+@given(
+    vals=st.lists(
+        st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyz0123456789 :_-",
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@SETTINGS
+def test_portable_md5_conv_hash_parity(spark, vals):
+    """The r7 portable-hash bridge (CLAUDE.md): Spark
+    conv(substr(md5(v),1,15),16,10)::long must equal DuckDB
+    ('0x'||substr(md5(v),1,15))::BIGINT for arbitrary strings — the
+    property that lets seeded-sketch ops (CMS, SimHash, portable
+    MinHash, integer PageRank) be oracle-hash-checked."""
+    from pyspark.sql import functions as F
+
+    got = _spark_rows(
+        spark,
+        vals,
+        F.conv(F.substring(F.md5("v"), 1, 15), 16, 10).cast("long"),
+    )
+    want = _duck_rows(vals, "('0x' || substr(md5(v), 1, 15))::BIGINT")
+    assert got == want, (vals, got, want)
