@@ -123,7 +123,7 @@ GRADE_DEFER = [
     "join_asof_tolerance",
     "win_rolling_extrema", "fn_timezone_bank",
     "agg_order_width_histogram", "dq_psi_drift",
-    "dedup_minhash_portable",
+    "dedup_minhash_portable", "cluster_nearest_centroid",
 ]
 
 

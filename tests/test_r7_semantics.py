@@ -285,3 +285,16 @@ def test_timezone_bank_offsets_sane(spark, sf_dir):
         assert 0 <= r["ny_hour"] <= 23
         assert r["ny_local"] < r["ts"]  # NY is always behind UTC
         assert r["tokyo_local"] > r["ts"]  # Tokyo always ahead
+
+
+def test_nearest_centroid_confusion_conserves(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    rows = QUERIES["cluster_nearest_centroid"](spark, sf_dir).collect()
+    assert sum(r["n"] for r in rows) == t.embeddings.count()
+    for r in rows:
+        # n_correct is n on the diagonal, 0 off it
+        if r["true_label"] == r["assigned_label"]:
+            assert r["n_correct"] == r["n"]
+        else:
+            assert r["n_correct"] == 0
+        assert 0 <= r["assigned_label"] <= 9

@@ -231,3 +231,109 @@ def embed_centroid_by_label(spark, sf_dir):
             ).alias("centroid_fp"),
         )
     )
+
+
+def _centroid_dist_chain() -> str:
+    """DuckDB left-associated squared-distance chain over 64 dims —
+    bit-identical to Spark's ``aggregate(zip_with(...), 0D, +)`` left
+    fold (0 + x == x exactly; the maxsim-oracle precedent)."""
+    return " + ".join(
+        f"((CAST(e.embedding[{k}] AS DOUBLE) - c.cent[{k}])"
+        f" * (CAST(e.embedding[{k}] AS DOUBLE) - c.cent[{k}]))"
+        for k in range(1, 65)
+    )
+
+
+@query(
+    "cluster_nearest_centroid",
+    oracle=f"""
+    WITH d AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS dim,
+               unnest(embedding) AS v
+        FROM embeddings
+    ),
+    m AS (
+        SELECT label, dim,
+               sum(CAST(floor(CAST(v AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+                   / 10000.0 / count(*) AS mv
+        FROM d GROUP BY label, dim
+    ),
+    cent AS (
+        SELECT label AS clabel, list(mv ORDER BY dim) AS cent
+        FROM m GROUP BY label
+    ),
+    scored AS (
+        SELECT e.vec_id, e.label,
+               min(CAST(floor(({_centroid_dist_chain()}) * 1000000 + 0.5)
+                        AS BIGINT) * 100 + c.clabel) AS packed
+        FROM embeddings e, cent c
+        GROUP BY e.vec_id, e.label
+    )
+    SELECT CAST(label AS BIGINT) AS true_label,
+           packed % 100 AS assigned_label,
+           count(*) AS n,
+           CAST(count(CASE WHEN packed % 100 = label THEN 1 END)
+                AS BIGINT) AS n_correct
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def cluster_nearest_centroid(spark, sf_dir):
+    """Nearest-centroid classification — one EXACT, hash-verified
+    k-means E-step: every embedding is assigned to the closest of the
+    per-label centroids (the fixed-point means of
+    embed_centroid_by_label), and the output is the label-vs-assigned
+    confusion census. The cross-engine discipline stack: centroids
+    from merge-order-proof fixed-point sums, squared distances as
+    left-folded ``aggregate(zip_with(...), 0D, +)`` ≡ an explicit
+    left-associated 64-term chain in DuckDB, and the argmin as an
+    integer min over packed (dist_fp·100 + label) — ties broken by
+    label, no float comparison anywhere in the decision.
+
+    Scale shape: K centroids broadcast (K·d doubles); the scan
+    computes K distances per row in one whole-stage-codegen pass and
+    partial-aggregates the confusion cells map-side — the same plan
+    k-means scoring runs at 100 TB, with no shuffle of vectors."""
+    t = Tables(spark, sf_dir)
+    d = t.embeddings.select(
+        "label", F.posexplode(to_double(F.col("embedding"))).alias("dim", "v")
+    )
+    m = d.groupBy("label", "dim").agg(
+        (
+            F.sum(F.floor(F.col("v") * 10000 + 0.5).cast("long"))
+            / 10000.0
+            / F.count(F.lit(1))
+        ).alias("mv")
+    )
+    cent = m.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "mv"))),
+            lambda s: s["mv"],
+        ).alias("cent")
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            to_double(F.col("embedding")),
+            F.col("cent"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    packed = F.min(
+        F.floor(dist * 1000000 + 0.5).cast("long") * 100 + F.col("clabel")
+    )
+    scored = (
+        t.embeddings.crossJoin(F.broadcast(cent))
+        .groupBy("vec_id", "label")
+        .agg(packed.alias("packed"))
+    )
+    return scored.groupBy(
+        F.col("label").cast("bigint").alias("true_label"),
+        (F.col("packed") % 100).alias("assigned_label"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(
+            F.when(F.col("packed") % 100 == F.col("label"), F.lit(1))
+        ).cast("bigint").alias("n_correct"),
+    )
