@@ -298,3 +298,22 @@ def test_nearest_centroid_confusion_conserves(spark, sf_dir):
         else:
             assert r["n_correct"] == 0
         assert 0 <= r["assigned_label"] <= 9
+
+
+def test_kmeans_exact_partition_and_rerun_stability(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    rows = {
+        r["cluster"]: (r["n_members"], r["inertia_fp"])
+        for r in QUERIES["cluster_kmeans_exact"](spark, sf_dir).collect()
+    }
+    from thrive_spark.operators.vectors import KMX_K
+
+    assert sum(n for n, _ in rows.values()) == t.embeddings.count()
+    assert all(0 <= c < KMX_K for c in rows)
+    assert all(i >= 0 for _, i in rows.values())
+    # the whole point: a re-run reproduces the clustering EXACTLY
+    again = {
+        r["cluster"]: (r["n_members"], r["inertia_fp"])
+        for r in QUERIES["cluster_kmeans_exact"](spark, sf_dir).collect()
+    }
+    assert rows == again

@@ -337,3 +337,133 @@ def cluster_nearest_centroid(spark, sf_dir):
             F.when(F.col("packed") % 100 == F.col("label"), F.lit(1))
         ).cast("bigint").alias("n_correct"),
     )
+
+
+KMX_K, KMX_ROUNDS = 8, 3  # exact-Lloyd exhibit geometry
+
+
+def _kmx_oracle() -> str:
+    """Unrolled exact-Lloyd oracle: KMX_ROUNDS alternations of
+    (packed-argmin assignment over the 64-term left-assoc distance
+    chain) and (fixed-point per-dim centroid means) — every arithmetic
+    step bit-identical to the Spark loop, so the final assignment
+    census hash-matches."""
+    chain = " + ".join(
+        f"((CAST(e.embedding[{k}] AS DOUBLE) - c.cent[{k}])"
+        f" * (CAST(e.embedding[{k}] AS DOUBLE) - c.cent[{k}]))"
+        for k in range(1, 65)
+    )
+    parts = [f"""
+    WITH dmat AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+               unnest(embedding) AS v
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT vec_id AS cl,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+        FROM embeddings WHERE vec_id < {KMX_K}
+    )"""]
+    for r in range(1, KMX_ROUNDS + 1):
+        parts.append(f""",
+    a{r} AS (
+        SELECT e.vec_id,
+               min(CAST(floor(({chain}) * 1000000 + 0.5) AS BIGINT)
+                   * 100 + c.cl) AS packed
+        FROM embeddings e, c{r - 1} c
+        GROUP BY e.vec_id
+    )""")
+        if r < KMX_ROUNDS:
+            parts.append(f""",
+    m{r} AS (
+        SELECT a{r}.packed % 100 AS cl, d.dim,
+               sum(CAST(floor(CAST(d.v AS DOUBLE) * 10000 + 0.5)
+                        AS BIGINT)) / 10000.0 / count(*) AS mv
+        FROM a{r} JOIN dmat d USING (vec_id)
+        GROUP BY 1, d.dim
+    ),
+    c{r} AS (SELECT cl, list(mv ORDER BY dim) AS cent
+             FROM m{r} GROUP BY cl)""")
+    parts.append(f"""
+    SELECT packed % 100 AS cluster,
+           count(*) AS n_members,
+           CAST(sum(packed // 100) AS BIGINT) AS inertia_fp
+    FROM a{KMX_ROUNDS} GROUP BY 1
+    """)
+    return "".join(parts)
+
+
+@query("cluster_kmeans_exact", oracle=_kmx_oracle())
+def cluster_kmeans_exact(spark, sf_dir):
+    """Full Lloyd's k-means, hash-verified END-TO-END across engines —
+    the capstone of the r7 exact-iteration discipline: {KMX_ROUNDS}
+    alternations of E-step (nearest centroid via left-folded distance
+    chains, integer-packed argmin) and M-step (fixed-point per-dim
+    means), from a deterministic init (the first K vectors by id).
+    The sampled/float sibling cluster_topics_kmeans remains the scale
+    exhibit; this one proves the LOOP itself is reproducible — the
+    property training-data pipelines need to re-run a clustering and
+    get the same shards.
+
+    Per round: one broadcast of K·d centroid doubles, one codegen
+    scan computing K distances per row (no shuffle of vectors), one
+    (cluster, dim)-keyed partial-combined aggregate for the update —
+    the distributed Lloyd shape at any scale; localCheckpoint cuts
+    lineage between rounds. Output: per-cluster member count and
+    exact integer inertia."""
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", to_double(F.col("embedding")).alias("x")
+    )
+    cent = emb.filter(F.col("vec_id") < KMX_K).select(
+        F.col("vec_id").alias("cl"), F.col("x").alias("cent")
+    )
+    assign = None
+    for r in range(KMX_ROUNDS):
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("x"), F.col("cent"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        assign = (
+            emb.crossJoin(F.broadcast(cent))
+            .groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.floor(dist * 1000000 + 0.5).cast("long") * 100
+                    + F.col("cl")
+                ).alias("packed")
+            )
+        )
+        if r < KMX_ROUNDS - 1:
+            m = (
+                assign.join(emb, "vec_id")
+                .select(
+                    (F.col("packed") % 100).alias("cl"),
+                    F.posexplode("x").alias("dim", "v"),
+                )
+                .groupBy("cl", "dim")
+                .agg(
+                    (
+                        F.sum(F.floor(F.col("v") * 10000 + 0.5).cast("long"))
+                        / 10000.0
+                        / F.count(F.lit(1))
+                    ).alias("mv")
+                )
+            )
+            cent = (
+                m.groupBy("cl")
+                .agg(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("dim", "mv"))),
+                        lambda s: s["mv"],
+                    ).alias("cent")
+                )
+                .localCheckpoint()
+            )
+    return assign.groupBy((F.col("packed") % 100).alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.expr("packed div 100")).cast("bigint").alias("inertia_fp"),
+    )
