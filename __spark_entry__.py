@@ -124,7 +124,7 @@ GRADE_DEFER = [
     "win_rolling_extrema", "fn_timezone_bank",
     "agg_order_width_histogram", "dq_psi_drift",
     "dedup_minhash_portable", "cluster_nearest_centroid",
-    "cluster_kmeans_exact",
+    "cluster_kmeans_exact", "dedup_semantic_exact",
 ]
 
 

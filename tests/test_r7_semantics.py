@@ -317,3 +317,27 @@ def test_kmeans_exact_partition_and_rerun_stability(spark, sf_dir):
         for r in QUERIES["cluster_kmeans_exact"](spark, sf_dir).collect()
     }
     assert rows == again
+
+
+def test_semantic_exact_pairs_within_cells_and_bounded(spark, sf_dir):
+    from thrive_spark.operators.vectors import SEMX_COS_THRESHOLD
+
+    rows = QUERIES["dedup_semantic_exact"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["keep_id"] < r["dup_id"]
+        assert SEMX_COS_THRESHOLD - 1e-4 <= r["cos"] <= 1.0 + 1e-9
+    # pairs respect the clustering: both members share the pair's cell
+    assign = {
+        row["vec_id"]: row["cl"]
+        for row in (
+            __import__(
+                "thrive_spark.operators.vectors", fromlist=["_kmx_assignments"]
+            )
+            ._kmx_assignments(spark, sf_dir)
+            .selectExpr("vec_id", "packed % 100 AS cl")
+            .collect()
+        )
+    }
+    for r in rows:
+        assert assign[r["keep_id"]] == assign[r["dup_id"]] == r["cluster"]

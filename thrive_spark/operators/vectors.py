@@ -384,16 +384,24 @@ def _kmx_oracle() -> str:
     ),
     c{r} AS (SELECT cl, list(mv ORDER BY dim) AS cent
              FROM m{r} GROUP BY cl)""")
-    parts.append(f"""
+    return "".join(parts)
+
+
+def _kmx_oracle_with(final_select: str) -> str:
+    """Prefix the exact-Lloyd CTE chain onto ``final_select`` (which
+    reads assignments from a{KMX_ROUNDS})."""
+    return _kmx_oracle() + final_select
+
+
+@query(
+    "cluster_kmeans_exact",
+    oracle=_kmx_oracle_with(f"""
     SELECT packed % 100 AS cluster,
            count(*) AS n_members,
            CAST(sum(packed // 100) AS BIGINT) AS inertia_fp
     FROM a{KMX_ROUNDS} GROUP BY 1
-    """)
-    return "".join(parts)
-
-
-@query("cluster_kmeans_exact", oracle=_kmx_oracle())
+    """),
+)
 def cluster_kmeans_exact(spark, sf_dir):
     """Full Lloyd's k-means, hash-verified END-TO-END across engines —
     the capstone of the r7 exact-iteration discipline: {KMX_ROUNDS}
@@ -411,6 +419,17 @@ def cluster_kmeans_exact(spark, sf_dir):
     the distributed Lloyd shape at any scale; localCheckpoint cuts
     lineage between rounds. Output: per-cluster member count and
     exact integer inertia."""
+    assign = _kmx_assignments(spark, sf_dir)
+    return assign.groupBy((F.col("packed") % 100).alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.expr("packed div 100")).cast("bigint").alias("inertia_fp"),
+    )
+
+
+def _kmx_assignments(spark, sf_dir):
+    """The exact-Lloyd loop: returns the final (vec_id, packed)
+    assignment table (packed = dist_fp·100 + cluster). Shared by
+    cluster_kmeans_exact and dedup_semantic_exact."""
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select(
         "vec_id", to_double(F.col("embedding")).alias("x")
@@ -463,7 +482,87 @@ def cluster_kmeans_exact(spark, sf_dir):
                 )
                 .localCheckpoint()
             )
-    return assign.groupBy((F.col("packed") % 100).alias("cluster")).agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.sum(F.expr("packed div 100")).cast("bigint").alias("inertia_fp"),
+    return assign
+
+
+SEMX_COS_THRESHOLD = 0.3  # same prune point as the float SemDeDup
+
+
+def _semx_cos_chains() -> tuple[str, str, str]:
+    """Left-associated dot / norm chains between embeddings x and y —
+    term-for-term the Spark ``aggregate(zip_with(...), 0D, +)`` folds."""
+    def chain(a: str, b: str) -> str:
+        return " + ".join(
+            f"(CAST({a}.embedding[{k}] AS DOUBLE)"
+            f" * CAST({b}.embedding[{k}] AS DOUBLE))"
+            for k in range(1, 65)
+        )
+
+    return chain("x", "y"), chain("x", "x"), chain("y", "y")
+
+
+def _semx_oracle() -> str:
+    dot, nx, ny = _semx_cos_chains()
+    cos = f"({dot}) / (sqrt({nx}) * sqrt({ny}))"
+    return _kmx_oracle_with(f""",
+    fin AS (SELECT vec_id, packed % 100 AS cl FROM a{KMX_ROUNDS})
+    SELECT fa.vec_id AS keep_id, fb.vec_id AS dup_id,
+           CAST(fa.cl AS BIGINT) AS cluster,
+           floor(({cos}) * 10000 + 0.5) / 10000.0 AS cos
+    FROM fin fa
+    JOIN fin fb ON fa.cl = fb.cl AND fa.vec_id < fb.vec_id
+    JOIN embeddings x ON x.vec_id = fa.vec_id
+    JOIN embeddings y ON y.vec_id = fb.vec_id
+    WHERE {cos} >= {SEMX_COS_THRESHOLD}
+    """)
+
+
+@query("dedup_semantic_exact", oracle=_semx_oracle())
+def dedup_semantic_exact(spark, sf_dir):
+    """SemDeDup (arXiv:2303.09540) with every stage hash-verified:
+    embeddings cluster through the exact-Lloyd loop, then ONLY
+    within-cell pairs are cosine-scored and pairs above the prune
+    threshold surface as (keep, dup) — the cluster-then-prune
+    semantic dedup whose float/sampled sibling
+    (dedup_semantic_cluster) stays rows-only. Cosines are left-folded
+    dot/norm chains over IEEE-exact casts; sqrt is correctly rounded
+    in both engines, so the score — and therefore the PRUNE DECISION —
+    is bit-identical cross-engine.
+
+    Scale shape is SemDeDup's own argument: clustering caps the pair
+    scan at Σ|cell|² instead of n² (here 8 cells; at 100 TB, √n cells
+    keep cells bounded); the pair join keys on the cell id, vectors
+    travel only to their cell's reducer, and the cosine runs in one
+    codegen pass per pair."""
+    t = Tables(spark, sf_dir)
+    fin = _kmx_assignments(spark, sf_dir).select(
+        "vec_id", (F.col("packed") % 100).alias("cl")
+    )
+    emb = t.embeddings.select(
+        "vec_id", to_double(F.col("embedding")).alias("x")
+    )
+    side = fin.join(emb, "vec_id")
+
+    def fold(pairs):
+        return F.aggregate(pairs, F.lit(0.0), lambda acc, v: acc + v)
+
+    a, b = side.alias("a"), side.alias("b")
+    dot = fold(F.zip_with("a.x", "b.x", lambda p, q: p * q))
+    nx = fold(F.zip_with("a.x", "a.x", lambda p, q: p * q))
+    ny = fold(F.zip_with("b.x", "b.x", lambda p, q: p * q))
+    cos = dot / (F.sqrt(nx) * F.sqrt(ny))
+    return (
+        a.join(
+            b,
+            (F.col("a.cl") == F.col("b.cl"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= SEMX_COS_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("keep_id"),
+            F.col("b.vec_id").alias("dup_id"),
+            F.col("a.cl").cast("bigint").alias("cluster"),
+            (F.floor(F.col("cos_raw") * 10000 + 0.5) / 10000.0).alias("cos"),
+        )
     )
