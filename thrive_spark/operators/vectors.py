@@ -541,16 +541,21 @@ def dedup_semantic_exact(spark, sf_dir):
     emb = t.embeddings.select(
         "vec_id", to_double(F.col("embedding")).alias("x")
     )
-    side = fin.join(emb, "vec_id")
-
     def fold(pairs):
         return F.aggregate(pairs, F.lit(0.0), lambda acc, v: acc + v)
 
+    # norms are per-VECTOR, not per-pair: precompute sqrt(Σx²) once in
+    # the cell-assignment projection (|cells| · |vectors| work), so the
+    # Σ|cell|² pair scan runs only the dot chain. sqrt of the same
+    # left-folded sum is the same double, so the oracle — which inlines
+    # the norm chain per pair — still hash-matches.
+    side = fin.join(emb, "vec_id").withColumn(
+        "nrm", F.sqrt(fold(F.zip_with("x", "x", lambda p, q: p * q)))
+    )
+
     a, b = side.alias("a"), side.alias("b")
     dot = fold(F.zip_with("a.x", "b.x", lambda p, q: p * q))
-    nx = fold(F.zip_with("a.x", "a.x", lambda p, q: p * q))
-    ny = fold(F.zip_with("b.x", "b.x", lambda p, q: p * q))
-    cos = dot / (F.sqrt(nx) * F.sqrt(ny))
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(
             b,
