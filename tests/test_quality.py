@@ -123,6 +123,43 @@ def test_bpe_train_matches_reference_and_roundtrips(spark, sf_dir):
     assert (applied["n_bpe_tokens"] > 0).all()
 
 
+def test_bpe_pretrained_chain_oracle_equivalence(spark, sf_dir):
+    """The pinned PRETRAINED_MERGES must satisfy the invariant that
+    makes the SQL-oracle rewrite sound (no left element contains the
+    END marker), and the DuckDB replace-chain must produce the exact
+    symbol sequence apply_bpe does — on every corpus word plus
+    adversarial shapes (consecutive-pair runs, symbol-prefix clashes
+    like 'fast' where '|a|s' would falsely match 'st')."""
+    import duckdb
+
+    from thrive_spark.operators.tokenizer import (
+        END,
+        PRETRAINED_MERGES,
+        _bpe_chain_sql,
+        apply_bpe,
+        train_bpe,
+        _word_freqs,
+    )
+    from thrive_spark.tables import Tables
+
+    assert all(END not in a for a, _ in PRETRAINED_MERGES)
+
+    con = duckdb.connect()
+    chain = _bpe_chain_sql()
+    words = [w for w, _ in _word_freqs(Tables(spark, sf_dir))]
+    words += [
+        "erer", "ererer", "stst", "aaa", "fast", "faster", "stow",
+        "joinjoin", "hashhash", "parpart", "asash", "ashash",
+    ]
+    for w in words:
+        py = "".join(f"[{s}]" for s in apply_bpe(w, PRETRAINED_MERGES))
+        got = con.execute(
+            f"SELECT c FROM (SELECT {chain} AS c FROM (SELECT ? AS w))",
+            [w],
+        ).fetchone()[0]
+        assert py == got, (w, py, got)
+
+
 def test_bpe_vocab_collect_is_bounded(spark, sf_dir, monkeypatch):
     """The driver-side word-frequency table must respect MAX_VOCAB —
     with the cap forced below the corpus vocabulary, the collect

@@ -352,7 +352,7 @@ def fn_hash_spark(spark, sf_dir):
     return t.documents.select(
         "doc_id",
         F.xxhash64("text").alias("c_xxhash64"),
-        F.hash("text").alias("c_murmur3"),
+        F.hash("text").cast("bigint").alias("c_murmur3"),
         F.crc32(F.encode("text", "utf-8")).alias("c_crc32"),
         F.sha1("text").alias("c_sha1"),
     )
@@ -832,7 +832,7 @@ def fn_timezone_bank(spark, sf_dir):
         "ts",
         ny.alias("ny_local"),
         tk.alias("tokyo_local"),
-        F.hour(ny).alias("ny_hour"),
+        F.hour(ny).cast("bigint").alias("ny_hour"),
         (tk.cast("date") != F.col("ts").cast("date")).alias(
             "crosses_dateline"
         ),

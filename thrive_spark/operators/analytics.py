@@ -1740,7 +1740,7 @@ def analytics_pareto_share(spark, sf_dir):
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     return agg.select(
-        "decile",
+        F.col("decile").cast("bigint").alias("decile"),
         "n_customers",
         (F.col("dec_fp") / 10000.0).alias("decile_revenue"),
         (
@@ -1882,7 +1882,7 @@ def analytics_cohort_ltv(spark, sf_dir):
         rev.join(sizes, "m0")
         .select(
             cohort.alias("cohort"),
-            "age_months",
+            F.col("age_months").cast("bigint").alias("age_months"),
             "cohort_users",
             (F.col("rev_fp") / 10000.0).alias("period_revenue"),
             (F.sum("rev_fp").over(w) / 10000.0).alias("cum_revenue"),

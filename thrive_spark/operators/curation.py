@@ -419,6 +419,21 @@ def decontaminate_ngram_overlap(spark, sf_dir):
     Contamination fraction is exact integer half-up basis points."""
     t = Tables(spark, sf_dir)
     toks = F.filter(F.split("text", " "), lambda x: x != "")
+    # 3-gram build via zip_with over slices (the SCALE.md idiom) —
+    # never transform(sequence(...), i -> element_at(computed, i)),
+    # which CollapseProject re-inlines per element (measured 4-5×).
+    # size < 3 needs no CASE: n3 = 0 → empty slices → empty grams,
+    # matching the oracle's ELSE [] branch.
+    n3 = F.greatest(F.size("toks") - 2, F.lit(0))
+    tri = F.zip_with(
+        F.zip_with(
+            F.slice("toks", 1, n3),
+            F.slice("toks", 2, n3),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        F.slice("toks", 3, n3),
+        lambda ab, c: F.concat_ws(" ", ab, c),
+    )
     d = t.documents.select(
         "doc_id",
         toks.alias("toks"),
@@ -426,17 +441,7 @@ def decontaminate_ngram_overlap(spark, sf_dir):
     ).select(
         "doc_id",
         "is_eval",
-        F.when(
-            F.size("toks") >= 3,
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, size(toks) - 2), "
-                    "i -> concat(element_at(toks, i), ' ', "
-                    "element_at(toks, i + 1), ' ', "
-                    "element_at(toks, i + 2)))"
-                )
-            ),
-        ).otherwise(F.array().cast("array<string>")).alias("grams"),
+        F.array_distinct(tri).alias("grams"),
     )
     # explode_outer, NOT explode: plain explode makes Catalyst infer a
     # size(grams) > 0 scan filter that inlines the whole gram

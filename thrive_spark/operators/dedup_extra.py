@@ -1150,7 +1150,13 @@ def dedup_minhash_portable(spark, sf_dir):
         ).alias(f"mh{i}")
         for i in range(MHP_FAMS)
     ]
-    sig = sh.select("doc_id", *mh_cols)
+    # Docs with <3 tokens have an empty shingle set: every minhash is
+    # NULL and concat_ws would collapse them all onto band key '' —
+    # a quadratic candidate clique the oracle never generates (its
+    # hashes CTE simply has no rows for them). Drop them before the
+    # band explode so the Spark candidate set matches structurally,
+    # not just after the jaccard filter (ADVICE r7).
+    sig = sh.filter(F.size("s") > 0).select("doc_id", *mh_cols)
     bands = sig.select(
         "doc_id",
         F.explode(

@@ -450,9 +450,11 @@ def graph_degree_histogram(spark, sf_dir):
            CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
            CAST(da.degree + db.degree - coalesce(i.n_common, 0) - 2
                 AS BIGINT) AS n_union,
-           floor(CAST(coalesce(i.n_common, 0) AS DOUBLE)
-                 / (da.degree + db.degree - coalesce(i.n_common, 0) - 2)
-                 * 10000 + 0.5) / 10000.0 AS jaccard
+           CASE WHEN da.degree + db.degree - coalesce(i.n_common, 0) - 2 > 0
+                THEN floor(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+                     / (da.degree + db.degree - coalesce(i.n_common, 0) - 2)
+                     * 10000 + 0.5) / 10000.0
+           END AS jaccard
     FROM e
     LEFT JOIN inter i ON i.src = e.src AND i.dst = e.dst
     JOIN deg da ON da.v = e.src
@@ -507,11 +509,13 @@ def graph_jaccard_neighbors(spark, sf_dir):
             "dst",
             common.cast("bigint").alias("n_common"),
             n_union.cast("bigint").alias("n_union"),
-            (
-                F.floor(
-                    common.cast("double") / n_union * 10000 + 0.5
-                )
-                / 10000.0
+            # n_union == 0 (isolated two-node component): Spark's 0/0
+            # double is NaN while DuckDB's is NULL — emit NULL in both
+            # engines (ADVICE r7; guard mirrored in the oracle SQL).
+            F.when(
+                n_union > 0,
+                F.floor(common.cast("double") / n_union * 10000 + 0.5)
+                / 10000.0,
             ).alias("jaccard"),
         )
     )

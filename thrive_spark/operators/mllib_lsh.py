@@ -146,7 +146,12 @@ def sim_knn_mllib_brp(spark, sf_dir):
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
-        .select("query_id", "neighbor_id", r4("dist").alias("dist"), "rn")
+        .select(
+            "query_id",
+            "neighbor_id",
+            r4("dist").alias("dist"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
     )
 
 

@@ -320,7 +320,7 @@ def sql_window_qualify(spark, sf_dir):
         SELECT o_custkey, o_orderkey,
                floor(o_totalprice * 10000 + 0.5) / 1e4
                    AS o_totalprice,
-               rnk
+               CAST(rnk AS BIGINT) AS rnk
         FROM (
             SELECT o_custkey, o_orderkey, o_totalprice,
                    row_number() OVER (
@@ -395,11 +395,14 @@ def sql_values_inline_dim(spark, sf_dir):
 def sql_any_all_rewrite(spark, sf_dir):
     """Quantified comparison (x > ALL (subquery)) — Spark SQL has no
     ALL/ANY subquery operator, so the portable rewrite is the scalar
-    aggregate: > ALL S ≡ > (SELECT max(S)) when S is non-empty and
-    null-free (acctbal is NOT NULL here; the empty-set edge would need
-    a coalesce guard). The oracle runs the genuine ALL form — the
-    rewrite must produce the identical relation. Catalyst executes the
-    scalar subquery as a one-row broadcast: the big scan is filtered
+    aggregate: > ALL S ≡ > coalesce((SELECT max(S)), -inf) when S is
+    null-free (acctbal is NOT NULL here). The coalesce handles the
+    empty-set edge — ALL over an empty set is vacuously TRUE, and
+    x > -infinity is TRUE for every finite acctbal, so the rewrite is
+    equivalent even if no BUILDING customer sits below the cutoff
+    (ADVICE r7). The oracle runs the genuine ALL form — the rewrite
+    must produce the identical relation. Catalyst executes the scalar
+    subquery as a one-row broadcast: the big scan is filtered
     map-side, no join materializes."""
     t = Tables(spark, sf_dir)
     t.register_views()
@@ -408,9 +411,9 @@ def sql_any_all_rewrite(spark, sf_dir):
         SELECT s_suppkey, s_name,
                floor(s_acctbal * 10000 + 0.5) / 1e4 AS s_acctbal
         FROM supplier
-        WHERE s_acctbal > (
+        WHERE s_acctbal > coalesce((
             SELECT max(c_acctbal) FROM customer
             WHERE c_mktsegment = 'BUILDING' AND c_acctbal < 5000
-        )
+        ), CAST('-Infinity' AS DOUBLE))
         """
     )

@@ -1124,9 +1124,9 @@ def text_readability_flesch(spark, sf_dir):
     )
     m = t.documents.select(
         "doc_id",
-        n_words.alias("n_words"),
-        n_sent.alias("n_sentences"),
-        n_syl.alias("n_syllables"),
+        n_words.cast("bigint").alias("n_words"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        n_syl.cast("bigint").alias("n_syllables"),
     )
     score = (
         F.lit(206.835)

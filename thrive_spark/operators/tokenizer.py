@@ -139,16 +139,87 @@ def tokenizer_train_bpe(spark, sf_dir):
     )
 
 
-@query("tokenizer_apply_bpe")  # rows-only: depends on trained merges
+#: Frozen pretrained merge table: the exact output of ``train_bpe``
+#: over the reference corpus (sf0.01 word frequencies) — pinned so
+#: apply is corpus-independent, which is how production tokenizers
+#: work (you apply a FROZEN vocab; retraining per batch would change
+#: token ids under the model).  Training itself stays exhibited by
+#: ``tokenizer_train_bpe``.  Invariant that makes the SQL oracle
+#: sound: no left element contains the END marker (word-final symbols
+#: never start a pair in per-word BPE), asserted in
+#: tests/test_quality.py.
+PRETRAINED_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"),
+    ("h", "</w>"), ("a", "t"), ("l", "u"), ("i", "n"),
+    ("a", "</w>"), ("g", "</w>"), ("y", "</w>"), ("a", "r"),
+    ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
+    ("jo", "in</w>"), ("a", "s"), ("as", "h</w>"), ("h", "ash</w>"),
+]
+
+
+def _bpe_chain_sql() -> str:
+    """DuckDB expression applying PRETRAINED_MERGES to word column
+    ``w`` by pure string rewriting: encode the symbol sequence as a
+    prefix-separated string ('|h|e|y|</w>'), then one replace() per
+    merge in rank order.  Left-to-right non-overlapping replacement
+    is exactly BPE's greedy single pass.  Each symbol is FULLY
+    bracketed ('[sym]', brackets outside the corpus charset): a
+    prefix-only separator is not enough — pattern '|a|s' would match
+    the first char of a following symbol 'st' — while full brackets
+    anchor both ends, and '[a][b]' → '[ab]' consumes no shared
+    delimiter, so consecutive pair occurrences all merge in one pass
+    just like the BPE scan.  Token count falls out as the '['
+    count."""
+    s = "regexp_replace(w, '(.)', '[\\1]', 'g') || '[</w>]'"
+    for a, b in PRETRAINED_MERGES:
+        s = f"replace({s}, '[{a}][{b}]', '[{a}{b}]')"
+    return s
+
+
+@query(
+    "tokenizer_apply_bpe",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS w
+        FROM documents
+    ),
+    tok AS (
+        SELECT w,
+               CAST(length(chain) - length(replace(chain, '[', ''))
+                    AS BIGINT) AS n_tok
+        FROM (SELECT w, {{chain}} AS chain
+              FROM (SELECT DISTINCT w FROM words))
+    ),
+    per AS (
+        SELECT words.doc_id,
+               sum(tok.n_tok) AS n_bpe_tokens,
+               sum(length(words.w) + 4) AS n_symbol_chars
+        FROM words JOIN tok USING (w)
+        GROUP BY words.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+           CAST(coalesce(p.n_symbol_chars, 0) AS BIGINT)
+               AS n_symbol_chars
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """.replace("{chain}", _bpe_chain_sql()),
+)
 def tokenizer_apply_bpe(spark, sf_dir):
-    """Apply the trained merges corpus-wide: per-document BPE token
-    count and mean token length — the distributed half. The merge
-    list broadcasts via closure (≤ vocab-size entries); each Arrow
-    batch re-tokenizes independently, so the pass is map-only."""
+    """Apply the FROZEN pretrained merges corpus-wide: per-document
+    BPE token count and symbol-char count — the distributed half of
+    the tokenizer. The merge list broadcasts via closure (≤ vocab-size
+    entries); each Arrow batch re-tokenizes independently, so the pass
+    is map-only. Hash-checked against a DuckDB oracle that applies the
+    SAME merges through an independent mechanism (string-rewriting
+    chain, see _bpe_chain_sql) — two implementations of BPE agreeing
+    token-for-token."""
     import pandas as pd
 
     t = Tables(spark, sf_dir)
-    merges = train_bpe(_word_freqs(t))
+    merges = PRETRAINED_MERGES
 
     def tok(batches):
         cache: dict[str, int] = {}
