@@ -18,8 +18,11 @@ def test_jaccard_neighbors_bounded_and_edgewise(spark, sf_dir):
     assert rows
     for r in rows:
         assert r["src"] < r["dst"]  # canonical orientation
-        assert 0 <= r["n_common"] <= r["n_union"] or r["n_union"] == 0
-        assert 0.0 <= r["jaccard"] <= 1.0
+        if r["n_union"] == 0:  # isolated 2-node component: NULL ratio
+            assert r["jaccard"] is None
+        else:
+            assert 0 <= r["n_common"] <= r["n_union"]
+            assert 0.0 <= r["jaccard"] <= 1.0
 
 
 def test_degree_histogram_conserves_vertices(spark, sf_dir):

@@ -327,7 +327,67 @@ def multimodal_audio_wav(spark, sf_dir):
     )
 
 
-@query("multimodal_image_ahash")  # rows-only: pixel math has no SQL oracle
+@query(
+    "multimodal_image_ahash",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, text, length(text) AS L,
+               greatest(length(text) // 3, 1) AS n_px
+        FROM documents WHERE doc_id < 128
+    ),
+    geom AS (
+        SELECT doc_id, text, L,
+               greatest(CAST(floor(sqrt(CAST(n_px AS DOUBLE)))
+                             AS BIGINT), 1) AS w,
+               greatest(n_px // greatest(CAST(floor(sqrt(CAST(n_px
+                   AS DOUBLE))) AS BIGINT), 1), 1) AS h
+        FROM dims
+    ),
+    cells AS (
+        SELECT g.doc_id, gi.i * 8 + gj.j AS idx,
+               ((gi.i * g.h) // 8 * g.w + (gj.j * g.w) // 8) * 3 AS p,
+               g.text, g.L
+        FROM geom g,
+             (SELECT unnest(generate_series(0, 7)) AS i) gi,
+             (SELECT unnest(generate_series(0, 7)) AS j) gj
+    ),
+    gray AS (
+        SELECT doc_id, idx,
+               (ascii(substr(text, CAST(p % L AS INT) + 1, 1))
+                + ascii(substr(text, CAST((p + 1) % L AS INT) + 1, 1))
+                + ascii(substr(text, CAST((p + 2) % L AS INT) + 1, 1))
+               ) // 3 AS g,
+               (least(ascii(substr(text, CAST(p % L AS INT) + 1, 1))
+                      + 8, 255)
+                + least(ascii(substr(text, CAST((p + 1) % L AS INT) + 1,
+                                     1)) + 8, 255)
+                + least(ascii(substr(text, CAST((p + 2) % L AS INT) + 1,
+                                     1)) + 8, 255)
+               ) // 3 AS g2
+        FROM cells
+    ),
+    bits AS (
+        SELECT doc_id, idx,
+               CAST(64 * g >= sum(g) OVER (PARTITION BY doc_id)
+                    AS INT) AS b,
+               CAST(64 * g2 >= sum(g2) OVER (PARTITION BY doc_id)
+                    AS INT) AS b2
+        FROM gray
+    ),
+    nibs AS (
+        SELECT doc_id, idx // 4 AS nib,
+               sum(b * (CASE idx % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                        WHEN 2 THEN 2 ELSE 1 END)) AS nv
+        FROM bits GROUP BY doc_id, idx // 4
+    )
+    SELECT h.doc_id,
+           (SELECT lower(string_agg(to_hex(nv), '' ORDER BY nib))
+            FROM nibs n WHERE n.doc_id = h.doc_id) AS ahash,
+           CAST(sum(CASE WHEN b <> b2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hamming_to_edit
+    FROM bits h GROUP BY h.doc_id
+    """,
+)
 def multimodal_image_ahash(spark, sf_dir):
     """Perceptual image fingerprinting on the REAL decoder: each
     document's PPM image (encode_ppm → decode_image pixel buffer) is
@@ -344,7 +404,16 @@ def multimodal_image_ahash(spark, sf_dir):
 
     Same mapInPandas Arrow-batch shape as the other codec stages;
     downstream dedup is a band join over hash prefixes exactly like
-    dedup_simhash's."""
+    dedup_simhash's.
+
+    Hash-checked (upgraded from rows-only in r8): the pixel math is
+    fully deterministic given encode_ppm's tiling, so the DuckDB
+    oracle replays it symbolically — byte k of the raster is
+    ascii(text[k mod L]), grid cell (i,j) samples pixel
+    ((i·h)//8, (j·w)//8), and the threshold grid[y,x] >= grid.mean()
+    is the exact integer comparison 64·gray >= Σgrid (mean is a
+    division by 2⁶, IEEE-exact, so numpy's float compare and the
+    integer form agree bit-for-bit)."""
     t = Tables(spark, sf_dir)
 
     def ahash_bytes(payload: bytes):
@@ -387,5 +456,5 @@ def multimodal_image_ahash(spark, sf_dir):
         "doc_id", F.encode("text", "UTF-8").alias("img")
     )
     return src.mapInPandas(
-        run, "doc_id long, ahash string, hamming_to_edit int"
+        run, "doc_id long, ahash string, hamming_to_edit long"
     )

@@ -529,11 +529,17 @@ def dedup_semantic_exact(spark, sf_dir):
     in both engines, so the score — and therefore the PRUNE DECISION —
     is bit-identical cross-engine.
 
-    Scale shape is SemDeDup's own argument: clustering caps the pair
-    scan at Σ|cell|² instead of n² (here 8 cells; at 100 TB, √n cells
-    keep cells bounded); the pair join keys on the cell id, vectors
-    travel only to their cell's reducer, and the cosine runs in one
-    codegen pass per pair."""
+    DIVISION OF LABOR (read before scaling this): this variant is the
+    K-PINNED VERIFICATION TWIN — K=8 Lloyd cells are baked into the
+    oracle so every stage stays cross-engine hash-checkable, which
+    means its Σ|cell|² pair scan is bounded only at exhibit scale
+    (|cell| ≈ n/8 → the scan is still O(n²/8)). Do NOT ship this
+    variant at 100 TB. The scale path is its sibling
+    ``dedup_semantic_cluster`` (dedup_extra.py), which grows the cell
+    count with the corpus (√n cells → Σ|cell|² ≈ n·√n worst-case,
+    ~n for balanced cells) at the price of a rows-only verdict
+    (sampled float centroids). tests/test_r8_semantics.py asserts the
+    Σ|cell|² bound this docstring claims."""
     t = Tables(spark, sf_dir)
     fin = _kmx_assignments(spark, sf_dir).select(
         "vec_id", (F.col("packed") % 100).alias("cl")
