@@ -445,31 +445,38 @@ def decontaminate_ngram_overlap(spark, sf_dir):
     )
     # explode_outer, NOT explode: plain explode makes Catalyst infer a
     # size(grams) > 0 scan filter that inlines the whole gram
-    # construction with `toks` re-expanded inside the lambda —
-    # measured O(n_tokens²) per row, ~20x slower at sf0.1
+    # construction per element (the r5 trap), and the NULL row it
+    # keeps for gram-less docs is what retains them in the output.
     eval_grams = (
         d.filter("is_eval")
         .select(F.explode_outer("grams").alias("gram"))
         .filter(F.col("gram").isNotNull())
         .distinct()
+        .withColumn("mark", F.lit(1))
     )
-    train = d.filter(~F.col("is_eval"))
-    hits = (
-        train.select("doc_id", F.explode_outer("grams").alias("gram"))
-        .filter(F.col("gram").isNotNull())
-        .join(F.broadcast(eval_grams), "gram")
+    # SINGLE-PASS shape (r8, measured ~1.5× the two-branch original):
+    # the train side builds grams ONCE — explode, broadcast LEFT join
+    # against the marked eval-gram set, then one aggregate computes
+    # n_grams (count of non-null grams) and n_hit (count of marks)
+    # together, instead of a base/hits self-pair that constructed the
+    # gram arrays twice and re-joined on doc_id.
+    agg = (
+        d.filter(~F.col("is_eval"))
+        .select("doc_id", F.explode_outer("grams").alias("gram"))
+        .join(F.broadcast(eval_grams), "gram", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .agg(
+            F.count("gram").cast("bigint").alias("n_grams"),
+            F.count("mark").cast("bigint").alias("n_hit"),
+        )
     )
-    base = train.select("doc_id", F.size("grams").cast("bigint").alias("n_grams"))
-    n_hit = F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint")
     bp = F.when(F.col("n_grams") == 0, F.lit(0).cast("bigint")).otherwise(
-        F.expr("(20000 * coalesce(n_hit, 0) + n_grams) div (2 * n_grams)")
+        F.expr("(20000 * n_hit + n_grams) div (2 * n_grams)")
     )
-    return base.join(hits, "doc_id", "left").select(
+    return agg.select(
         "doc_id",
         "n_grams",
-        n_hit.alias("n_hit"),
+        "n_hit",
         bp.alias("contaminated_bp"),
         (bp >= 5000).alias("is_contaminated"),
     )
