@@ -125,6 +125,10 @@ GRADE_DEFER = [
     "agg_order_width_histogram", "dq_psi_drift",
     "dedup_minhash_portable", "cluster_nearest_centroid",
     "cluster_kmeans_exact", "dedup_semantic_exact",
+    # r8 registrations (behind all backlog; the 41-id r7 backlog +
+    # these 3 still fit the 47-slot window, so nothing is displaced)
+    "events_retention_triangle", "win_running_distinct",
+    "dq_uniqueness_profile",
 ]
 
 

@@ -2008,3 +2008,73 @@ def agg_order_width_histogram(spark, sf_dir):
             ).alias("share"),
         )
     )
+
+
+@query(
+    "events_retention_triangle",
+    oracle="""
+    WITH pres AS (
+        SELECT DISTINCT user_id,
+               CAST(date_diff('day', DATE '1970-01-05', CAST(ts AS DATE))
+                    AS BIGINT) // 7 AS w
+        FROM events
+    ),
+    cohort AS (SELECT user_id, min(w) AS w0 FROM pres GROUP BY user_id),
+    sizes AS (
+        SELECT w0, count(*) AS cohort_users FROM cohort GROUP BY w0
+    ),
+    ret AS (
+        SELECT c.w0, p.w - c.w0 AS week_offset,
+               count(*) AS retained
+        FROM pres p JOIN cohort c ON p.user_id = c.user_id
+        GROUP BY c.w0, p.w - c.w0
+    )
+    SELECT r.w0 AS cohort_week, r.week_offset, s.cohort_users,
+           r.retained,
+           (20000 * r.retained + s.cohort_users)
+               // (2 * s.cohort_users) AS retention_bp
+    FROM ret r JOIN sizes s ON r.w0 = s.w0
+    """,
+)
+def events_retention_triangle(spark, sf_dir):
+    """Weekly cohort retention triangle: users grouped by first-active
+    week, and for each later week the count (and basis-point share) of
+    the cohort still active — the retention matrix every growth team
+    reads column-by-column.
+
+    Weeks are Monday-anchored integer ids (``datediff // 7`` from the
+    1970-01-05 Monday anchor — pure integer arithmetic, no engine
+    weekofyear()/ISO-week divergence; the corpus spans ~4 weeks so
+    month granularity would be vacuous). The event stream collapses to
+    distinct (user, week) presence FIRST — the row count every later
+    stage touches is |users|·|active weeks|, never event volume. The
+    cohort table is one more aggregate over presence; the triangle is
+    presence ⋈ cohort shuffled on user_id, then a (cohort, offset)
+    rollup whose key space is |weeks|² — tiny at any corpus size.
+    Retention is exact integer half-up basis points (cohort sizes and
+    retained counts are longs; no float division crosses the hash)."""
+    t = Tables(spark, sf_dir)
+    pres = t.events.select(
+        "user_id",
+        F.expr(
+            "datediff(cast(ts as date), date'1970-01-05') div 7"
+        ).cast("bigint").alias("w"),
+    ).distinct()
+    cohort = pres.groupBy("user_id").agg(F.min("w").alias("w0"))
+    sizes = cohort.groupBy("w0").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    ret = (
+        pres.join(cohort, "user_id")
+        .groupBy("w0", (F.col("w") - F.col("w0")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("retained"))
+    )
+    return ret.join(sizes, "w0").select(
+        F.col("w0").alias("cohort_week"),
+        "week_offset",
+        "cohort_users",
+        "retained",
+        F.expr("(20000 * retained + cohort_users) div (2 * cohort_users)")
+        .cast("bigint")
+        .alias("retention_bp"),
+    )

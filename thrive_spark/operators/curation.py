@@ -1376,3 +1376,73 @@ def dq_psi_drift(spark, sf_dir):
             "psi_contrib"
         ),
     )
+
+
+@query(
+    "dq_uniqueness_profile",
+    oracle="""
+    WITH v AS (
+        SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS val
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', o_orderstatus FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', o_orderpriority FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', CAST(CAST(o_orderdate AS TIMESTAMP) AS VARCHAR)
+        FROM orders
+    ),
+    f AS (SELECT col_name, val, count(*) AS c FROM v GROUP BY 1, 2)
+    SELECT col_name,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(coalesce(sum(CASE WHEN val IS NULL THEN c END), 0)
+                AS BIGINT) AS n_null,
+           CAST(count(val) AS BIGINT) AS n_distinct,
+           CAST(max(CASE WHEN val IS NOT NULL THEN c END) AS BIGINT)
+               AS max_value_freq,
+           max(CASE WHEN val IS NOT NULL THEN c END) = 1 AS is_unique
+    FROM f GROUP BY col_name
+    """,
+)
+def dq_uniqueness_profile(spark, sf_dir):
+    """Column-wise uniqueness/cardinality profile of the orders table
+    — the key-candidate report a data-quality layer derives before
+    declaring primary keys or dedup columns: per column its row count,
+    null count, distinct-value count, the hottest value's frequency,
+    and whether the column is a perfect key (max frequency 1).
+
+    One fact scan: ``stack`` unpivots the five profiled columns into
+    (col_name, val) pairs in-row (Spark side; the oracle's UNION ALL
+    is the portable spelling of the same relation), then a two-level
+    aggregate — (col, val) frequency first, column rollup second — so
+    the shuffle carries one row per distinct value per column, never
+    raw rows twice. At 100 TB this is the profile pattern that scales:
+    distinct-value frequencies partial-aggregate map-side, and the
+    final per-column rollup is |columns|·|distinct| rows."""
+    t = Tables(spark, sf_dir)
+    v = t.orders.select(
+        F.expr(
+            "stack(5, "
+            "'o_orderkey', cast(o_orderkey as string), "
+            "'o_custkey', cast(o_custkey as string), "
+            "'o_orderstatus', o_orderstatus, "
+            "'o_orderpriority', o_orderpriority, "
+            "'o_orderdate', cast(o_orderdate as string)) "
+            "AS (col_name, val)"
+        )
+    )
+    f = v.groupBy("col_name", "val").agg(F.count(F.lit(1)).alias("c"))
+    nn = F.when(F.col("val").isNotNull(), F.col("c"))
+    return f.groupBy("col_name").agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("val").isNull(), F.col("c"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_null"),
+        F.count("val").cast("bigint").alias("n_distinct"),
+        F.max(nn).cast("bigint").alias("max_value_freq"),
+        (F.max(nn) == 1).alias("is_unique"),
+    )

@@ -740,3 +740,73 @@ def win_rolling_extrema(spark, sf_dir):
             "roll_range"
         ),
     )
+
+
+@query(
+    "win_running_distinct",
+    oracle="""
+    WITH pres AS (
+        SELECT DISTINCT user_id,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS d
+        FROM events
+    ),
+    firsts AS (
+        SELECT user_id, d,
+               CASE WHEN row_number() OVER (
+                   PARTITION BY user_id ORDER BY d) = 1
+                    THEN 1 ELSE 0 END AS is_first
+        FROM pres
+    ),
+    daily AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS active_users,
+               CAST(sum(is_first) AS BIGINT) AS new_users
+        FROM firsts GROUP BY d
+    )
+    SELECT d AS day_num, active_users, new_users,
+           CAST(sum(new_users) OVER (ORDER BY d) AS BIGINT)
+               AS cum_distinct_users
+    FROM daily
+    """,
+)
+def win_running_distinct(spark, sf_dir):
+    """Running COUNT(DISTINCT) — cumulative unique users by day — via
+    the first-occurrence rewrite: neither engine supports a DISTINCT
+    window aggregate, so each user's first active day gets a flag
+    (row_number()==1 over the per-user day order) and the cumulative
+    distinct count becomes a plain running SUM of daily new-user
+    counts. Also emits per-day actives and new users (the growth
+    accounting identity: cum[d] = cum[d-1] + new[d]).
+
+    Scale shape: the event stream collapses to distinct (user, day)
+    presence first; the row_number window partitions BY USER (shuffle
+    keyed on user_id, |users| partitions of |active days| rows each —
+    never a global sort); the final running sum orders a |days|-row
+    aggregate, the only single-partition window in the plan and
+    bounded by the calendar, not the data."""
+    t = Tables(spark, sf_dir)
+    pres = t.events.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("d"),
+    ).distinct()
+    w_user = Window.partitionBy("user_id").orderBy("d")
+    firsts = pres.withColumn(
+        "is_first",
+        F.when(F.row_number().over(w_user) == 1, 1).otherwise(0),
+    )
+    daily = firsts.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active_users"),
+        F.sum("is_first").cast("bigint").alias("new_users"),
+    )
+    w_cum = Window.orderBy("d")
+    return daily.select(
+        F.col("d").alias("day_num"),
+        "active_users",
+        "new_users",
+        F.sum("new_users").over(w_cum).cast("bigint")
+        .alias("cum_distinct_users"),
+    )
