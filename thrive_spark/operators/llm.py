@@ -500,7 +500,71 @@ def sim_hard_negatives(spark, sf_dir):
 MMR_SHORTLIST, MMR_K, MMR_LAMBDA = 50, 10, 0.5
 
 
-@query("sim_mmr_rerank")  # rows-only: iterative greedy selection
+def _mmr_oracle() -> str:
+    """DuckDB twin of the MMR greedy with BIT-IDENTICAL arithmetic.
+
+    Every cosine is an explicit left-associated 64-term dot chain
+    divided by sqrt(n²a)·sqrt(n²b) — exactly Spark's ``aggregate``
+    left fold from 0D (0 + x == x) and ``norm(a) * norm(b)`` shape
+    (NOT sqrt(n²a·n²b), which differs in the last ulp).  Relevance
+    and pairwise sims are then fixed-pointed (floor(x·1e4 + 0.5)) so
+    the greedy loop is pure integer arithmetic: with λ = 0.5 the pick
+    argmax(λ·rel − (1−λ)·ms) ≡ argmax(rel_fp − ms_fp).  The k = 10
+    sequential picks are UNROLLED as p1/s1 … p10 CTE pairs (the
+    PageRank unrolled-oracle precedent): p_i takes the argmax with
+    the same tie order as np.argmax over rows sorted (rel desc, id
+    asc); s_i folds the picked column into the running max-sim."""
+
+    def chain(term: str) -> str:
+        return " + ".join(term.format(k=k) for k in range(1, 65))
+
+    dotq = chain("(CAST(e.embedding[{k}] AS DOUBLE) * q.qe[{k}])")
+    n2e = chain(
+        "(CAST(e.embedding[{k}] AS DOUBLE) * CAST(e.embedding[{k}] AS DOUBLE))"
+    )
+    n2q = chain("(q.qe[{k}] * q.qe[{k}])")
+    pdot = chain("(a.ce[{k}] * b.ce[{k}])")
+
+    parts = [
+        f"""
+    WITH q AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id = 0),
+    qn AS MATERIALIZED (SELECT sqrt({n2q}) AS qnorm FROM q),
+    short AS MATERIALIZED (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ce,
+               sqrt({n2e}) AS cnorm,
+               CAST(floor((({dotq}) / (sqrt({n2e}) * qn.qnorm))
+                          * 10000 + 0.5) AS BIGINT) AS rel_fp
+        FROM embeddings e, q, qn WHERE e.vec_id <> 0
+        ORDER BY rel_fp DESC, e.vec_id LIMIT {MMR_SHORTLIST}),
+    pr AS MATERIALIZED (
+        SELECT a.vec_id AS av, b.vec_id AS bv,
+               CAST(floor((({pdot}) / (a.cnorm * b.cnorm))
+                          * 10000 + 0.5) AS BIGINT) AS sim_fp
+        FROM short a, short b),
+    s0 AS MATERIALIZED (SELECT vec_id, rel_fp, CAST(0 AS BIGINT) AS ms,
+           FALSE AS picked FROM short)"""
+    ]
+    for i in range(1, MMR_K + 1):
+        prev = f"s{i - 1}"
+        parts.append(f"""
+    p{i} AS MATERIALIZED (SELECT vec_id, rel_fp FROM {prev} WHERE NOT picked
+             ORDER BY rel_fp - ms DESC, rel_fp DESC, vec_id LIMIT 1)""")
+        if i < MMR_K:
+            parts.append(f"""
+    s{i} AS MATERIALIZED (SELECT s.vec_id, s.rel_fp,
+                    greatest(s.ms, pr.sim_fp) AS ms,
+                    s.picked OR s.vec_id = (SELECT vec_id FROM p{i}) AS picked
+             FROM {prev} s JOIN pr ON pr.av = s.vec_id
+                              AND pr.bv = (SELECT vec_id FROM p{i}))""")
+    unions = "\n    UNION ALL ".join(
+        f'SELECT CAST({i} AS BIGINT) AS "rank", vec_id, rel_fp FROM p{i}'
+        for i in range(1, MMR_K + 1)
+    )
+    return ",".join(parts) + "\n    " + unions
+
+
+@query("sim_mmr_rerank", oracle=_mmr_oracle())
 def sim_mmr_rerank(spark, sf_dir):
     """Maximal-Marginal-Relevance re-ranking for query vec_id=0:
     greedily pick 10 results maximizing λ·sim(query, d) −
@@ -510,13 +574,18 @@ def sim_mmr_rerank(spark, sf_dir):
     for coverage).
 
     Two-stage shape: the DISTRIBUTED part is the exact cosine
-    shortlist (broadcast query, one candidate scan, TakeOrdered 50);
-    the greedy loop — inherently sequential, k·shortlist dot products
-    — runs in ONE Arrow batch on the shortlist only. That split is
-    the point: never run the O(k·n) greedy against the corpus; run it
-    against a shortlist whose size is a constant. Greedy selection
-    has no SQL formulation → rows-only; the diversity win over plain
-    top-k is asserted in tests/test_ann.py."""
+    shortlist (broadcast query, one candidate scan, TakeOrdered 50)
+    plus the 50×50 pairwise-sim table (both JVM higher-order-function
+    folds); the greedy loop — inherently sequential, k·shortlist
+    picks — runs in ONE Arrow batch over fixed-point longs only.
+    That split is the point: never run the O(k·n) greedy against the
+    corpus; run it against a shortlist whose size is a constant.
+
+    Hash-checked (r8, upgraded from rows-only): relevance and the
+    pairwise matrix are floor(cos·1e4 + 0.5) longs whose doubles are
+    bit-identical to the oracle's explicit left-fold chains, so the
+    integer greedy is engine-exact — see :func:`_mmr_oracle`.  The
+    diversity win over plain top-k is asserted in tests/test_ann.py."""
     t = Tables(spark, sf_dir)
     q = t.embeddings.filter(F.col("vec_id") == 0).select(
         to_double("embedding").alias("qe")
@@ -527,39 +596,64 @@ def sim_mmr_rerank(spark, sf_dir):
         .select(
             "vec_id",
             to_double("embedding").alias("ce"),
-            r4(cosine(to_double("embedding"), F.col("qe"))).alias("rel"),
+            F.floor(cosine(to_double("embedding"), F.col("qe")) * 10000 + 0.5)
+            .cast("long")
+            .alias("rel_fp"),
         )
-        .orderBy(F.col("rel").desc(), "vec_id")
+        .orderBy(F.col("rel_fp").desc(), "vec_id")
         .limit(MMR_SHORTLIST)
+    )
+    a = cand.select(
+        F.col("vec_id").alias("av"), F.col("ce").alias("ae"), "rel_fp"
+    )
+    b = cand.select(F.col("vec_id").alias("bv"), F.col("ce").alias("be"))
+    pairs = a.crossJoin(F.broadcast(b)).select(
+        "av",
+        "rel_fp",
+        "bv",
+        F.floor(cosine(F.col("ae"), F.col("be")) * 10000 + 0.5)
+        .cast("long")
+        .alias("sim_fp"),
     )
 
     def mmr(pdf):
         import numpy as np
         import pandas as pd
 
-        pdf = pdf.sort_values(["rel", "vec_id"], ascending=[False, True])
-        vecs = np.array([np.array(v) for v in pdf["ce"]])
-        vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-        rel = pdf["rel"].to_numpy()
-        ids = pdf["vec_id"].to_numpy()
+        rel = (
+            pdf[["av", "rel_fp"]]
+            .drop_duplicates()
+            .sort_values(["rel_fp", "av"], ascending=[False, True])
+            .reset_index(drop=True)
+        )
+        ids = rel["av"].to_numpy()
+        relv = rel["rel_fp"].to_numpy()
+        idx = {v: i for i, v in enumerate(ids)}
+        n = len(ids)
+        mat = np.zeros((n, n), dtype=np.int64)
+        for av, bv, s in zip(pdf["av"], pdf["bv"], pdf["sim_fp"]):
+            mat[idx[av], idx[bv]] = s
         picked: list[int] = []
-        max_sim = np.zeros(len(pdf))
-        for rank in range(min(MMR_K, len(pdf))):
-            score = MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * max_sim
-            score[picked] = -np.inf
-            i = int(np.argmax(score))  # ties: first index, deterministic
+        ms = np.zeros(n, dtype=np.int64)
+        for _ in range(min(MMR_K, n)):
+            # λ = 0.5 ⇒ argmax(λ·rel − (1−λ)·ms) ≡ argmax(rel − ms);
+            # all-int64, ties: first index of the (rel desc, id asc)
+            # sorted layout — matches the oracle's ORDER BY.
+            score = relv - ms
+            score[picked] = np.iinfo(np.int64).min
+            i = int(np.argmax(score))
             picked.append(i)
-            max_sim = np.maximum(max_sim, vecs @ vecs[i])
+            ms = np.maximum(ms, mat[:, i])
         return pd.DataFrame(
             {
-                "rank": np.arange(1, len(picked) + 1),
+                "rank": np.arange(1, len(picked) + 1, dtype=np.int64),
                 "vec_id": ids[picked],
-                "rel": rel[picked],
+                "rel_fp": relv[picked],
             }
         )
 
     return (
-        cand.withColumn("g", F.lit(1))
+        pairs.withColumn("g", F.lit(1))
         .groupBy("g")
-        .applyInPandas(mmr, "rank long, vec_id long, rel double")
+        .applyInPandas(mmr, "rank long, vec_id long, rel_fp long")
     )

@@ -131,7 +131,41 @@ def multimodal_binary_features(spark, sf_dir):
     )
 
 
-@query("multimodal_decode_stub")  # rows-only: no SQL-expressible oracle
+@query(
+    "multimodal_decode_stub",
+    oracle="""
+    WITH dims AS MATERIALIZED (
+        SELECT doc_id, text, length(text) AS L,
+               greatest(length(text) // 3, 1) AS n_px
+        FROM documents
+    ),
+    geom AS MATERIALIZED (
+        SELECT doc_id, text, L,
+               greatest(CAST(floor(sqrt(CAST(n_px AS DOUBLE)))
+                             AS BIGINT), 1) AS w,
+               greatest(n_px // greatest(CAST(floor(sqrt(CAST(n_px
+                   AS DOUBLE))) AS BIGINT), 1), 1) AS h
+        FROM dims
+    ),
+    b AS (
+        SELECT g.doc_id, g.w, g.h, s.m % 3 AS c,
+               ascii(substr(g.text, CAST(s.m % g.L AS INT) + 1, 1)) AS v
+        FROM geom g,
+             LATERAL (SELECT unnest(generate_series(
+                 0, g.w * g.h * 3 - 1)) AS m) s
+    ),
+    means AS (
+        SELECT doc_id, w, h, c,
+               CAST(floor(CAST(sum(v) AS DOUBLE) / (w * h)
+                          * 10000 + 0.5) AS BIGINT) AS mv
+        FROM b GROUP BY doc_id, w, h, c
+    )
+    SELECT doc_id, w AS width, h AS height,
+           CAST(3 AS BIGINT) AS n_channels,
+           string_agg(CAST(mv AS VARCHAR), ',' ORDER BY c) AS feature
+    FROM means GROUP BY doc_id, w, h
+    """,
+)
 def multimodal_decode_stub(spark, sf_dir):
     """Decode + feature-extract over binary batches via mapInPandas.
     Both halves are real as of round 5: each document's bytes are
@@ -141,7 +175,13 @@ def multimodal_decode_stub(spark, sf_dir):
     and fixed-point per-channel means. Only non-trivial codecs
     (JPEG/PNG) remain behind NotImplementedError — they need an image
     library the container doesn't ship. The id keeps its historical
-    ``_stub`` suffix for driver-rotation continuity."""
+    ``_stub`` suffix for driver-rotation continuity.
+
+    Hash-checked (upgraded from rows-only in r8): the decode is
+    deterministic pixel math over encode_ppm's tiling, so the oracle
+    replays it symbolically — raster byte m is ascii(text[m mod L]),
+    channel means are exact-integer sums with one IEEE division (see
+    multimodal_frame_sample, which adds the per-frame roll)."""
     t = Tables(spark, sf_dir)
 
     def decode(batches):
@@ -167,11 +207,48 @@ def multimodal_decode_stub(spark, sf_dir):
     src = t.documents.select("doc_id", F.encode("text", "UTF-8").alias("img"))
     return src.mapInPandas(
         decode,
-        "doc_id long, width int, height int, n_channels int, feature string",
+        "doc_id long, width long, height long, n_channels long, "
+        "feature string",
     )
 
 
-@query("multimodal_frame_sample")  # rows-only: Spark-side synthesis
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH dims AS MATERIALIZED (
+        SELECT doc_id, text, length(text) AS L,
+               greatest(length(text) // 3, 1) AS n_px
+        FROM documents
+    ),
+    geom AS MATERIALIZED (
+        SELECT doc_id, text, L,
+               greatest(CAST(floor(sqrt(CAST(n_px AS DOUBLE)))
+                             AS BIGINT), 1) AS w,
+               greatest(n_px // greatest(CAST(floor(sqrt(CAST(n_px
+                   AS DOUBLE))) AS BIGINT), 1), 1) AS h
+        FROM dims
+    ),
+    b AS (
+        SELECT g.doc_id, f.frame_idx, g.w, g.h, s.m % 3 AS c,
+               ascii(substr(g.text,
+                            CAST((s.m + f.frame_idx) % g.L AS INT) + 1,
+                            1)) AS v
+        FROM geom g,
+             (SELECT unnest([0, 3, 6]) AS frame_idx) f,
+             LATERAL (SELECT unnest(generate_series(
+                 0, g.w * g.h * 3 - 1)) AS m) s
+    ),
+    means AS (
+        SELECT doc_id, frame_idx, w, h, c,
+               CAST(floor(CAST(sum(v) AS DOUBLE) / (w * h)
+                          * 10000 + 0.5) AS BIGINT) AS mv
+        FROM b GROUP BY doc_id, frame_idx, w, h, c
+    )
+    SELECT doc_id, frame_idx, w AS width, h AS height,
+           string_agg(CAST(mv AS VARCHAR), ',' ORDER BY c) AS feature
+    FROM means GROUP BY doc_id, frame_idx, w, h
+    """,
+)
 def multimodal_frame_sample(spark, sf_dir):
     """Video-style frame sampling, REAL demux as of round 5: each
     document becomes a multi-frame "video" container (concatenated
@@ -182,7 +259,16 @@ def multimodal_frame_sample(spark, sf_dir):
     dimensions + channel means. One row in, many frame-rows out — the
     explode shape — with a genuine header-driven demux instead of
     fixed byte slices. Codecs with inter-frame compression (H.264…)
-    remain the honest library-bound boundary."""
+    remain the honest library-bound boundary.
+
+    Hash-checked (upgraded from rows-only in r8, the image_ahash
+    precedent): every stage is deterministic integer math the oracle
+    replays symbolically — frame i's raster byte m is
+    ascii(text[(m + i) mod L]) (the roll-by-i container build),
+    geometry is the shared encode_ppm w×h formula, and each channel
+    mean is an exact-integer sum over bytes with one IEEE division
+    (uint8 sums stay far under 2^53, so numpy's float64 mean is the
+    same double as the oracle's sum/(w·h))."""
     t = Tables(spark, sf_dir)
     n_frames, stride = 8, 3
 
@@ -227,7 +313,7 @@ def multimodal_frame_sample(spark, sf_dir):
     src = t.documents.select("doc_id", F.encode("text", "UTF-8").alias("img"))
     return src.mapInPandas(
         frames,
-        "doc_id long, frame_idx int, width int, height int, feature string",
+        "doc_id long, frame_idx long, width long, height long, feature string",
     )
 
 
