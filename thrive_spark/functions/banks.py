@@ -270,7 +270,9 @@ def fn_array_explode(spark, sf_dir):
     WITH m AS (
         SELECT event_id,
                map(['k', 'etype'],
-                   [CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR),
+                   [CASE WHEN json_valid(props)
+                         THEN CAST(CAST(json_extract_string(props, '$.k')
+                                        AS BIGINT) AS VARCHAR) END,
                     event_type]) AS mp
         FROM events
     )
@@ -304,12 +306,17 @@ def fn_map_bank(spark, sf_dir):
     "fn_json_bank",
     oracle="""
     SELECT event_id,
-           json_extract_string(props, '$.k') AS k_str,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           CASE WHEN json_valid(props)
+                THEN json_extract_string(props, '$.k') END AS k_str,
+           CASE WHEN json_valid(props)
+                THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+           END AS k_int,
            to_json(struct_pack(id := event_id, t := event_type)) AS c_to_json,
-           array_to_string(list_sort(CAST(json_keys(props) AS VARCHAR[])), ',')
-               AS c_keys,
-           json_valid(props) AS c_valid
+           CASE WHEN json_valid(props)
+                THEN array_to_string(
+                         list_sort(CAST(json_keys(props) AS VARCHAR[])), ',')
+           END AS c_keys,
+           coalesce(json_valid(props), false) AS c_valid
     FROM events
     """,
 )

@@ -28,5 +28,23 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two double arrays."""
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity of two double arrays.
+
+    ``try_divide``: a zero-norm vector (corrupt/blank embedding — the
+    r10 stress corpus plants some) must yield NULL, not kill a 100 TB
+    job with an ANSI DIVIDE_BY_ZERO. Operators that hash-check against
+    an oracle still exclude zero-norm rows explicitly (DuckDB's
+    list_cosine_similarity returns -1.0 there, so NULL-vs--1.0 would
+    diverge): filter with ``sq_norm(...) > 0`` / NONZERO_EMB_SQL."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
+
+
+def sq_norm(a: Column) -> Column:
+    """Σx² — the zero-vector guard predicate (`sq_norm(c) > 0`)."""
+    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+#: oracle-side twin of `sq_norm(embedding) > 0` for the embeddings table
+NONZERO_EMB_SQL = (
+    "list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0"
+)

@@ -107,10 +107,10 @@ def funnel_conversion(spark, sf_dir):
     ),
     act AS (
         SELECT DISTINCT e.user_id,
-               CAST(date_diff('day', DATE '{_WEEK0}', f.d0) // 7
-                    AS BIGINT) AS cohort_week,
-               CAST(date_diff('day', f.d0, CAST(e.ts AS DATE)) // 7
-                    AS BIGINT) AS week_offset
+               CAST(floor(CAST(date_diff('day', DATE '{_WEEK0}', f.d0)
+                               AS DOUBLE) / 7) AS BIGINT) AS cohort_week,
+               CAST(floor(CAST(date_diff('day', f.d0, CAST(e.ts AS DATE))
+                               AS DOUBLE) / 7) AS BIGINT) AS week_offset
         FROM events e JOIN f USING (user_id)
         WHERE CAST(e.ts AS DATE) >= f.d0
     )
@@ -538,8 +538,9 @@ def events_pattern_triple(spark, sf_dir):
     WITH f AS (
         SELECT user_id, campaign FROM (
             SELECT user_id,
-                   CAST(json_extract_string(props, '$.k') AS BIGINT)
-                       AS campaign,
+                   CASE WHEN json_valid(props)
+                        THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   END AS campaign,
                    row_number() OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS rn
             FROM events
@@ -1613,8 +1614,9 @@ def analytics_repurchase_intervals(spark, sf_dir):
     oracle=f"""
     WITH pres AS (
         SELECT DISTINCT user_id,
-               CAST(date_diff('day', DATE '1970-01-05', CAST(ts AS DATE))
-                    // 7 AS BIGINT) AS m
+               CAST(floor(CAST(date_diff('day', DATE '1970-01-05',
+                                         CAST(ts AS DATE)) AS DOUBLE) / 7)
+                    AS BIGINT) AS m
         FROM events
     ),
     span AS (SELECT min(m) AS m0, max(m) AS m1 FROM pres),
@@ -2015,8 +2017,9 @@ def agg_order_width_histogram(spark, sf_dir):
     oracle="""
     WITH pres AS (
         SELECT DISTINCT user_id,
-               CAST(date_diff('day', DATE '1970-01-05', CAST(ts AS DATE))
-                    AS BIGINT) // 7 AS w
+               CAST(floor(CAST(date_diff('day', DATE '1970-01-05',
+                                         CAST(ts AS DATE)) AS DOUBLE) / 7)
+                    AS BIGINT) AS w
         FROM events
     ),
     cohort AS (SELECT user_id, min(w) AS w0 FROM pres GROUP BY user_id),
@@ -2056,9 +2059,14 @@ def events_retention_triangle(spark, sf_dir):
     t = Tables(spark, sf_dir)
     pres = t.events.select(
         "user_id",
+        # floor(), not `div`: Spark `div` truncates toward zero while
+        # DuckDB `//` floors — they diverge exactly on pre-1970-01-05
+        # dates (negative datediff). floor-division on both sides keeps
+        # week ids consistent for any epoch (ADVICE r8 item c).
         F.expr(
-            "datediff(cast(ts as date), date'1970-01-05') div 7"
-        ).cast("bigint").alias("w"),
+            "cast(floor(datediff(cast(ts as date), date'1970-01-05') / 7)"
+            " as bigint)"
+        ).alias("w"),
     ).distinct()
     cohort = pres.groupBy("user_id").agg(F.min("w").alias("w0"))
     sizes = cohort.groupBy("w0").agg(

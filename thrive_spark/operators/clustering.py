@@ -37,7 +37,8 @@ def _seed_centroids(t):
 
     sample = t.embeddings.orderBy("vec_id").limit(256).toPandas()["embedding"]
     x = np.array(sample.tolist(), dtype=np.float64)
-    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    nrm = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x[nrm[:, 0] > 0] / nrm[nrm[:, 0] > 0]  # zero vectors can't seed
     return x[:K].copy()
 
 
@@ -75,7 +76,10 @@ def _lloyd(t, cents, iters=ITERS):
             cnt = np.zeros(c.shape[0], dtype=np.int64)
             for pdf in batches:
                 m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-                m = m / np.linalg.norm(m, axis=1, keepdims=True)
+                nrm = np.linalg.norm(m, axis=1, keepdims=True)
+                m = m[nrm[:, 0] > 0] / nrm[nrm[:, 0] > 0]
+                if not len(m):  # zero-norm rows have no direction:
+                    continue    # one NaN here would poison a centroid
                 cell = (m @ c.T).argmax(axis=1)
                 np.add.at(acc, cell, m)
                 np.add.at(cnt, cell, 1)
@@ -138,15 +142,20 @@ def cluster_topics_kmeans(spark, sf_dir):
 
         for pdf in batches:
             m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            nrm = np.linalg.norm(m, axis=1, keepdims=True)
+            ok = nrm[:, 0] > 0
+            m = np.where(ok[:, None], m / np.where(ok[:, None], nrm, 1.0), 0.0)
             sims = m @ cents.T
             cell = sims.argmax(axis=1)
             best = sims[np.arange(len(m)), cell]
+            # zero-norm vectors have no direction: cluster -1, sim 0
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
-                    "cluster_id": cell.astype("int64"),
-                    "sim_fp": np.floor(best * 10000 + 0.5).astype("int64"),
+                    "cluster_id": np.where(ok, cell, -1).astype("int64"),
+                    "sim_fp": np.where(
+                        ok, np.floor(best * 10000 + 0.5), 0.0
+                    ).astype("int64"),
                 }
             )
 

@@ -85,7 +85,13 @@ def dedup_simhash(spark, sf_dir):
     At 100 TB the only shuffle left in this operator is the band
     candidate join itself."""
     t = Tables(spark, sf_dir)
-    sig = t.documents.select(
+    # token-less docs (empty/whitespace text) have NO signature: the
+    # oracle's unnest drops them naturally, and without this filter the
+    # fold gives them all simhash=0, pairing every empty doc with every
+    # other (flushed by the r10 stress corpus)
+    sig = t.documents.filter(
+        F.expr("size(filter(split(text, ' '), t -> t != '')) > 0")
+    ).select(
         "doc_id",
         F.expr(
             f"""
@@ -753,7 +759,15 @@ def dedup_semantic_cluster(spark, sf_dir):
                 }
             )
 
-    assigned = t.embeddings.select("vec_id", "embedding").mapInPandas(
+    # zero-norm embeddings carry no semantics to dedup on — exclude
+    # (they would NaN-poison the normalized gram matrices; r10 stress)
+    nz = t.embeddings.filter(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x),
+            F.lit(0.0), lambda a, x: a + x,
+        ) > 0
+    )
+    assigned = nz.select("vec_id", "embedding").mapInPandas(
         assign, "vec_id long, cell long, embedding array<float>"
     )
 

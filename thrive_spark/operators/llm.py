@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, norm, to_double
+from ..functions.vectors import NONZERO_EMB_SQL, cosine, norm, sq_norm, to_double
 from ..registry import query
 from ..tables import Tables
 from ._util import r4
@@ -204,13 +204,14 @@ def dedup_fuzzy_minhash(spark, sf_dir):
 
 @query(
     "sim_knn_cosine_topk",
-    oracle="""
+    oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-               FROM embeddings WHERE vec_id < 20),
+               FROM embeddings WHERE vec_id < 20 AND {NONZERO_EMB_SQL}),
     pairs AS (
         SELECT query_id, vec_id AS neighbor_id,
                round(list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])), 4) AS sim
-        FROM embeddings CROSS JOIN q
+        FROM (SELECT * FROM embeddings WHERE {NONZERO_EMB_SQL}) embeddings
+        CROSS JOIN q
         WHERE vec_id <> query_id
     ),
     ranked AS (
@@ -228,10 +229,11 @@ def sim_knn_cosine_topk(spark, sf_dir):
     Ranking uses the ROUNDED sim (+ id tiebreak) so ordering is
     deterministic across engines."""
     t = Tables(spark, sf_dir)
-    q = t.embeddings.filter(F.col("vec_id") < 20).select(
+    nz = t.embeddings.filter(sq_norm(to_double("embedding")) > 0)
+    q = nz.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), to_double("embedding").alias("qe")
     )
-    c = t.embeddings.select(
+    c = nz.select(
         F.col("vec_id").alias("neighbor_id"), to_double("embedding").alias("ce")
     )
     pairs = (
@@ -437,15 +439,16 @@ def text_lang_distribution(spark, sf_dir):
 
 @query(
     "sim_hard_negatives",
-    oracle="""
+    oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, label AS q_label,
                       CAST(embedding AS DOUBLE[]) AS qe
-               FROM embeddings WHERE vec_id < 20),
+               FROM embeddings WHERE vec_id < 20 AND {NONZERO_EMB_SQL}),
     pairs AS (
         SELECT query_id, vec_id AS neg_id,
                round(list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])),
                      4) AS sim
-        FROM embeddings CROSS JOIN q
+        FROM (SELECT * FROM embeddings WHERE {NONZERO_EMB_SQL}) embeddings
+        CROSS JOIN q
         WHERE label <> q_label
     ),
     ranked AS (
@@ -469,12 +472,13 @@ def sim_hard_negatives(spark, sf_dir):
     shortlist (sim_knn_ivf) and re-rank — the mining semantics
     (different-label top-k) stay this query."""
     t = Tables(spark, sf_dir)
-    q = t.embeddings.filter(F.col("vec_id") < 20).select(
+    nz = t.embeddings.filter(sq_norm(to_double("embedding")) > 0)
+    q = nz.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
         to_double("embedding").alias("qe"),
     )
-    c = t.embeddings.select(
+    c = nz.select(
         F.col("vec_id").alias("neg_id"),
         "label",
         to_double("embedding").alias("ce"),
@@ -527,15 +531,19 @@ def _mmr_oracle() -> str:
 
     parts = [
         f"""
-    WITH q AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS qe
-               FROM embeddings WHERE vec_id = 0),
+    WITH qv AS MATERIALIZED (
+        SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings WHERE {NONZERO_EMB_SQL}
+        ORDER BY vec_id LIMIT 1),
+    q AS MATERIALIZED (SELECT qe FROM qv),
     qn AS MATERIALIZED (SELECT sqrt({n2q}) AS qnorm FROM q),
     short AS MATERIALIZED (
         SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ce,
                sqrt({n2e}) AS cnorm,
                CAST(floor((({dotq}) / (sqrt({n2e}) * qn.qnorm))
                           * 10000 + 0.5) AS BIGINT) AS rel_fp
-        FROM embeddings e, q, qn WHERE e.vec_id <> 0
+        FROM (SELECT * FROM embeddings WHERE {NONZERO_EMB_SQL}) e, q, qn
+        WHERE e.vec_id <> (SELECT qid FROM qv)
         ORDER BY rel_fp DESC, e.vec_id LIMIT {MMR_SHORTLIST}),
     pr AS MATERIALIZED (
         SELECT a.vec_id AS av, b.vec_id AS bv,
@@ -587,12 +595,16 @@ def sim_mmr_rerank(spark, sf_dir):
     integer greedy is engine-exact — see :func:`_mmr_oracle`.  The
     diversity win over plain top-k is asserted in tests/test_ann.py."""
     t = Tables(spark, sf_dir)
-    q = t.embeddings.filter(F.col("vec_id") == 0).select(
-        to_double("embedding").alias("qe")
+    # query = FIRST nonzero-norm vector (vec_id 0 on the driver corpus;
+    # the r10 stress corpus makes vec_id 0 the zero vector, for which
+    # cosine relevance is undefined)
+    nz = t.embeddings.filter(sq_norm(to_double("embedding")) > 0)
+    q = nz.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("qid"), to_double("embedding").alias("qe")
     )
     cand = (
-        t.embeddings.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
+        nz.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "vec_id",
             to_double("embedding").alias("ce"),

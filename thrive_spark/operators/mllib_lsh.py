@@ -73,7 +73,15 @@ def dedup_minhash_mllib(spark, sf_dir):
     # word 3-shingles — the SAME feature space as the hand-rolled
     # twin; bare token SETS are far too coarse on a bounded vocabulary
     # (30k false pairs at sf0.01 when prototyped with tokens)
-    docs = _shingled_docs(t)
+    # localCheckpoint = optimizer barrier: approxSimilarityJoin inlines
+    # MinHash's hashFunction (which REQUIRES a non-empty vector) into a
+    # Filter predicate that Catalyst reorders BELOW _shingled_docs'
+    # size(tokens) > 0 filter — on a corpus with token-less docs (r10
+    # stress) the UDF then sees empty vectors and aborts the job. The
+    # barrier pins the pruning before the LSH plan fragment; the table
+    # is the smallest in the corpus, so materializing it is cheap even
+    # at scale (it holds shingle arrays, not raw text).
+    docs = _shingled_docs(t).localCheckpoint(eager=False)
     tf = HashingTF(
         inputCol="tokens", outputCol="features", numFeatures=1 << 18,
         binary=True,
@@ -120,12 +128,19 @@ def sim_knn_mllib_brp(spark, sf_dir):
             lambda a, x: a + x,
         )
     )
-    unit = t.embeddings.select(
+    # zero-norm vectors cannot be unit-normalized (ANSI divide-by-zero,
+    # r10 stress corpus) and carry no direction — exclude up front
+    # filter + localCheckpoint: zero-norm vectors cannot be
+    # unit-normalized and carry no direction; the barrier stops
+    # approxSimilarityJoin's distance predicate (with the ÷norm
+    # projection inlined) from reordering below the guard — the same
+    # Catalyst filter-reordering trap as dedup_minhash_mllib above
+    unit = t.embeddings.filter(norm > 0).select(
         "vec_id",
         array_to_vector(
             F.transform("embedding", lambda x: x.cast("double") / norm)
         ).alias("v"),
-    )
+    ).localCheckpoint(eager=False)
     brp = BucketedRandomProjectionLSH(
         inputCol="v", outputCol="hashes", numHashTables=6,
         bucketLength=0.5, seed=42,

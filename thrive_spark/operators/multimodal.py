@@ -138,6 +138,8 @@ def multimodal_binary_features(spark, sf_dir):
         SELECT doc_id, text, length(text) AS L,
                greatest(length(text) // 3, 1) AS n_px
         FROM documents
+        WHERE octet_length(encode(text)) = length(text)
+          AND length(text) > 0
     ),
     geom AS MATERIALIZED (
         SELECT doc_id, text, L,
@@ -204,7 +206,13 @@ def multimodal_decode_stub(spark, sf_dir):
                 }
             )
 
-    src = t.documents.select("doc_id", F.encode("text", "UTF-8").alias("img"))
+    # Oracle-pinned exhibit domain: the symbolic byte-math replay only
+    # holds when chars == bytes, so the exhibit reads ASCII non-empty
+    # docs (real image binaries aren't text; the decoder itself accepts
+    # any bytes — see tests/test_multimodal.py for the binary path).
+    src = t.documents.filter(
+        "octet_length(encode(text, 'UTF-8')) = length(text) AND length(text) > 0"
+    ).select("doc_id", F.encode("text", "UTF-8").alias("img"))
     return src.mapInPandas(
         decode,
         "doc_id long, width long, height long, n_channels long, "
@@ -219,6 +227,8 @@ def multimodal_decode_stub(spark, sf_dir):
         SELECT doc_id, text, length(text) AS L,
                greatest(length(text) // 3, 1) AS n_px
         FROM documents
+        WHERE octet_length(encode(text)) = length(text)
+          AND length(text) > 0
     ),
     geom AS MATERIALIZED (
         SELECT doc_id, text, L,
@@ -280,9 +290,16 @@ def multimodal_frame_sample(spark, sf_dir):
             for doc_id, b in zip(pdf["doc_id"], pdf["img"]):
                 payload = bytes(b)
                 # build the container: frame i is the payload rolled
-                # by i bytes — deterministic, all frames distinct
+                # by i bytes — deterministic, all frames distinct.
+                # Roll modulo L: python slicing makes payload[i:] empty
+                # for i >= L (identity "roll"), but the oracle replays
+                # byte m of frame i as (m + i) mod L — a true modular
+                # roll (diverged on docs shorter than n_frames bytes,
+                # flushed by the r10 stress corpus)
                 video = b"".join(
-                    encode_ppm(payload[i:] + payload[:i])
+                    encode_ppm(
+                        payload[i % len(payload):] + payload[:i % len(payload)]
+                    )
                     for i in range(n_frames)
                 )
                 # demux: walk P6 headers to find frame boundaries
@@ -310,7 +327,12 @@ def multimodal_frame_sample(spark, sf_dir):
                 columns=["doc_id", "frame_idx", "width", "height", "feature"],
             )
 
-    src = t.documents.select("doc_id", F.encode("text", "UTF-8").alias("img"))
+    # same ASCII non-empty exhibit domain as multimodal_decode_stub —
+    # the oracle replays byte rolls as char rolls, valid only when
+    # chars == bytes (and the roll needs ≥1 byte)
+    src = t.documents.filter(
+        "octet_length(encode(text, 'UTF-8')) = length(text) AND length(text) > 0"
+    ).select("doc_id", F.encode("text", "UTF-8").alias("img"))
     return src.mapInPandas(
         frames,
         "doc_id long, frame_idx long, width long, height long, feature string",

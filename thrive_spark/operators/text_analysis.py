@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import Tables
-from ..functions.vectors import cosine, to_double
+from ..functions.vectors import NONZERO_EMB_SQL, cosine, sq_norm, to_double
 from ._util import ffix, ofix, r4
 
 #: tiny per-language stopword lists for the n-gram/stopword heuristic;
@@ -638,12 +638,12 @@ RRF_K, RRF_TOPK = 60, 15
         FROM scored
     ),
     q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
-          WHERE vec_id = 0),
+          WHERE {NONZERO_EMB_SQL} ORDER BY vec_id LIMIT 1),
     vec AS (
         SELECT vec_id,
                round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe),
                      4) AS sim
-        FROM embeddings, q
+        FROM (SELECT * FROM embeddings WHERE {NONZERO_EMB_SQL}) embeddings, q
     ),
     vecr AS (
         SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS r_vec
@@ -685,10 +685,14 @@ def sim_hybrid_rrf(spark, sf_dir):
             Window.orderBy(F.col("score_fp").desc(), "doc_id")
         ),
     )
-    q = t.embeddings.filter(F.col("vec_id") == 0).select(
+    # dense side: first nonzero-norm vector is the query (vec_id 0 on
+    # the driver corpus); zero-norm vectors have no cosine rank and are
+    # excluded from the dense list (r10 stress corpus)
+    nz = t.embeddings.filter(sq_norm(to_double("embedding")) > 0)
+    q = nz.orderBy("vec_id").limit(1).select(
         to_double("embedding").alias("qe")
     )
-    vec = t.embeddings.crossJoin(F.broadcast(q)).select(
+    vec = nz.crossJoin(F.broadcast(q)).select(
         "vec_id", r4(cosine(to_double("embedding"), F.col("qe"))).alias("sim")
     )
     vecr = vec.withColumn(

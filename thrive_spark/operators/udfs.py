@@ -25,7 +25,8 @@ from ..tables import Tables
     "udf_python_scalar",
     oracle="""
     SELECT o_orderkey,
-           CASE WHEN o_totalprice < 100000.0 THEN 'low'
+           CASE WHEN o_totalprice IS NULL THEN NULL
+                WHEN o_totalprice < 100000.0 THEN 'low'
                 WHEN o_totalprice < 250000.0 THEN 'mid'
                 ELSE 'high' END AS band
     FROM orders
@@ -38,6 +39,8 @@ def udf_python_scalar(spark, sf_dir):
 
     @F.udf(returnType=T.StringType())
     def band(p: float) -> str:
+        if p is None:  # NULL in, NULL out (r10 stress corpus)
+            return None
         if p < 100000.0:
             return "low"
         if p < 250000.0:
@@ -194,7 +197,8 @@ def udtf_python_native(spark, sf_dir):
     "udf_arrow_scalar",
     oracle="""
     SELECT o_orderkey,
-           CASE WHEN o_totalprice < 100000.0 THEN 'low'
+           CASE WHEN o_totalprice IS NULL THEN NULL
+                WHEN o_totalprice < 100000.0 THEN 'low'
                 WHEN o_totalprice < 250000.0 THEN 'mid'
                 ELSE 'high' END AS band
     FROM orders
@@ -211,6 +215,8 @@ def udf_arrow_scalar(spark, sf_dir):
 
     @F.udf(returnType=T.StringType(), useArrow=True)
     def band(p: float) -> str:
+        if p is None:  # NULL in, NULL out (r10 stress corpus)
+            return None
         if p < 100000.0:
             return "low"
         if p < 250000.0:

@@ -561,7 +561,10 @@ def dedup_semantic_exact(spark, sf_dir):
 
     a, b = side.alias("a"), side.alias("b")
     dot = fold(F.zip_with("a.x", "b.x", lambda p, q: p * q))
-    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    # try_divide: zero-norm vectors (r10 stress corpus) give cos NULL,
+    # which the >= threshold filter drops — exactly matching the
+    # oracle, where DuckDB's x/0.0 is NULL and NULL >= t is filtered
+    cos = F.try_divide(dot, F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(
             b,

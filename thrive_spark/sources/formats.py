@@ -49,9 +49,11 @@ def scan_orc_roundtrip(spark, sf_dir):
     "scan_variant_json",
     oracle="""
     SELECT event_type,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-               AS sum_k,
-           count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NOT NULL)
+           CAST(sum(CASE WHEN json_valid(props) THEN
+                    CAST(json_extract_string(props, '$.k') AS BIGINT) END)
+                AS BIGINT) AS sum_k,
+           count(CASE WHEN json_valid(props)
+                      THEN json_extract_string(props, '$.k') END)
                AS n_with_k
     FROM events GROUP BY event_type
     """,
@@ -62,8 +64,10 @@ def scan_variant_json(spark, sf_dir):
     payloads whose shape drifts (vs from_json's fixed StructType).
     Extraction pushdown happens per-path at query time."""
     t = Tables(spark, sf_dir)
+    # try_parse_json: corrupt payloads become NULL variants instead of
+    # a FAILFAST job abort — one bad record must not kill a 100 TB scan
     v = t.events.select(
-        "event_type", F.parse_json("props").alias("v")
+        "event_type", F.try_parse_json("props").alias("v")
     )
     return v.groupBy("event_type").agg(
         F.sum(F.variant_get("v", "$.k", "bigint")).alias("sum_k"),
