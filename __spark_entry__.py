@@ -129,6 +129,8 @@ GRADE_DEFER = [
     # these 3 still fit the 47-slot window, so nothing is displaced)
     "events_retention_triangle", "win_running_distinct",
     "dq_uniqueness_profile",
+    # r10 registrations
+    "fn_interval_bank",
 ]
 
 

@@ -1,0 +1,74 @@
+"""Adversarial-domain oracle sweep (r10, VERDICT r9 item 1).
+
+Runs EVERY registered query against the stress corpus
+(tools/gen_stress_data.py: empty groups, skew, ties, NULLs, pre-1970
+dates, empty/non-ASCII/bracketed docs, zero-norm vectors …) and
+hash-compares each oracle pair exactly like the driver.  The benign
+sf0.01 grade cannot see data-dependent hash luck — this suite is what
+flushed the 39 r10 divergences (floor-vs-trunc week ids, byte-vs-char
+levenshtein, NULL-dropping UNPIVOT, newline-blind regex dot, …).
+
+Rows-only queries still run (smoke: no crash on adversarial data).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from thrive_spark.registry import ORACLE, QUERIES
+from thrive_spark.tables import TABLE_NAMES
+
+from test_oracle import canon
+
+
+@pytest.fixture(scope="session")
+def stress_dir():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_stress_data",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "gen_stress_data.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.main()
+
+
+@pytest.fixture(scope="session")
+def stress_ddb(stress_dir):
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{stress_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("qid", sorted(ORACLE))
+def test_stress_oracle_match(qid, spark, stress_ddb, stress_dir):
+    spark_pdf = QUERIES[qid](spark, stress_dir).toPandas()
+    duck_pdf = stress_ddb.execute(ORACLE[qid]).df()
+    s_cols, s_rows = canon(spark_pdf)
+    d_cols, d_rows = canon(duck_pdf)
+    assert s_cols == d_cols, f"{qid}: column mismatch {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), (
+        f"{qid}: row count {len(s_rows)} vs {len(d_rows)}"
+    )
+    mismatches = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
+    assert not mismatches, (
+        f"{qid}: {len(mismatches)} row mismatches; first: {mismatches[0]}"
+    )
+
+
+@pytest.mark.parametrize("qid", sorted(set(QUERIES) - set(ORACLE)))
+def test_stress_rows_only_runs(qid, spark, stress_dir):
+    # rows-only ops must at least survive the adversarial corpus
+    QUERIES[qid](spark, stress_dir).collect()

@@ -39,6 +39,7 @@ from ..tables import Tables
     """,
 )
 def fn_string_bank(spark, sf_dir):
+    """concat/substr/case/trim/lpad/length/split/regexp/instr/translate/reverse/repeat bank."""
     t = Tables(spark, sf_dir)
     return t.part.select(
         "p_partkey",
@@ -78,6 +79,7 @@ def fn_string_bank(spark, sf_dir):
     """,
 )
 def fn_date_bank(spark, sf_dir):
+    """year/month/day, date_trunc, date_add, datediff, last_day, dow, epoch, strftime bank."""
     t = Tables(spark, sf_dir)
     d = F.col("o_orderdate").cast("date")
     return t.orders.select(
@@ -102,6 +104,64 @@ def fn_date_bank(spark, sf_dir):
 
 
 @query(
+    "fn_interval_bank",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS VARCHAR)
+               AS c_plus_3mo,
+           CAST(CAST(o_orderdate - INTERVAL 90 DAY AS DATE) AS VARCHAR)
+               AS c_minus_90d,
+           o_orderdate + INTERVAL 90 MINUTE AS c_plus_90min,
+           o_orderdate + INTERVAL '1 day 2 hours 30 minutes' AS c_mixed,
+           CAST(CAST(o_orderdate - INTERVAL 1 YEAR AS DATE) AS VARCHAR)
+               AS c_back_1y,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          CAST(o_orderdate + INTERVAL 2 MONTH AS DATE))
+                AS BIGINT) AS c_2mo_days
+    FROM orders
+    """,
+)
+def fn_interval_bank(spark, sf_dir):
+    """INTERVAL arithmetic bank (the one scalar family without an
+    exhibit row through r9): interval literals, make_interval, date ±
+    year/month/day/minute intervals, and a month-span day count whose
+    value depends on calendar month lengths.
+
+    Cross-engine notes that make this hash-checkable: month/year
+    arithmetic is CALENDAR-based and end-of-month-clamped identically
+    in Spark and DuckDB (Jan 31 + 1 month = Feb 28/29 in both); mixed
+    day-time intervals add exact microsecond counts; outputs are
+    DATE-as-string / TIMESTAMP / BIGINT — never INTERVAL-typed, whose
+    repr differs per engine. All map-only JVM expressions; verified on
+    pre-1970 dates by the r10 stress corpus (calendar math has no
+    epoch discontinuity)."""
+    t = Tables(spark, sf_dir)
+    d = F.col("o_orderdate")
+    return t.orders.select(
+        "o_orderkey",
+        F.expr("cast(o_orderdate + interval 3 month as date)")
+        .cast("string")
+        .alias("c_plus_3mo"),
+        F.expr("cast(o_orderdate - interval 90 day as date)")
+        .cast("string")
+        .alias("c_minus_90d"),
+        F.expr("o_orderdate + interval 90 minute").alias("c_plus_90min"),
+        F.expr(
+            "o_orderdate + make_interval(0, 0, 0, 1, 2, 30, 0)"
+        ).alias("c_mixed"),
+        F.expr("cast(o_orderdate - interval 1 year as date)")
+        .cast("string")
+        .alias("c_back_1y"),
+        F.datediff(
+            F.expr("cast(o_orderdate + interval 2 month as date)"),
+            d.cast("date"),
+        )
+        .cast("bigint")
+        .alias("c_2mo_days"),
+    )
+
+
+@query(
     "fn_math_bank",
     oracle="""
     SELECT o_orderkey,
@@ -120,6 +180,7 @@ def fn_date_bank(spark, sf_dir):
     """,
 )
 def fn_math_bank(spark, sf_dir):
+    """round/abs/ceil/floor/pow/sqrt/ln/log10/exp/sign/pmod math bank."""
     t = Tables(spark, sf_dir)
     p = F.col("o_totalprice")
     return t.orders.select(
@@ -154,6 +215,7 @@ def fn_math_bank(spark, sf_dir):
     """,
 )
 def fn_conditional_bank(spark, sf_dir):
+    """CASE/coalesce/nullif/greatest/least conditional-function bank."""
     t = Tables(spark, sf_dir)
     p = F.col("o_totalprice")
     return t.orders.select(
@@ -285,6 +347,7 @@ def fn_array_explode(spark, sf_dir):
     """,
 )
 def fn_map_bank(spark, sf_dir):
+    """create_map + element_at / map_keys / cardinality over a JSON-derived map."""
     t = Tables(spark, sf_dir)
     mp = F.create_map(
         F.lit("k"),
@@ -344,6 +407,7 @@ def fn_json_bank(spark, sf_dir):
     """,
 )
 def fn_hash_bank(spark, sf_dir):
+    """Portable digest bank: md5 + sha256 of document text."""
     t = Tables(spark, sf_dir)
     return t.documents.select(
         "doc_id",
@@ -355,6 +419,7 @@ def fn_hash_bank(spark, sf_dir):
 @query("fn_hash_spark")  # rows-only: Spark-seeded hash functions have
 # no cross-engine twin (xxhash64 seed=42, Murmur3 seed=42)
 def fn_hash_spark(spark, sf_dir):
+    """Spark-native hash bank: xxhash64, murmur3, crc32, sha1 (rows-only: engine-specific seeds)."""
     t = Tables(spark, sf_dir)
     return t.documents.select(
         "doc_id",

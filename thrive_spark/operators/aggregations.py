@@ -31,6 +31,7 @@ from ._util import dsum, fixed, osum, r4
     """,
 )
 def agg_global(spark, sf_dir):
+    """Ungrouped table-wide aggregate: count, fixed-point sums, min/max over lineitem."""
     t = Tables(spark, sf_dir)
     return t.lineitem.agg(
         F.count("*").alias("n_rows"),
@@ -88,6 +89,7 @@ def agg_hash_groupby(spark, sf_dir):
     """,
 )
 def agg_count_distinct(spark, sf_dir):
+    """count(DISTINCT customers / priorities) per order status."""
     t = Tables(spark, sf_dir)
     return t.orders.groupBy("o_orderstatus").agg(
         F.countDistinct("o_custkey").alias("n_customers"),
@@ -97,6 +99,7 @@ def agg_count_distinct(spark, sf_dir):
 
 @query("agg_approx_count_distinct")  # rows-only: HLL sketches are engine-specific
 def agg_approx_count_distinct(spark, sf_dir):
+    """HLL approx_count_distinct users per event type (engine-specific sketch: rows-only)."""
     t = Tables(spark, sf_dir)
     return t.events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
@@ -115,6 +118,7 @@ def agg_approx_count_distinct(spark, sf_dir):
     """,
 )
 def agg_grouping_sets(spark, sf_dir):
+    """GROUPING SETS ((flag,status),(flag),()) revenue rollup in one pass."""
     t = Tables(spark, sf_dir)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return t.lineitem.groupingSets(
@@ -133,6 +137,7 @@ def agg_grouping_sets(spark, sf_dir):
     """,
 )
 def agg_rollup(spark, sf_dir):
+    """ROLLUP (returnflag, linestatus) quantity totals with subtotal rows."""
     t = Tables(spark, sf_dir)
     return t.lineitem.rollup("l_returnflag", "l_linestatus").agg(
         dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n")
@@ -148,6 +153,7 @@ def agg_rollup(spark, sf_dir):
     """,
 )
 def agg_cube(spark, sf_dir):
+    """CUBE (event_type, user bucket) counts + fixed-point value sums."""
     t = Tables(spark, sf_dir)
     e = t.events.withColumn("user_bucket", F.col("user_id") % 5)
     return e.cube("event_type", "user_bucket").agg(
@@ -190,6 +196,7 @@ def agg_collect_sorted(spark, sf_dir):
     """,
 )
 def agg_stats(spark, sf_dir):
+    """Per-flag stddev/variance/corr/covar — the statistical aggregate bank."""
     t = Tables(spark, sf_dir)
     return t.lineitem.groupBy("l_returnflag").agg(
         r4(F.stddev_samp("l_quantity")).alias("sd_qty"),
@@ -209,6 +216,7 @@ def agg_stats(spark, sf_dir):
     """,
 )
 def agg_percentile_exact(spark, sf_dir):
+    """Exact percentile (median, p90) of order totals per status."""
     t = Tables(spark, sf_dir)
     return t.orders.groupBy("o_orderstatus").agg(
         r4(F.percentile("o_totalprice", 0.5)).alias("median_price"),
@@ -218,6 +226,7 @@ def agg_percentile_exact(spark, sf_dir):
 
 @query("agg_percentile_approx")  # rows-only: sketch-based, engine-specific
 def agg_percentile_approx(spark, sf_dir):
+    """percentile_approx median/p90 per status (sketch-based: rows-only)."""
     t = Tables(spark, sf_dir)
     return t.orders.groupBy("o_orderstatus").agg(
         F.percentile_approx("o_totalprice", 0.5).alias("approx_median"),
@@ -237,6 +246,7 @@ def agg_percentile_approx(spark, sf_dir):
     """,
 )
 def pivot_status_by_segment(spark, sf_dir):
+    """pivot order status into per-segment count columns (NULL cells zeroed)."""
     t = Tables(spark, sf_dir)
     joined = t.orders.join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
     piv = (

@@ -36,6 +36,7 @@ from ._util import dsum, fixed, osum
     """,
 )
 def join_inner_broadcast(spark, sf_dir):
+    """Orders ⋈ broadcast(customer) inner join rolled up by segment."""
     t = Tables(spark, sf_dir)
     return (
         t.orders.join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
@@ -54,6 +55,7 @@ def join_inner_broadcast(spark, sf_dir):
     """,
 )
 def join_inner_shuffle(spark, sf_dir):
+    """Fact-fact lineitem ⋈ orders shuffle join with revenue rollup."""
     t = Tables(spark, sf_dir)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -75,6 +77,7 @@ def join_inner_shuffle(spark, sf_dir):
     """,
 )
 def join_left_outer(spark, sf_dir):
+    """Left outer orders→lineitem preserving empty orders; distribution of lines/order."""
     t = Tables(spark, sf_dir)
     return (
         t.orders.join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"), "left")
@@ -97,6 +100,7 @@ def join_left_outer(spark, sf_dir):
     """,
 )
 def join_right_outer(spark, sf_dir):
+    """Right outer lineitem→orders (mirror of the left-outer exhibit)."""
     t = Tables(spark, sf_dir)
     return (
         t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"), "right")
@@ -119,6 +123,7 @@ def join_right_outer(spark, sf_dir):
     """,
 )
 def join_full_outer(spark, sf_dir):
+    """Full outer join with both-sides/left-only/right-only match counts."""
     t = Tables(spark, sf_dir)
     lo = t.customer.filter(F.col("c_custkey") % 2 == 0).select("c_custkey")
     hi = (
@@ -146,6 +151,7 @@ def join_full_outer(spark, sf_dir):
     """,
 )
 def join_left_semi(spark, sf_dir):
+    """LEFT SEMI: customers having at least one urgent order."""
     t = Tables(spark, sf_dir)
     urgent = t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
     return t.customer.join(
@@ -177,6 +183,7 @@ def join_left_anti(spark, sf_dir):
     oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
 )
 def join_cross(spark, sf_dir):
+    """Cross join of two tiny dimensions (region × nation)."""
     t = Tables(spark, sf_dir)
     return t.region.select("r_name").crossJoin(t.nation.select("n_name"))
 
@@ -242,12 +249,13 @@ def join_asof_backward(spark, sf_dir):
 @query(
     "join_asof_cogroup",
     oracle="""
-    SELECT event_id, user_id, ts,
-           max(CASE WHEN event_type = 'signup' THEN ts END)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-               AS prev_signup_ts
-    FROM events
+    WITH s AS (
+        SELECT user_id, ts AS signup_ts FROM events
+        WHERE event_type = 'signup'
+    )
+    SELECT e.event_id, e.user_id, e.ts, s.signup_ts AS prev_signup_ts
+    FROM events e
+    ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ts > s.signup_ts
     """,
 )
 def join_asof_cogroup(spark, sf_dir):
@@ -255,10 +263,12 @@ def join_asof_cogroup(spark, sf_dir):
     both sides shuffle once on the key, then each group's sorted merge
     runs in one Arrow batch. This is the recipe when the window
     formulation's running max can't express the payload (as-of joins
-    pulling many columns from the right side). Same oracle as
-    join_asof_backward; exact-timestamp matches are excluded on both
-    sides (ties at identical microseconds would differ, none exist in
-    this corpus)."""
+    pulling many columns from the right side). Checked against
+    DuckDB's native ASOF LEFT JOIN with a STRICT inequality, which is
+    exactly merge_asof(allow_exact_matches=False): a signup at the
+    same microsecond does NOT match (the window-frame formulation in
+    join_asof_backward deliberately keeps same-ts earlier-event rows
+    instead — the two exhibits pin the two tie disciplines)."""
     import pandas as pd
 
     t = Tables(spark, sf_dir)

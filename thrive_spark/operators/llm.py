@@ -45,6 +45,7 @@ JACCARD_THRESHOLD = 0.8
     """,
 )
 def dedup_exact_hash(spark, sf_dir):
+    """Exact dedup: groupBy(md5(text)) keeping min doc_id + copy count."""
     t = Tables(spark, sf_dir)
     return t.documents.groupBy(F.md5("text").alias("text_hash")).agg(
         F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
@@ -341,6 +342,7 @@ def multimodal_join_text_vec(spark, sf_dir):
     """,
 )
 def text_tokenize_stats(spark, sf_dir):
+    """Whitespace tokenization: per-language doc/token/distinct-token/length stats."""
     t = Tables(spark, sf_dir)
     tok = t.documents.select(
         "lang", "doc_id", F.explode(F.split("text", " ")).alias("token")
@@ -425,6 +427,7 @@ def text_tfidf_topterms(spark, sf_dir):
     """,
 )
 def text_lang_distribution(spark, sf_dir):
+    """Docs per (lang, source) joined with per-language median length."""
     t = Tables(spark, sf_dir)
     med = t.documents.groupBy("lang").agg(
         r4(F.percentile("n_chars", 0.5)).alias("median_chars")

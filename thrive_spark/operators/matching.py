@@ -26,7 +26,9 @@ _MAX_DIST = 2
     "join_fuzzy_levenshtein",
     oracle=f"""
     WITH names AS (
-        SELECT p_name, count(*) AS n_parts FROM part GROUP BY p_name
+        SELECT p_name, count(*) AS n_parts FROM part
+        WHERE octet_length(encode(p_name)) = length(p_name)
+        GROUP BY p_name
     )
     SELECT a.p_name AS name_a, b.p_name AS name_b,
            CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
@@ -53,7 +55,15 @@ def join_fuzzy_levenshtein(spark, sf_dir):
     dedup_ngram_jaccard); the shape here is the k≤2 specialization.
     """
     t = Tables(spark, sf_dir)
-    names = t.part.groupBy("p_name").agg(F.count("*").alias("n_parts"))
+    # oracle-pinned ASCII domain: Spark's levenshtein counts CHAR
+    # edits, DuckDB's counts BYTE edits — they disagree exactly on
+    # multi-byte names (r10 stress corpus), so the hash-checked
+    # exhibit runs where the two definitions coincide
+    names = (
+        t.part.filter("octet_length(encode(p_name, 'UTF-8')) = length(p_name)")
+        .groupBy("p_name")
+        .agg(F.count("*").alias("n_parts"))
+    )
     a = names.select(
         F.col("p_name").alias("name_a"),
         F.col("n_parts").alias("n_parts_a"),

@@ -25,6 +25,7 @@ from ._util import r4
     """,
 )
 def project_select_rename(spark, sf_dir):
+    """Projection with alias + derived net-price column (column pruning exhibit)."""
     t = Tables(spark, sf_dir)
     return t.lineitem.select(
         "l_orderkey",
@@ -48,6 +49,7 @@ def project_select_rename(spark, sf_dir):
     """,
 )
 def project_cast_matrix(spark, sf_dir):
+    """Cast matrix: string/int/date/double + try_cast failure → NULL exhibits."""
     t = Tables(spark, sf_dir)
     return t.orders.select(
         "o_orderkey",
@@ -68,6 +70,7 @@ def project_cast_matrix(spark, sf_dir):
     """,
 )
 def filter_simple_pred(spark, sf_dir):
+    """Single comparison predicate pushed to the parquet scan."""
     t = Tables(spark, sf_dir)
     return t.lineitem.filter(F.col("l_quantity") > 30).select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
@@ -84,6 +87,7 @@ def filter_simple_pred(spark, sf_dir):
     """,
 )
 def filter_compound_pred(spark, sf_dir):
+    """Compound boolean predicate: (open AND pricey) OR (closed AND cheap)."""
     t = Tables(spark, sf_dir)
     is_o = F.col("o_orderstatus") == "O"
     return t.orders.filter(
@@ -102,6 +106,7 @@ def filter_compound_pred(spark, sf_dir):
     """,
 )
 def filter_in_between(spark, sf_dir):
+    """IN-list + BETWEEN range predicate on orders."""
     t = Tables(spark, sf_dir)
     return t.orders.filter(
         F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
@@ -121,6 +126,7 @@ def filter_in_between(spark, sf_dir):
     """,
 )
 def filter_null_semantics(spark, sf_dir):
+    """Three-valued logic exhibit: nullif + IS NULL / eqNullSafe counts."""
     t = Tables(spark, sf_dir)
     st = F.nullif(F.col("o_orderstatus"), F.lit("P"))
     d = t.orders.select(st.alias("st"))
@@ -142,6 +148,7 @@ def filter_null_semantics(spark, sf_dir):
     """,
 )
 def filter_like_regex(spark, sf_dir):
+    """LIKE pattern + rlike regex over part names."""
     t = Tables(spark, sf_dir)
     return t.part.filter(
         F.col("p_name").like("%ol%") & F.col("p_name").rlike("[aeiou]{2}")
@@ -153,5 +160,6 @@ def filter_like_regex(spark, sf_dir):
     oracle="SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
 )
 def distinct_rows(spark, sf_dir):
+    """dropDuplicates over a 2-column projection (DISTINCT exhibit)."""
     t = Tables(spark, sf_dir)
     return t.customer.select("c_nationkey", "c_mktsegment").dropDuplicates()

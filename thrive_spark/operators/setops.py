@@ -73,6 +73,7 @@ def union_all_dedup(spark, sf_dir):
     """,
 )
 def intersect_except(spark, sf_dir):
+    """INTERSECT and EXCEPT of open-vs-fulfilled customer key sets, tagged and unioned."""
     t = Tables(spark, sf_dir)
     o_open = (
         t.orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()

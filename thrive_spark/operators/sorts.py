@@ -25,6 +25,7 @@ from ..tables import Tables
     """,
 )
 def sort_multi_key(spark, sf_dir):
+    """Multi-key ORDER BY (status asc, price desc, key asc) with LIMIT."""
     t = Tables(spark, sf_dir)
     return (
         t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -54,6 +55,7 @@ def sort_multi_key(spark, sf_dir):
     """,
 )
 def sort_nulls_first_last(spark, sf_dir):
+    """NULLS FIRST vs NULLS LAST orderings, tagged and unioned."""
     t = Tables(spark, sf_dir)
     base = t.orders.select(
         "o_orderkey",
@@ -84,6 +86,7 @@ def sort_nulls_first_last(spark, sf_dir):
     """,
 )
 def topk_global(spark, sf_dir):
+    """Global top-20 by price via orderBy+limit (TakeOrderedAndProject exhibit)."""
     t = Tables(spark, sf_dir)
     return (
         t.lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice")
@@ -103,7 +106,8 @@ def topk_global(spark, sf_dir):
       SELECT o_custkey, o_orderkey,
              row_number() OVER (
                PARTITION BY o_custkey
-               ORDER BY CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)
+               ORDER BY coalesce(CAST(floor(o_totalprice * 10000 + 0.5)
+                                    AS BIGINT), -4611686018427387904)
                    DESC, o_orderkey) AS rn
       FROM orders
     )
@@ -124,10 +128,16 @@ def topk_per_group_agg(spark, sf_dir):
     within 5e-5 of each other tie (and fall back to o_orderkey)
     identically in both engines."""
     t = Tables(spark, sf_dir)
+    # NULL price ranks LAST on both engines: coalesce the fixed-point
+    # key to -2^62 before negating (struct-sort NULL placement and SQL
+    # DESC NULL placement would otherwise disagree; r10 stress corpus)
     item = F.struct(
-        (-F.floor(F.col("o_totalprice") * 10000 + 0.5).cast("long")).alias(
-            "neg_pf"
-        ),
+        (
+            -F.coalesce(
+                F.floor(F.col("o_totalprice") * 10000 + 0.5).cast("long"),
+                F.lit(-4611686018427387904),
+            )
+        ).alias("neg_pf"),
         F.col("o_orderkey").alias("k"),
     )
     top3 = F.slice(F.sort_array(F.collect_list(item)), 1, 3)

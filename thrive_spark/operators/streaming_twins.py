@@ -28,6 +28,7 @@ from ._util import dsum_over
     """,
 )
 def stream_tumbling_count(spark, sf_dir):
+    """1-hour tumbling window counts per event type (batch twin of the streaming op)."""
     t = Tables(spark, sf_dir)
     return (
         t.events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -40,7 +41,8 @@ def stream_tumbling_count(spark, sf_dir):
     "stream_sliding_avg",
     oracle="""
     WITH e AS (
-        SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) * 900000000 AS b,
+        SELECT CAST(floor(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE)
+                          / 900000000) AS BIGINT) * 900000000 AS b,
                value
         FROM events
     ),

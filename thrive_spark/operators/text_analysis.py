@@ -71,17 +71,24 @@ def text_quality_score(spark, sf_dir):
         n_tokens.alias("n_tokens"),
         n_punct.alias("n_punct"),
     )
+    # try_divide: empty docs (0 tokens / 0 chars) score NULL — the same
+    # NULL DuckDB's x/0 yields, so the oracle needs no change (r10)
     return s.select(
         "*",
-        r4(F.col("n_chars_m").cast("double") / F.col("n_tokens")).alias(
-            "avg_token_len"
-        ),
-        r4(F.col("n_punct").cast("double") / F.col("n_chars_m")).alias(
-            "punct_ratio"
-        ),
+        r4(
+            F.try_divide(F.col("n_chars_m").cast("double"), F.col("n_tokens"))
+        ).alias("avg_token_len"),
+        r4(
+            F.try_divide(F.col("n_punct").cast("double"), F.col("n_chars_m"))
+        ).alias("punct_ratio"),
         r4(
             F.least(F.col("n_tokens").cast("double") / 50.0, F.lit(1.0))
-            * (1.0 - F.col("n_punct").cast("double") / F.col("n_chars_m"))
+            * (
+                1.0
+                - F.try_divide(
+                    F.col("n_punct").cast("double"), F.col("n_chars_m")
+                )
+            )
         ).alias("quality"),
     )
 
@@ -154,10 +161,11 @@ def text_lang_id(spark, sf_dir):
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
-           md5(array_to_string(list_sort(list_distinct(
-               list_filter(string_split(text, ' '), t -> t <> ''))), ' '))
+           md5(coalesce(array_to_string(list_sort(list_distinct(
+               list_filter(string_split(text, ' '), t -> t <> ''))), ' '), ''))
                AS set_fingerprint,
-           md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+           md5(coalesce(array_to_string(string_split(text, ' ')[1:8], ' '),
+                        ''))
                AS prefix_fingerprint
     FROM documents
     """,
@@ -215,9 +223,9 @@ def text_token_count_bpe(spark, sf_dir):
     return s.select(
         "*",
         F.ceil(F.col("n_chars_m") / 4.0).cast("bigint").alias("est_bpe_tokens"),
-        r4(F.col("n_chars_m").cast("double") / F.col("n_words")).alias(
-            "chars_per_word"
-        ),
+        r4(
+            F.try_divide(F.col("n_chars_m").cast("double"), F.col("n_words"))
+        ).alias("chars_per_word"),
     )
 
 
@@ -1132,12 +1140,14 @@ def text_readability_flesch(spark, sf_dir):
         n_sent.cast("bigint").alias("n_sentences"),
         n_syl.cast("bigint").alias("n_syllables"),
     )
+    # try_divide: a 0-word doc has no readability — NULL, matching the
+    # oracle's NULL-on-/0 (n_sentences/n_syllables are floored at 1)
     score = (
         F.lit(206.835)
         - F.lit(1.015)
           * (F.col("n_words").cast("double") / F.col("n_sentences"))
         - F.lit(84.6)
-          * (F.col("n_syllables").cast("double") / F.col("n_words"))
+          * F.try_divide(F.col("n_syllables").cast("double"), F.col("n_words"))
     )
     return m.select(
         "doc_id",

@@ -564,6 +564,7 @@ def ts_seasonal_baseline(spark, sf_dir):
                lpad(CAST(epoch_us(ts) AS VARCHAR), 16, '0')
                  || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
         FROM events
+        WHERE value IS NOT NULL
     )
     SELECT event_type, day,
            {ofix('arg_min(value, ord_key)')} AS open,
@@ -596,8 +597,12 @@ def ts_ohlc_bars(spark, sf_dir):
         F.lpad(F.unix_micros("ts").cast("string"), 16, "0"),
         F.lpad(F.col("event_id").cast("string"), 12, "0"),
     )
+    # a tick without a value is not a tick: NULL values would make
+    # min_by/arg_min pick different rows per engine (Spark's min_by
+    # returns the NULL, DuckDB's arg_min skips it — r10 stress corpus)
     return (
-        t.events.select(
+        t.events.filter(F.col("value").isNotNull())
+        .select(
             "event_type",
             F.col("ts").cast("date").cast("string").alias("day"),
             "value",

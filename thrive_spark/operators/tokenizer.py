@@ -124,7 +124,61 @@ def apply_bpe(word: str, merges: list[tuple[str, str]]) -> list[str]:
     return syms
 
 
-@query("tokenizer_train_bpe")  # rows-only: iterative merge training
+def _train_oracle(n_merges: int) -> str:
+    """DuckDB replay of ``train_bpe`` as an UNROLLED merge loop (the
+    PageRank-unroll precedent): state_i holds each distinct word's
+    bracket-encoded symbol chain; pairs_i counts frequency-weighted
+    adjacent symbol pairs by splitting chains on '][' (bracket-content
+    safe — see _bpe_chain_sql); best_i is the python tie-break
+    ``min(counts, key=(-cnt, pair))`` as ORDER BY cnt DESC, a, b
+    LIMIT 1 (UTF-8 byte order == codepoint order, so the string
+    comparison matches python's); state_i rewrites via one replace()
+    (left-to-right non-overlapping == the greedy merge pass). LEFT
+    JOIN ON TRUE + coalesce keeps the state intact when a tiny corpus
+    runs out of pairs — python's ``break`` then matches the empty
+    best_i rows. MATERIALIZED on every stage: without it DuckDB
+    inlines 24 nested replaces per reference and planning explodes."""
+    parts = ["""
+    WITH words AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT unnest(list_filter(
+                regexp_split_to_array(lower(text), ' +'), x -> x <> '')) AS w
+            FROM documents)
+        GROUP BY w
+    ),
+    s0 AS MATERIALIZED (
+        SELECT w, n,
+               regexp_replace(w, '(?s)(.)', '[\\1]', 'g') || '[</w>]' AS chain
+        FROM words
+    )"""]
+    for i in range(1, n_merges + 1):
+        prev = f"s{i - 1}"
+        parts.append(f""",
+    p{i} AS MATERIALIZED (
+        SELECT syms[g.i] AS a, syms[g.i + 1] AS b, sum(n) AS cnt
+        FROM (SELECT n, string_split(substr(chain, 2, length(chain) - 2),
+                                     '][') AS syms
+              FROM {prev}),
+             LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) g
+        GROUP BY a, b
+    ),
+    b{i} AS MATERIALIZED (SELECT a, b FROM p{i}
+                          ORDER BY cnt DESC, a, b LIMIT 1),
+    s{i} AS MATERIALIZED (
+        SELECT s.w, s.n,
+               coalesce(replace(s.chain, '[' || b.a || '][' || b.b || ']',
+                                '[' || b.a || b.b || ']'), s.chain) AS chain
+        FROM {prev} s LEFT JOIN b{i} b ON TRUE
+    )""")
+    unions = "\n    UNION ALL ".join(
+        f'SELECT CAST({i - 1} AS BIGINT) AS "rank", a AS "left", '
+        f'b AS "right", a || b AS merged FROM b{i}'
+        for i in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n    " + unions
+
+
+@query("tokenizer_train_bpe", oracle=_train_oracle(N_MERGES))
 def tokenizer_train_bpe(spark, sf_dir):
     """Train {N_MERGES} BPE merges on the corpus; output the merge
     table (rank, left, right, merged). The corpus-sized work is one
@@ -169,9 +223,18 @@ def _bpe_chain_sql() -> str:
     the first char of a following symbol 'st' — while full brackets
     anchor both ends, and '[a][b]' → '[ab]' consumes no shared
     delimiter, so consecutive pair occurrences all merge in one pass
-    just like the BPE scan.  Token count falls out as the '['
-    count."""
-    s = "regexp_replace(w, '(.)', '[\\1]', 'g') || '[</w>]'"
+    just like the BPE scan.  Token count = number of '][' separators
+    + 1 (split on the two-char separator), NOT the count of '[': a
+    literal bracket IN a word encodes as '[[]' / '[]]' and would
+    inflate a bracket count, while it can never form the '][' pair
+    except at a true token boundary (r10 stress corpus plants
+    bracketed words).  Merge rewrites stay sound with bracket content
+    for the same reason: '[a][t]' only ever matches a genuine (a, t)
+    symbol adjacency."""
+    # (?s): RE2's dot excludes \n by default — a newline char inside a
+    # word (space-tokenization keeps them) must bracketize like any
+    # other symbol (r10 stress corpus)
+    s = "regexp_replace(w, '(?s)(.)', '[\\1]', 'g') || '[</w>]'"
     for a, b in PRETRAINED_MERGES:
         s = f"replace({s}, '[{a}][{b}]', '[{a}{b}]')"
     return s
@@ -188,8 +251,7 @@ def _bpe_chain_sql() -> str:
     ),
     tok AS (
         SELECT w,
-               CAST(length(chain) - length(replace(chain, '[', ''))
-                    AS BIGINT) AS n_tok
+               CAST(len(string_split(chain, '][')) AS BIGINT) AS n_tok
         FROM (SELECT w, {{chain}} AS chain
               FROM (SELECT DISTINCT w FROM words))
     ),

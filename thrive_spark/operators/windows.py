@@ -35,6 +35,7 @@ _WSUM = osum_over("o_totalprice", "{w}")
     """,
 )
 def win_row_number_topn(spark, sf_dir):
+    """row_number top-3 orders per customer (WindowGroupLimit exhibit)."""
     t = Tables(spark, sf_dir)
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
@@ -82,7 +83,7 @@ def win_rank_dense_rank(spark, sf_dir):
            round(percent_rank() OVER w, 4) AS pct_rank,
            round(cume_dist() OVER w, 4) AS cum_dist
     FROM orders
-    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    WINDOW w AS (ORDER BY o_totalprice NULLS FIRST, o_orderkey)
     """,
 )
 def win_ntile_percentile(spark, sf_dir):
@@ -150,6 +151,7 @@ def win_ntile_percentile(spark, sf_dir):
     """,
 )
 def win_lag_lead(spark, sf_dir):
+    """lag/lead over per-user event-time ordering: gap micros + next event type."""
     t = Tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
@@ -172,6 +174,7 @@ def win_lag_lead(spark, sf_dir):
     """,
 )
 def win_running_sum(spark, sf_dir):
+    """Running fixed-point cumulative sum of order totals per customer."""
     t = Tables(spark, sf_dir)
     w = (
         Window.partitionBy("o_custkey")
@@ -194,6 +197,7 @@ def win_running_sum(spark, sf_dir):
     """,
 )
 def win_moving_avg(spark, sf_dir):
+    """7-row trailing moving average of event values per user."""
     t = Tables(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
@@ -241,7 +245,19 @@ def win_range_frame(spark, sf_dir):
 
     W = 5000.0
     t = Tables(spark, sf_dir)
-    orders = t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    all_orders = t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    # SQL RANGE-frame NULL discipline: NULL-ordered rows are peers of
+    # each other only, so their frame sum is sum(fixed(NULL)) = NULL,
+    # and they contribute to no numeric frame. NaN prices would
+    # otherwise poison the int64 prefix sums (floor(NaN) → INT64_MIN;
+    # r10 stress corpus). They bypass the cogroup entirely.
+    nulls = all_orders.filter(F.col("o_totalprice").isNull()).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(None).cast("double").alias("near_price_sum"),
+    )
+    orders = all_orders.filter(F.col("o_totalprice").isNotNull())
     bkt = F.floor(F.col("o_totalprice") / W).cast("long")
     queries_df = orders.withColumn("bkt", bkt)
     # Fresh aliases on the contributor side: both branches derive from
@@ -288,6 +304,7 @@ def win_range_frame(spark, sf_dir):
             "o_orderkey long, o_orderstatus string, o_totalprice double, "
             "near_price_sum double",
         )
+        .unionByName(nulls)
     )
 
 
@@ -348,12 +365,19 @@ def unpivot_stack(spark, sf_dir):
         F.round(F.col("o_totalprice") * 0.07, 4).alias("est_tax"),
         F.year("o_orderdate").cast("double").alias("order_year"),
     )
-    return wide.unpivot(
-        "o_orderkey",
-        ["total_price", "est_tax", "order_year"],
-        "metric",
-        "val",
-    ).select("o_orderkey", "metric", F.round("val", 4).alias("val"))
+    # standard-SQL UNPIVOT (and DuckDB's) EXCLUDES NULL cells; Spark's
+    # unpivot keeps them — align on the standard (r10 stress corpus
+    # plants NULL o_totalprice)
+    return (
+        wide.unpivot(
+            "o_orderkey",
+            ["total_price", "est_tax", "order_year"],
+            "metric",
+            "val",
+        )
+        .filter(F.col("val").isNotNull())
+        .select("o_orderkey", "metric", F.round("val", 4).alias("val"))
+    )
 
 
 @query(
@@ -368,6 +392,7 @@ def unpivot_stack(spark, sf_dir):
     """,
 )
 def win_first_last_value(spark, sf_dir):
+    """first/last value over an unbounded frame per customer."""
     t = Tables(spark, sf_dir)
     w = (
         Window.partitionBy("o_custkey")
@@ -580,6 +605,7 @@ def win_nth_value(spark, sf_dir):
         SELECT event_id, user_id,
                CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v, ts
         FROM events
+        WHERE value IS NOT NULL
     ),
     f AS (
         SELECT event_id, user_id,
@@ -612,6 +638,11 @@ def win_sliding_median(spark, sf_dir):
     Collect-over-frame is bounded by the frame, so memory is O(k)
     regardless of partition size."""
     t = Tables(spark, sf_dir)
+    # NULL observations leave the stream on BOTH sides up front:
+    # Spark's collect_list silently skips NULLs while DuckDB's list()
+    # keeps them, so a null-valued tick would shift the two engines'
+    # frames differently (r10 stress corpus)
+    t_events = t.events.filter(F.col("value").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -628,7 +659,7 @@ def win_sliding_median(spark, sf_dir):
         / 2.0
         / 10000.0
     )
-    return t.events.select(
+    return t_events.select(
         "event_id",
         "user_id",
         F.when(n % 2 == 1, odd).otherwise(even).alias("med15"),

@@ -85,7 +85,15 @@ def maintenance_compact(spark, sf_dir):
         files_before, files_after = compact_partitioned(spark, tbl)
         n_after = spark.read.parquet(tbl).count()
         assert n_after == n_before, (n_after, n_before)
-        dropped = purge_partitions(tbl, keep_pred=lambda d: d >= "2024-01-15")
+        # data-driven retention cutoff (the median partition date):
+        # a fixed calendar literal purges EVERYTHING on a corpus from
+        # another era (r10 stress corpus lives in 1969-70) and a scan
+        # over zero remaining partitions cannot even infer a schema
+        dts = sorted(
+            d[3:] for d in os.listdir(tbl) if d.startswith("dt=")
+        )
+        cutoff = dts[len(dts) // 2]
+        dropped = purge_partitions(tbl, keep_pred=lambda d: d >= cutoff)
         n_purged = spark.read.parquet(tbl).count()
         return small_df(
             spark,
