@@ -115,9 +115,6 @@ def main() -> None:
     spark = get_spark("thrive-bench")
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
-    calibration = calibrate(
-        spark, sf_dir, default_sf=(sf_dir.rstrip("/").endswith("sf0.1"))
-    )
     times: dict[str, float] = {}
     best: dict[str, float] = {}
     spread: dict[str, float] = {}
@@ -132,6 +129,12 @@ def main() -> None:
             materialize(registry.QUERIES[qid](spark, sf_dir))
         except Exception:  # noqa: BLE001 — the timed loop reports it
             pass
+
+    # probe AFTER the global warm pass: a cold-JVM probe reads ~10-20%
+    # high even with its own warmups and would false-flag quiet boxes
+    calibration = calibrate(
+        spark, sf_dir, default_sf=(sf_dir.rstrip("/").endswith("sf0.1"))
+    )
 
     for qid in HEADLINE:
         # Per-query isolation: one broken query must degrade to an

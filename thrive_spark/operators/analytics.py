@@ -8,7 +8,8 @@ conditional min-aggregations keyed on user_id, then join those tiny
 per-user tables back — every join and aggregate shares the ONE
 user_id shuffle key, so AQE plans them as a single exchange reused
 across stages; nothing materializes per-event state. Date arithmetic
-stays in integer day/week space (datediff // 7), not engine-specific
+stays in integer day/week space (floor(datediff / 7) on BOTH
+engines — DuckDB's `//` truncates toward zero, r10), not engine-specific
 week truncation.
 """
 
@@ -2045,7 +2046,7 @@ def events_retention_triangle(spark, sf_dir):
     the cohort still active — the retention matrix every growth team
     reads column-by-column.
 
-    Weeks are Monday-anchored integer ids (``datediff // 7`` from the
+    Weeks are Monday-anchored integer ids (``floor(datediff / 7)`` from the
     1970-01-05 Monday anchor — pure integer arithmetic, no engine
     weekofyear()/ISO-week divergence; the corpus spans ~4 weeks so
     month granularity would be vacuous). The event stream collapses to

@@ -353,20 +353,34 @@ def dedup_shingle_containment(spark, sf_dir):
         # sf0.1; the q17/q21 shared-subtree pattern)
         .localCheckpoint()
     )
-    pre = d.select(
-        "doc_id",
-        "lang",
-        "sz",
-        F.explode_outer(
-            F.expr("slice(sh, 1, sz - ((4 * sz + 4) div 5) + 1)")
-        ).alias("psh"),
-    ).filter(F.col("psh").isNotNull())
     postings = d.select(
         "doc_id",
         "lang",
         "sz",
         F.explode_outer("sh").alias("tok"),
     ).filter(F.col("tok").isNotNull())
+    # RAREST-FIRST prefix (r10; was lexicographic slice(sh, 1, plen)):
+    # any plen = sz - ceil(t*sz) + 1 shingles of A work as the
+    # pigeonhole set because the postings side is FULL, so choose the
+    # plen with the SHORTEST postings — global df ascending. On the
+    # closed synthetic vocabulary this cut candidate rows 5,972 -> 534
+    # at sf0.01 and 532k -> 308k at sf0.1 (the fixed 27k-shingle
+    # universe saturates df at the top scale; an open real-corpus
+    # vocabulary behaves like the sf0.01 regime, ~11x). The df table
+    # reuses the postings explode, aggregates/joins co-partitioned on
+    # (lang, tok); at 100 TB swap the exact df join for a broadcast
+    # CM-sketch (agg_cms_frequency shows the sketch) to drop both
+    # df shuffles.
+    df_tbl = postings.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    w_rare = Window.partitionBy("doc_id").orderBy("df", "tok")
+    pre = (
+        postings.join(df_tbl, ["lang", "tok"])
+        .withColumn("rn", F.row_number().over(w_rare))
+        .filter(F.col("rn") <= F.expr("sz - ((4 * sz + 4) div 5) + 1"))
+        .select("doc_id", "lang", "sz", F.col("tok").alias("psh"))
+    )
     cand = (
         pre.alias("s")
         .join(

@@ -12,11 +12,18 @@ exactly like TPC-H SF growth):
   per entity).
 - events: event_id shifted; ts/user_id kept → 10× event density per
   user, deepening every session/window workload.
-- documents/embeddings: doc_id/vec_id shifted, payloads kept → the
-  corpus is 10 exact copies, a legitimate stress for EXACT dedup
-  (near-dup ops are excluded: replicated text inflates candidate sets
-  quadratically by construction, which would measure the synthetic
+- documents: DUPLICATE-SEEDED (r10) — copy 0 is the original, copies
+  1-4 are exact duplicates (shifted ids), copies 5-9 append a
+  copy-specific token (' dupvN', n_chars recomputed): every source doc
+  becomes a 10-member duplication cluster of exact AND near duplicates
+  (pairwise Jaccard ≳ 0.9). Pair volume grows linearly in the corpus
+  at this FIXED cluster size — the realistic duplication regime — so
+  the near-dup/LSH family is now measurable (10 raw copies would have
+  made every band bucket quadratic by construction and measured the
   degeneracy, not the plan).
+- embeddings: vec_id shifted AND label moved to a per-copy label space
+  (label + 10·copy) — 10× blocks of constant size, the linear scaling
+  direction for label-blocked pair scans.
 
 Timings are medians of 3 warm runs at sf0.1 and sf1-sim on the same
 session; the ×10 factor reads like SCALING.md (≈1 overhead-dominated,
@@ -67,13 +74,21 @@ IDS = [
     "analytics_new_vs_returning",
     "dedup_exact_hash",
     "sessionize_ids",
+    # LLM family over the duplicate-seeded corpus (r10)
+    "dedup_fuzzy_minhash",
+    "dedup_minhash_portable",
+    "dedup_exact_substring",
+    "text_tfidf_topterms",
+    "text_bm25_topk",
+    "sim_pairs_threshold",
 ]
 
 
 def synthesize(spark) -> None:
     """Write the ×10 corpus (idempotent: skips if already complete)."""
     marker = os.path.join(DST, "_COMPLETE")
-    if os.path.exists(marker):
+    version = "v2-dup-seeded"
+    if os.path.exists(marker) and open(marker).read().strip() == version:
         return
     shutil.rmtree(DST, ignore_errors=True)
     os.makedirs(DST, exist_ok=True)
@@ -96,12 +111,31 @@ def synthesize(spark) -> None:
     dkey_span = t.documents.agg(F.max("doc_id")).collect()[0][0] + 1
     vkey_span = t.embeddings.agg(F.max("vec_id")).collect()[0][0] + 1
 
+    # duplicate-seeded documents: copies 5-9 get a copy-specific tail
+    # token so each source doc heads a 10-member exact+near dup cluster
+    doc_parts = []
+    for i in range(COPIES):
+        c = t.documents.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(i * dkey_span)
+        )
+        if i >= COPIES // 2:
+            c = c.withColumn(
+                "text", F.concat(F.col("text"), F.lit(f" dupv{i}"))
+            ).withColumn("n_chars", F.length("text").cast("long"))
+        doc_parts.append(c)
+    docs_10x = doc_parts[0]
+    for ppart in doc_parts[1:]:
+        docs_10x = docs_10x.unionAll(ppart)
+
     plans = {
         "orders": shifted_union(t.orders, {"o_orderkey": okey_span}),
         "lineitem": shifted_union(t.lineitem, {"l_orderkey": okey_span}),
         "events": shifted_union(t.events, {"event_id": ekey_span}),
-        "documents": shifted_union(t.documents, {"doc_id": dkey_span}),
-        "embeddings": shifted_union(t.embeddings, {"vec_id": vkey_span}),
+        "documents": docs_10x,
+        # per-copy label space: 10x blocks of constant size
+        "embeddings": shifted_union(
+            t.embeddings, {"vec_id": vkey_span, "label": 10}
+        ),
     }
     for name in TABLE_NAMES:
         dst = os.path.join(DST, f"{name}.parquet")
@@ -113,7 +147,8 @@ def synthesize(spark) -> None:
                 shutil.copytree(src, dst)
             else:
                 shutil.copyfile(src, dst)
-    open(marker, "w").close()
+    with open(marker, "w") as fh:
+        fh.write(version)
 
 
 def timed(fn, spark, sf_dir, reps=3):

@@ -44,7 +44,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-STRESS_VERSION = 5
+STRESS_VERSION = 6
 DEFAULT_OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".stressdata")
 
 SEED = 20260814
@@ -368,7 +368,11 @@ def gen_documents(rng):
         ("long document " + bank_doc(600))[:5000],
     ]
     n = len(texts)
-    langs = [LANGS[i % 5] for i in range(n)]
+    # pair-aligned langs: duplicate/near-dup pairs are consecutive, so
+    # i//2 keeps each pair in ONE lang — lang-blocked dedup operators
+    # must see the planted pairs (i%5 split every pair across blocks
+    # and made their stress rows vacuously empty)
+    langs = [LANGS[(i // 2) % 5] for i in range(n)]
     sources = [f"src{i % 18}" for i in range(n)]  # src18/src19 empty groups
     return pa.table(
         {
