@@ -433,19 +433,28 @@ def fn_hash_spark(spark, sf_dir):
 @query(
     "fn_url_bank",
     oracle="""
-    SELECT doc_id,
-           'https://' || source || '.example.com/docs/' || doc_id
-               || '?lang=' || lang || '&n=' || n_chars AS c_url,
-           source || '.example.com' AS c_host,
-           '/docs/' || doc_id AS c_path,
-           'lang=' || lang || '&n=' || n_chars AS c_query,
-           lang AS c_lang_param,
-           CAST(n_chars AS VARCHAR) AS c_n_param,
-           'example.com' AS c_domain,
-           source AS c_subdomain,
-           CAST(doc_id AS VARCHAR) AS c_path_leaf,
-           'https' AS c_scheme
-    FROM documents
+    WITH u AS (
+        SELECT doc_id, source, lang, n_chars,
+               'https://' || source || '.example.com/docs/' || doc_id
+                   || '?lang=' || lang || '&n=' || n_chars AS c_url
+        FROM documents
+    )
+    SELECT doc_id, c_url,
+           CASE WHEN c_url IS NOT NULL
+                THEN source || '.example.com' END AS c_host,
+           CASE WHEN c_url IS NOT NULL
+                THEN '/docs/' || doc_id END AS c_path,
+           CASE WHEN c_url IS NOT NULL
+                THEN 'lang=' || lang || '&n=' || n_chars END AS c_query,
+           CASE WHEN c_url IS NOT NULL THEN lang END AS c_lang_param,
+           CASE WHEN c_url IS NOT NULL
+                THEN CAST(n_chars AS VARCHAR) END AS c_n_param,
+           CASE WHEN c_url IS NOT NULL THEN 'example.com' END AS c_domain,
+           CASE WHEN c_url IS NOT NULL THEN source END AS c_subdomain,
+           CASE WHEN c_url IS NOT NULL
+                THEN CAST(doc_id AS VARCHAR) END AS c_path_leaf,
+           CASE WHEN c_url IS NOT NULL THEN 'https' END AS c_scheme
+    FROM u
     """,
 )
 def fn_url_bank(spark, sf_dir):

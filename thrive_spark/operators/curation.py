@@ -204,8 +204,11 @@ def text_redact_pii(spark, sf_dir):
     t = Tables(spark, sf_dir)
     dirty = t.documents.select(
         "doc_id",
+        # coalesce: Spark concat() is NULL-propagating while DuckDB's
+        # concat() skips NULL args — a NULL text must scrub like an
+        # empty doc on both sides (r10 stress corpus)
         F.concat(
-            F.col("text"),
+            F.coalesce(F.col("text"), F.lit("")),
             F.lit(" contact user"),
             F.col("doc_id").cast("string"),
             F.lit("@example.com or 555-"),

@@ -675,6 +675,7 @@ P_LEN = 20
     oracle=f"""
     WITH d AS (
         SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        WHERE text IS NOT NULL
     ),
     p AS (
         SELECT doc_id, s.start AS start,
@@ -705,7 +706,12 @@ def dedup_paragraph_exact(spark, sf_dir):
     prefix explode); the only shuffle is the hash groupBy on the
     16-byte passage hash, same as dedup_exact_hash."""
     t = Tables(spark, sf_dir)
-    d = t.documents.select("doc_id", F.split("text", " ").alias("tk"))
+    # NULL text has no passages: the oracle's generate_series over a
+    # NULL token list emits no rows, while explode_outer would emit a
+    # NULL-phash group (r10 stress corpus)
+    d = t.documents.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
     p = (
         d.select(
             "doc_id",
@@ -1066,6 +1072,16 @@ def dedup_rate_by_source(spark, sf_dir):
 
 
 MHP_FAMS, MHP_BANDS, MHP_ROWS = 8, 4, 2  # 8 minhashes = 4 bands x 2 rows
+#: affine minhash families over a <2^30 prime: fam_i(h) =
+#: (A_i·(h mod P) + B_i) mod P.  All operands stay below 2^60, so the
+#: arithmetic is exact ANSI int64 in BOTH engines — one md5 per
+#: shingle total, instead of one PER FAMILY (was ~9 md5/shingle; the
+#: md5 chain dominated this census's slowest query at 5.4 s/sf0.1).
+#: 30-bit families collide ~2e-4 per shingle-pair per family — noise
+#: for minhash ranking, and the oracle replays the identical mixing.
+MHP_P = 1073741789  # largest prime < 2^30
+MHP_A = [(2 * i + 1) * 48271 % MHP_P for i in range(MHP_FAMS)]
+MHP_B = [(i * 2654435761 + 1) % MHP_P for i in range(MHP_FAMS)]
 
 
 def _phash(col):
@@ -1097,9 +1113,10 @@ def _phash(col):
     ),
     mh AS (
         SELECT doc_id, i.i AS fam,
-               min(('0x' || substr(md5(CAST(h AS VARCHAR) || ':'
-                                       || CAST(i.i AS VARCHAR)), 1, 15)
-                    )::BIGINT) AS mh
+               min(([{", ".join(str(a) for a in MHP_A)}][i.i + 1]
+                    * (h % {MHP_P})
+                    + [{", ".join(str(b) for b in MHP_B)}][i.i + 1])
+                   % {MHP_P}) AS mh
         FROM hashes, (SELECT unnest(generate_series(0, {MHP_FAMS - 1}))
                       AS i) i
         GROUP BY doc_id, i.i
@@ -1167,15 +1184,15 @@ def dedup_minhash_portable(spark, sf_dir):
         "doc_id",
         F.array_distinct(F.transform(tri, _phash)).alias("s"),
     ).localCheckpoint()  # shingle hashing feeds minhash AND verify
+    def _fam(i):
+        # single-arg closure: a 2-param lambda (even with a default)
+        # makes F.transform pass the ARRAY INDEX as the second arg —
+        # the 2-arg lambda trap (memory: spark-duckdb-parity-pitfalls)
+        a, b = F.lit(MHP_A[i]), F.lit(MHP_B[i])
+        return lambda h: (a * (h % F.lit(MHP_P)) + b) % F.lit(MHP_P)
+
     mh_cols = [
-        F.array_min(
-            F.transform(
-                "s",
-                lambda h, i=i: _phash(
-                    F.concat(h.cast("string"), F.lit(f":{i}"))
-                ),
-            )
-        ).alias(f"mh{i}")
+        F.array_min(F.transform("s", _fam(i))).alias(f"mh{i}")
         for i in range(MHP_FAMS)
     ]
     # Docs with <3 tokens have an empty shingle set: every minhash is

@@ -100,7 +100,9 @@ def dedup_fuzzy_minhash(spark, sf_dir):
         B = fam * C3
 
         for pdf in batches:
-            token_lists = [t.split(" ") for t in pdf["text"]]
+            # None == "" (split -> ['']): NULL text docs sign like
+            # empty docs instead of crashing the Arrow batch (r10)
+            token_lists = [(t or "").split(" ") for t in pdf["text"]]
             n_tok = np.array([len(l) for l in token_lists], dtype=np.int64)
             th = pd.util.hash_array(
                 np.array([w for l in token_lists for w in l], dtype=object),

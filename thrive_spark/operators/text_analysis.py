@@ -161,12 +161,15 @@ def text_lang_id(spark, sf_dir):
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
-           md5(coalesce(array_to_string(list_sort(list_distinct(
-               list_filter(string_split(text, ' '), t -> t <> ''))), ' '), ''))
-               AS set_fingerprint,
-           md5(coalesce(array_to_string(string_split(text, ' ')[1:8], ' '),
-                        ''))
-               AS prefix_fingerprint
+           CASE WHEN text IS NOT NULL THEN
+               md5(coalesce(array_to_string(list_sort(list_distinct(
+                   list_filter(string_split(text, ' '), t -> t <> ''))),
+                   ' '), ''))
+           END AS set_fingerprint,
+           CASE WHEN text IS NOT NULL THEN
+               md5(coalesce(array_to_string(string_split(text, ' ')[1:8],
+                                            ' '), ''))
+           END AS prefix_fingerprint
     FROM documents
     """,
 )
@@ -414,7 +417,8 @@ def text_ngram_freq(spark, sf_dir):
     oracle="""
     WITH tk AS (
         SELECT doc_id,
-               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+               list_filter(string_split(coalesce(text, ''), ' '),
+                           t -> t <> '') AS toks
         FROM documents
     ),
     c AS (
@@ -476,7 +480,11 @@ def text_entropy_score(spark, sf_dir):
 
         return F.aggregate(sorted_col, zero, step, lambda acc: acc.s + term(acc.run))
 
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    # coalesce: NULL text scores like an empty doc on both sides (r10)
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda x: x != "",
+    )
     d = t.documents.select("doc_id", F.sort_array(toks).alias("toks"))
     n_tok = F.size("toks").cast("bigint")
     d = d.select("doc_id", n_tok.alias("n_tok"), entropy_sum(F.col("toks")).alias("s_fp"))

@@ -288,7 +288,9 @@ def tokenizer_apply_bpe(spark, sf_dir):
         for pdf in batches:
             n_toks, total_len = [], []
             for text in pdf["text"]:
-                words = [w for w in text.lower().split(" ") if w]
+                # None == empty doc: 0 tokens, matching the oracle's
+                # LEFT JOIN + coalesce(0) rows (r10 stress corpus)
+                words = [w for w in (text or "").lower().split(" ") if w]
                 cnt = chars = 0
                 for w in words:
                     if w not in cache:

@@ -44,7 +44,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-STRESS_VERSION = 6
+STRESS_VERSION = 7
 DEFAULT_OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".stressdata")
 
 SEED = 20260814
@@ -367,7 +367,10 @@ def gen_documents(rng):
         "spam " * 200,
         ("long document " + bank_doc(600))[:5000],
     ]
-    n = len(texts)
+    # NULL text rows (a 100 TB corpus always has some): appended LAST
+    # so the pair-aligned lang assignment above stays pair-aligned
+    null_text_ids = 2
+    n = len(texts) + null_text_ids
     # pair-aligned langs: duplicate/near-dup pairs are consecutive, so
     # i//2 keeps each pair in ONE lang — lang-blocked dedup operators
     # must see the planted pairs (i%5 split every pair across blocks
@@ -377,11 +380,12 @@ def gen_documents(rng):
     return pa.table(
         {
             "doc_id": pa.array(np.arange(n, dtype=np.int64)),
-            "text": pa.array(texts),
+            "text": pa.array(texts + [None] * null_text_ids),
             "lang": pa.array(langs),
             "source": pa.array(sources),
             "n_chars": pa.array(
-                np.asarray([len(t) for t in texts], dtype=np.int64)
+                [len(t) for t in texts] + [None] * null_text_ids,
+                type=pa.int64(),
             ),
         }
     )
