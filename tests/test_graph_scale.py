@@ -81,6 +81,7 @@ def test_large_small_star_matches_propagation_on_multi_component(spark):
 
     from thrive_spark.operators.dedup_extra import (
         _cc_label_propagation,
+        _cc_union_find,
         cc_large_small_star,
     )
 
@@ -89,7 +90,9 @@ def test_large_small_star_matches_propagation_on_multi_component(spark):
     sym = e.union(e.select(F.col("nbr").alias("src"), F.col("src").alias("nbr")))
     lss = {(r["node"], r["label"]) for r in cc_large_small_star(sym).collect()}
     prop = {(r["node"], r["label"]) for r in _cc_label_propagation(sym.localCheckpoint()).collect()}
+    uf = {(r["node"], r["label"]) for r in _cc_union_find(sym).collect()}
     assert lss == prop
+    assert lss == uf  # the r10 small-regime engine agrees too
     assert lss == {
         (10, 10), (11, 10), (12, 10), (13, 10),
         (20, 20), (21, 20), (22, 20), (30, 30), (31, 30),

@@ -104,6 +104,45 @@ def fn_date_bank(spark, sf_dir):
 
 
 @query(
+    "agg_bitwise_bool",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(bit_and(o_orderkey & 1023) AS BIGINT) AS c_bit_and,
+           CAST(bit_or(o_orderkey & 1023) AS BIGINT) AS c_bit_or,
+           CAST(bit_xor(o_orderkey) AS BIGINT) AS c_bit_xor,
+           bool_and(o_totalprice IS NULL OR o_totalprice > 0)
+               AS c_bool_and,
+           bool_or(o_totalprice > 250000.0) AS c_bool_or,
+           CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT)
+               AS c_count_if
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_bitwise_bool(spark, sf_dir):
+    """Bitwise / boolean AGGREGATE inventory: bit_and/bit_or/bit_xor
+    (set-membership folds — bit_xor is the engine-portable
+    convergence-checksum fold the iterative-graph loops rely on,
+    CLAUDE.md) plus bool_and/bool_or/count_if predicates. NULL
+    discipline matches: both engines skip NULL inputs in every one of
+    these folds (bool_and guards the nullable o_totalprice
+    explicitly so the predicate itself is never NULL)."""
+    t = Tables(spark, sf_dir)
+    masked = F.col("o_orderkey").bitwiseAND(F.lit(1023))
+    return t.orders.groupBy("o_orderstatus").agg(
+        F.bit_and(masked).cast("bigint").alias("c_bit_and"),
+        F.bit_or(masked).cast("bigint").alias("c_bit_or"),
+        F.bit_xor("o_orderkey").cast("bigint").alias("c_bit_xor"),
+        F.bool_and(
+            F.col("o_totalprice").isNull() | (F.col("o_totalprice") > 0)
+        ).alias("c_bool_and"),
+        F.bool_or(F.col("o_totalprice") > 250000.0).alias("c_bool_or"),
+        F.count_if(F.col("o_orderpriority") == "1-URGENT")
+        .cast("bigint")
+        .alias("c_count_if"),
+    )
+
+
+@query(
     "fn_interval_bank",
     oracle="""
     SELECT o_orderkey,
