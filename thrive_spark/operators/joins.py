@@ -273,9 +273,12 @@ def join_asof_cogroup(spark, sf_dir):
 
     t = Tables(spark, sf_dir)
     events = t.events.select("event_id", "user_id", "ts")
-    signups = t.events.filter(F.col("event_type") == "signup").select(
-        "user_id", F.col("ts").alias("signup_ts")
-    )
+    # NULL user_id never matches (SQL equality): cogroup would pair
+    # the NULL-key groups like groupBy does, but the ASOF JOIN oracle
+    # (and any join semantics) must not (r10 stress corpus)
+    signups = t.events.filter(
+        (F.col("event_type") == "signup") & F.col("user_id").isNotNull()
+    ).select("user_id", F.col("ts").alias("signup_ts"))
 
     def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         left = left.sort_values("ts")

@@ -271,8 +271,10 @@ def ts_ewma_halflife(spark, sf_dir):
             for k, t_ in enumerate(taps)
         ],
     )
+    # try_divide: a frame of ALL-NULL taps has den 0 — EWMA undefined,
+    # NULL on both engines (DuckDB x/0 is NULL; r10 stress corpus)
     return t.events.select(
-        "event_id", "user_id", "value", ffix(num / den).alias("ewma")
+        "event_id", "user_id", "value", ffix(F.try_divide(num, den)).alias("ewma")
     )
 
 

@@ -293,6 +293,8 @@ def udf_pandas_window_agg(spark, sf_dir):
 
     @F.pandas_udf("double")
     def mean_fp(v: pd.Series) -> float:
+        if v.count() == 0:  # all-NULL frame: SQL sum is NULL, so is
+            return None     # the mean (pandas sum would say 0.0; r10)
         return float(v.sum()) / len(v)
 
     t = Tables(spark, sf_dir)

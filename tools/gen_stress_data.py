@@ -44,7 +44,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-STRESS_VERSION = 7
+STRESS_VERSION = 8
 DEFAULT_OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".stressdata")
 
 SEED = 20260814
@@ -288,6 +288,9 @@ def gen_events(rng):
     ) * 1_000_000
     ts[pre[0]] = 0                              # exactly the epoch
     ts[pre[1]] = -1                             # one microsecond before it
+    # ~2% NULL user_id (dropped devices / consent-stripped rows): the
+    # NULL-key discipline of groupBy/window/join must agree per engine
+    user_null = rng.rand(n) < 0.02
     etype = np.array(EVENT_TYPES)[rng.randint(0, 5, size=n)]
     value = np.round(rng.uniform(0.01, 490, size=n), 2)
     value[::9] = 42.0                           # ties
@@ -311,7 +314,10 @@ def gen_events(rng):
         {
             "event_id": pa.array(ids),
             "ts": _ts_array(ts),
-            "user_id": pa.array(users),
+            "user_id": pa.array(
+                [None if m else int(u) for u, m in zip(users, user_null)],
+                type=pa.int64(),
+            ),
             "event_type": pa.array(etype.tolist()),
             "value": pa.array(
                 [None if m else float(v) for v, m in zip(value, value_null)],
