@@ -43,6 +43,10 @@ ALLOWED_ARROW_PYTHON = {
     "multimodal_decode_stub",
     "multimodal_frame_sample",
     "join_asof_cogroup",
+    # r10: small-regime CC is single-pass union-find in ONE Arrow task
+    # (measured edge count under the 2M bound picks it; wide regime
+    # stays JVM large-star/small-star)
+    "dedup_cluster_components",
 }
 #: stateful/side-effecting queries that build their own inputs (temp
 #: dirs, catalogs, DB files) — their plan is built during execution
