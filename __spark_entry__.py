@@ -130,7 +130,7 @@ GRADE_DEFER = [
     "events_retention_triangle", "win_running_distinct",
     "dq_uniqueness_profile",
     # r10 registrations
-    "fn_interval_bank", "agg_bitwise_bool",
+    "fn_interval_bank", "agg_bitwise_bool", "sim_eval_rank_metrics",
 ]
 
 

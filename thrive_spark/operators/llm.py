@@ -256,6 +256,174 @@ def sim_knn_cosine_topk(spark, sf_dir):
     )
 
 
+#: nDCG@10 fixed-point machinery: C_i = floor(1e6/log2(i+1) + 0.5) is
+#: precomputed in PYTHON and inlined as integer literals on BOTH
+#: engine sides — log2 of the rank positions must never be evaluated
+#: by either engine (correctly-rounded doubles are not guaranteed to
+#: agree cross-engine), so every DCG is an exact integer dot product.
+EVAL_K, EVAL_REL_K = 10, 5
+_DCG_C = [1000000, 630930, 500000, 430677, 386853,
+          356207, 333333, 315465, 301030, 289065]
+_IDCG_PREFIX = [0, 1000000, 1630930, 2130930, 2561607, 2948460,
+                3304667, 3638000, 3953465, 4254495, 4543560]
+
+
+@query(
+    "sim_eval_rank_metrics",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+                      CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 20 AND {{nz}}),
+    pairs AS (
+        SELECT query_id, q_label, vec_id AS neighbor_id, label,
+               round(list_cosine_similarity(qe,
+                     CAST(embedding AS DOUBLE[])), 4) AS sim
+        FROM (SELECT * FROM embeddings WHERE {{nz}}) embeddings
+        CROSS JOIN q
+        WHERE vec_id <> query_id
+    ),
+    ranked AS (
+        SELECT query_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rn,
+               CASE WHEN label = q_label THEN 1 ELSE 0 END AS rel
+        FROM pairs
+    ),
+    top AS (SELECT * FROM ranked WHERE rn <= {EVAL_K}),
+    agg AS (
+        SELECT query_id,
+               CAST(sum(rel) AS BIGINT) AS n_rel10,
+               CAST(coalesce(min(CASE WHEN rel = 1 THEN rn END), 0)
+                    AS BIGINT) AS first_rel_rank,
+               CAST(sum(CASE WHEN rel = 1 AND rn <= {EVAL_REL_K}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_rel5,
+               CAST(sum(rel * [{{dcg}}][rn]) AS BIGINT) AS dcg_fp
+        FROM top GROUP BY query_id
+    )
+    SELECT query_id, n_rel10, first_rel_rank,
+           CASE WHEN first_rel_rank > 0
+                THEN (2000000 + first_rel_rank) // (2 * first_rel_rank)
+                ELSE 0 END AS mrr_fp,
+           n_rel5 * 2000 AS p5_bp,
+           dcg_fp,
+           CASE WHEN n_rel10 > 0
+                THEN (20000 * dcg_fp + [{{idcg}}][n_rel10])
+                     // (2 * [{{idcg}}][n_rel10])
+                ELSE 0 END AS ndcg_bp
+    FROM agg
+    """.format(
+        nz=NONZERO_EMB_SQL,
+        dcg=", ".join(str(c) for c in _DCG_C),
+        idcg=", ".join(str(v) for v in _IDCG_PREFIX[1:]),
+    ),
+)
+def sim_eval_rank_metrics(spark, sf_dir):
+    """Retrieval-quality evaluation over the exact kNN results: per
+    query (vec_id < 20, nonzero norm) the top-{EVAL_K} cosine
+    neighbors are judged relevant iff they share the query's label,
+    and the operator emits the ranking metrics an embedding/retrieval
+    stack reports — MRR (reciprocal rank of the first relevant hit),
+    precision@{EVAL_REL_K}, and nDCG@{EVAL_K} — all as exact
+    fixed-point integers.
+
+    Engine-exactness: ranks come from the rounded-sim + id tiebreak
+    total order (the sim_knn_cosine_topk discipline); DCG divides by
+    log2(rank+1), whose doubles are NOT guaranteed identical across
+    engines, so the coefficients floor(1e6/log2(i+1)+0.5) are
+    precomputed in Python and inlined as integer literals on BOTH
+    sides — every metric is then integer arithmetic (half-up integer
+    division for MRR and the nDCG ratio). Ideal DCG takes the n_rel
+    relevant hits ranked first (prefix-sum literal table).
+
+    Scale shape: identical to the kNN exhibit it evaluates —
+    broadcast query set, one candidate scan, per-query window on the
+    tiny pair set; the metrics rollup is one aggregate over
+    {EVAL_K}·|queries| rows. Truncation-based (rank-cut) metrics need
+    no global statistics, so evaluation cost is independent of corpus
+    size once the shortlist exists."""
+    t = Tables(spark, sf_dir)
+    nz = t.embeddings.filter(sq_norm(to_double("embedding")) > 0)
+    q = nz.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        to_double("embedding").alias("qe"),
+    )
+    c = nz.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        to_double("embedding").alias("ce"),
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            r4(cosine(F.col("qe"), F.col("ce"))).alias("sim"),
+            F.when(F.col("label") == F.col("q_label"), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    top = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= EVAL_K
+    )
+    dcg_arr = F.array(*[F.lit(c_) for c_ in _DCG_C])
+    agg = top.groupBy("query_id").agg(
+        F.sum("rel").cast("bigint").alias("n_rel10"),
+        F.coalesce(
+            F.min(F.when(F.col("rel") == 1, F.col("rn"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("first_rel_rank"),
+        F.sum(
+            F.when((F.col("rel") == 1) & (F.col("rn") <= EVAL_REL_K), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_rel5"),
+        F.sum(F.col("rel") * F.element_at(dcg_arr, F.col("rn")))
+        .cast("bigint")
+        .alias("dcg_fp"),
+    )
+    # integer `div` throughout: a double quotient cast to bigint can
+    # round across an integer boundary and diverge from the oracle's
+    # `//`; the idcg lookup is inlined in the same expr for that reason
+    idcg_sql = (
+        "element_at(array("
+        + ", ".join(str(v) + "L" for v in _IDCG_PREFIX[1:])
+        + "), cast(n_rel10 as int))"
+    )
+    return agg.select(
+        "query_id",
+        "n_rel10",
+        "first_rel_rank",
+        F.when(
+            F.col("first_rel_rank") > 0,
+            F.expr(
+                "(2000000 + first_rel_rank) div (2 * first_rel_rank)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("mrr_fp"),
+        (F.col("n_rel5") * 2000).cast("bigint").alias("p5_bp"),
+        "dcg_fp",
+        F.when(
+            F.col("n_rel10") > 0,
+            F.expr(
+                f"(20000 * dcg_fp + {idcg_sql}) div (2 * {idcg_sql})"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("ndcg_bp"),
+    )
+
+
 @query(
     "sim_pairs_threshold",
     oracle=f"""
