@@ -1140,6 +1140,186 @@ def _phash(col):
 
 
 @query(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH spl AS (SELECT (4 * max(doc_id)) // 5 AS v FROM documents),
+    w AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(tk) - 2, 0)),
+                   i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]
+               )) AS sh
+        FROM w
+    ),
+    hashes AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(s.s), 1, 15))::BIGINT AS h
+        FROM sh, LATERAL (SELECT unnest(sh.sh) AS s) s
+    ),
+    mh AS (
+        SELECT doc_id, i.i AS fam,
+               min((CAST([{", ".join(str(a) for a in MHP_A)}]
+                         AS BIGINT[])[i.i + 1]
+                    * (h % {MHP_P})
+                    + CAST([{", ".join(str(b) for b in MHP_B)}]
+                           AS BIGINT[])[i.i + 1])
+                   % {MHP_P}) AS mh
+        FROM hashes, (SELECT unnest(generate_series(0, {MHP_FAMS - 1}))
+                      AS i) i
+        GROUP BY doc_id, i.i
+    ),
+    bands AS (
+        SELECT doc_id, b.b AS band,
+               CAST(max(CASE WHEN fam = {MHP_ROWS} * b.b THEN mh END)
+                    AS VARCHAR)
+               || '-' ||
+               CAST(max(CASE WHEN fam = {MHP_ROWS} * b.b + 1 THEN mh END)
+                    AS VARCHAR) AS key
+        FROM mh, (SELECT unnest(generate_series(0, {MHP_BANDS - 1}))
+                  AS b) b
+        WHERE fam IN ({MHP_ROWS} * b.b, {MHP_ROWS} * b.b + 1)
+        GROUP BY doc_id, b.b
+    ),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS dup_of
+        FROM bands n JOIN bands c
+          ON n.band = c.band AND n.key = c.key, spl
+        WHERE n.doc_id >= spl.v AND c.doc_id < spl.v
+    ),
+    sets AS (SELECT doc_id, list(DISTINCT h) AS s FROM hashes
+             GROUP BY doc_id)
+    SELECT new_id, dup_of,
+           round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / (len(sa.s) + len(sb.s)
+                    - len(list_intersect(sa.s, sb.s))), 4) AS jaccard
+    FROM cand
+    JOIN sets sa ON sa.doc_id = new_id
+    JOIN sets sb ON sb.doc_id = dup_of
+    WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+          >= {NGRAM_JACCARD_THRESHOLD}
+    """,
+)
+def dedup_incremental_minhash(spark, sf_dir):
+    """INCREMENTAL near-dup dedup — the daily-ingest shape: a new
+    batch (the top 20% of doc_ids; the split is exact integer
+    arithmetic so both engines cut identically) is probed against the
+    already-ingested corpus WITHOUT recomputing the corpus self-join.
+    Emits (new_id, dup_of, jaccard) for every batch doc that is a
+    verified ≥0.8 near-duplicate of a corpus doc.
+
+    This is the shape production pipelines actually run: the corpus
+    band table is a PERSISTENT LSH INDEX (append-only parquet
+    bucketed by (band, key) at 100 TB), so per-batch cost is
+    signature computation over the batch + one equi-join probe whose
+    left side is batch-sized — corpus-sized work happens once at
+    index build, never per ingest. Fully engine-portable (same
+    md5-conv + affine-family pipeline as dedup_minhash_portable via
+    the shared _mhp_sig_bands), so candidate generation AND verify
+    hash-match the oracle."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    split = (
+        docs.agg(
+            F.expr("(4 * max(doc_id)) div 5").alias("v")
+        )
+    )
+    sh, bands = _mhp_sig_bands(docs)
+    b = bands.crossJoin(F.broadcast(split))
+    new_b = b.filter(F.col("doc_id") >= F.col("v")).select(
+        F.col("doc_id").alias("new_id"), "band", "key"
+    )
+    corp_b = b.filter(F.col("doc_id") < F.col("v")).select(
+        F.col("doc_id").alias("dup_of"), "band", "key"
+    )
+    cand = (
+        new_b.join(corp_b, ["band", "key"])
+        .select("new_id", "dup_of")
+        .dropDuplicates()
+    )
+    inter = F.size(F.array_intersect("sa.s", "sb.s"))
+    j = inter.cast("double") / (F.size("sa.s") + F.size("sb.s") - inter)
+    return (
+        cand.join(sh.alias("sa"), F.col("new_id") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("dup_of") == F.col("sb.doc_id"))
+        .withColumn("j", j)
+        .filter(F.col("j") >= NGRAM_JACCARD_THRESHOLD)
+        .select("new_id", "dup_of", r4(F.col("j")).alias("jaccard"))
+    )
+
+
+def _mhp_sig_bands(documents):
+    """Shared engine-portable MinHash pipeline: documents → (sh, bands).
+
+    ``sh`` is (doc_id, s: array<long>) of distinct md5-conv 60-bit
+    3-shingle hashes (checkpointed — it feeds both the minhash pass
+    and the exact-Jaccard verify); ``bands`` is the (doc_id, band,
+    key) LSH bucket projection from the affine minhash families
+    (MHP_A/MHP_B mod MHP_P — one md5 per shingle total). Used by the
+    self-join dedup (dedup_minhash_portable) and the corpus-probe
+    incremental dedup (dedup_incremental_minhash)."""
+    tk = F.filter(F.split("text", " "), lambda x: x != "")
+    d = documents.select("doc_id", tk.alias("tk"))
+    n3 = F.greatest(F.size("tk") - 2, F.lit(0))
+    tri = F.zip_with(
+        F.zip_with(
+            F.slice("tk", 1, n3),
+            F.slice("tk", 2, n3),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        F.slice("tk", 3, n3),
+        lambda ab, c: F.concat_ws(" ", ab, c),
+    )
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(F.transform(tri, _phash)).alias("s"),
+    ).localCheckpoint()  # shingle hashing feeds minhash AND verify
+
+    def _fam(i):
+        # single-arg closure: a 2-param lambda (even with a default)
+        # makes F.transform pass the ARRAY INDEX as the second arg —
+        # the 2-arg lambda trap (memory: spark-duckdb-parity-pitfalls)
+        a, b = F.lit(MHP_A[i]), F.lit(MHP_B[i])
+        return lambda h: (a * (h % F.lit(MHP_P)) + b) % F.lit(MHP_P)
+
+    mh_cols = [
+        F.array_min(F.transform("s", _fam(i))).alias(f"mh{i}")
+        for i in range(MHP_FAMS)
+    ]
+    # Docs with <3 tokens have an empty shingle set: every minhash is
+    # NULL and concat_ws would collapse them all onto band key '' —
+    # a quadratic candidate clique the oracle never generates (its
+    # hashes CTE simply has no rows for them). Drop them before the
+    # band explode so the Spark candidate set matches structurally,
+    # not just after the jaccard filter (ADVICE r7).
+    sig = sh.filter(F.size("s") > 0).select("doc_id", *mh_cols)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            F.col(f"mh{MHP_ROWS * b}").cast("string"),
+                            F.col(f"mh{MHP_ROWS * b + 1}").cast("string"),
+                        ).alias("key"),
+                    )
+                    for b in range(MHP_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    return sh, bands
+
+
+@query(
     "dedup_minhash_portable",
     oracle=f"""
     WITH w AS (
@@ -1218,59 +1398,7 @@ def dedup_minhash_portable(spark, sf_dir):
     ARRAY domain per row (zip_with 3-gram build, no explode before
     the band projection); the band join shuffles (doc_id, band, key)
     only; hashed-shingle sets travel only for banded candidates."""
-    t = Tables(spark, sf_dir)
-    tk = F.filter(F.split("text", " "), lambda x: x != "")
-    d = t.documents.select("doc_id", tk.alias("tk"))
-    n3 = F.greatest(F.size("tk") - 2, F.lit(0))
-    tri = F.zip_with(
-        F.zip_with(
-            F.slice("tk", 1, n3),
-            F.slice("tk", 2, n3),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-        F.slice("tk", 3, n3),
-        lambda ab, c: F.concat_ws(" ", ab, c),
-    )
-    sh = d.select(
-        "doc_id",
-        F.array_distinct(F.transform(tri, _phash)).alias("s"),
-    ).localCheckpoint()  # shingle hashing feeds minhash AND verify
-    def _fam(i):
-        # single-arg closure: a 2-param lambda (even with a default)
-        # makes F.transform pass the ARRAY INDEX as the second arg —
-        # the 2-arg lambda trap (memory: spark-duckdb-parity-pitfalls)
-        a, b = F.lit(MHP_A[i]), F.lit(MHP_B[i])
-        return lambda h: (a * (h % F.lit(MHP_P)) + b) % F.lit(MHP_P)
-
-    mh_cols = [
-        F.array_min(F.transform("s", _fam(i))).alias(f"mh{i}")
-        for i in range(MHP_FAMS)
-    ]
-    # Docs with <3 tokens have an empty shingle set: every minhash is
-    # NULL and concat_ws would collapse them all onto band key '' —
-    # a quadratic candidate clique the oracle never generates (its
-    # hashes CTE simply has no rows for them). Drop them before the
-    # band explode so the Spark candidate set matches structurally,
-    # not just after the jaccard filter (ADVICE r7).
-    sig = sh.filter(F.size("s") > 0).select("doc_id", *mh_cols)
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "-",
-                            F.col(f"mh{MHP_ROWS * b}").cast("string"),
-                            F.col(f"mh{MHP_ROWS * b + 1}").cast("string"),
-                        ).alias("key"),
-                    )
-                    for b in range(MHP_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
+    sh, bands = _mhp_sig_bands(Tables(spark, sf_dir).documents)
     cand = (
         bands.alias("a")
         .join(
