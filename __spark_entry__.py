@@ -131,7 +131,7 @@ GRADE_DEFER = [
     "dq_uniqueness_profile",
     # r10 registrations
     "fn_interval_bank", "agg_bitwise_bool", "sim_eval_rank_metrics",
-    "dedup_incremental_minhash",
+    "dedup_incremental_minhash", "split_dedup_safe",
 ]
 
 

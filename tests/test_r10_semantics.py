@@ -113,3 +113,85 @@ def test_union_find_matches_lss_on_random_graphs(spark):
             (r["node"], r["label"]) for r in _cc_union_find(sym).collect()
         }
         assert lss == uf, f"trial {trial}"
+
+
+def test_split_dedup_safe_no_group_straddles_splits(spark):
+    """The leakage guarantee itself: every exact-dup content group maps
+    to exactly ONE split (the aggregate manifest can't show this — it
+    must hold at doc level). Runs on a seeded corpus with verbatim
+    duplicates (sf0.001 has none) so both directions are non-vacuous."""
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(400):
+        # ~50 distinct texts over 400 docs -> plenty of multi-copy groups
+        rows.append((i, f"doc text number {rng.randrange(50)}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    h = docs.select(
+        "doc_id", F.coalesce(F.md5("text"), F.lit("")).alias("th")
+    )
+    k = h.groupBy("th").agg(F.min("doc_id").alias("keep_id"))
+    hx2 = F.substring(F.md5(F.col("keep_id").cast("string")), 2, 1)
+    split = F.when(hx2.isin("e", "f"), F.lit("holdout")).otherwise(
+        F.lit("train")
+    )
+    per_group = (
+        h.join(k, "th")
+        .select("th", split.alias("split"))
+        .groupBy("th")
+        .agg(F.count_distinct("split").alias("n_splits"))
+    )
+    # sanity: the corpus actually contains multi-copy groups, so the
+    # invariant is non-vacuous
+    assert (
+        h.groupBy("th").count().filter(F.col("count") > 1).count() > 0
+    )
+    assert per_group.filter(F.col("n_splits") > 1).count() == 0
+    # and the naive per-doc split DOES straddle at least one group —
+    # i.e. split_dedup_safe is not vacuously identical to
+    # split_train_holdout on this corpus
+    naive_hx2 = F.substring(F.md5(F.col("doc_id").cast("string")), 2, 1)
+    naive = F.when(naive_hx2.isin("e", "f"), F.lit("holdout")).otherwise(
+        F.lit("train")
+    )
+    naive_straddle = (
+        h.select("th", naive.alias("split"))
+        .groupBy("th")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert naive_straddle > 0
+
+
+def test_incremental_minhash_equals_portable_cross_split_pairs(
+    spark, sf_dir
+):
+    """dedup_incremental_minhash (batch probed against corpus index)
+    must emit exactly the dedup_minhash_portable pairs that cross the
+    80/20 doc_id split — the incremental path may skip corpus-side
+    self-join work but must not lose or invent candidates."""
+    from pyspark.sql import functions as F
+
+    from thrive_spark.registry import QUERIES
+    from thrive_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    v = (
+        t.documents.agg(F.expr("(4 * max(doc_id)) div 5").alias("v"))
+        .collect()[0]["v"]
+    )
+    full = {
+        (r["dup_id"], r["keep_id"], r["jaccard"])
+        for r in QUERIES["dedup_minhash_portable"](spark, sf_dir).collect()
+        if r["dup_id"] >= v and r["keep_id"] < v
+    }
+    inc = {
+        (r["new_id"], r["dup_of"], r["jaccard"])
+        for r in QUERIES["dedup_incremental_minhash"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert inc == full
+    assert len(inc) > 0  # non-vacuous on the test corpus

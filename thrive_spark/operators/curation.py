@@ -116,6 +116,79 @@ def split_train_holdout(spark, sf_dir):
     )
 
 
+@query(
+    "split_dedup_safe",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, lang, coalesce(md5(text), '') AS th,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+        FROM documents
+    ),
+    k AS (
+        SELECT th, min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM h GROUP BY th
+    ),
+    s AS (
+        SELECT h.lang,
+               CASE WHEN substr(md5(CAST(k.keep_id AS VARCHAR)), 2, 1)
+                         IN ('e', 'f')
+                    THEN 'holdout' ELSE 'train' END AS split,
+               h.th, h.est_tokens, k.n_copies
+        FROM h JOIN k USING (th)
+    )
+    SELECT lang, split, count(*) AS n_docs,
+           count(DISTINCT th) AS n_groups,
+           CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+           CAST(sum(est_tokens) AS BIGINT) AS total_tokens
+    FROM s GROUP BY lang, split
+    """,
+)
+def split_dedup_safe(spark, sf_dir):
+    """Leakage-safe train/holdout split: the split decision is keyed on
+    each document's exact-dup GROUP (canonical = min doc_id per content
+    md5), so verbatim duplicates can never straddle train and holdout —
+    the eval-contamination guard every LLM data pipeline needs in front
+    of split_train_holdout's naive per-doc hash. Emits the per-(lang,
+    split) manifest with group-integrity metrics (group count, docs
+    living in multi-copy groups).
+
+    Scale shape: documents shuffle once as (doc_id, 16-byte md5)
+    projections to build the |distinct contents|-row group table, then
+    join back on the content hash (uniform key, no skew; AQE broadcasts
+    the group side when small). The split predicate is a pure function
+    of the group's canonical id — reproducible on any cluster layout,
+    no rand(), no seed plumbing. The same composition holds verbatim
+    with a NEAR-dup canonical mapping (dedup_cluster_components roots)
+    swapped in for the exact-hash grouping."""
+    t = Tables(spark, sf_dir)
+    h = t.documents.select(
+        "doc_id",
+        "lang",
+        F.coalesce(F.md5("text"), F.lit("")).alias("th"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("est_tokens"),
+    )
+    k = h.groupBy("th").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    hx2 = F.substring(F.md5(F.col("keep_id").cast("string")), 2, 1)
+    s = h.join(k, "th").select(
+        "lang",
+        F.when(hx2.isin("e", "f"), F.lit("holdout"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+        "th",
+        "est_tokens",
+        "n_copies",
+    )
+    return s.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("th").alias("n_groups"),
+        F.sum((F.col("n_copies") > 1).cast("bigint")).alias("n_dup_docs"),
+        F.sum("est_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
 #: per-language token budget for the quota sampler (column units:
 #: chars/4 estimated tokens)
 TOKEN_BUDGET = 5000
