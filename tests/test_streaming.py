@@ -192,3 +192,54 @@ def canon_rows(pdf):
         tuple("NULL" if v != v or v is None else str(v) for v in row)
         for row in pdf[cols].itertuples(index=False, name=None)
     ]
+
+
+def test_incremental_dedup_probe_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming corpus-probe dedup == the batch dedup_incremental_minhash
+    op: the new batch (top 20% of doc_ids) arrives as a chunked file
+    stream and is probed against the static LSH band index built over
+    the corpus (bottom 80%)."""
+    import os
+    import time
+
+    from thrive_spark.operators.dedup_extra import (
+        _mhp_sig_bands,
+        dedup_incremental_minhash,
+    )
+
+    docs = Tables(spark, sf_dir).documents.select("doc_id", "text")
+    v = docs.agg(F.expr("(4 * max(doc_id)) div 5").alias("v")).collect()[
+        0
+    ]["v"]
+    corpus = docs.filter(F.col("doc_id") < v)
+    new = docs.filter(F.col("doc_id") >= v).orderBy("doc_id")
+    # static index over the ingested corpus
+    corpus_sh, corpus_bands = _mhp_sig_bands(corpus)
+    corpus_sh = corpus_sh.localCheckpoint()
+    corpus_bands = corpus_bands.localCheckpoint()
+    # new batch arrives as 3 files (mtime ascending = arrival order)
+    path = str(tmp_path / "newdocs")
+    rows = new.collect()
+    k = (len(rows) + 2) // 3
+    for i in range(3):
+        chunk = rows[i * k : (i + 1) * k]
+        if not chunk:
+            continue
+        spark.createDataFrame(chunk, new.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        time.sleep(1.1)  # distinct mtimes
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    got = run_stream(
+        spark,
+        ops.probe_dedup_minhash(stream, corpus_sh, corpus_bands),
+        "append",
+        "t_incdedup",
+    )
+    want = dedup_incremental_minhash(spark, sf_dir).toPandas()
+    assert len(want) > 0  # non-vacuous
+    assert canon(got, got.columns) == canon(want, want.columns)

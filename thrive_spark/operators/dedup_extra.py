@@ -1253,7 +1253,7 @@ def dedup_incremental_minhash(spark, sf_dir):
     )
 
 
-def _mhp_sig_bands(documents):
+def _mhp_sig_bands(documents, checkpoint=True, carry_sets=False):
     """Shared engine-portable MinHash pipeline: documents → (sh, bands).
 
     ``sh`` is (doc_id, s: array<long>) of distinct md5-conv 60-bit
@@ -1262,7 +1262,15 @@ def _mhp_sig_bands(documents):
     key) LSH bucket projection from the affine minhash families
     (MHP_A/MHP_B mod MHP_P — one md5 per shingle total). Used by the
     self-join dedup (dedup_minhash_portable) and the corpus-probe
-    incremental dedup (dedup_incremental_minhash)."""
+    incremental dedup (dedup_incremental_minhash).
+
+    ``checkpoint=False`` skips the localCheckpoint (required when
+    ``documents`` is a STREAMING DataFrame — streaming/ops.py);
+    ``carry_sets=True`` keeps the shingle-set column ``s`` on the band
+    rows so a streaming caller can verify candidates without the
+    stream-stream self-join Spark would reject. That widens each band
+    row from 3 longs to 3 longs + |s| — only ever paid on the
+    NEW-batch side of the incremental probe, never the corpus."""
     tk = F.filter(F.split("text", " "), lambda x: x != "")
     d = documents.select("doc_id", tk.alias("tk"))
     n3 = F.greatest(F.size("tk") - 2, F.lit(0))
@@ -1278,7 +1286,9 @@ def _mhp_sig_bands(documents):
     sh = d.select(
         "doc_id",
         F.array_distinct(F.transform(tri, _phash)).alias("s"),
-    ).localCheckpoint()  # shingle hashing feeds minhash AND verify
+    )
+    if checkpoint:
+        sh = sh.localCheckpoint()  # shingle hashing feeds minhash AND verify
 
     def _fam(i):
         # single-arg closure: a 2-param lambda (even with a default)
@@ -1297,9 +1307,11 @@ def _mhp_sig_bands(documents):
     # hashes CTE simply has no rows for them). Drop them before the
     # band explode so the Spark candidate set matches structurally,
     # not just after the jaccard filter (ADVICE r7).
-    sig = sh.filter(F.size("s") > 0).select("doc_id", *mh_cols)
+    extra = ["s"] if carry_sets else []
+    sig = sh.filter(F.size("s") > 0).select("doc_id", *extra, *mh_cols)
     bands = sig.select(
         "doc_id",
+        *extra,
         F.explode(
             F.array(
                 *[
@@ -1315,7 +1327,7 @@ def _mhp_sig_bands(documents):
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
+    ).select("doc_id", *extra, "bk.band", "bk.key")
     return sh, bands
 
 

@@ -312,3 +312,57 @@ def interval_join_view_purchase_outer(events: DataFrame) -> DataFrame:
         "purchase_id",
         (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"),
     )
+
+
+def probe_dedup_minhash(
+    new_docs: DataFrame, corpus_sh: DataFrame, corpus_bands: DataFrame
+) -> DataFrame:
+    """Streaming incremental near-dup dedup — the true ingest form of
+    operators/dedup_extra.dedup_incremental_minhash: ``new_docs`` is a
+    STREAMING DataFrame of (doc_id, text); ``corpus_sh`` /
+    ``corpus_bands`` are the STATIC persistent LSH index over the
+    already-ingested corpus (built once by ``_mhp_sig_bands``; at
+    scale an append-only parquet table bucketed by (band, key)).
+    Emits (new_id, dup_of, jaccard) for every arriving doc that is a
+    verified near-duplicate of a corpus doc, in append mode.
+
+    Plan shape: signature computation is per-row expressions on the
+    stream (stateless), the probe is a stream-static equi-join on
+    (band, key), and the verify joins the static shingle-set table.
+    The arriving doc's own shingle set rides along on its band rows
+    (carry_sets=True) because a rejoin against the stream would be a
+    stream-stream self-join Spark rejects; the only stateful step is
+    the candidate-pair dropDuplicates, whose state is bounded by the
+    stream's TRUE duplicate pairs (not the corpus)."""
+    from ..operators.dedup_extra import (
+        NGRAM_JACCARD_THRESHOLD,
+        _mhp_sig_bands,
+    )
+    from ..operators._util import r4
+
+    _, nb = _mhp_sig_bands(new_docs, checkpoint=False, carry_sets=True)
+    cand = (
+        nb.select(
+            F.col("doc_id").alias("new_id"),
+            F.col("s").alias("sa"),
+            "band",
+            "key",
+        )
+        .join(
+            corpus_bands.select(
+                F.col("doc_id").alias("dup_of"), "band", "key"
+            ),
+            ["band", "key"],
+        )
+        .dropDuplicates(["new_id", "dup_of"])
+    )
+    inter = F.size(F.array_intersect("sa", "sb.s"))
+    j = inter.cast("double") / (F.size("sa") + F.size("sb.s") - inter)
+    return (
+        cand.join(
+            corpus_sh.alias("sb"), F.col("dup_of") == F.col("sb.doc_id")
+        )
+        .withColumn("j", j)
+        .filter(F.col("j") >= NGRAM_JACCARD_THRESHOLD)
+        .select("new_id", "dup_of", r4(F.col("j")).alias("jaccard"))
+    )

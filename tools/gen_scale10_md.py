@@ -87,6 +87,11 @@ IDS = [
     "dedup_cluster_components",
     "dedup_fuzzy_minhash",
     "dedup_minhash_portable",
+    # corpus-probe incremental dedup (r10): new batch = the top-id
+    # copies, i.e. near-dups of the lower copies — the daily-ingest
+    # shape with genuine probe work
+    "dedup_incremental_minhash",
+    "split_dedup_safe",
     "dedup_exact_substring",
     "text_tfidf_topterms",
     "text_bm25_topk",
