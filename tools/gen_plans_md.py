@@ -50,6 +50,8 @@ IDS = [
     "tpch_q2_adapted",
     "tpch_q9_adapted",
     "dedup_shingle_containment",
+    "dedup_incremental_minhash",
+    "split_dedup_safe",
     "dedup_exact_substring",
     "graph_jaccard_neighbors",
     "ts_ohlc_bars",

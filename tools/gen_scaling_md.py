@@ -45,6 +45,8 @@ IDS = [
     "merge_scd2_dimension",
     "dedup_shingle_containment",
     "dedup_cluster_components",
+    "dedup_incremental_minhash",
+    "split_dedup_safe",
     "dedup_exact_substring",
     "ts_ohlc_bars",
     "graph_jaccard_neighbors",
