@@ -59,6 +59,10 @@ HEADLINE = [
     "ts_anomaly_zscore",       # windowed anomaly detection (r5)
     "dedup_exact_substring",   # ExactSubstr overlap scan (r7)
     "ts_ohlc_bars",            # arg_min/max candle rollup (r7)
+    # r10 additions: the suite total is NOT comparable to BENCH_r09 and
+    # earlier (26 -> 28 queries); compare per-query.
+    "dedup_incremental_minhash",  # corpus-probe ingest dedup (r10)
+    "split_dedup_safe",        # leakage-safe split manifest (r10)
 ]
 
 

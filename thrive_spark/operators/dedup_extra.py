@@ -1140,6 +1140,68 @@ def _phash(col):
 
 
 @query(
+    "dedup_incremental_exact",
+    oracle="""
+    WITH spl AS (SELECT (4 * max(doc_id)) // 5 AS v FROM documents),
+    h AS (
+        SELECT doc_id, coalesce(md5(text), '') AS th FROM documents
+    ),
+    c AS (
+        SELECT th, min(doc_id) AS dup_of, count(*) AS n_in_corpus
+        FROM h, spl WHERE doc_id < spl.v GROUP BY th
+    ),
+    n AS (
+        SELECT doc_id AS new_id, th FROM h, spl WHERE doc_id >= spl.v
+    )
+    SELECT new_id, dup_of IS NOT NULL AS is_dup, dup_of,
+           CAST(coalesce(n_in_corpus, 0) AS BIGINT) AS n_in_corpus
+    FROM n LEFT JOIN c USING (th)
+    """,
+)
+def dedup_incremental_exact(spark, sf_dir):
+    """Exact-dup ingest manifest — the most-run dedup query in any
+    production pipeline: for EVERY doc in the new batch (top 20% of
+    doc_ids, same exact integer split as dedup_incremental_minhash),
+    is it a verbatim copy of something already ingested? Emits
+    (new_id, is_dup, dup_of = the corpus group's canonical keeper or
+    NULL, n_in_corpus). A left join, not a match-only filter — the
+    downstream writer consumes the full batch manifest, and the
+    match-only form would be vacuously empty on dup-free corpora.
+
+    Scale shape: the corpus side reduces once to |distinct contents|
+    rows of (16-byte md5, keeper, count) — at 100 TB a persistent
+    append-only hash manifest — and the probe is one equi-join on a
+    uniform hash key whose left side is batch-sized. NULL text
+    coalesces to a sentinel group on both engines (same discipline as
+    split_dedup_safe)."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    split = docs.agg(F.expr("(4 * max(doc_id)) div 5").alias("v"))
+    h = docs.select(
+        "doc_id", F.coalesce(F.md5("text"), F.lit("")).alias("th")
+    ).crossJoin(F.broadcast(split))
+    corpus = (
+        h.filter(F.col("doc_id") < F.col("v"))
+        .groupBy("th")
+        .agg(
+            F.min("doc_id").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_in_corpus"),
+        )
+    )
+    new = h.filter(F.col("doc_id") >= F.col("v")).select(
+        F.col("doc_id").alias("new_id"), "th"
+    )
+    return new.join(corpus, "th", "left").select(
+        "new_id",
+        F.col("dup_of").isNotNull().alias("is_dup"),
+        "dup_of",
+        F.coalesce("n_in_corpus", F.lit(0)).cast("bigint").alias(
+            "n_in_corpus"
+        ),
+    )
+
+
+@query(
     "dedup_incremental_minhash",
     oracle=f"""
     WITH spl AS (SELECT (4 * max(doc_id)) // 5 AS v FROM documents),
