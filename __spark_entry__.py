@@ -132,7 +132,7 @@ GRADE_DEFER = [
     # r10 registrations
     "fn_interval_bank", "agg_bitwise_bool", "sim_eval_rank_metrics",
     "dedup_incremental_minhash", "split_dedup_safe",
-    "dedup_incremental_exact",
+    "dedup_incremental_exact", "dedup_incremental_embedding",
 ]
 
 

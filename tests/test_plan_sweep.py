@@ -29,6 +29,7 @@ ALLOWED_ARROW_PYTHON = {
     "udtf_explode_words",
     "sim_pairs_threshold",
     "dedup_embedding_cosine",
+    "dedup_incremental_embedding",  # rectangular new×corpus BLAS per label block
     "dedup_fuzzy_minhash",
     "sim_knn_lsh",
     "sim_knn_ivf",

@@ -1140,6 +1140,78 @@ def _phash(col):
 
 
 @query(
+    "dedup_incremental_embedding",
+    oracle=f"""
+    WITH spl AS (SELECT (4 * max(vec_id)) // 5 AS v FROM embeddings)
+    SELECT n.vec_id AS new_id, c.vec_id AS dup_of,
+           round(list_cosine_similarity(CAST(n.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])),
+                 4) AS sim
+    FROM embeddings n JOIN embeddings c ON n.label = c.label, spl
+    WHERE n.vec_id >= spl.v AND c.vec_id < spl.v
+      AND list_cosine_similarity(CAST(n.embedding AS DOUBLE[]),
+                                 CAST(c.embedding AS DOUBLE[]))
+          >= {COSINE_THRESHOLD}
+    """,
+)
+def dedup_incremental_embedding(spark, sf_dir):
+    """Semantic ingest probe — the embedding-space member of the
+    incremental family: every new vector (top 20% of vec_ids, exact
+    integer split) is scored against the already-ingested corpus
+    WITHIN ITS LABEL BLOCK, emitting (new_id, dup_of, sim) for
+    cosine ≥ threshold. Completes the ingest story: exact hash →
+    MinHash LSH → embedding cosine, all probing a persistent index
+    instead of recomputing the corpus self-join.
+
+    Same blocked-BLAS discipline as sim_pairs_threshold, but the
+    per-block matmul is RECTANGULAR (new × corpus), so per-ingest
+    flops are Σ|new_b|·|corpus_b| — linear in the batch at a fixed
+    corpus, vs the self-join's Σ|block|². The split scalar rides in
+    as a broadcast column (no driver collect); blocks shuffle once
+    on label."""
+    t = Tables(spark, sf_dir)
+    threshold = COSINE_THRESHOLD
+    split = t.embeddings.agg(
+        F.expr("(4 * max(vec_id)) div 5").alias("v")
+    )
+    e = t.embeddings.select("vec_id", "label", "embedding").crossJoin(
+        F.broadcast(split)
+    )
+
+    def block_probe(pdf):
+        import numpy as np
+        import pandas as pd
+
+        v = pdf["v"].iloc[0]
+        new = pdf[pdf["vec_id"] >= v]
+        corp = pdf[pdf["vec_id"] < v]
+        empty = pd.DataFrame(
+            {"new_id": [], "dup_of": [], "sim": []}
+        ).astype({"new_id": "int64", "dup_of": "int64", "sim": "float64"})
+        if new.empty or corp.empty:
+            return empty
+        u = np.array(new["embedding"].tolist(), dtype=np.float64)
+        c = np.array(corp["embedding"].tolist(), dtype=np.float64)
+        u = u / np.linalg.norm(u, axis=1, keepdims=True)
+        c = c / np.linalg.norm(c, axis=1, keepdims=True)
+        sims = u @ c.T
+        ni, ci = np.nonzero(sims >= threshold)
+        if not len(ni):
+            return empty
+        return pd.DataFrame(
+            {
+                "new_id": new["vec_id"].to_numpy()[ni],
+                "dup_of": corp["vec_id"].to_numpy()[ci],
+                "sim": np.round(sims[ni, ci], 4),
+            }
+        )
+
+    return e.groupBy("label").applyInPandas(
+        block_probe, "new_id long, dup_of long, sim double"
+    )
+
+
+@query(
     "dedup_incremental_exact",
     oracle="""
     WITH spl AS (SELECT (4 * max(doc_id)) // 5 AS v FROM documents),
