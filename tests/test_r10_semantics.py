@@ -195,3 +195,37 @@ def test_incremental_minhash_equals_portable_cross_split_pairs(
     }
     assert inc == full
     assert len(inc) > 0  # non-vacuous on the test corpus
+
+
+def test_incremental_embedding_equals_blocked_cross_split_pairs(
+    spark, sf_dir
+):
+    """dedup_incremental_embedding (rectangular new x corpus probe)
+    must emit exactly the dedup_embedding_cosine pairs that cross the
+    80/20 vec_id split — the probe may skip corpus-side self-join
+    work but must not lose or invent candidates."""
+    from pyspark.sql import functions as F
+
+    from thrive_spark.registry import QUERIES
+    from thrive_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    v = (
+        t.embeddings.agg(F.expr("(4 * max(vec_id)) div 5").alias("v"))
+        .collect()[0]["v"]
+    )
+    # dedup_embedding_cosine emits (keep_id=min, dup_id=max); a
+    # cross-split pair always has keep < v <= dup
+    full = {
+        (r["dup_id"], r["keep_id"], r["sim"])
+        for r in QUERIES["dedup_embedding_cosine"](spark, sf_dir).collect()
+        if r["dup_id"] >= v and r["keep_id"] < v
+    }
+    inc = {
+        (r["new_id"], r["dup_of"], r["sim"])
+        for r in QUERIES["dedup_incremental_embedding"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert inc == full
+    assert len(inc) > 0  # non-vacuous on the test corpus
