@@ -133,6 +133,7 @@ GRADE_DEFER = [
     "fn_interval_bank", "agg_bitwise_bool", "sim_eval_rank_metrics",
     "dedup_incremental_minhash", "split_dedup_safe",
     "dedup_incremental_exact", "dedup_incremental_embedding",
+    "dedup_incremental_bucketed",
 ]
 
 

@@ -422,3 +422,20 @@ def test_ohlc_single_aggregate_no_window(spark, sf_dir):
     assert "partial_min_by" in plan  # map-side combine proof
     assert "Window" not in plan
     assert plan.count("+- Exchange") == 1  # one shuffle, on the bar key
+
+
+def test_incremental_bucketed_probe_shuffle_free(spark, sf_dir):
+    """The persisted-LSH-index exhibit: the (band, key) probe join must
+    be a bucket-aligned SMJ with no Exchange on either side — the
+    100 TB claim in dedup_incremental_bucketed's docstring, asserted."""
+    from thrive_spark.operators.dedup_extra import _bucketed_probe
+
+    _result, probe, cleanup = _bucketed_probe(
+        spark, sf_dir, prefix="thrive_lshp"
+    )
+    try:
+        plan = physical_plan(probe)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+    finally:
+        cleanup()

@@ -1273,9 +1273,10 @@ def dedup_incremental_exact(spark, sf_dir):
     )
 
 
-@query(
-    "dedup_incremental_minhash",
-    oracle=f"""
+# Shared by dedup_incremental_minhash and dedup_incremental_bucketed:
+# the two Spark paths differ only in HOW the probe join executes
+# (in-plan vs persisted bucketed index) — the result is identical.
+_INC_MINHASH_ORACLE = f"""
     WITH spl AS (SELECT (4 * max(doc_id)) // 5 AS v FROM documents),
     w AS (
         SELECT doc_id,
@@ -1337,8 +1338,10 @@ def dedup_incremental_exact(spark, sf_dir):
     WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
           / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
           >= {NGRAM_JACCARD_THRESHOLD}
-    """,
-)
+    """
+
+
+@query("dedup_incremental_minhash", oracle=_INC_MINHASH_ORACLE)
 def dedup_incremental_minhash(spark, sf_dir):
     """INCREMENTAL near-dup dedup — the daily-ingest shape: a new
     batch (the top 20% of doc_ids; the split is exact integer
@@ -1385,6 +1388,85 @@ def dedup_incremental_minhash(spark, sf_dir):
         .filter(F.col("j") >= NGRAM_JACCARD_THRESHOLD)
         .select("new_id", "dup_of", r4(F.col("j")).alias("jaccard"))
     )
+
+
+#: bucket count for the persisted LSH index exhibit (small at test SF;
+#: at 100 TB this is sized so one bucket ≈ one executor-core's scan)
+LSH_INDEX_BUCKETS = 8
+
+
+def _bucketed_probe(spark, sf_dir, prefix="thrive_lsh"):
+    """Build the incremental probe against a PERSISTED bucketed LSH
+    index; returns (result_df, probe_join_df, cleanup_fn). The
+    probe_join_df is the raw candidate join for plan inspection."""
+    import shutil
+    import tempfile
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    split = docs.agg(F.expr("(4 * max(doc_id)) div 5").alias("v"))
+    sh, bands = _mhp_sig_bands(docs)
+    b = bands.crossJoin(F.broadcast(split))
+    new_b = b.filter(F.col("doc_id") >= F.col("v")).select(
+        F.col("doc_id").alias("new_id"), "band", "key"
+    )
+    corp_b = b.filter(F.col("doc_id") < F.col("v")).select(
+        F.col("doc_id").alias("dup_of"), "band", "key"
+    )
+    out = tempfile.mkdtemp(prefix=f"{prefix}_")
+    idx, new = f"{prefix}_idx", f"{prefix}_new"
+    for name, side in ((idx, corp_b), (new, new_b)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            # repartition on the bucket key first: one file per bucket
+            # (the bucketed.py small-file discipline)
+            side.repartition(LSH_INDEX_BUCKETS, F.col("band"), F.col("key"))
+            .write.mode("overwrite")
+            .option("path", f"{out}/{name}")
+            .bucketBy(LSH_INDEX_BUCKETS, "band", "key")
+            .sortBy("band", "key")
+            .saveAsTable(name)
+        )
+    # hint MERGE: at test scale the planner would broadcast the batch
+    # side; the exhibit is the big-batch case where neither side fits
+    probe = spark.table(new).hint("merge").join(
+        spark.table(idx), ["band", "key"]
+    )
+    cand = probe.select("new_id", "dup_of").dropDuplicates()
+    inter = F.size(F.array_intersect("sa.s", "sb.s"))
+    j = inter.cast("double") / (F.size("sa.s") + F.size("sb.s") - inter)
+    result = (
+        cand.join(sh.alias("sa"), F.col("new_id") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("dup_of") == F.col("sb.doc_id"))
+        .withColumn("j", j)
+        .filter(F.col("j") >= NGRAM_JACCARD_THRESHOLD)
+        .select("new_id", "dup_of", r4(F.col("j")).alias("jaccard"))
+    )
+
+    def cleanup():
+        spark.sql(f"DROP TABLE IF EXISTS {idx}")
+        spark.sql(f"DROP TABLE IF EXISTS {new}")
+        shutil.rmtree(out, ignore_errors=True)
+
+    return result, probe, cleanup
+
+
+@query("dedup_incremental_bucketed", oracle=_INC_MINHASH_ORACLE)
+def dedup_incremental_bucketed(spark, sf_dir):
+    """dedup_incremental_minhash's result, with the LSH index
+    MATERIALIZED the way the docstring claims it works at 100 TB: the
+    corpus band table persists bucketed+sorted by (band, key), the
+    new batch's bands write into the same bucket layout, and the
+    probe runs as a bucket-aligned SortMergeJoin with NO Exchange on
+    either side (asserted in tests/test_plans.py). Per-ingest
+    corpus-side cost is a bucket SCAN, not a shuffle — the index is
+    append-only across ingests. Result is identical to the in-plan
+    probe, so both share one oracle."""
+    result, _probe, cleanup = _bucketed_probe(spark, sf_dir)
+    try:
+        return result.localCheckpoint()  # materialize before DROP TABLE
+    finally:
+        cleanup()
 
 
 def _mhp_sig_bands(documents, checkpoint=True, carry_sets=False):
