@@ -51,6 +51,7 @@ IDS = [
     "tpch_q9_adapted",
     "dedup_shingle_containment",
     "dedup_incremental_minhash",
+    "dedup_incremental_embedding",
     "split_dedup_safe",
     "dedup_exact_substring",
     "graph_jaccard_neighbors",

@@ -91,6 +91,7 @@ IDS = [
     # copies, i.e. near-dups of the lower copies — the daily-ingest
     # shape with genuine probe work
     "dedup_incremental_minhash",
+    "dedup_incremental_embedding",
     "split_dedup_safe",
     "dedup_exact_substring",
     "text_tfidf_topterms",

@@ -46,6 +46,8 @@ IDS = [
     "dedup_shingle_containment",
     "dedup_cluster_components",
     "dedup_incremental_minhash",
+    "dedup_incremental_embedding",
+    "dedup_incremental_bucketed",
     "split_dedup_safe",
     "dedup_exact_substring",
     "ts_ohlc_bars",
