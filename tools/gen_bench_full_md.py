@@ -22,6 +22,28 @@ registry.load_all()
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
 
+def _calibrate(spark) -> str:
+    """Same contention probe as bench.py (r10): time the pinned
+    agg_hash_groupby floor so a noisy box is stamped INTO the
+    artifact instead of silently inflating the census (the r8/r9
+    lesson; BENCH_FULL is single-run and thus even more exposed)."""
+    if not SF_DIR.rstrip("/").endswith("sf0.1"):
+        return "skipped (non-default sf)"
+    fn = registry.QUERIES["agg_hash_groupby"]
+    floor, slack = 0.25, 1.15
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    measured = min(samples)
+    status = "ok" if measured <= floor * slack else "CONTENDED"
+    return (
+        f"{status} (probe agg_hash_groupby min {measured:.3f} s vs"
+        f" {floor:.2f} s quiet-box floor)"
+    )
+
+
 def main() -> None:
     spark = get_spark("bench-full")
     rows, errors = [], []
@@ -33,6 +55,7 @@ def main() -> None:
             ).save()
         except Exception:  # noqa: BLE001
             pass
+    calibration = _calibrate(spark)
     for qid in sorted(registry.QUERIES):
         t0 = time.perf_counter()
         try:
@@ -49,6 +72,7 @@ def main() -> None:
     print()
     print(f"{len(rows)} queries ran, {len(errors)} errored,")
     print(f"total {round(sum(r[0] for r in rows), 1)} s.")
+    print(f"Calibration: {calibration}.")
     print()
     print("| sec | query |")
     print("|---|---|")
