@@ -229,3 +229,34 @@ def test_incremental_embedding_equals_blocked_cross_split_pairs(
     }
     assert inc == full
     assert len(inc) > 0  # non-vacuous on the test corpus
+
+
+def test_lsh_index_is_append_only(spark, sf_dir):
+    """The 100 TB index claim's load-bearing property: a doc's band
+    rows are a PURE function of that doc (no corpus-dependent state),
+    so each ingest can append its bands to the persisted index and
+    later probes see exactly what a from-scratch rebuild would. If the
+    signature pipeline ever grows corpus-dependent normalization
+    (IDF-weighted shingles, corpus-fit hashing), this catches the
+    append-only contract breaking."""
+    from pyspark.sql import functions as F
+
+    from thrive_spark.operators.dedup_extra import _mhp_sig_bands
+    from thrive_spark.tables import Tables
+
+    docs = Tables(spark, sf_dir).documents.select("doc_id", "text")
+    v = docs.agg(F.expr("(3 * max(doc_id)) div 5").alias("v")).collect()[
+        0
+    ]["v"]
+    whole = {
+        (r["doc_id"], r["band"], r["key"])
+        for r in _mhp_sig_bands(docs)[1].collect()
+    }
+    part1 = _mhp_sig_bands(docs.filter(F.col("doc_id") < v))[1]
+    part2 = _mhp_sig_bands(docs.filter(F.col("doc_id") >= v))[1]
+    appended = {
+        (r["doc_id"], r["band"], r["key"])
+        for r in part1.unionAll(part2).collect()
+    }
+    assert appended == whole
+    assert len(whole) > 0
