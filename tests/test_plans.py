@@ -439,3 +439,20 @@ def test_incremental_bucketed_probe_shuffle_free(spark, sf_dir):
         assert "Exchange" not in plan, plan
     finally:
         cleanup()
+
+
+def test_pair_scan_groups_on_tiles_not_labels(spark, sf_dir):
+    """r11: the tiled BLAS pair scans must shuffle on (label, tile)
+    keys, never on the bare 10-value label — the r10 weak-mark shape
+    (one Arrow group per label, parallelism capped at 10)."""
+    import re
+
+    for qid, keys in [
+        ("sim_pairs_threshold", ("ti", "tj")),
+        ("dedup_incremental_embedding", ("cn", "cc")),
+    ]:
+        plan = physical_plan(QUERIES[qid](spark, sf_dir))
+        m = re.search(r"Arguments: \[([^\]]*)\], \w*tile_", plan)
+        assert m, f"{qid}: no FlatMapGroupsInPandas grouping found\n{plan}"
+        for k in keys:
+            assert f"{k}#" in m.group(1), f"{qid}: missing tile key {k}"
