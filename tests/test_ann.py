@@ -56,10 +56,13 @@ def test_pq_recall_vs_exact(spark, sf_dir):
 
 
 def test_semantic_dedup_matches_bruteforce(spark, sf_dir):
-    """Per-cell greedy SemDeDup must equal a brute-force reference:
-    same kept set and same dup_of attribution for every cell."""
+    """r11 component semantics: within each of the operator's own
+    cells, every τ-connected component must collapse to its min-vec_id
+    keeper — rebuilt here with a brute-force numpy gram matrix +
+    union-find, independent of the Spark/SQL machinery."""
     import numpy as np
 
+    from thrive_spark.operators.dedup_extra import SEMC_TAU
     from thrive_spark.registry import QUERIES
     from thrive_spark.tables import Tables
 
@@ -68,30 +71,36 @@ def test_semantic_dedup_matches_bruteforce(spark, sf_dir):
     emb = t.embeddings.select("vec_id", "embedding").toPandas()
     emb = emb.sort_values("vec_id").reset_index(drop=True)
     m = np.array(emb["embedding"].tolist(), dtype=np.float64)
-    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    keep_rows = nrm[:, 0] > 0  # op excludes zero-norm vectors
+    emb, m = emb[keep_rows].reset_index(drop=True), m[keep_rows] / nrm[keep_rows]
     vid = emb["vec_id"].to_numpy()
 
-    # rebuild the reference per cell from the operator's own cells
-    # (the cell assignment is the k-means half, tested elsewhere)
     assert len(out) == len(emb)
     assert out["kept"].sum() >= 1
+    assert (~out["kept"]).sum() >= 1, "prune verdicts must be non-vacuous"
     pos = {v: i for i, v in enumerate(vid)}
     for cell, grp in out.groupby("cell"):
         grp = grp.sort_values("vec_id").reset_index(drop=True)
         rows = [pos[v] for v in grp["vec_id"]]
         sims = m[rows] @ m[rows].T
-        kept_idx, want_kept, want_dup = [], [], []
-        for i in range(len(rows)):
-            if kept_idx:
-                s = sims[i, kept_idx]
-                j = int(np.argmax(s))
-                if s[j] > 0.80:
-                    want_kept.append(False)
-                    want_dup.append(int(grp["vec_id"].iloc[kept_idx[j]]))
-                    continue
-            kept_idx.append(i)
-            want_kept.append(True)
-            want_dup.append(-1)
+        ids = grp["vec_id"].to_numpy()
+        root = {int(v): int(v) for v in ids}
+
+        def find(x):
+            while root[x] != x:
+                root[x] = root[root[x]]
+                x = root[x]
+            return x
+
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sims[i, j] > SEMC_TAU:
+                    ri, rj = find(int(ids[i])), find(int(ids[j]))
+                    if ri != rj:
+                        root[max(ri, rj)] = min(ri, rj)
+        want_kept = [find(int(v)) == int(v) for v in ids]
+        want_dup = [-1 if k else find(int(v)) for v, k in zip(ids, want_kept)]
         assert list(grp["kept"]) == want_kept, f"cell {cell} kept mismatch"
         assert list(grp["dup_of"]) == want_dup, f"cell {cell} dup_of mismatch"
 

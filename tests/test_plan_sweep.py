@@ -35,7 +35,7 @@ ALLOWED_ARROW_PYTHON = {
     "sim_knn_ivf",
     "sim_knn_pq",
     "cluster_topics_kmeans",
-    "dedup_semantic_cluster",  # per-cell BLAS gram via applyInPandas
+    "dedup_semantic_cluster",  # small-regime CC union-find Arrow task (r11)
     "tokenizer_apply_bpe",  # per-doc BPE re-tokenize, map-only Arrow pass
     "multimodal_audio_wav",  # WAV codec encode/decode, map-only Arrow passes
     "sim_mmr_rerank",  # greedy MMR on the shortlist runs in one Arrow batch

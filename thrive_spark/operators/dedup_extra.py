@@ -793,83 +793,179 @@ def dedup_paragraph_exact(spark, sf_dir):
     )
 
 
-@query("dedup_semantic_cluster")  # rows-only: depends on the k-means cells
+SEMC_TAU = 0.35  # prune threshold: non-vacuous on every test corpus
+SEMC_ROUNDS = 3  # Lloyd alternations, mirrored in the oracle unroll
+#: E-step packing for the data-dependent cell count: dist quantized at
+#: 1e-4 (argmin portability only needs BOTH engines to compute the
+#: same packed long), pack_mod 1e5 bounds the centroid id — together
+#: dist ≤ ~9e9 stays inside int64, comfortably above the stress domain
+SEMC_DIST_SCALE, SEMC_PACK_MOD = 10000, 100000
+
+
+def _semc_oracle() -> str:
+    """DuckDB twin of the √n-cell SemDeDup: the same Lloyd unroll as
+    _kmx_oracle but over the nonzero-norm subset with a DATA-DEPENDENT
+    K = max(8, floor(sqrt(n))) (the CTE chain is structurally
+    K-independent — only the c0 seed filter reads it), then τ-graph
+    edges via the left-folded cosine chains (_semx precedent) and
+    min-label connected components via a recursive CTE (the
+    dedup_cluster_components precedent)."""
+    from .vectors import _centroid_dist_chain, _semx_cos_chains
+
+    chain = _centroid_dist_chain()
+    dot, nx, ny = _semx_cos_chains()
+    cos = f"({dot}) / (sqrt({nx}) * sqrt({ny}))"
+    parts = [f"""
+    WITH RECURSIVE nz AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+    ),
+    k AS (SELECT greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT)) AS kk
+          FROM nz),
+    c0 AS (SELECT vec_id AS cl,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+           FROM nz, k WHERE vec_id < k.kk)"""]
+    for r in range(1, SEMC_ROUNDS + 1):
+        parts.append(f""",
+    a{r} AS (
+        SELECT e.vec_id,
+               min(CAST(floor(({chain}) * {SEMC_DIST_SCALE} + 0.5) AS BIGINT)
+                   * {SEMC_PACK_MOD} + c.cl) AS packed
+        FROM nz e, c{r - 1} c GROUP BY e.vec_id
+    )""")
+        if r < SEMC_ROUNDS:
+            parts.append(f""",
+    dm{r} AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                     unnest(embedding) AS v FROM nz),
+    m{r} AS (
+        SELECT a{r}.packed % {SEMC_PACK_MOD} AS cl, d.dim,
+               sum(CAST(floor(CAST(d.v AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+                   / 10000.0 / count(*) AS mv
+        FROM a{r} JOIN dm{r} d USING (vec_id) GROUP BY 1, d.dim
+    ),
+    c{r} AS (SELECT cl, list(mv ORDER BY dim) AS cent FROM m{r} GROUP BY cl)""")
+    parts.append(f""",
+    fin AS (SELECT vec_id, packed % {SEMC_PACK_MOD} AS cell FROM a{SEMC_ROUNDS}),
+    prs AS (
+        SELECT fa.vec_id AS u, fb.vec_id AS v
+        FROM fin fa JOIN fin fb ON fa.cell = fb.cell AND fa.vec_id < fb.vec_id
+        JOIN nz x ON x.vec_id = fa.vec_id
+        JOIN nz y ON y.vec_id = fb.vec_id
+        WHERE {cos} > {SEMC_TAU}
+    ),
+    sym AS (SELECT u AS src, v AS nbr FROM prs
+            UNION ALL SELECT v, u FROM prs),
+    reach(node, label) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT e.src, r.label FROM sym e JOIN reach r ON e.nbr = r.node
+    ),
+    lab AS (SELECT node, min(label) AS root FROM reach GROUP BY node)
+    SELECT f.vec_id, CAST(f.cell AS BIGINT) AS cell,
+           coalesce(l.root, f.vec_id) = f.vec_id AS kept,
+           CASE WHEN coalesce(l.root, f.vec_id) = f.vec_id THEN CAST(-1 AS BIGINT)
+                ELSE l.root END AS dup_of
+    FROM fin f LEFT JOIN lab l ON l.node = f.vec_id
+    """)
+    return "".join(parts)
+
+
+@query("dedup_semantic_cluster", oracle=_semc_oracle())
 def dedup_semantic_cluster(spark, sf_dir):
-    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
-    near-duplicate pruning — cluster embeddings, then within each
-    cluster drop all but one of every cosine-ε-connected group.
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) at the SCALE
+    geometry — √n Lloyd cells, so cell count GROWS with the corpus and
+    the within-cell pair scan stays Σ|cell|² ≈ n^1.5 worst-case (~n
+    balanced) — now hash-verified end-to-end (r11; was the last
+    rows-only op with a known portable recipe). Division of labor
+    with its sibling: dedup_semantic_exact pins K=8 as the
+    verification twin; THIS op proves the same cross-engine
+    discipline survives a data-dependent K, because the Lloyd oracle
+    unroll is structurally K-independent (only the seed filter reads
+    K = max(8, floor(sqrt(n))), computed identically by both engines
+    from one exact count).
 
-    Spark shape: cluster assignment reuses the spherical k-means
-    cells (clustering.py); the within-cluster greedy keep/drop runs
-    per cell via ``applyInPandas`` (one BLAS gram matrix per cell —
-    work is Σ|cell|², never n²; at 100 TB you raise K so cells stay
-    ~10⁴-10⁵ rows, exactly the paper's regime). Deterministic: greedy
-    in vec_id order, keep a vector iff no earlier KEPT vector in the
-    cell has cosine > τ. Output: every vec with its cell, kept flag,
-    and the keeper it duplicated (-1 if kept) — quality asserted
-    against a brute-force numpy reference in tests/test_ann.py.
-    """
-    import numpy as np
-    import pandas as pd
+    r11 semantics change (greedy → components): the old per-cell
+    greedy scan was ORDER-dependent (inherently sequential, not
+    SQL-expressible); pruning now collapses each within-cell
+    τ-connected component to its min-vec_id keeper — deterministic,
+    order-independent, and the same verdict set a pipeline acts on.
+    Cosines are left-folded dot/norm chains (the _semx precedent);
+    components run through the measured small/wide regime switch of
+    dedup_cluster_components (single-pass Arrow union-find vs
+    large-star/small-star). Zero-norm embeddings are excluded up
+    front on both engines (sum of squares > 0 is order-independent
+    in float: all terms ≥ 0).
 
-    from .clustering import _lloyd, _seed_centroids
+    Output: every nonzero vector with its cell, kept flag, and the
+    keeper it duplicated (-1 if kept)."""
+    from . import _util
+    from ..functions.vectors import to_double
+    from .vectors import lloyd_exact_assign
 
-    TAU = 0.80
     t = Tables(spark, sf_dir)
-    cents = _lloyd(t, _seed_centroids(t))
-
-    def assign(batches):
-        for pdf in batches:
-            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "cell": (m @ cents.T).argmax(axis=1).astype("int64"),
-                    "embedding": pdf["embedding"],
-                }
-            )
-
-    # zero-norm embeddings carry no semantics to dedup on — exclude
-    # (they would NaN-poison the normalized gram matrices; r10 stress)
     nz = t.embeddings.filter(
         F.aggregate(
             F.transform("embedding", lambda x: x.cast("double") * x),
             F.lit(0.0), lambda a, x: a + x,
         ) > 0
     )
-    assigned = nz.select("vec_id", "embedding").mapInPandas(
-        assign, "vec_id long, cell long, embedding array<float>"
+    emb = nz.select("vec_id", to_double(F.col("embedding")).alias("x"))
+    kdf = emb.agg(
+        F.greatest(
+            F.lit(8).cast("long"),
+            F.expr("cast(floor(sqrt(count(*))) as long)"),
+        ).alias("kk")
     )
+    cent = (
+        emb.crossJoin(F.broadcast(kdf))
+        .filter(F.col("vec_id") < F.col("kk"))
+        .select(F.col("vec_id").alias("cl"), F.col("x").alias("cent"))
+    )
+    fin = lloyd_exact_assign(
+        emb, cent, SEMC_ROUNDS, SEMC_DIST_SCALE, SEMC_PACK_MOD
+    ).select("vec_id", (F.col("packed") % SEMC_PACK_MOD).alias("cell"))
 
-    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        sims = m @ m.T
-        kept_idx: list[int] = []
-        kept_flag = np.ones(len(pdf), dtype=bool)
-        dup_of = np.full(len(pdf), -1, dtype=np.int64)
-        for i in range(len(pdf)):
-            if kept_idx:
-                s = sims[i, kept_idx]
-                j = int(np.argmax(s))
-                if s[j] > TAU:
-                    kept_flag[i] = False
-                    dup_of[i] = pdf["vec_id"].iloc[kept_idx[j]]
-                    continue
-            kept_idx.append(i)
-        return pd.DataFrame(
-            {
-                "vec_id": pdf["vec_id"],
-                "cell": pdf["cell"],
-                "kept": kept_flag,
-                "dup_of": dup_of,
-            }
+    def fold(pairs):
+        return F.aggregate(pairs, F.lit(0.0), lambda acc, v: acc + v)
+
+    # per-vector norms once (the dedup_semantic_exact trick: sqrt of
+    # the same left fold is the same double, so the oracle's inlined
+    # per-pair norm chains still match)
+    side = fin.join(emb, "vec_id").withColumn(
+        "nrm", F.sqrt(fold(F.zip_with("x", "x", lambda p, q: p * q)))
+    )
+    a, b = side.alias("a"), side.alias("b")
+    cos = fold(F.zip_with("a.x", "b.x", lambda p, q: p * q)) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    prs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-
-    return assigned.groupBy("cell").applyInPandas(
-        prune, "vec_id long, cell long, kept boolean, dup_of long"
+        .filter(cos > SEMC_TAU)
+        .select(F.col("a.vec_id").alias("u"), F.col("b.vec_id").alias("v"))
+    )
+    edges, n_edges = compact_iter_state(
+        prs.union(prs.select("v", "u")).toDF("src", "nbr")
+    )
+    if n_edges <= _util.SMALL_ITER_STATE_MAX_ROWS:
+        labels = _cc_union_find(edges)
+    else:
+        labels = cc_large_small_star(edges)
+    root = F.coalesce(F.col("label"), F.col("vec_id"))
+    return (
+        fin.join(labels, fin.vec_id == labels.node, "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("bigint").alias("cell"),
+            (root == F.col("vec_id")).alias("kept"),
+            F.when(root == F.col("vec_id"), F.lit(-1).cast("long"))
+            .otherwise(F.col("label"))
+            .alias("dup_of"),
+        )
     )
 
 
@@ -1423,6 +1519,7 @@ def _bucketed_probe(spark, sf_dir, prefix="thrive_lsh"):
     """Build the incremental probe against a PERSISTED bucketed LSH
     index; returns (result_df, probe_join_df, cleanup_fn). The
     probe_join_df is the raw candidate join for plan inspection."""
+    import os
     import shutil
     import tempfile
 
@@ -1438,19 +1535,35 @@ def _bucketed_probe(spark, sf_dir, prefix="thrive_lsh"):
         F.col("doc_id").alias("dup_of"), "band", "key"
     )
     out = tempfile.mkdtemp(prefix=f"{prefix}_")
-    idx, new = f"{prefix}_idx", f"{prefix}_new"
-    for name, side in ((idx, corp_b), (new, new_b)):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        (
-            # repartition on the bucket key first: one file per bucket
-            # (the bucketed.py small-file discipline)
-            side.repartition(LSH_INDEX_BUCKETS, F.col("band"), F.col("key"))
-            .write.mode("overwrite")
-            .option("path", f"{out}/{name}")
-            .bucketBy(LSH_INDEX_BUCKETS, "band", "key")
-            .sortBy("band", "key")
-            .saveAsTable(name)
-        )
+    # catalog names carry mkdtemp's unique suffix (alphanumeric, so a
+    # valid identifier): two concurrent invocations in one session get
+    # disjoint tables instead of clobbering each other's index (r10
+    # advice); fixed names also leaked on a mid-build failure
+    token = os.path.basename(out)[len(prefix) + 1 :]
+    idx, new = f"{prefix}_idx_{token}", f"{prefix}_new_{token}"
+
+    def cleanup():
+        spark.sql(f"DROP TABLE IF EXISTS {idx}")
+        spark.sql(f"DROP TABLE IF EXISTS {new}")
+        shutil.rmtree(out, ignore_errors=True)
+
+    try:
+        for name, side in ((idx, corp_b), (new, new_b)):
+            (
+                # repartition on the bucket key first: one file per
+                # bucket (the bucketed.py small-file discipline)
+                side.repartition(
+                    LSH_INDEX_BUCKETS, F.col("band"), F.col("key")
+                )
+                .write.mode("overwrite")
+                .option("path", f"{out}/{name}")
+                .bucketBy(LSH_INDEX_BUCKETS, "band", "key")
+                .sortBy("band", "key")
+                .saveAsTable(name)
+            )
+    except BaseException:
+        cleanup()
+        raise
     # hint MERGE: at test scale the planner would broadcast the batch
     # side; the exhibit is the big-batch case where neither side fits
     probe = spark.table(new).hint("merge").join(
@@ -1466,12 +1579,6 @@ def _bucketed_probe(spark, sf_dir, prefix="thrive_lsh"):
         .filter(F.col("j") >= NGRAM_JACCARD_THRESHOLD)
         .select("new_id", "dup_of", r4(F.col("j")).alias("jaccard"))
     )
-
-    def cleanup():
-        spark.sql(f"DROP TABLE IF EXISTS {idx}")
-        spark.sql(f"DROP TABLE IF EXISTS {new}")
-        shutil.rmtree(out, ignore_errors=True)
-
     return result, probe, cleanup
 
 

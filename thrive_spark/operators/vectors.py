@@ -437,8 +437,24 @@ def _kmx_assignments(spark, sf_dir):
     cent = emb.filter(F.col("vec_id") < KMX_K).select(
         F.col("vec_id").alias("cl"), F.col("x").alias("cent")
     )
+    return lloyd_exact_assign(emb, cent, KMX_ROUNDS, 1000000, 100)
+
+
+def lloyd_exact_assign(emb, cent, rounds, dist_scale, pack_mod):
+    """The exact-Lloyd loop, parameterized (r11: factored out of
+    _kmx_assignments so dedup_semantic_cluster can run it with a
+    data-dependent cell count): ``rounds`` alternations of E-step
+    (argmin over left-folded squared-distance chains, packed as
+    floor(dist·dist_scale + 0.5)·pack_mod + cl — pick pack_mod above
+    the max centroid id and dist_scale so the product stays inside
+    int64 on the stress domain) and fixed-point M-step means.
+    ``emb`` is (vec_id, x: array<double>), ``cent`` the initial
+    (cl, cent) centroids. Returns the final (vec_id, packed)
+    assignment. Per round: one broadcast of the centroid table, one
+    codegen scan of K distances per row, one (cl, dim)-keyed
+    partial-combined aggregate; localCheckpoint cuts lineage."""
     assign = None
-    for r in range(KMX_ROUNDS):
+    for r in range(rounds):
         dist = F.aggregate(
             F.zip_with(
                 F.col("x"), F.col("cent"), lambda a, b: (a - b) * (a - b)
@@ -451,16 +467,16 @@ def _kmx_assignments(spark, sf_dir):
             .groupBy("vec_id")
             .agg(
                 F.min(
-                    F.floor(dist * 1000000 + 0.5).cast("long") * 100
+                    F.floor(dist * dist_scale + 0.5).cast("long") * pack_mod
                     + F.col("cl")
                 ).alias("packed")
             )
         )
-        if r < KMX_ROUNDS - 1:
+        if r < rounds - 1:
             m = (
                 assign.join(emb, "vec_id")
                 .select(
-                    (F.col("packed") % 100).alias("cl"),
+                    (F.col("packed") % pack_mod).alias("cl"),
                     F.posexplode("x").alias("dim", "v"),
                 )
                 .groupBy("cl", "dim")
