@@ -65,6 +65,43 @@ GRADE_ROTATION = [
 #: prior driver greens kept in every window as regression sentinels
 GRADE_CANARIES = ["agg_collect_sorted", "agg_hash_groupby", "join_theta_band"]
 
+#: r11 (verdict item 6): with every registered id holding an official
+#: row, the window is pure canary space — widen the 3 fixed sentinels
+#: with a ROTATING stratified sample so silent regressions in
+#: never-again-graded ids get re-checked. Picks advance by round
+#: (round number = latest CORRECTNESS_r*.json + 1, read from the repo
+#: itself so the rotation is self-advancing with zero driver help) and
+#: stride across the sorted id space, which is prefix-grouped — i.e.
+#: roughly one pick per section band.
+GRADE_ROTATING_CANARIES = 7
+
+
+def _round_no() -> int:
+    import glob
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    idx = [
+        int(re.search(r"_r(\d+)", p).group(1))
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+    ]
+    return (max(idx) + 1) if idx else 1
+
+
+def _rotating_canaries(mapping: dict, rno: int) -> list:
+    pool = [k for k in sorted(mapping) if k not in GRADE_CANARIES]
+    if not pool:
+        return []
+    n = min(GRADE_ROTATING_CANARIES, len(pool))
+    step = max(1, len(pool) // n)
+    picks = []
+    for i in range(n):
+        k = pool[(rno * 13 + i * step) % len(pool)]
+        if k not in picks:
+            picks.append(k)
+    return picks
+
 #: ids first registered in round 5 — explicitly queued BEHIND the
 #: pre-existing never-graded backlog (r4 verdict: the 51-id backlog's
 #: official rows land before anything new enters the window).
@@ -203,9 +240,24 @@ def _rotated(mapping: dict) -> dict:
             defer_rank.get(k, -1),  # deferred keep their list order
         ),
     )
-    # canaries occupy the window's last slots; overflow queues behind
-    cut = _GRADE_WINDOW - len(GRADE_CANARIES)
-    order = pri[:cut] + [k for k in GRADE_CANARIES if k in mapping] + pri[cut:]
+    # canaries (fixed sentinels + the r11 rotating stratified sample)
+    # occupy the window's last slots; overflow queues behind
+    rno = _round_no()
+    canaries = [k for k in GRADE_CANARIES if k in mapping] + [
+        k for k in _rotating_canaries(mapping, rno) if k not in pri
+    ]
+    cut = max(0, _GRADE_WINDOW - len(canaries))
+    # graded ids backfill CIRCULARLY by round so every id is eventually
+    # re-graded, instead of the same mapping-order head every round
+    backfill = [k for k in sorted(mapping) if k in graded and k not in canaries]
+    if backfill:
+        start = (rno * 37) % len(backfill)
+        backfill = backfill[start:] + backfill[:start]
+    order = pri[:cut] + canaries + [
+        k for k in backfill if k not in pri[:cut]
+    ] + pri[cut:]
+    seen: set = set()
+    order = [k for k in order if not (k in seen or seen.add(k))]
     front = {k: mapping[k] for k in order}
     return {**front, **{k: v for k, v in mapping.items() if k not in front}}
 

@@ -155,3 +155,29 @@ def test_oracle_upgrade_requeues_rows_only_verdicts():
             if row and row.get("err") is None and row.get("hash_match"):
                 hash_row = True
         assert (qid in graded) == hash_row
+
+
+def test_rotating_canaries_advance_by_round():
+    """r11 (verdict item 6): with the whole registry officially graded,
+    the window must carry a ROTATING stratified canary sample — picks
+    sit in the window, differ across rounds, and stay deterministic
+    for a fixed round."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    from thrive_spark import registry
+
+    registry.load_all()
+    mapping = dict(registry.QUERIES)
+    r_now = m._round_no()
+    picks_now = m._rotating_canaries(mapping, r_now)
+    assert len(picks_now) >= 5
+    assert picks_now == m._rotating_canaries(mapping, r_now)  # deterministic
+    assert picks_now != m._rotating_canaries(mapping, r_now + 1)  # advances
+    window = list(m.queries())[:50]
+    in_window = [k for k in picks_now if k in window]
+    assert len(in_window) >= 5, (picks_now, window)

@@ -246,18 +246,24 @@ def win_range_frame(spark, sf_dir):
     W = 5000.0
     t = Tables(spark, sf_dir)
     all_orders = t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
-    # SQL RANGE-frame NULL discipline: NULL-ordered rows are peers of
-    # each other only, so their frame sum is sum(fixed(NULL)) = NULL,
-    # and they contribute to no numeric frame. NaN prices would
-    # otherwise poison the int64 prefix sums (floor(NaN) → INT64_MIN;
-    # r10 stress corpus). They bypass the cogroup entirely.
-    nulls = all_orders.filter(F.col("o_totalprice").isNull()).select(
+    # SQL RANGE-frame NULL/NaN discipline (r11: the bypass now really
+    # covers NaN, not just NULL — r10 advice): NULL-ordered rows are
+    # peers of each other only → frame sum NULL; NaN rows sort as one
+    # peer group above everything in DuckDB → their frame sum is a sum
+    # over NaN prices = NaN. Both verdicts are computed directly here
+    # and the rows never enter the cogroup, where floor(NaN) →
+    # INT64_MIN would poison the int64 prefix sums.
+    is_bad = F.col("o_totalprice").isNull() | F.isnan("o_totalprice")
+    nulls = all_orders.filter(is_bad).select(
         "o_orderkey",
         "o_orderstatus",
         "o_totalprice",
-        F.lit(None).cast("double").alias("near_price_sum"),
+        F.when(F.isnan("o_totalprice"), F.lit(float("nan")))
+        .otherwise(F.lit(None))
+        .cast("double")
+        .alias("near_price_sum"),
     )
-    orders = all_orders.filter(F.col("o_totalprice").isNotNull())
+    orders = all_orders.filter(~is_bad)
     bkt = F.floor(F.col("o_totalprice") / W).cast("long")
     queries_df = orders.withColumn("bkt", bkt)
     # Fresh aliases on the contributor side: both branches derive from
