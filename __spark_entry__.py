@@ -171,6 +171,8 @@ GRADE_DEFER = [
     "dedup_incremental_minhash", "split_dedup_safe",
     "dedup_incremental_exact", "dedup_incremental_embedding",
     "dedup_incremental_bucketed",
+    # r11 registrations
+    "multimodal_image_jpeg",
 ]
 
 
