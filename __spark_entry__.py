@@ -173,6 +173,7 @@ GRADE_DEFER = [
     "dedup_incremental_bucketed",
     # r11 registrations
     "multimodal_image_jpeg",
+    "multimodal_image_png",
 ]
 
 

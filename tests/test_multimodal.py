@@ -94,7 +94,12 @@ def test_encode_ppm_roundtrip():
 
 
 def test_unknown_codec_is_honest():
+    # WebP still needs a codec library — honest NotImplementedError
     with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    # PNG is now a real decode path (r11): garbage after the magic is
+    # a parse error, not a capability boundary
+    with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\nxxxx")
 
 
@@ -243,3 +248,156 @@ def test_jpeg_dispatch_via_decode_image():
         np.floor(px.reshape(-1, 3).mean(axis=0) * 10000 + 0.5),
     ):
         assert abs(got - want) < 2 * 10000  # decoded means stay close
+
+
+# ---- PNG codec (r11, operators/png.py) ----
+
+
+def test_png_roundtrip_exact_all_color_types():
+    """Lossless: every supported shape roundtrips byte-exact through
+    deflate -> adaptive filter -> unfilter -> inflate."""
+    from thrive_spark.operators.png import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for shape in [(1, 1), (1, 1, 3), (7, 13, 3), (16, 16, 4),
+                  (33, 9), (2, 2, 3), (64, 64, 3), (5, 80, 4)]:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        dec = decode_png(encode_png(px))
+        src = px[..., None] if px.ndim == 2 else px
+        assert dec.shape == src.shape and (dec == src).all(), shape
+
+
+def test_png_adaptive_filters_on_gradients():
+    """Gradient images make Sub/Up/Average/Paeth win the MSAD
+    heuristic on different lines — all must unfilter exactly."""
+    from thrive_spark.operators.png import decode_png, encode_png
+
+    g = (np.arange(64)[:, None] + np.arange(96)[None, :]).astype(np.uint8)
+    px = np.stack([g, (g * 3) & 0xFF, 255 - g], axis=-1)
+    data = encode_png(px)
+    # the adaptive encoder must actually use a non-None filter here
+    import zlib
+
+    raw = zlib.decompress(
+        data[data.index(b"IDAT") + 4 : data.rindex(b"IEND") - 8]
+    )
+    stride = 96 * 3 + 1
+    filters = {raw[y * stride] for y in range(64)}
+    assert filters - {0}, "gradient image should pick non-None filters"
+    assert (decode_png(data) == px).all()
+
+
+def test_png_deterministic():
+    from thrive_spark.operators.png import encode_png
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+    assert encode_png(px) == encode_png(px)
+
+
+def test_png_palette_decode():
+    """Palette (color type 3) images expand through PLTE to RGB."""
+    import struct
+    import zlib
+
+    from thrive_spark.operators.png import _SIG, _chunk, decode_png
+
+    rng = np.random.default_rng(3)
+    idx = rng.integers(0, 4, (5, 6), dtype=np.uint8)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(5))
+    png = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 5, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", plte)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    dec = decode_png(png)
+    exp = np.frombuffer(plte, np.uint8).reshape(-1, 3)[idx]
+    assert (dec == exp).all()
+
+
+def test_png_decodes_all_filter_types_from_foreign_encoder():
+    """A hand-built stream pinning each filter type per line — decode
+    must reconstruct regardless of which encoder chose them."""
+    import struct
+    import zlib
+
+    from thrive_spark.operators.png import _SIG, _chunk, decode_png
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (5, 8, 3), dtype=np.uint8).astype(np.int16)
+    lines = []
+    prior = np.zeros(24, np.int16)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        line = px[y].reshape(-1)
+        left = np.concatenate([np.zeros(3, np.int16), line[:-3]])
+        upleft = np.concatenate([np.zeros(3, np.int16), prior[:-3]])
+        if f == 0:
+            filt = line
+        elif f == 1:
+            filt = line - left
+        elif f == 2:
+            filt = line - prior
+        elif f == 3:
+            filt = line - ((left + prior) >> 1)
+        else:
+            p = left + prior - upleft
+            pa = np.abs(p - left)
+            pb = np.abs(p - prior)
+            pc = np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc),
+                left,
+                np.where(pb <= pc, prior, upleft),
+            )
+            filt = line - pred
+        lines.append(bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes())
+        prior = line
+    png = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 5, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _chunk(b"IEND", b"")
+    )
+    assert (decode_png(png) == px.astype(np.uint8)).all()
+
+
+def test_png_rejects_corruption_and_unsupported_honestly():
+    import struct
+
+    from thrive_spark.operators.png import _SIG, _chunk, decode_png, encode_png
+
+    data = bytearray(encode_png(np.zeros((4, 4, 3), np.uint8)))
+    data[-5] ^= 0xFF  # flip a bit inside IEND's CRC
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(data))
+    interlaced = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 5, 8, 2, 0, 0, 1))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        decode_png(interlaced)
+    sixteen = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 5, 16, 2, 0, 0, 0))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        decode_png(sixteen)
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png at all")
+
+
+def test_png_dispatch_via_decode_image():
+    """decode_image routes \\x89PNG payloads through the real codec."""
+    from thrive_spark.operators.multimodal import decode_image
+    from thrive_spark.operators.png import encode_png
+
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, (10, 11, 3), dtype=np.uint8)
+    meta = decode_image(encode_png(px))
+    assert (meta["width"], meta["height"], meta["n_channels"]) == (11, 10, 3)
+    assert meta["channel_means"] == _expected_means(px)

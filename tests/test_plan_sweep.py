@@ -41,6 +41,7 @@ ALLOWED_ARROW_PYTHON = {
     "sim_mmr_rerank",  # greedy MMR on the shortlist runs in one Arrow batch
     "multimodal_image_ahash",  # pixel-grid hashing over the real decoder
     "multimodal_image_jpeg",  # baseline JPEG encode/decode, map-only Arrow
+    "multimodal_image_png",  # PNG deflate/inflate roundtrip, map-only Arrow
     "udf_pandas_window_agg",  # pandas UDF over window frames (slow-path exhibit)
     "multimodal_decode_stub",
     "multimodal_frame_sample",

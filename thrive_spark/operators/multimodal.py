@@ -56,11 +56,15 @@ def decode_image(data: bytes) -> dict:
       pure-Python codec in operators/jpeg.py (r11 — closed the r10
       "compressed-image decode" boundary for the baseline subset).
 
+    - PNG (``\\x89PNG``): real inflate + unfilter decode via the
+      pure-Python codec in operators/png.py (r11 — the lossless half
+      of the same boundary; stdlib zlib, no image library).
+
     Returns width/height/channels plus per-channel mean over the pixel
     buffer (fixed-point 1e4, int — engine/hashing safe). Anything else
-    (PNG/WebP/progressive JPEG/...) raises NotImplementedError: that
-    boundary needs a codec library and is stubbed honestly rather
-    than faked.
+    (WebP/progressive JPEG/interlaced PNG/...) raises
+    NotImplementedError: that boundary needs a codec library and is
+    stubbed honestly rather than faked.
     """
     import numpy as np
 
@@ -68,6 +72,11 @@ def decode_image(data: bytes) -> dict:
         from .jpeg import decode_jpeg
 
         px = decode_jpeg(data)
+        height, width, channels = px.shape
+    elif data[:8] == b"\x89PNG\r\n\x1a\n":
+        from .png import decode_png
+
+        px = decode_png(data)
         height, width, channels = px.shape
     elif data[:2] == b"P6":
         pos, fields = 2, []
@@ -103,8 +112,8 @@ def decode_image(data: bytes) -> dict:
         px = raster[:, : width * channels].reshape(height, width, channels)
     else:
         raise NotImplementedError(
-            "only PPM/BMP/baseline-JPEG decode ship container-native; "
-            "other codecs need an image library"
+            "only PPM/BMP/baseline-JPEG/PNG decode ship "
+            "container-native; other codecs need an image library"
         )
     means = np.floor(
         px.reshape(-1, channels).mean(axis=0) * 10000 + 0.5
@@ -685,4 +694,106 @@ def multimodal_image_jpeg(spark, sf_dir):
         run,
         "doc_id long, width long, height long, mcu_cols long, "
         "mcu_rows long, roundtrip_ok boolean, mean_err_le_2 boolean",
+    )
+
+
+@query(
+    "multimodal_image_png",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, text,
+               greatest(length(text) // 3, 1) AS n_px
+        FROM documents
+        WHERE octet_length(encode(text)) = length(text)
+          AND length(text) > 0
+    ),
+    geom AS (
+        SELECT doc_id, text,
+               greatest(CAST(floor(sqrt(CAST(n_px AS DOUBLE)))
+                             AS BIGINT), 1) AS w,
+               greatest(n_px // greatest(CAST(floor(sqrt(CAST(n_px
+                   AS DOUBLE))) AS BIGINT), 1), 1) AS h
+        FROM dims
+    )
+    SELECT doc_id, w AS width, h AS height,
+           md5(substr(repeat(text,
+                   CAST((w * h * 3) // length(text) + 1 AS INT)),
+               1, CAST(w * h * 3 AS INT))) AS rgb_md5,
+           md5(substr(repeat(text,
+                   CAST((w * h) // length(text) + 1 AS INT)),
+               1, CAST(w * h AS INT))) AS gray_md5
+    FROM geom
+    """,
+)
+def multimodal_image_png(spark, sf_dir):
+    """Lossless compressed-image codec stage on a REAL PNG
+    implementation (operators/png.py — stdlib zlib inflate/deflate,
+    all five scanline filters with the libpng MSAD adaptive-filter
+    heuristic, CRC-verified chunks; r11, the lossless half of the r10
+    "compressed-image decode" boundary). Each document's bytes become
+    an RGB image AND a grayscale image (the decode_stub tiling), each
+    is ENCODED to PNG then DECODED back, and the row reports the md5
+    of the decoded pixel buffers.
+
+    Oracle strength — stronger than the JPEG twin: PNG is lossless,
+    so DuckDB predicts the exact decoded bytes by replaying the tiling
+    in SQL (repeat + substr over the ASCII-pinned text) and hashing —
+    the hash check covers the actual PIXEL PAYLOAD end-to-end through
+    deflate -> filter -> unfilter -> inflate, not just geometry. Any
+    codec bug that corrupts even one byte flips the md5.
+
+    Scale shape: one Arrow-batched mapInPandas pass, no shuffle —
+    codec work is embarrassingly parallel and scales with bytes
+    scanned, the same plan a 100 TB image-curation sweep runs."""
+    t = Tables(spark, sf_dir)
+
+    def run(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from .png import decode_png, encode_png
+
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["img"]):
+                payload = bytes(b)
+                n_px = max(len(payload) // 3, 1)
+                w = max(int(n_px**0.5), 1)
+                h = max(n_px // w, 1)
+                need = w * h * 3
+                tiled = payload * (need // len(payload) + 1)
+                rgb = np.frombuffer(
+                    tiled[:need], np.uint8
+                ).reshape(h, w, 3)
+                gray = np.frombuffer(
+                    (payload * (w * h // len(payload) + 1))[: w * h],
+                    np.uint8,
+                ).reshape(h, w)
+                dec_rgb = decode_png(encode_png(rgb))
+                dec_gray = decode_png(encode_png(gray))
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        hashlib.md5(dec_rgb.tobytes()).hexdigest(),
+                        hashlib.md5(dec_gray.tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height",
+                         "rgb_md5", "gray_md5"],
+            )
+
+    src = t.documents.filter(
+        "octet_length(encode(text, 'UTF-8')) = length(text) "
+        "AND length(text) > 0"
+    ).select("doc_id", F.encode("text", "UTF-8").alias("img"))
+    return src.mapInPandas(
+        run,
+        "doc_id long, width long, height long, "
+        "rgb_md5 string, gray_md5 string",
     )

@@ -68,3 +68,4 @@ def load_all() -> None:
     )
     from .sources import formats, maintenance, pipeline, pyds, scans, sinks  # noqa: F401
     from .functions import banks  # noqa: F401
+    from .streaming import broker  # noqa: F401
