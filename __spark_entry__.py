@@ -174,6 +174,8 @@ GRADE_DEFER = [
     # r11 registrations
     "multimodal_image_jpeg",
     "multimodal_image_png",
+    "scan_broker_stream",
+    "acid_table_commits",
 ]
 
 

@@ -1,0 +1,155 @@
+"""ACID table format (sources/acid.py): snapshot isolation, the
+put-if-absent commit race, copy-on-write file sharing, time travel,
+and a REAL two-thread concurrent-append race with rebase."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from thrive_spark.sources.acid import CommitConflict, ThriveTable
+from thrive_spark.tables import Tables
+
+
+def _orders(spark, sf_dir):
+    return Tables(spark, sf_dir).orders.select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+
+
+def test_snapshot_isolation_and_time_travel(spark, sf_dir, tmp_path):
+    o = _orders(spark, sf_dir)
+    tbl = ThriveTable(spark, str(tmp_path / "t"))
+    tbl.create(o.filter("k % 7 = 0"))
+    n1 = tbl.snapshot(1).count()
+    tbl.append(o.filter("k % 7 = 3"))
+    tbl.delete_where("p > 200000")
+    # v1 re-read AFTER two later commits: byte-identical history
+    assert tbl.snapshot(1).count() == n1
+    assert tbl.snapshot(2).count() == n1 + o.filter("k % 7 = 3").count()
+    want = (
+        o.filter("(k % 7 = 0 OR k % 7 = 3) AND NOT (p > 200000)").count()
+    )
+    assert tbl.snapshot().count() == want == tbl.manifest(3)["n_rows"]
+    assert [m["op"] for m in tbl.history()] == [
+        "create", "append", "delete",
+    ]
+
+
+def test_commit_is_put_if_absent(spark, sf_dir, tmp_path):
+    o = _orders(spark, sf_dir)
+    tbl = ThriveTable(spark, str(tmp_path / "t"))
+    tbl.create(o.limit(10))
+    with pytest.raises(CommitConflict):
+        tbl._try_commit(1, {"op": "create", "files": [], "n_rows": 0})
+    # the losing attempt must not leave tmp litter behind
+    litter = [
+        f for f in (tmp_path / "t" / "_manifests").iterdir()
+        if f.name.startswith(".tmp-")
+    ]
+    assert litter == []
+
+
+def test_append_reuses_prior_files_by_reference(spark, sf_dir, tmp_path):
+    """Iceberg property: commits share unchanged files — an append's
+    manifest is a superset of its base, a COW delete carries every
+    untouched file."""
+    o = _orders(spark, sf_dir)
+    tbl = ThriveTable(spark, str(tmp_path / "t"))
+    tbl.create(o.filter("k % 7 = 0").repartition(4))
+    f1 = set(tbl.manifest(1)["files"])
+    tbl.append(o.filter("k % 7 = 3"))
+    f2 = set(tbl.manifest(2)["files"])
+    assert f1 < f2  # strict superset: base files carried by reference
+
+
+def test_delete_is_copy_on_write_at_file_grain(spark, sf_dir, tmp_path):
+    """Only files containing victims are rewritten: partition by a
+    key range so the predicate targets a known file subset."""
+    o = _orders(spark, sf_dir)
+    tbl = ThriveTable(spark, str(tmp_path / "t"))
+    # one parquet file per bucket: bucket 0 rows are the only victims
+    buck = o.withColumn("b", (F.col("k") % 4).cast("int"))
+    tbl.create(buck.repartition(4, "b").sortWithinPartitions("b"))
+    files_before = set(tbl.manifest(1)["files"])
+    tbl.delete_where("b = 0 AND p > 0")
+    files_after = set(tbl.manifest(2)["files"])
+    carried = files_before & files_after
+    assert carried, "untouched files must carry by reference"
+    assert files_before - files_after, "victim files must be replaced"
+    # content: exactly bucket 0 removed
+    assert tbl.snapshot().filter("b = 0").count() == 0
+    assert (
+        tbl.snapshot().count()
+        == buck.filter("b <> 0").count()
+        == tbl.manifest(2)["n_rows"]
+    )
+
+
+def test_delete_to_empty_table_keeps_schema(spark, sf_dir, tmp_path):
+    o = _orders(spark, sf_dir)
+    tbl = ThriveTable(spark, str(tmp_path / "t"))
+    tbl.create(o.limit(50))
+    tbl.delete_where("p >= 0 OR p < 0 OR p IS NULL")
+    snap = tbl.snapshot()
+    assert snap.count() == 0
+    assert snap.columns == ["k", "p"]
+
+
+def test_concurrent_appends_race_and_rebase(spark, sf_dir, tmp_path):
+    """Two writers append CONCURRENTLY from the same base version:
+    the put-if-absent link makes exactly one win each version; the
+    loser rebases and lands next. Both payloads must survive."""
+    o = _orders(spark, sf_dir)
+    tbl = ThriveTable(spark, str(tmp_path / "t"))
+    tbl.create(o.filter("k % 7 = 0"))
+    n_base = tbl.manifest(1)["n_rows"]
+
+    slices = ["k % 7 = 1", "k % 7 = 2"]
+    counts = [o.filter(s).count() for s in slices]
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def writer(pred):
+        try:
+            df = o.filter(pred)
+            barrier.wait(timeout=60)  # force the same base snapshot
+            tbl.append(df)
+        except Exception as e:  # noqa: BLE001 — surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(s,)) for s in slices]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert errors == []
+    assert tbl.versions() == [1, 2, 3]  # loser rebased onto winner
+    assert tbl.snapshot().count() == n_base + sum(counts)
+    assert tbl.manifest(3)["n_rows"] == n_base + sum(counts)
+
+
+def test_stale_delete_rebases_over_concurrent_append(spark, sf_dir, tmp_path):
+    """The rebase-correctness case from the module docstring: B plans
+    a delete on v2, A appends v3 (including rows matching B's
+    predicate), B conflicts and recomputes — A's matching rows must
+    be deleted too, and A's non-matching rows must survive."""
+    o = _orders(spark, sf_dir)
+    tbl = ThriveTable(spark, str(tmp_path / "t"))
+    tbl.create(o.filter("k % 7 = 0"))
+    tbl.append(o.filter("k % 7 = 3"))
+    stale = tbl.latest_version()
+    tbl.append(o.filter("k % 7 = 5"))  # A wins v3
+    with pytest.raises(CommitConflict):
+        tbl._try_commit(stale + 1, {"op": "x", "files": [], "n_rows": 0})
+    v = tbl.delete_where("p > 150000")  # B rebases
+    assert v == 4
+    got = tbl.snapshot()
+    assert got.filter("p > 150000").count() == 0
+    # A's appended non-victims survived B's rebased rewrite
+    assert (
+        got.filter("k % 7 = 5").count()
+        == o.filter("k % 7 = 5 AND NOT (p > 150000)").count()
+    )

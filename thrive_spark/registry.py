@@ -66,6 +66,6 @@ def load_all() -> None:
         vectors,
         windows,
     )
-    from .sources import formats, maintenance, pipeline, pyds, scans, sinks  # noqa: F401
+    from .sources import acid, formats, maintenance, pipeline, pyds, scans, sinks  # noqa: F401
     from .functions import banks  # noqa: F401
     from .streaming import broker  # noqa: F401
