@@ -145,14 +145,33 @@ class ThriveTable:
     def snapshot_of(self, files: list[str]):
         return self.spark.read.parquet(*files)
 
-    def append(self, df, max_retries: int = 10) -> int:
+    def append(
+        self,
+        df,
+        max_retries: int = 10,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
         """Blind append: rebases for free on conflict (the new files
-        are valid against ANY base snapshot)."""
+        are valid against ANY base snapshot).
+
+        ``txn=(app_id, txn_version)`` makes the append IDEMPOTENT —
+        the Delta txnAppId/txnVersion pattern: the token is recorded
+        in the manifest, and a replay of an already-committed token
+        is a no-op returning the version that holds it. This is how a
+        streaming writer achieves exactly-once into the table even
+        when ITS OWN checkpoint replays a batch (acid_stream_sink)."""
+        if txn is not None and (v := self.txn_version(*txn)) is not None:
+            return v  # replay of a committed transaction: no-op
         new_files = self._write_files(df)
         n_new = self.snapshot_of(new_files).count()
         for _ in range(max_retries):
             base = self.latest_version()
             m = self.manifest(base)
+            if txn is not None and (v := self.txn_version(*txn)) is not None:
+                # a racing writer of the SAME app landed our token
+                for f in new_files:
+                    os.unlink(f)
+                return v
             try:
                 self._try_commit(
                     base + 1,
@@ -161,12 +180,25 @@ class ThriveTable:
                         "files": m["files"] + new_files,
                         "n_rows": m["n_rows"] + n_new,
                         "schema": m["schema"],
+                        **(
+                            {"txn": [txn[0], int(txn[1])]}
+                            if txn is not None
+                            else {}
+                        ),
                     },
                 )
                 return base + 1
             except CommitConflict:
                 continue  # rebase: re-read latest, same new files
         raise CommitConflict("append retries exhausted")
+
+    def txn_version(self, app_id: str, txn_version: int) -> int | None:
+        """Table version holding transaction (app_id, txn_version),
+        or None if never committed (the idempotency lookup)."""
+        for v in self.versions():
+            if self.manifest(v).get("txn") == [app_id, int(txn_version)]:
+                return v
+        return None
 
     def delete_where(self, pred_sql: str, max_retries: int = 10) -> int:
         """Copy-on-write delete: rewrite ONLY the files containing
@@ -219,6 +251,85 @@ class ThriveTable:
             except CommitConflict:
                 continue  # rebase: recompute COW against new latest
         raise CommitConflict("delete retries exhausted")
+
+    def merge_upsert(self, source, key: str, max_retries: int = 10) -> int:
+        """MERGE INTO at file grain (Delta MERGE role): matched target
+        rows are replaced by the source's version, unmatched source
+        rows are inserted. Copy-on-write like delete_where: only files
+        CONTAINING matched keys are rewritten (their non-matched rows
+        carried into the rewrite); untouched files ride by reference.
+        The source is written once as fresh files (updates + inserts
+        together) and reused across conflict rebases.
+
+        Scale shape: the match probe is a broadcast-able semi join on
+        the key against input_file_name-tagged scans — cost scales
+        with the source and the VICTIM files, not the table."""
+        src_files = self._write_files(source)
+        src = self.snapshot_of(src_files)
+        n_src = src.count()
+        keys = src.select(key).distinct()
+        for _ in range(max_retries):
+            base = self.latest_version()
+            m = self.manifest(base)
+            files = m["files"]
+            tagged = self.spark.read.parquet(*files).withColumn(
+                "_file", F.input_file_name()
+            )
+            affected_uris = [
+                r[0]
+                for r in tagged.join(
+                    F.broadcast(keys), on=key, how="left_semi"
+                )
+                .select("_file")
+                .distinct()
+                .collect()
+            ]
+            affected = {urlparse(u).path for u in affected_uris}
+            survivors = [f for f in files if f not in affected]
+            new_files: list[str] = []
+            n_kept = 0
+            if affected:
+                kept = self.spark.read.parquet(*sorted(affected)).join(
+                    F.broadcast(keys), on=key, how="left_anti"
+                )
+                n_kept = kept.count()
+                if n_kept:
+                    new_files = self._write_files(kept)
+            n_surv = (
+                self.spark.read.parquet(*survivors).count()
+                if survivors
+                else 0
+            )
+            try:
+                self._try_commit(
+                    base + 1,
+                    {
+                        "op": "merge",
+                        "files": survivors + new_files + src_files,
+                        "n_rows": n_surv + n_kept + n_src,
+                        "schema": m["schema"],
+                    },
+                )
+                return base + 1
+            except CommitConflict:
+                continue  # rebase: recompute the match set on latest
+        raise CommitConflict("merge retries exhausted")
+
+
+def acid_stream_sink(tbl: ThriveTable, app_id: str):
+    """foreachBatch function delivering a stream into a ThriveTable
+    EXACTLY ONCE: each micro-batch appends under the transaction token
+    (app_id, batch_id), so a checkpoint-replayed batch (recovery
+    re-delivers the last uncommitted one) is recognized in the
+    manifest log and skipped — the Delta txnAppId/txnVersion idiom,
+    here on the hand-rolled format. Composes with streaming/broker.py
+    for an end-to-end exactly-once broker→table pipeline
+    (tests/test_acid.py::test_stream_ingest_exactly_once)."""
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        tbl.append(batch_df, txn=(app_id, int(batch_id)))
+
+    return write_batch
 
 
 @query(
@@ -312,3 +423,74 @@ def acid_table_commits(spark, sf_dir):
     for s in snaps[1:]:
         out = out.union(s)
     return out
+
+
+@query(
+    "acid_merge_upsert",
+    oracle=f"""
+    WITH target AS (
+        SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        WHERE o_orderkey % 7 = 0
+    ),
+    source AS (
+        SELECT o_orderkey AS k, o_totalprice + 1000 AS p FROM orders
+        WHERE o_orderkey % 14 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey % 7 = 2
+    ),
+    merged AS (
+        SELECT t.k, t.p FROM target t
+        WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.k = t.k)
+        UNION ALL
+        SELECT k, p FROM source
+    )
+    SELECT CAST(1 AS BIGINT) AS version, 'create' AS op,
+           count(*) AS n_rows, {osum('p')} AS sum_price FROM target
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'merge', count(*), {osum('p')} FROM merged
+    """,
+)
+def acid_merge_upsert(spark, sf_dir):
+    """MERGE INTO the ACID table, driver-verified: v1 is an orders
+    slice, the source updates every 14th key (+1000 price correction)
+    and inserts a disjoint slice, and the COW merge lands as v2. The
+    oracle replays the upsert relationally (anti-join survivors +
+    source), so the hash verifies matched-row replacement, unmatched
+    insertion, manifest row counts, and that v1 stays bit-stable
+    under time travel after the merge rewrote files."""
+    import tempfile
+
+    from ..tables import Tables
+
+    t = Tables(spark, sf_dir)
+    orders = t.orders.select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    root = tempfile.mkdtemp(prefix="thrive_acid_merge_")
+    tbl = ThriveTable(spark, root)
+    tbl.create(orders.filter("k % 7 = 0").repartition(4))
+    source = (
+        orders.filter("k % 14 = 0").select("k", (F.col("p") + 1000).alias("p"))
+    ).union(orders.filter("k % 7 = 2"))
+    v = tbl.merge_upsert(source, key="k")
+    assert v == 2, v
+
+    snaps = []
+    for ver in tbl.versions():
+        m = tbl.manifest(ver)
+        snap = tbl.snapshot(ver).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("p").alias("sum_price"),
+        ).select(
+            F.lit(ver).cast("bigint").alias("version"),
+            F.lit(m["op"]).alias("op"),
+            "n_rows",
+            "sum_price",
+        )
+        snaps.append(snap.withColumn(
+            "n_rows",
+            F.when(F.col("n_rows") == F.lit(m["n_rows"]),
+                   F.col("n_rows")),
+        ))
+    return snaps[0].union(snaps[1])
