@@ -73,7 +73,10 @@ GRADE_CANARIES = ["agg_collect_sorted", "agg_hash_groupby", "join_theta_band"]
 #: itself so the rotation is self-advancing with zero driver help) and
 #: stride across the sorted id space, which is prefix-grouped — i.e.
 #: roughly one pick per section band.
-GRADE_ROTATING_CANARIES = 7
+#: r12 (verdict item 6): 7 → 12 — the window has pure canary space
+#: now, and 12 rotating picks shrink the full official-row refresh
+#: cycle from ~7 rounds to ~4.
+GRADE_ROTATING_CANARIES = 12
 
 
 def _round_no() -> int:
@@ -258,9 +261,13 @@ def _rotated(mapping: dict) -> dict:
     if backfill:
         start = (rno * 37) % len(backfill)
         backfill = backfill[start:] + backfill[:start]
-    order = pri[:cut] + canaries + [
+    # r11 advice (low): ungraded overflow (pri[cut:]) must stay AHEAD
+    # of the re-grade backfill — backfill last preserves the
+    # never-graded-first priority whenever the ungraded pool exceeds
+    # the window.
+    order = pri[:cut] + canaries + pri[cut:] + [
         k for k in backfill if k not in pri[:cut]
-    ] + pri[cut:]
+    ]
     seen: set = set()
     order = [k for k in order if not (k in seen or seen.add(k))]
     front = {k: mapping[k] for k in order}

@@ -10,9 +10,11 @@ visible in the artifact. Materialization is the noop sink so the full
 plan executes (count() would let Catalyst prune the compute).
 
 A calibration probe is interleaved after every query (see PROBE_*
-below); when its median says the box is contended, `queries`/`min` are
-normalized by the measured inflation and the raw medians are kept in
-`queries_raw` with `calibration.normalized_by` stamped.
+below); the headline `queries`/`value` are always RAW measurements.
+When the probe's median says the box is contended, the inflation ratio
+is stamped in `calibration` together with modeled steady-state values
+(`calibration.queries_normalized`) as a secondary field — measurements
+are never replaced by model output (r11 advice).
 
 Prints the full JSON line (queries + variance + min + errors), then a
 COMPACT recap line LAST: the driver archives only the final ~2000
@@ -85,10 +87,9 @@ def materialize(df) -> None:
 # stamp the full distribution. The contention estimate is the MEDIAN
 # interleaved ratio — it tracks the same minutes the suite numbers were
 # recorded in. When that median exceeds PROBE_SLACK× the floor, the
-# artifact's `queries` are NORMALIZED by the measured inflation (raw
-# medians preserved in `queries_raw`, `calibration.normalized_by`
-# stamped) so round-over-round comparison reads steady-state numbers
-# even off a noisy box. Floor = the probe's min on the cleanest
+# artifact stamps status=contended + the ratio and attaches modeled
+# steady-state values in `calibration.queries_normalized`; the headline
+# numbers stay raw measurements. Floor = the probe's min on the cleanest
 # recorded run (BENCH_r09: agg_hash_groupby min 0.25 s at
 # sf0.1/local[32]); only meaningful at the default sf.
 PROBE_ID = "agg_hash_groupby"
@@ -178,15 +179,19 @@ def main() -> None:
             probe_samples.append(probe_once(spark, sf_dir))
 
     calibration = summarize_calibration(probe_samples, default_sf)
-    raw_times = dict(times)
+    # The headline `queries`/`value` are ALWAYS raw measurements (r11
+    # advice): the probe is one CPU-bound groupby, so dividing
+    # shuffle/IO-heavy queries by its inflation ratio publishes modeled
+    # numbers that can read systematically optimistic — and the recap
+    # line (the part guaranteed to survive the driver's 2000-char tail)
+    # would then carry no measurement at all. Under contention we stamp
+    # the ratio and attach MODELED steady-state values as a clearly
+    # secondary field instead of replacing the measurements.
     if calibration.get("status") == "contended":
-        # Normalize by the measured inflation so the archived artifact
-        # reads steady-state numbers; raw medians stay in queries_raw
-        # and the divisor is stamped, so nothing is hidden.
         infl = calibration["ratio"]
-        calibration["normalized_by"] = infl
-        times = {q: round(t / infl, 3) for q, t in times.items()}
-        best = {q: round(t / infl, 3) for q, t in best.items()}
+        calibration["queries_normalized"] = {
+            q: round(t / infl, 3) for q, t in times.items()
+        }
 
     total = round(sum(times.values()), 3)
     # Both stdout lines derive from ONE dict so the contract fields can
@@ -208,7 +213,6 @@ def main() -> None:
                 "variance": spread,
                 "min": best,
                 "errors": errors,
-                "queries_raw": raw_times,
             }
         )
     )

@@ -153,3 +153,26 @@ def test_stale_delete_rebases_over_concurrent_append(spark, sf_dir, tmp_path):
         got.filter("k % 7 = 5").count()
         == o.filter("k % 7 = 5 AND NOT (p > 150000)").count()
     )
+
+
+def test_delete_null_predicate_rows_survive(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate evaluates to
+    NULL must SURVIVE — and survival must not depend on file layout
+    (r11 advice, high): before the fix, NULL rows in REWRITTEN files
+    were dropped (NOT(pred) excludes them) while NULL rows in
+    untouched files rode along by reference."""
+    tbl = ThriveTable(spark, str(tmp_path / "t"))
+    # file A: a TRUE-pred victim AND a NULL-pred row (A is rewritten);
+    # file B: ONLY NULL-pred rows (B is untouched, carried by ref)
+    a = spark.createDataFrame(
+        [(1, 300000.0), (2, None)], "k int, p double"
+    ).coalesce(1)
+    b = spark.createDataFrame(
+        [(3, None), (4, None)], "k int, p double"
+    ).coalesce(1)
+    tbl.create(a)
+    tbl.append(b)
+    tbl.delete_where("p > 150000")
+    got = sorted(r.k for r in tbl.snapshot().collect())
+    assert got == [2, 3, 4], got  # only the TRUE row deleted
+    assert tbl.manifest(tbl.latest_version())["n_rows"] == 3

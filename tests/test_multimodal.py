@@ -165,6 +165,21 @@ def test_jpeg_smooth_image_near_lossless():
     assert (decode_jpeg(encode_jpeg(uni, 90)) == 173).all()
 
 
+def test_jpeg_fill_bytes_before_markers():
+    """Spec B.1.1.2: 0xFF fill padding before any marker is legal —
+    foreign baseline encoders may emit it (r11 advice)."""
+    import numpy as np
+
+    from thrive_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    px = np.random.RandomState(7).randint(0, 256, (12, 12, 3), np.uint8)
+    enc = encode_jpeg(px, 90)
+    # pad every marker boundary we can find outside entropy data: after
+    # SOI and before EOI (both guaranteed positions)
+    padded = enc[:2] + b"\xff\xff" + enc[2:-2] + b"\xff" + enc[-2:]
+    assert (decode_jpeg(padded) == decode_jpeg(enc)).all()
+
+
 def test_jpeg_deterministic():
     import numpy as np
 

@@ -371,6 +371,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # spec B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker; skip them so foreign encoders' padding parses (the
+        # marker byte is the first non-0xFF after the run)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

@@ -205,7 +205,14 @@ class ThriveTable:
         matching rows; carry the rest by reference. On conflict the
         whole rewrite recomputes against the new snapshot — a stale
         rewrite could resurrect a concurrently-appended victim or
-        drop a concurrent append's file list."""
+        drop a concurrent append's file list.
+
+        NULL discipline (SQL DELETE / Delta semantics): a row is
+        deleted only when the predicate IS TRUE; condition-NULL rows
+        SURVIVE. The rewrite therefore keeps ``NOT coalesce(pred,
+        false)`` — a plain ``NOT (pred)`` would drop NULL rows from
+        rewritten files while untouched files carry theirs by
+        reference, making survival layout-dependent."""
         for _ in range(max_retries):
             base = self.latest_version()
             m = self.manifest(base)
@@ -227,7 +234,7 @@ class ThriveTable:
             if affected:
                 kept = (
                     self.spark.read.parquet(*sorted(affected))
-                    .filter(f"NOT ({pred_sql})")
+                    .filter(f"NOT coalesce(({pred_sql}), false)")
                 )
                 n_kept = kept.count()
                 if n_kept:
@@ -351,7 +358,7 @@ def acid_stream_sink(tbl: ThriveTable, app_id: str):
         SELECT o_orderkey, o_totalprice FROM orders
         WHERE o_orderkey % 7 = 5
     ),
-    v4 AS (SELECT * FROM v3 WHERE NOT (p > 150000))
+    v4 AS (SELECT * FROM v3 WHERE (p > 150000) IS NOT TRUE)
     SELECT CAST(1 AS BIGINT) AS version, 'create' AS op,
            count(*) AS n_rows, {osum('p')} AS sum_price FROM v1
     UNION ALL
@@ -422,7 +429,21 @@ def acid_table_commits(spark, sf_dir):
     out = snaps[0]
     for s in snaps[1:]:
         out = out.union(s)
-    return out
+    return _detach_and_cleanup(spark, out, root)
+
+
+def _detach_and_cleanup(spark, df, root: str):
+    """Materialize a BOUNDED result (a handful of per-version
+    aggregate rows) onto the driver, delete the query's temp table
+    root, and return a local DataFrame — the lazily-bound snapshot
+    reads would dangle once the root is gone, and without this the
+    driver / bench warm reps / stress sweep leak one /tmp tree per
+    invocation (r11 advice)."""
+    import shutil
+
+    rows, schema = df.collect(), df.schema
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 @query(
@@ -493,4 +514,4 @@ def acid_merge_upsert(spark, sf_dir):
             F.when(F.col("n_rows") == F.lit(m["n_rows"]),
                    F.col("n_rows")),
         ))
-    return snaps[0].union(snaps[1])
+    return _detach_and_cleanup(spark, snaps[0].union(snaps[1]), root)

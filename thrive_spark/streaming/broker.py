@@ -313,7 +313,9 @@ def scan_broker_stream(spark, sf_dir):  # noqa: ARG001 — feed is synthetic
     )
     q.processAllAvailable()
     q.stop()
-    return (
+    from ..sources.acid import _detach_and_cleanup
+
+    agg = (
         spark.read.parquet(out)
         .groupBy("partition_id", "event_type")
         .agg(
@@ -322,3 +324,6 @@ def scan_broker_stream(spark, sf_dir):  # noqa: ARG001 — feed is synthetic
             dsum("value").alias("sum_value"),
         )
     )
+    # BRK_PARTS x 5 event types = bounded rows; drop the temp
+    # log/checkpoint tree instead of leaking one per invocation
+    return _detach_and_cleanup(spark, agg, root)
