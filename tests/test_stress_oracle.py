@@ -82,16 +82,19 @@ def test_tiled_pair_scan_block_invariants(spark, stress_dir):
     from pyspark.sql import functions as F
 
     from thrive_spark.operators.llm import (
-        PAIR_TILE_ROWS,
         _pair_tile_fanout,
         _tile_replicate,
     )
     from thrive_spark.tables import Tables
 
+    # r12: PAIR_TILE_ROWS is production-sized (4096); force the
+    # exhibit-scale tile here so the 400-row corpus still exercises
+    # multi-tile grouping
+    TILE = 32
     emb = Tables(spark, stress_dir).embeddings.filter(
         F.col("label").isNotNull()
     )
-    m = _pair_tile_fanout(emb)
+    m = _pair_tile_fanout(emb, tile_rows=TILE)
     assert m > 1, "stress labels exceed one tile; fanout must engage"
     tiles = (
         _tile_replicate(emb, m)
@@ -102,8 +105,25 @@ def test_tiled_pair_scan_block_invariants(spark, stress_dir):
     assert len(tiles) > 10, f"only {len(tiles)} tiles"
     # a tile holds at most two chunks; mod-sliced chunks of the max
     # label block stay within ~2x the target tile side
-    assert max(r["count"] for r in tiles) <= 4 * PAIR_TILE_ROWS
+    assert max(r["count"] for r in tiles) <= 4 * TILE
     # replication is exactly m tiles per row (pair-coverage proof:
     # each unordered chunk pair meets in exactly one tile)
     n = emb.count()
     assert sum(r["count"] for r in tiles) == n * m
+
+
+def test_tiled_pair_scan_multi_tile_matches_oracle(
+    spark, stress_ddb, stress_dir
+):
+    """Oracle equality with the multi-tile path FORCED (tile_rows=32):
+    the production tile (4096) runs m=1 on small corpora, so without
+    this the chunk-pair decomposition would only be exercised by the
+    block-invariant test, never hash-compared."""
+    from thrive_spark.operators.llm import _sim_pairs_tiled
+
+    spark_pdf = _sim_pairs_tiled(spark, stress_dir, tile_rows=32).toPandas()
+    duck_pdf = stress_ddb.execute(ORACLE["sim_pairs_threshold"]).df()
+    s_cols, s_rows = canon(spark_pdf)
+    d_cols, d_rows = canon(duck_pdf)
+    assert s_cols == d_cols
+    assert s_rows == d_rows

@@ -1281,7 +1281,7 @@ def dedup_incremental_embedding(spark, sf_dir):
         F.expr("(4 * max(vec_id)) div 5").alias("v")
     )
     emb = t.embeddings.filter(F.col("label").isNotNull())
-    m = _pair_tile_fanout(emb)
+    m = _pair_tile_fanout(emb, cache_key=("emb_notnull", sf_dir))
     rng = F.array(*[F.lit(i) for i in range(m)])
     is_new = F.col("vec_id") >= F.col("v")
     e = (
