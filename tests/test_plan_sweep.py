@@ -30,7 +30,6 @@ ALLOWED_ARROW_PYTHON = {
     "sim_pairs_threshold",
     "dedup_embedding_cosine",
     "dedup_incremental_embedding",  # rectangular new×corpus BLAS per label block
-    "dedup_fuzzy_minhash",
     "sim_knn_lsh",
     "sim_knn_ivf",
     "sim_knn_pq",

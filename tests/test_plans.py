@@ -163,23 +163,23 @@ def test_ntile_no_global_data_window(spark, sf_dir):
 
 
 def test_minhash_band_join_sheds_arrays(spark, sf_dir):
-    """The LSH band self-join must shuffle only (doc_id, band, sig) —
-    3 longs/row — never the shingle-hash arrays; shingles rejoin for
-    candidate pairs only. A hashpartitioning exchange carrying `sh`
+    """The LSH band self-join must shuffle only (doc_id, band, key) —
+    3 scalars/row — never the shingle-hash arrays; shingles rejoin for
+    candidate pairs only. A hashpartitioning exchange carrying `s`
     would mean the band join ships the corpus tokens again."""
     import re
 
     df = QUERIES["dedup_fuzzy_minhash"](spark, sf_dir)
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
-    # no plan node may carry the shingle array alongside band/sig
+    # no plan node may carry the shingle array alongside band/key
     # columns — that's the signature the old corpus-through-the-
-    # shuffle plan had (bands projection retained `sh`)
+    # shuffle plan had (bands projection retained the array)
     offending = [
         line
         for line in executed.splitlines()
-        if re.search(r"\bsh#", line)
-        and re.search(r"\b(band|sig)#", line)
+        if re.search(r"\bs#", line)
+        and re.search(r"\b(band|key)#", line)
     ]
     assert not offending, offending
 

@@ -52,101 +52,144 @@ def dedup_exact_hash(spark, sf_dir):
     )
 
 
-@query("dedup_fuzzy_minhash")  # rows-only: Spark xxhash64 seeds are not
-# reproducible in DuckDB; the candidate generation is engine-specific
+#: 16-family minhash geometry for dedup_fuzzy_minhash: 4 bands × 4
+#: rows (finer-grained than dedup_minhash_portable's 4×2 — stricter
+#: band agreement, fewer false candidates at the same verify
+#: threshold). Families are the same exact-int64 affine recipe over
+#: the <2^30 prime (CLAUDE.md): every product stays under 2^60, so
+#: the arithmetic is bit-identical ANSI int64 in BOTH engines.
+FMH_FAMS, FMH_BANDS, FMH_ROWS = 16, 4, 4
+FMH_P = 1073741789  # largest prime < 2^30 (== dedup_extra.MHP_P)
+FMH_A = [(2 * i + 1) * 48271 % FMH_P for i in range(FMH_FAMS)]
+FMH_B = [(i * 2654435761 + 1) % FMH_P for i in range(FMH_FAMS)]
+
+
+@query(
+    "dedup_fuzzy_minhash",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(tk) - 2, 0)),
+                   i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]
+               )) AS sh
+        FROM w
+    ),
+    hashes AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(s.s), 1, 15))::BIGINT AS h
+        FROM sh, LATERAL (SELECT unnest(sh.sh) AS s) s
+    ),
+    mh AS (
+        SELECT doc_id, i.i AS fam,
+               min((CAST([{", ".join(str(a) for a in FMH_A)}]
+                         AS BIGINT[])[i.i + 1]
+                    * (h % {FMH_P})
+                    + CAST([{", ".join(str(b) for b in FMH_B)}]
+                           AS BIGINT[])[i.i + 1])
+                   % {FMH_P}) AS mh
+        FROM hashes, (SELECT unnest(generate_series(0, {FMH_FAMS - 1}))
+                      AS i) i
+        GROUP BY doc_id, i.i
+    ),
+    bands AS (
+        SELECT doc_id, b.b AS band,
+               {" || '-' || ".join(
+                   f"CAST(max(CASE WHEN fam = {FMH_ROWS} * b.b + {r} "
+                   "THEN mh END) AS VARCHAR)"
+                   for r in range(FMH_ROWS)
+               )} AS key
+        FROM mh, (SELECT unnest(generate_series(0, {FMH_BANDS - 1}))
+                  AS b) b
+        WHERE fam BETWEEN {FMH_ROWS} * b.b AND {FMH_ROWS} * b.b + {FMH_ROWS - 1}
+        GROUP BY doc_id, b.b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sets AS (SELECT doc_id, list(DISTINCT h) AS s FROM hashes
+             GROUP BY doc_id)
+    SELECT doc_a, doc_b,
+           round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / (len(sa.s) + len(sb.s)
+                    - len(list_intersect(sa.s, sb.s))), 4) AS jaccard
+    FROM cand
+    JOIN sets sa ON sa.doc_id = doc_a
+    JOIN sets sb ON sb.doc_id = doc_b
+    WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+          >= {JACCARD_THRESHOLD}
+    """,
+)
 def dedup_fuzzy_minhash(spark, sf_dir):
     """Near-duplicate detection: word 3-shingles → 16 minhashes →
     4 bands × 4 rows → band-bucket candidate pairs → exact-Jaccard
-    verification ≥ 0.8 (over 64-bit-hashed shingle sets — collision
-    odds are negligible and long arrays intersect far cheaper than
-    string arrays). Returns verified pairs (a < b) with their Jaccard.
+    verification ≥ 0.8. Returns verified pairs (a < b) with Jaccard.
+
+    r12 (verdict item 2): the shingle hash is now the PORTABLE
+    md5-conv 60-bit recipe with exact-int64 affine minhash families
+    (one md5 per shingle total — the same pipeline that upgraded
+    dedup_minhash_portable to hash-checked in r8), so the ENTIRE
+    run — candidate generation included — is pinned by a DuckDB
+    oracle. This was the last rows-only SURVEY §2 id with a portable
+    twin; measured at census scale the md5 path is not slower than
+    the retired seeded-xxhash64 Arrow pipeline (BENCH_FULL r11:
+    portable 2.05 s vs seeded 2.58 s — the md5 is paid once per
+    shingle and the band join dominates).
 
     Everything before the band join stays in the ARRAY domain
-    (transform/array_min over the shingle array) — a map-only pass
-    with no explode and no shuffle. The band self-join shuffles only
-    a (doc_id, band, sig) projection — 3 longs per row, never the
-    shingle arrays — and the shingle-hash sets are fetched by joining
-    the deduplicated CANDIDATE pairs back to the signature table, so
-    array bytes cross the wire only for docs that share a band bucket.
-    That is the 100 TB shape: signature computation scales with bytes
-    scanned, join traffic scales with near-duplicate density."""
+    (zip_with 3-gram build, transform/array_min over the shingle
+    array) — a map-only pass with no explode and no shuffle. The band
+    self-join shuffles only a (doc_id, band, key) projection, never
+    the shingle arrays — those rejoin below for banded CANDIDATES
+    only. That is the 100 TB shape: signature computation scales with
+    bytes scanned, join traffic scales with near-duplicate density."""
     t = Tables(spark, sf_dir)
-    n_hashes, n_bands, rows_per_band = 16, 4, 4
-    hash_cols = [f"mh{i}" for i in range(n_hashes)]
-
-    def signatures(batches):
-        # One Arrow batch in, one out, all C-speed: each TOKEN is
-        # string-hashed exactly once (pandas hash_array, deterministic,
-        # categorize dedups the small vocabulary), then shingle hashes
-        # are a vectorized 3-term uint64 mix of consecutive token
-        # hashes and the 16 minhash families are integer multiply-add
-        # transforms of the shingle hash — no shingle strings are ever
-        # built and no per-family string re-hash happens. Per-doc
-        # minima via minimum.reduceat over the doc-contiguous flat
-        # array. Duplicate shingles need no dedup: min() and the
-        # set-semantic array_intersect/union downstream ignore them.
-        import numpy as np
-        import pandas as pd
-
-        C1, C2, C3 = (
-            np.uint64(0x9E3779B97F4A7C15),
-            np.uint64(0xC2B2AE3D27D4EB4F),
-            np.uint64(0x165667B19E3779F9),
-        )
-        # fixed odd multipliers/offsets per minhash family (splitmix64
-        # increments of the golden-ratio constant)
-        fam = np.arange(1, n_hashes + 1, dtype=np.uint64)
-        A = fam * C1 | np.uint64(1)
-        B = fam * C3
-
-        for pdf in batches:
-            # None == "" (split -> ['']): NULL text docs sign like
-            # empty docs instead of crashing the Arrow batch (r10)
-            token_lists = [(t or "").split(" ") for t in pdf["text"]]
-            n_tok = np.array([len(l) for l in token_lists], dtype=np.int64)
-            th = pd.util.hash_array(
-                np.array([w for l in token_lists for w in l], dtype=object),
-                hash_key="thrive_spark_mh!",
-            ).astype(np.uint64, casting="unsafe")
-            tok_off = np.zeros(len(n_tok), dtype=np.int64)
-            np.cumsum(n_tok[:-1], out=tok_off[1:])
-            n_sh = np.maximum(n_tok - 2, 1)
-            sh_off = np.zeros(len(n_sh), dtype=np.int64)
-            np.cumsum(n_sh[:-1], out=sh_off[1:])
-            doc_of = np.repeat(np.arange(len(n_sh)), n_sh)
-            base = np.arange(int(n_sh.sum())) - sh_off[doc_of] + tok_off[doc_of]
-            last = tok_off[doc_of] + n_tok[doc_of] - 1
-            sh = (
-                th[base] * C1
-                + th[np.minimum(base + 1, last)] * C2
-                + th[np.minimum(base + 2, last)] * C3
-            )
-            sh ^= sh >> np.uint64(33)  # xorshift finalizer
-            data = {
-                "doc_id": pdf["doc_id"].to_numpy(),
-                "sh": [
-                    sh[o : o + c].astype(np.int64).tolist()
-                    for o, c in zip(sh_off, n_sh)
-                ],
-            }
-            for i in range(n_hashes):
-                g = sh * A[i] + B[i]
-                data[f"mh{i}"] = np.minimum.reduceat(g, sh_off).astype(
-                    np.int64, casting="unsafe"
-                )
-            yield pd.DataFrame(data)
-
-    sig = (
-        t.documents.select("doc_id", "text")
-        .mapInPandas(
-            signatures,
-            "doc_id long, sh array<long>, "
-            + ", ".join(f"mh{i} long" for i in range(n_hashes)),
-        )
+    tk = F.filter(F.split("text", " "), lambda x: x != "")
+    d = t.documents.select("doc_id", tk.alias("tk"))
+    n3 = F.greatest(F.size("tk") - 2, F.lit(0))
+    # positional 3-grams via zip_with over slices — NEVER element_at
+    # over a computed array inside a lambda (CollapseProject re-inline
+    # O(n²), CLAUDE.md)
+    tri = F.zip_with(
+        F.zip_with(
+            F.slice("tk", 1, n3),
+            F.slice("tk", 2, n3),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        F.slice("tk", 3, n3),
+        lambda ab, c: F.concat_ws(" ", ab, c),
     )
-    # band signature = hash of its 4 minhash rows; the band table is a
-    # 3-long projection — the shingle arrays stay OUT of the self-join
-    # shuffle (they rejoin below, for candidate docs only)
+    def _ph(s):
+        # portable 60-bit hash (CLAUDE.md): bit-identical to DuckDB
+        # ('0x'||substr(md5(x),1,15))::BIGINT
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+    sh = d.select(
+        "doc_id", F.array_distinct(F.transform(tri, _ph)).alias("s")
+    )
+    sh = sh.localCheckpoint()  # shingle hashing feeds minhash AND verify
+
+    def _fam(i):
+        # single-arg closure — the 2-arg lambda trap (CLAUDE.md)
+        a, b = F.lit(FMH_A[i]), F.lit(FMH_B[i])
+        return lambda h: (a * (h % F.lit(FMH_P)) + b) % F.lit(FMH_P)
+
+    mh_cols = [
+        F.array_min(F.transform("s", _fam(i))).alias(f"mh{i}")
+        for i in range(FMH_FAMS)
+    ]
+    # <3-token docs have an empty shingle set: every minhash is NULL
+    # and concat_ws would collapse them onto band key '' — a quadratic
+    # clique the oracle never generates. Drop before the band explode.
+    sig = sh.filter(F.size("s") > 0).select("doc_id", *mh_cols)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -154,25 +197,26 @@ def dedup_fuzzy_minhash(spark, sf_dir):
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.hash(
+                        F.concat_ws(
+                            "-",
                             *[
-                                F.col(f"mh{b * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("sig"),
+                                F.col(f"mh{FMH_ROWS * b + r}").cast("string")
+                                for r in range(FMH_ROWS)
+                            ],
+                        ).alias("key"),
                     )
-                    for b in range(n_bands)
+                    for b in range(FMH_BANDS)
                 ]
             )
-        ).alias("bs"),
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
 
     pairs_ = (
         bands.alias("a")
         .join(
             bands.alias("b"),
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -181,28 +225,20 @@ def dedup_fuzzy_minhash(spark, sf_dir):
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    shingles = sig.select("doc_id", "sh")
-    cand = (
-        pairs_.join(shingles.alias("sa"), pairs_.doc_a == F.col("sa.doc_id"))
-        .join(shingles.alias("sb"), pairs_.doc_b == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.col("sa.sh").alias("sh_a"),
-            F.col("sb.sh").alias("sh_b"),
-        )
+    # exact-Jaccard verification on candidates only; `s` is already
+    # distinct, so intersect/size are true set ops on both engines
+    dsets = sh
+    inter = F.size(F.array_intersect("sa.s", "sb.s"))
+    jac = inter.cast("double") / (
+        F.size("sa.s") + F.size("sb.s") - inter
     )
-
-    # exact-Jaccard verification on candidates only, in the array domain
-    jac = cand.select(
-        "doc_a",
-        "doc_b",
-        r4(
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b"))
-        ).alias("jaccard"),
+    return (
+        pairs_.join(dsets.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(dsets.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn("j", jac)
+        .filter(F.col("j") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", r4(F.col("j")).alias("jaccard"))
     )
-    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 @query(
