@@ -179,6 +179,8 @@ GRADE_DEFER = [
     "multimodal_image_png",
     "scan_broker_stream",
     "acid_table_commits",
+    # r12 registrations
+    "acid_stream_ingest",
 ]
 
 

@@ -234,3 +234,103 @@ def test_broker_log_bookkeeping(tmp_path):
                                 int(log.end_offsets()["0"])]
     rdr.commit({"0": 5, "1": 7})
     assert log.committed() == {"0": 5, "1": 7}
+
+
+def test_broker_to_acid_kill_resume_exactly_once(spark, sf_dir, tmp_path):
+    """End-to-end exactly-once into the ACID table (verdict r11 item
+    3): broker stream → foreachBatch → ThriveTable.append under the
+    (app_id, batch_id) transaction token. The query is killed
+    mid-stream, the newest checkpoint commit marker is DELETED (so the
+    restart is GUARANTEED to re-deliver an already-committed batch —
+    the recovery replay path), more segments are produced, and after
+    the resumed drain the table must equal the batch twin exactly:
+    the manifest txn log absorbed the replay as a no-op."""
+    import os as _os
+
+    from thrive_spark.sources.acid import ThriveTable, acid_stream_sink
+    from thrive_spark.streaming.broker import BrokerLog, register
+
+    rows = (
+        Tables(spark, sf_dir)
+        .events.select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .orderBy("event_id")
+        .collect()
+    )
+    n_total = len(rows)
+    seg_size = max(n_total // 8, 1)
+    segments = [rows[i : i + seg_size] for i in range(0, n_total, seg_size)]
+
+    log = BrokerLog(str(tmp_path / "broker"), n_partitions=3)
+    register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    tbl = ThriveTable(spark, str(tmp_path / "table"))
+    schema = (
+        "partition_id int, offset long, event_id long, ts_us long, "
+        "user_id long, event_type string, value double"
+    )
+    tbl.create(spark.createDataFrame([], schema))
+    sink = acid_stream_sink(tbl, app_id="kill-resume-test")
+
+    def start():
+        return (
+            spark.readStream.format("thrive_broker")
+            .option("path", log.root)
+            .option("maxsegmentspertrigger", 1)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    # phase 1: most of the feed; kill at first committed progress
+    for seg in segments[:-2]:
+        log.produce(seg)
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in q.recentProgress):
+            break
+        time.sleep(0.05)
+    q.stop()
+
+    # force a replay: drop the newest commit marker so the engine
+    # re-delivers that batch to foreachBatch on restart
+    commits = sorted(
+        (f for f in _os.listdir(f"{ckpt}/commits") if f.isdigit()),
+        key=int,
+    )
+    if commits:
+        _os.unlink(f"{ckpt}/commits/{commits[-1]}")
+        crc = f"{ckpt}/commits/.{commits[-1]}.crc"  # hadoop sidecar
+        if _os.path.exists(crc):
+            _os.unlink(crc)
+    v_after_phase1 = tbl.latest_version()
+
+    # phase 2: rest of the feed; RESTART from the same checkpoint
+    for seg in segments[-2:]:
+        log.produce(seg)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = tbl.snapshot()
+    assert got.count() == n_total  # nothing duplicated, nothing lost
+    assert got.select("event_id").distinct().count() == n_total
+    src_sum = sum(int(r["value"] * 10 + 0.5) for r in rows)
+    got_sum = got.select(
+        F.sum(F.expr("CAST(value * 10 + 0.5 AS BIGINT)"))
+    ).collect()[0][0]
+    assert got_sum == src_sum
+    # the replayed batch landed as a manifest-token no-op: every
+    # committed txn token is unique in the version log
+    tokens = [
+        tuple(m["txn"]) for m in tbl.history() if m.get("txn") is not None
+    ]
+    assert len(tokens) == len(set(tokens))
+    assert tbl.latest_version() > v_after_phase1  # phase 2 did commit
