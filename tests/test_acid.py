@@ -176,3 +176,69 @@ def test_delete_null_predicate_rows_survive(spark, tmp_path):
     got = sorted(r.k for r in tbl.snapshot().collect())
     assert got == [2, 3, 4], got  # only the TRUE row deleted
     assert tbl.manifest(tbl.latest_version())["n_rows"] == 3
+
+
+def test_segmented_manifest_readback_and_reuse(spark, sf_dir, tmp_path):
+    """Manifest-of-manifests (r12, verdict item 5): past the
+    segment_threshold the loose file tail seals into immutable parquet
+    segments; appends carry prior segments BY REFERENCE (O(delta)
+    commit metadata) and read-back equals the plain file-list table."""
+    o = _orders(spark, sf_dir)
+    tbl = ThriveTable(spark, str(tmp_path / "t"), segment_threshold=3)
+    tbl.create(o.filter("k % 7 = 0").repartition(4))  # 4 files > 3
+    m1 = tbl.manifest(1)
+    assert m1["segments"] and not m1["files"], m1
+    # appends: small deltas stay loose until the tail overflows again
+    tbl.append(o.filter("k % 7 = 1").repartition(2))
+    m2 = tbl.manifest(2)
+    assert m2["segments"] == m1["segments"]  # carried by reference
+    assert len(m2["files"]) == 2
+    tbl.append(o.filter("k % 7 = 2").repartition(2))
+    m3 = tbl.manifest(3)
+    assert m3["segments"][0] == m1["segments"][0]
+    assert len(m3["segments"]) == 2 and not m3["files"]  # tail sealed
+    want = o.filter("k % 7 IN (0, 1, 2)").count()
+    assert tbl.snapshot().count() == want == m3["n_rows"]
+    # COW delete dissolves ONLY victim segments
+    v = tbl.delete_where("p > 150000")
+    m4 = tbl.manifest(v)
+    got = sorted(r.k for r in tbl.snapshot().collect())
+    want_rows = sorted(
+        r.k
+        for r in o.filter(
+            "k % 7 IN (0, 1, 2) AND (p > 150000) IS NOT TRUE"
+        ).collect()
+    )
+    assert got == want_rows
+    assert m4["n_files"] == len(tbl.files(m4))
+
+
+def test_vacuum_prunes_history_and_orphans(spark, sf_dir, tmp_path):
+    """vacuum(keep_last=N): manifests past the retention window drop,
+    unreferenced data files and segments are physically deleted, and
+    time travel works inside the window / raises outside it."""
+    import os as _os
+
+    o = _orders(spark, sf_dir)
+    tbl = ThriveTable(spark, str(tmp_path / "t"), segment_threshold=2)
+    tbl.create(o.filter("k % 7 = 0").repartition(3))
+    tbl.append(o.filter("k % 7 = 1").repartition(3))
+    tbl.delete_where("p > 150000")  # rewrites victims: v1/v2 files orphanable
+    tbl.append(o.filter("k % 7 = 2").repartition(3))
+    assert tbl.versions() == [1, 2, 3, 4]
+    n_before = tbl.snapshot().count()
+
+    stats = tbl.vacuum(keep_last=2)
+    assert stats["dropped_versions"] == [1, 2]
+    assert stats["deleted_data_files"] > 0  # the COW victims died
+    assert tbl.versions() == [3, 4]
+    # retained snapshots still read (incl. time travel to v3)
+    assert tbl.snapshot().count() == n_before
+    assert tbl.snapshot(3).count() == tbl.manifest(3)["n_rows"]
+    # the boundary: vacuumed versions are gone, by design
+    with pytest.raises(FileNotFoundError):
+        tbl.manifest(1)
+    # every file the retained manifests reference still exists
+    for v in tbl.versions():
+        for f in tbl.files(tbl.manifest(v)):
+            assert _os.path.exists(f), f

@@ -32,11 +32,28 @@ The commit protocol is the whole ACID story:
   not table size, and consecutive snapshots share unchanged files
   (asserted in tests/test_acid.py).
 
-Scale notes: the manifest lists files, so planning cost grows with
-file count, not rows — compaction (sources/maintenance.py) bounds it.
-At 100 TB the file list itself becomes a parquet manifest-of-manifests
-(Iceberg's split); the commit primitive is unchanged. Readers never
-take locks; writers serialize only on the version counter.
+Scale notes (r12): the manifest is a MANIFEST-OF-MANIFESTS once the
+file list outgrows ``segment_threshold`` — loose file paths spill
+into immutable parquet SEGMENTS (Iceberg's manifest split), and the
+version JSON then carries segment references plus a small loose tail:
+
+- append: carries the base's segments BY REFERENCE and adds its new
+  files to the loose tail, sealing a new segment only when the tail
+  overflows — commit cost is O(delta), not O(table files).
+- delete/merge: only segments CONTAINING victims are dissolved (their
+  survivors rejoin the loose tail); untouched segments ride along —
+  rewrite cost follows churn at the segment grain, mirroring the
+  file-grain COW of the data layer.
+- readers resolve segments through a process-wide cache (segments are
+  immutable, content-addressed by uuid path), so planning cost grows
+  with SEGMENT count; at 100 TB the segment reads themselves would
+  fan out as a distributed metadata scan.
+
+``vacuum(keep_last=N)`` is the retention job: drops manifests older
+than the newest N versions and physically deletes data files and
+segments no retained snapshot references — time travel past the
+boundary then raises, by design. Readers never take locks; writers
+serialize only on the version counter.
 """
 
 from __future__ import annotations
@@ -56,13 +73,65 @@ class CommitConflict(Exception):
     """Another writer committed this version first — rebase and retry."""
 
 
-class ThriveTable:
-    """Handle on a manifest-versioned parquet table."""
+#: process-wide segment cache: segments are immutable (uuid paths,
+#: never rewritten), so a path's file list can be memoized forever
+_SEG_CACHE: dict[str, list[str]] = {}
 
-    def __init__(self, spark, root: str):
+
+class ThriveTable:
+    """Handle on a manifest-versioned parquet table.
+
+    ``segment_threshold``: loose file paths per manifest before they
+    seal into a parquet segment (manifest-of-manifests split); tests
+    use small values to exercise segmentation on few files."""
+
+    def __init__(self, spark, root: str, segment_threshold: int = 64):
         self.spark = spark
         self.root = root
         self.mdir = os.path.join(root, "_manifests")
+        self.segdir = os.path.join(self.mdir, "segments")
+        self.segment_threshold = segment_threshold
+
+    # -- manifest-of-manifests --
+
+    def _read_segment(self, path: str) -> list[str]:
+        if path not in _SEG_CACHE:
+            import pyarrow.parquet as pq
+
+            _SEG_CACHE[path] = pq.read_table(path)["path"].to_pylist()
+        return _SEG_CACHE[path]
+
+    def _write_segment(self, files: list[str]) -> dict:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.segdir, exist_ok=True)
+        path = os.path.join(
+            self.segdir, f"seg-{uuid.uuid4().hex[:12]}.parquet"
+        )
+        pq.write_table(pa.table({"path": files}), path)
+        _SEG_CACHE[path] = list(files)
+        return {"path": path, "n_files": len(files)}
+
+    def files(self, m: dict) -> list[str]:
+        """Full data-file list of a manifest (segments + loose tail)."""
+        out: list[str] = []
+        for seg in m.get("segments", []):
+            out.extend(self._read_segment(seg["path"]))
+        out.extend(m.get("files", []))
+        return out
+
+    def _pack(self, segments: list[dict], loose: list[str]) -> dict:
+        """Seal the loose tail into a new segment when it overflows;
+        carried segments ride by reference."""
+        if len(loose) > self.segment_threshold:
+            segments = segments + [self._write_segment(sorted(loose))]
+            loose = []
+        return {
+            "segments": segments,
+            "files": loose,
+            "n_files": sum(s["n_files"] for s in segments) + len(loose),
+        }
 
     # -- snapshot / metadata surface --
 
@@ -89,13 +158,14 @@ class ThriveTable:
         of later commits."""
         v = self.latest_version() if version is None else version
         m = self.manifest(v)
-        if not m["files"]:  # fully-deleted table: empty DF, same schema
+        files = self.files(m)
+        if not files:  # fully-deleted table: empty DF, same schema
             from pyspark.sql.types import StructType
 
             return self.spark.createDataFrame(
                 [], StructType.fromJson(json.loads(m["schema"]))
             )
-        return self.spark.read.parquet(*m["files"])
+        return self.spark.read.parquet(*files)
 
     def history(self) -> list[dict]:
         return [self.manifest(v) for v in self.versions()]
@@ -135,9 +205,9 @@ class ThriveTable:
             1,
             {
                 "op": "create",
-                "files": files,
                 "n_rows": n,
                 "schema": df.schema.json(),
+                **self._pack([], files),
             },
         )
         return 1
@@ -177,9 +247,14 @@ class ThriveTable:
                     base + 1,
                     {
                         "op": "append",
-                        "files": m["files"] + new_files,
                         "n_rows": m["n_rows"] + n_new,
                         "schema": m["schema"],
+                        # base segments ride by reference; only the
+                        # loose tail grows — O(delta) commit cost
+                        **self._pack(
+                            m.get("segments", []),
+                            m.get("files", []) + new_files,
+                        ),
                         **(
                             {"txn": [txn[0], int(txn[1])]}
                             if txn is not None
@@ -216,7 +291,7 @@ class ThriveTable:
         for _ in range(max_retries):
             base = self.latest_version()
             m = self.manifest(base)
-            files = m["files"]
+            files = self.files(m)
             tagged = self.spark.read.parquet(*files).withColumn(
                 "_file", F.input_file_name()
             )
@@ -249,15 +324,32 @@ class ThriveTable:
                     base + 1,
                     {
                         "op": "delete",
-                        "files": survivors + new_files,
                         "n_rows": n_surv + n_kept,
                         "schema": m["schema"],
+                        **self._cow_pack(m, affected, new_files),
                     },
                 )
                 return base + 1
             except CommitConflict:
                 continue  # rebase: recompute COW against new latest
         raise CommitConflict("delete retries exhausted")
+
+    def _cow_pack(self, m: dict, affected: set, new_files: list) -> dict:
+        """Manifest fragment for a copy-on-write commit: segments with
+        no victims ride by reference; victim segments dissolve (their
+        survivors rejoin the loose tail) — metadata rewrite cost
+        follows churn at segment grain."""
+        segs: list[dict] = []
+        loose: list[str] = []
+        for s in m.get("segments", []):
+            sf = self._read_segment(s["path"])
+            if affected.isdisjoint(sf):
+                segs.append(s)
+            else:
+                loose.extend(f for f in sf if f not in affected)
+        loose.extend(f for f in m.get("files", []) if f not in affected)
+        loose.extend(new_files)
+        return self._pack(segs, loose)
 
     def merge_upsert(self, source, key: str, max_retries: int = 10) -> int:
         """MERGE INTO at file grain (Delta MERGE role): matched target
@@ -278,7 +370,7 @@ class ThriveTable:
         for _ in range(max_retries):
             base = self.latest_version()
             m = self.manifest(base)
-            files = m["files"]
+            files = self.files(m)
             tagged = self.spark.read.parquet(*files).withColumn(
                 "_file", F.input_file_name()
             )
@@ -312,15 +404,76 @@ class ThriveTable:
                     base + 1,
                     {
                         "op": "merge",
-                        "files": survivors + new_files + src_files,
                         "n_rows": n_surv + n_kept + n_src,
                         "schema": m["schema"],
+                        **self._cow_pack(
+                            m, affected, new_files + src_files
+                        ),
                     },
                 )
                 return base + 1
             except CommitConflict:
                 continue  # rebase: recompute the match set on latest
         raise CommitConflict("merge retries exhausted")
+
+    # -- retention --
+
+    def vacuum(self, keep_last: int = 3) -> dict:
+        """Retention job (the module's declared 100 TB gap, r12):
+        drop manifests older than the newest ``keep_last`` versions
+        and physically delete data files and manifest segments no
+        retained snapshot references. Time travel to a vacuumed
+        version raises afterwards — the retention boundary is the
+        time-travel boundary. Returns counts for observability.
+
+        Safety: retention is the only operation that DELETES shared
+        immutable state, so it must not race a reader of a retained
+        snapshot — referenced sets are computed from the retained
+        manifests themselves, and only strictly-unreferenced paths
+        are unlinked (a concurrent writer's uncommitted data dir has
+        a fresh uuid and is untouched unless orphaned)."""
+        vs = self.versions()
+        retained = vs[-keep_last:] if keep_last > 0 else vs
+        dropped = [v for v in vs if v not in retained]
+        keep_files: set[str] = set()
+        keep_segs: set[str] = set()
+        for v in retained:
+            m = self.manifest(v)
+            for s in m.get("segments", []):
+                keep_segs.add(s["path"])
+            keep_files.update(self.files(m))
+        n_data = n_segs = 0
+        for v in dropped:
+            os.unlink(os.path.join(self.mdir, f"v{v}.json"))
+        if os.path.isdir(self.segdir):
+            for f in os.listdir(self.segdir):
+                p = os.path.join(self.segdir, f)
+                if p not in keep_segs:
+                    os.unlink(p)
+                    _SEG_CACHE.pop(p, None)
+                    n_segs += 1
+        data_root = os.path.join(self.root, "data")
+        if os.path.isdir(data_root):
+            for token in list(os.listdir(data_root)):
+                tdir = os.path.join(data_root, token)
+                keep_any = False
+                for f in list(os.listdir(tdir)):
+                    p = os.path.join(tdir, f)
+                    if f.endswith(".parquet"):
+                        if p in keep_files:
+                            keep_any = True
+                        else:
+                            os.unlink(p)
+                            n_data += 1
+                if not keep_any:  # no live data: drop markers + dir
+                    for f in list(os.listdir(tdir)):
+                        os.unlink(os.path.join(tdir, f))
+                    os.rmdir(tdir)
+        return {
+            "dropped_versions": dropped,
+            "deleted_data_files": n_data,
+            "deleted_segments": n_segs,
+        }
 
 
 def acid_stream_sink(tbl: ThriveTable, app_id: str):
