@@ -105,6 +105,31 @@ def test_stateful_counter_equals_twin_finals(spark, sf_dir, stream_dir):
     assert g.round(4).equals(w.round(4)), (g, w)
 
 
+def test_stateful_tws_equals_twin_finals(spark, sf_dir, stream_dir):
+    """Self-healing boundary gate (r11 verdict item 8): the
+    transformWithStateInPandas prototype runs the moment this env
+    gains google.protobuf (the streaming Python runner's hard
+    dependency); until then the gate skips. When it opens, the new
+    API must reproduce the applyInPandasWithState twin's finals."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState Python runner needs protobuf "
+        "(STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE without it)",
+    )
+    got = run_stream(
+        spark,
+        ops.stateful_cum_purchase_tws(read_stream(spark, stream_dir)),
+        "append",
+        "t_tws",
+    )
+    want = streaming_twins.stream_stateful_counter(spark, sf_dir).toPandas()
+    g = got.groupby("user_id")["cum_purchase"].max().sort_index()
+    w = want.groupby("user_id")["cum_purchase"].max().sort_index()
+    assert g.round(4).equals(w.round(4)), (g, w)
+
+
 def test_gapfill_equals_twin_closed_buckets(spark, sf_dir, stream_dir):
     from thrive_spark.operators.timeseries import resample_gapfill
 

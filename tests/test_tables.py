@@ -136,3 +136,24 @@ def test_corrupt_file_fails_without_option(spark, sf_dir, tmp_path):
         spark.read.option("ignoreCorruptFiles", "false").parquet(
             out
         ).count()
+
+
+def test_avro_probe_or_boundary(spark, tmp_path):
+    """Avro probe-or-boundary (r11 verdict item 7): spark-avro is an
+    EXTERNAL module and the sandbox ships no jar for it — the probe
+    documents the boundary as a test. If the env ever gains the jar,
+    the probe flips to asserting a full write/read round trip, so the
+    boundary self-heals exactly like the protobuf gate."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    path = str(tmp_path / "avro")
+    try:
+        spark.range(5).select("id").write.format("avro").save(path)
+    except AnalysisException as e:
+        # the documented boundary: the built-in-but-external module
+        # is absent, and Spark names it explicitly
+        assert "avro" in str(e).lower(), e
+        pytest.skip("spark-avro jar absent (documented boundary)")
+    back = spark.read.format("avro").load(path)
+    assert sorted(r.id for r in back.collect()) == [0, 1, 2, 3, 4]
