@@ -181,6 +181,7 @@ GRADE_DEFER = [
     "acid_table_commits",
     # r12 registrations
     "acid_stream_ingest",
+    "acid_table_compact",
 ]
 
 

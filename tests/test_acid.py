@@ -242,3 +242,24 @@ def test_vacuum_prunes_history_and_orphans(spark, sf_dir, tmp_path):
     for v in tbl.versions():
         for f in tbl.files(tbl.manifest(v)):
             assert _os.path.exists(f), f
+
+
+def test_compact_then_vacuum_retires_small_files(spark, sf_dir, tmp_path):
+    """compact() packs small files into a new snapshot without
+    touching rows; vacuum() afterwards physically retires the
+    pre-compaction layout once it leaves the retention window."""
+    o = _orders(spark, sf_dir)
+    tbl = ThriveTable(spark, str(tmp_path / "t"), segment_threshold=4)
+    tbl.create(o.filter("k % 7 = 0").repartition(6))
+    n = tbl.snapshot().count()
+    v = tbl.compact(min_file_bytes=1 << 30, target_file_bytes=1 << 30)
+    assert v == 2
+    assert tbl.manifest(2)["op"] == "compact"
+    assert tbl.snapshot().count() == n  # rows untouched
+    assert len(tbl.files(tbl.manifest(2))) < len(tbl.files(tbl.manifest(1)))
+    # idempotence: a second compact on an already-packed table no-ops
+    assert tbl.compact(min_file_bytes=1 << 30) == 2
+    stats = tbl.vacuum(keep_last=1)
+    assert stats["dropped_versions"] == [1]
+    assert stats["deleted_data_files"] >= 6  # the fragmented layout died
+    assert tbl.snapshot().count() == n

@@ -416,6 +416,55 @@ class ThriveTable:
                 continue  # rebase: recompute the match set on latest
         raise CommitConflict("merge retries exhausted")
 
+    # -- maintenance --
+
+    def compact(
+        self,
+        min_file_bytes: int = 64 << 20,
+        target_file_bytes: int = 128 << 20,
+        max_retries: int = 10,
+    ) -> int:
+        """OPTIMIZE inside the table format (r12): bin-pack files
+        smaller than ``min_file_bytes`` into ~``target_file_bytes``
+        outputs and commit the rewrite as a new snapshot — rows are
+        untouched, so time travel to pre-compaction versions still
+        reads the old layout (they reference the old files until
+        vacuum retires them). Cost ∝ SMALL-file bytes, not table
+        size: right-sized files and their segments ride by
+        reference, which is what keeps scan task counts sane at
+        100 TB without ever rewriting cold data. Conflicts rebase
+        like every other writer (the small-file set is recomputed
+        against the new latest)."""
+        for _ in range(max_retries):
+            base = self.latest_version()
+            m = self.manifest(base)
+            files = self.files(m)
+            small = [
+                f for f in files if os.path.getsize(f) < min_file_bytes
+            ]
+            if len(small) < 2:
+                return base  # nothing worth packing
+            total = sum(os.path.getsize(f) for f in small)
+            k = max(1, -(-total // target_file_bytes))
+            df = self.spark.read.parquet(*sorted(small)).coalesce(k)
+            new_files = self._write_files(df)
+            try:
+                self._try_commit(
+                    base + 1,
+                    {
+                        "op": "compact",
+                        "n_rows": m["n_rows"],
+                        "schema": m["schema"],
+                        **self._cow_pack(m, set(small), new_files),
+                    },
+                )
+                return base + 1
+            except CommitConflict:
+                for f in new_files:
+                    os.unlink(f)
+                continue  # rebase: recompute the small set on latest
+        raise CommitConflict("compact retries exhausted")
+
     # -- retention --
 
     def vacuum(self, keep_last: int = 3) -> dict:
@@ -597,6 +646,77 @@ def _detach_and_cleanup(spark, df, root: str):
     rows, schema = df.collect(), df.schema
     shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "acid_table_compact",
+    oracle=f"""
+    WITH v1 AS (
+        SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        WHERE o_orderkey % 9 = 0
+    ),
+    v2 AS (
+        SELECT * FROM v1
+        UNION ALL
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey % 9 = 4
+    )
+    SELECT CAST(1 AS BIGINT) AS version, 'create' AS op,
+           count(*) AS n_rows, {osum('p')} AS sum_price FROM v1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'append', count(*), {osum('p')} FROM v2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'compact', count(*), {osum('p')} FROM v2
+    """,
+)
+def acid_table_compact(spark, sf_dir):
+    """OPTIMIZE as a table-format commit, driver-verified: a
+    fragmented table (two 8-file writes) is bin-packed by
+    ThriveTable.compact() into a v3 'compact' snapshot. The oracle
+    pins v3 ≡ v2 relationally (compaction must not change a row),
+    and in-query asserts pin the physical contract: the file count
+    DROPS and time travel to the pre-compaction layout still reads."""
+    import tempfile
+
+    from ..tables import Tables
+
+    t = Tables(spark, sf_dir)
+    orders = t.orders.select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    root = tempfile.mkdtemp(prefix="thrive_acid_compact_")
+    tbl = ThriveTable(spark, root, segment_threshold=6)
+    tbl.create(orders.filter("k % 9 = 0").repartition(8))
+    tbl.append(orders.filter("k % 9 = 4").repartition(8))
+    files_before = len(tbl.files(tbl.manifest(2)))
+    v = tbl.compact(min_file_bytes=1 << 30, target_file_bytes=1 << 30)
+    assert v == 3, v
+    files_after = len(tbl.files(tbl.manifest(3)))
+    assert files_after < files_before, (files_before, files_after)
+    # pre-compaction layout still time-travels (old files referenced)
+    assert tbl.snapshot(2).count() == tbl.manifest(2)["n_rows"]
+
+    snaps = []
+    for ver in tbl.versions():
+        m = tbl.manifest(ver)
+        snap = tbl.snapshot(ver).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("p").alias("sum_price"),
+        ).select(
+            F.lit(ver).cast("bigint").alias("version"),
+            F.lit(m["op"]).alias("op"),
+            "n_rows",
+            "sum_price",
+        )
+        snaps.append(snap.withColumn(
+            "n_rows",
+            F.when(F.col("n_rows") == F.lit(m["n_rows"]),
+                   F.col("n_rows")),
+        ))
+    out = snaps[0]
+    for s in snaps[1:]:
+        out = out.union(s)
+    return _detach_and_cleanup(spark, out, root)
 
 
 @query(
