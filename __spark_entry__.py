@@ -182,6 +182,7 @@ GRADE_DEFER = [
     # r12 registrations
     "acid_stream_ingest",
     "acid_table_compact",
+    "scan_broker_compacted",
 ]
 
 

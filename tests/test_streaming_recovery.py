@@ -334,3 +334,131 @@ def test_broker_to_acid_kill_resume_exactly_once(spark, sf_dir, tmp_path):
     ]
     assert len(tokens) == len(set(tokens))
     assert tbl.latest_version() > v_after_phase1  # phase 2 did commit
+
+
+def test_broker_compaction_resumed_group_and_independence(
+    spark, sf_dir, tmp_path
+):
+    """Log compaction (r12, verdict missing #5) with LOGICAL offsets:
+    a consumer group drains phase 1 and commits; the cleaner compacts
+    the committed head (keep newest per user_id); phase 2 lands; the
+    group RESUMES from its checkpoint across the rewritten layout and
+    must read exactly the phase-2 records. A second, fresh group then
+    drains from 0 and sees the compacted view — groups are fully
+    independent positions."""
+    from thrive_spark.streaming.broker import BrokerLog, register
+
+    rows = (
+        Tables(spark, sf_dir)
+        .events.select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .orderBy("event_id")
+        .limit(600)
+        .collect()
+    )
+    half = len(rows) // 2
+    log = BrokerLog(str(tmp_path / "broker"), n_partitions=3)
+    register(spark)
+
+    def drain(group, out, ckpt):
+        q = (
+            spark.readStream.format("thrive_broker")
+            .option("path", log.root)
+            .option("group", group)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    # phase 1: group g1 drains and its offsets commit
+    log.produce(rows[:half])
+    out1, ck1 = str(tmp_path / "o1"), str(tmp_path / "c1")
+    drain("g1", out1, ck1)
+    n1 = spark.read.parquet(out1).count()
+    assert n1 == half
+    # cleaner: compact the full produced head (Kafka behavior)
+    stats = log.compact(key="user_id", upto=log.end_offsets())
+    assert sum(s["bytes_reclaimed"] for s in stats.values()) > 0
+    # phase 2 appends land in LOGICAL coordinates past the compaction
+    log.produce(rows[half:])
+    # resumed group reads exactly the unseen tail, never the head
+    drain("g1", out1, ck1)
+    got = spark.read.parquet(out1)
+    assert got.count() == len(rows)
+    assert got.select("event_id").distinct().count() == len(rows)
+    # fresh group from 0: compacted head (newest per user) + full tail
+    out2, ck2 = str(tmp_path / "o2"), str(tmp_path / "c2")
+    drain("g2", out2, ck2)
+    g2 = spark.read.parquet(out2)
+    head_users = {int(r["user_id"]) for r in rows[:half]}
+    want_n = len(head_users) + (len(rows) - half)
+    assert g2.count() == want_n
+    # the survivor per head user is the NEWEST phase-1 record
+    last = {}
+    for r in rows[:half]:
+        last[int(r["user_id"])] = int(r["event_id"])
+    head_ids = {
+        int(r.event_id)
+        for r in g2.filter(
+            F.col("event_id") < rows[half]["event_id"]
+        ).collect()
+    }
+    assert head_ids == set(last.values())
+    # group bookkeeping stayed independent: the commit marker trails
+    # by one batch (Kafka __consumer_offsets semantics), so restart g2
+    # once — replanning commits the drained batch — then check both
+    # groups hold their own positions
+    g1_mark = log.committed("g1")
+    # the marker only lands when a NEXT batch is planned — feed one
+    # more record so g2's restart plans a batch and commits the drain
+    log.produce([rows[0].asDict()])
+    drain("g2", out2, ck2)
+    assert log.committed("g2") is not None
+    assert log.committed("g1") == g1_mark  # untouched by g2's drain
+
+
+def test_broker_double_compaction_mechanics(tmp_path):
+    """Pure log mechanics: two compaction passes compose — the second
+    remap is built THROUGH the first, and logical end offsets stay
+    monotone across both."""
+    from thrive_spark.streaming.broker import BrokerLog, _phys
+
+    log = BrokerLog(str(tmp_path / "b"), n_partitions=1)
+
+    def rec(i, uid, v):
+        return {"event_id": i, "ts_us": i * 10, "user_id": uid,
+                "event_type": "a", "value": float(v)}
+
+    log.produce([rec(1, 0, 1.0), rec(2, 0, 2.0)])
+    log.produce([rec(3, 0, 3.0), rec(4, 1, 4.0)])
+    e1 = log.end_offsets()
+    log.compact(key="user_id", upto=e1)   # keeps ids 3, 4
+    e2 = log.end_offsets()
+    assert e2 == e1  # logical size never shrinks
+    log.produce([rec(5, 0, 5.0)])
+    e3 = log.end_offsets()
+    assert int(e3["0"]) > int(e1["0"])
+    log.compact(key="user_id", upto=e3)   # keeps ids 4, 5
+    import json as _json
+
+    with open(log._path(0, ".log"), "rb") as f:
+        ids = [
+            _json.loads(line)["event_id"] for line in f.read().splitlines()
+        ]
+    assert ids == [4, 5]
+    assert _phys(log.root, 0, 0) == 0
+    # every idx boundary still translates inside the physical file
+    import os as _os
+
+    size = _os.path.getsize(log._path(0, ".log"))
+    for b in log._boundaries(0):
+        assert 0 <= _phys(log.root, 0, b) <= size

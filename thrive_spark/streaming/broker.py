@@ -62,6 +62,27 @@ SCHEMA = (
 _FIELDS = ("event_id", "ts_us", "user_id", "event_type", "value")
 
 
+def _load_remap(root: str, p: int) -> tuple[int, dict[int, int]]:
+    """Compaction remap for partition p: (shrink, {logical: physical}).
+
+    Offsets handed to Spark are LOGICAL — monotone forever, stable
+    across compaction, so every checkpointed range and committed
+    marker survives a compaction run. The remap translates logical
+    boundaries to physical file positions; offsets beyond the mapped
+    boundaries (post-compaction appends) translate as o - shrink."""
+    path = os.path.join(root, f"p{p}.remap")
+    if not os.path.exists(path):
+        return 0, {}
+    with open(path) as f:
+        j = json.load(f)
+    return int(j["shrink"]), {int(k): int(v) for k, v in j["map"].items()}
+
+
+def _phys(root: str, p: int, o: int) -> int:
+    shrink, m = _load_remap(root, p)
+    return m.get(o, o - shrink)
+
+
 class BrokerLog:
     """Producer + admin handle for the file-backed log."""
 
@@ -99,17 +120,135 @@ class BrokerLog:
                 ).encode() + b"\n"
                 for rec in batch
             )
+            shrink, _ = _load_remap(self.root, p)
             with open(self._path(p, ".log"), "ab") as f:
                 f.write(payload)
                 end = f.tell()
             with open(self._path(p, ".idx"), "ab") as f:
-                f.write(f"{end}\n".encode())
+                # idx entries are LOGICAL offsets (physical + shrink):
+                # they stay valid across compaction rewrites
+                f.write(f"{end + shrink}\n".encode())
 
     def end_offsets(self) -> dict:
-        return {
-            str(p): os.path.getsize(self._path(p, ".log"))
-            for p in range(self.n_partitions)
-        }
+        out = {}
+        for p in range(self.n_partitions):
+            shrink, _ = _load_remap(self.root, p)
+            out[str(p)] = os.path.getsize(self._path(p, ".log")) + shrink
+        return out
+
+    def _boundaries(self, p: int) -> list[int]:
+        with open(self._path(p, ".idx")) as f:
+            return [int(line) for line in f if line.strip()]
+
+    def compact(self, key: str = "user_id", upto: dict | None = None) -> dict:
+        """Kafka log-cleaner role: rewrite each partition's CLEAN HEAD
+        keeping only the newest record per ``key``; the tail rides
+        unchanged. ``upto`` is the cleaner point per partition in
+        logical offsets (clamped down to a segment boundary); default
+        is the MINIMUM committed offset across consumer groups — never
+        compact bytes someone still plans to read for the first time.
+        (Kafka itself compacts regardless of consumer position; the
+        conservative default here keeps the shim's exactly-once tests
+        layout-independent, and callers can pass end_offsets() for the
+        full-log Kafka behavior.)
+
+        Offsets stay LOGICAL (see _load_remap): checkpointed ranges,
+        committed markers and idx boundaries all survive; only the
+        physical layout shrinks. Returns per-partition
+        {records_before, records_after, bytes_reclaimed}."""
+        commits_dir = os.path.join(self.root, "_commits")
+        group_marks = []
+        for g in os.listdir(commits_dir):
+            with open(os.path.join(commits_dir, g)) as f:
+                group_marks.append(json.load(f))
+        stats = {}
+        for p in range(self.n_partitions):
+            shrink0, map0 = _load_remap(self.root, p)
+
+            def phys0(o, _m=map0, _s=shrink0):
+                return _m.get(o, o - _s)
+
+            bounds = self._boundaries(p)
+            logical_end = os.path.getsize(self._path(p, ".log")) + shrink0
+            if upto is not None:
+                point = int(upto.get(str(p), 0))
+            elif group_marks:
+                point = min(int(m.get(str(p), 0)) for m in group_marks)
+            else:
+                point = 0
+            head_bounds = [b for b in bounds if b <= point]
+            limit = head_bounds[-1] if head_bounds else 0
+            if limit <= 0:
+                stats[str(p)] = {
+                    "records_before": None,
+                    "records_after": None,
+                    "bytes_reclaimed": 0,
+                }
+                continue
+            with open(self._path(p, ".log"), "rb") as f:
+                data = f.read()
+            phys_limit = phys0(limit)
+            head, tail = data[:phys_limit], data[phys_limit:]
+            records = head.splitlines(keepends=True)
+            last_idx: dict = {}
+            for i, line in enumerate(records):
+                last_idx[json.loads(line)[key]] = i
+            keep = set(last_idx.values())
+            # physical positions of every logical boundary in the new
+            # layout: cumulative retained bytes per head segment, then
+            # tail boundaries shifted by the reclaimed head bytes
+            # logical 0 is always a legal range start (fresh groups,
+            # initialOffset) and always lands at the file head
+            new_map: dict[int, int] = {0: 0}
+            pos = 0  # physical cursor in OLD head
+            out_pos = 0
+            retained = []
+            bi = 0
+            head_boundaries = [b for b in bounds if b <= limit]
+            for i, line in enumerate(records):
+                while (
+                    bi < len(head_boundaries)
+                    and phys0(head_boundaries[bi]) <= pos
+                ):
+                    new_map[head_boundaries[bi]] = out_pos
+                    bi += 1
+                if i in keep:
+                    retained.append(line)
+                    out_pos += len(line)
+                pos += len(line)
+            for b in head_boundaries[bi:]:
+                new_map[b] = out_pos
+            new_head = b"".join(retained)
+            reclaimed = len(head) - len(new_head)
+            for b in bounds:
+                if b > limit:
+                    new_map[b] = phys0(b) - reclaimed
+            new_shrink = logical_end - (len(new_head) + len(tail))
+            tmp = self._path(p, ".log") + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(new_head + tail)
+            rtmp = self._path(p, ".remap") + ".tmp"
+            with open(rtmp, "w") as f:
+                json.dump(
+                    {
+                        "shrink": new_shrink,
+                        "map": {str(k): v for k, v in new_map.items()},
+                    },
+                    f,
+                )
+            # remap first, then log: a reader pairing the NEW remap
+            # with the OLD log would mis-seek — but readers translate
+            # then read, and both renames are atomic; the shim accepts
+            # the (test-sequential) non-racing window a real broker
+            # would close with segment-file generations
+            os.replace(rtmp, self._path(p, ".remap"))
+            os.replace(tmp, self._path(p, ".log"))
+            stats[str(p)] = {
+                "records_before": len(records),
+                "records_after": len(retained),
+                "bytes_reclaimed": reclaimed,
+            }
+        return stats
 
     def committed(self, group: str = "default") -> dict | None:
         path = os.path.join(self.root, "_commits", f"{group}.json")
@@ -224,9 +363,16 @@ class BrokerStreamReader(DataSourceStreamReader):
         p, start, end = partition.value
         if end <= start:
             return
+        # (start, end] are LOGICAL segment boundaries; translate to
+        # physical file positions through the compaction remap (a
+        # compacted range simply yields fewer records)
+        sp, ep = _phys(self.root, p, start), _phys(self.root, p, end)
         with open(os.path.join(self.root, f"p{p}.log"), "rb") as f:
-            f.seek(start)
-            buf = f.read(end - start)
+            f.seek(sp)
+            buf = f.read(ep - sp)
+        # per-record offsets advance from the logical range start by
+        # retained bytes: unique (ranges are disjoint, retained ≤
+        # span) and per-key order-preserving, which is the contract
         pos = start
         for line in buf.splitlines():
             rec = json.loads(line)
@@ -326,4 +472,71 @@ def scan_broker_stream(spark, sf_dir):  # noqa: ARG001 — feed is synthetic
     )
     # BRK_PARTS x 5 event types = bounded rows; drop the temp
     # log/checkpoint tree instead of leaking one per invocation
+    return _detach_and_cleanup(spark, agg, root)
+
+
+@query(
+    "scan_broker_compacted",
+    oracle=f"""
+    WITH g AS (
+        SELECT unnest(generate_series(0, {BRK_SEGS * BRK_ROWS} - 1)) AS rid
+    ),
+    last AS (
+        SELECT rid % 23 AS user_id, max(rid) AS last_rid
+        FROM g GROUP BY 1
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(1 AS BIGINT) AS n_records,
+           CAST(last_rid AS BIGINT) AS last_event,
+           ((last_rid * 37) % 1000) / 10.0 AS last_value
+    FROM last
+    """,
+)
+def scan_broker_compacted(spark, sf_dir):  # noqa: ARG001 — synthetic feed
+    """Kafka-compacted-topic semantics END TO END, driver-verified:
+    the deterministic keyed feed is produced (every user_id updated
+    ~65×), the log cleaner compacts the FULL log (upto=end_offsets(),
+    the Kafka behavior) keeping the newest record per user_id, and a
+    fresh consumer group drains the compacted log from offset 0. The
+    oracle pins exactly ONE surviving record per key with the LAST
+    value — n_records=1 is a literal in the oracle, so any
+    resurrection or loss hash-fails. Logical offsets mean the drain
+    uses the same planner/remap path a pre-compaction checkpoint
+    would (tests cover the resumed-group case)."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="thrive_broker_compact_")
+    log = BrokerLog(os.path.join(root, "log"), n_partitions=BRK_PARTS)
+    for seg in range(BRK_SEGS):
+        log.produce(_synth_rows(seg))
+    stats = log.compact(key="user_id", upto=log.end_offsets())
+    assert any(
+        s["records_after"] < s["records_before"]
+        for s in stats.values()
+        if s["records_before"] is not None
+    ), stats
+    register(spark)
+    q = (
+        spark.readStream.format("thrive_broker")
+        .option("path", log.root)
+        .option("group", "compacted-reader")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", os.path.join(root, "out"))
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    from ..sources.acid import _detach_and_cleanup
+
+    agg = (
+        spark.read.parquet(os.path.join(root, "out"))
+        .groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_records"),
+            F.max("event_id").cast("bigint").alias("last_event"),
+            F.max_by("value", "event_id").alias("last_value"),
+        )
+    )
     return _detach_and_cleanup(spark, agg, root)
