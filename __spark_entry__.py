@@ -183,6 +183,7 @@ GRADE_DEFER = [
     "acid_stream_ingest",
     "acid_table_compact",
     "scan_broker_compacted",
+    "acid_schema_evolution",
 ]
 
 

@@ -263,3 +263,29 @@ def test_compact_then_vacuum_retires_small_files(spark, sf_dir, tmp_path):
     assert stats["dropped_versions"] == [1]
     assert stats["deleted_data_files"] >= 6  # the fragmented layout died
     assert tbl.snapshot().count() == n
+
+
+def test_schema_evolution_backfill_and_rejection(spark, tmp_path):
+    """merge_schema appends widen the manifest schema; old files
+    NULL-backfill the new column on read; each version time-travels
+    under ITS OWN schema; type changes are rejected."""
+    tbl = ThriveTable(spark, str(tmp_path / "t"))
+    tbl.create(spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, p double"))
+    tbl.append(
+        spark.createDataFrame([(3, 30.0, "x")], "k int, p double, tag string"),
+        merge_schema=True,
+    )
+    v2 = tbl.snapshot()
+    assert v2.columns == ["k", "p", "tag"]
+    rows = {r.k: r.tag for r in v2.collect()}
+    assert rows == {1: None, 2: None, 3: "x"}  # NULL backfill
+    assert tbl.snapshot(1).columns == ["k", "p"]  # v1 keeps its schema
+    # a third append WITHOUT merge_schema keeps the evolved schema
+    tbl.append(spark.createDataFrame([(4, 40.0, "y")], "k int, p double, tag string"))
+    assert tbl.snapshot().count() == 4
+    # type change rejected
+    with pytest.raises(ValueError, match="cannot change type"):
+        tbl.append(
+            spark.createDataFrame([(5, "oops")], "k int, p string"),
+            merge_schema=True,
+        )

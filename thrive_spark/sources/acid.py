@@ -156,16 +156,18 @@ class ThriveTable:
         """DataFrame of the table AS OF ``version`` (default latest).
         Reads exactly the committed file list — repeatable regardless
         of later commits."""
+        from pyspark.sql.types import StructType
+
         v = self.latest_version() if version is None else version
         m = self.manifest(v)
         files = self.files(m)
+        schema = StructType.fromJson(json.loads(m["schema"]))
         if not files:  # fully-deleted table: empty DF, same schema
-            from pyspark.sql.types import StructType
-
-            return self.spark.createDataFrame(
-                [], StructType.fromJson(json.loads(m["schema"]))
-            )
-        return self.spark.read.parquet(*files)
+            return self.spark.createDataFrame([], schema)
+        # the manifest schema is authoritative: reading with it makes
+        # files written BEFORE a schema evolution NULL-backfill the
+        # evolved columns (and pins column order per version)
+        return self.spark.read.schema(schema).parquet(*files)
 
     def history(self) -> list[dict]:
         return [self.manifest(v) for v in self.versions()]
@@ -215,11 +217,36 @@ class ThriveTable:
     def snapshot_of(self, files: list[str]):
         return self.spark.read.parquet(*files)
 
+    def _merged_schema(self, base_schema_json: str, df) -> str:
+        """Schema evolution (Delta mergeSchema role): new columns
+        append as nullable; an existing column with a DIFFERENT type
+        is rejected — silent type widening corrupts old files that
+        will be read under the merged schema."""
+        from pyspark.sql.types import StructType
+
+        base = StructType.fromJson(json.loads(base_schema_json))
+        by_name = {f.name: f for f in base.fields}
+        out = list(base.fields)
+        for f in df.schema.fields:
+            if f.name in by_name:
+                if by_name[f.name].dataType != f.dataType:
+                    raise ValueError(
+                        f"schema evolution cannot change type of "
+                        f"'{f.name}': {by_name[f.name].dataType} -> "
+                        f"{f.dataType}"
+                    )
+            else:
+                nf = f
+                nf.nullable = True  # backfilled NULL for old files
+                out.append(nf)
+        return StructType(out).json()
+
     def append(
         self,
         df,
         max_retries: int = 10,
         txn: tuple[str, int] | None = None,
+        merge_schema: bool = False,
     ) -> int:
         """Blind append: rebases for free on conflict (the new files
         are valid against ANY base snapshot).
@@ -229,7 +256,13 @@ class ThriveTable:
         in the manifest, and a replay of an already-committed token
         is a no-op returning the version that holds it. This is how a
         streaming writer achieves exactly-once into the table even
-        when ITS OWN checkpoint replays a batch (acid_stream_sink)."""
+        when ITS OWN checkpoint replays a batch (acid_stream_sink).
+
+        ``merge_schema=True`` (Delta mergeSchema role): the appended
+        frame may carry NEW columns — the manifest schema widens to
+        the union, old files NULL-backfill on read (snapshot() reads
+        under the manifest schema), and TIME TRAVEL keeps each
+        version's own schema. Type changes are rejected."""
         if txn is not None and (v := self.txn_version(*txn)) is not None:
             return v  # replay of a committed transaction: no-op
         new_files = self._write_files(df)
@@ -248,7 +281,11 @@ class ThriveTable:
                     {
                         "op": "append",
                         "n_rows": m["n_rows"] + n_new,
-                        "schema": m["schema"],
+                        "schema": (
+                            self._merged_schema(m["schema"], df)
+                            if merge_schema
+                            else m["schema"]
+                        ),
                         # base segments ride by reference; only the
                         # loose tail grows — O(delta) commit cost
                         **self._pack(
@@ -646,6 +683,85 @@ def _detach_and_cleanup(spark, df, root: str):
     rows, schema = df.collect(), df.schema
     shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "acid_schema_evolution",
+    oracle=f"""
+    WITH v1 AS (
+        SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        WHERE o_orderkey % 11 = 0
+    ),
+    v2new AS (
+        SELECT o_orderkey AS k, o_totalprice AS p,
+               CAST(o_orderkey % 3 AS BIGINT) AS seg FROM orders
+        WHERE o_orderkey % 11 = 5
+    ),
+    v2 AS (
+        SELECT k, p, CAST(NULL AS BIGINT) AS seg FROM v1
+        UNION ALL
+        SELECT * FROM v2new
+    )
+    SELECT CAST(1 AS BIGINT) AS version, CAST(2 AS BIGINT) AS n_cols,
+           count(*) AS n_rows, {osum('p')} AS sum_price,
+           CAST(NULL AS BIGINT) AS n_seg
+    FROM v1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(3 AS BIGINT), count(*),
+           {osum('p')}, count(seg)
+    FROM v2
+    """,
+)
+def acid_schema_evolution(spark, sf_dir):
+    """Schema evolution as a commit property, driver-verified: v1 is
+    (k, p); v2 appends rows carrying a NEW nullable column ``seg``
+    under merge_schema=True. The oracle pins BOTH versions' shapes:
+    v1 still reads with 2 columns under time travel (n_cols is part
+    of the hashed output), v2 reads with 3 — its pre-evolution rows
+    NULL-backfilled (count(seg) counts only the evolved append) —
+    and row counts and sums survive the widening. Type changes are
+    rejected (tests/test_acid.py)."""
+    import tempfile
+
+    from ..tables import Tables
+
+    t = Tables(spark, sf_dir)
+    orders = t.orders.select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    root = tempfile.mkdtemp(prefix="thrive_acid_evo_")
+    tbl = ThriveTable(spark, root)
+    tbl.create(orders.filter("k % 11 = 0"))
+    evolved = (
+        t.orders.filter("o_orderkey % 11 = 5")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("p"),
+            (F.col("o_orderkey") % 3).cast("bigint").alias("seg"),
+        )
+    )
+    v = tbl.append(evolved, merge_schema=True)
+    assert v == 2, v
+
+    snaps = []
+    for ver in tbl.versions():
+        snap = tbl.snapshot(ver)
+        agg = snap.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("p").alias("sum_price"),
+            (
+                F.count("seg") if "seg" in snap.columns
+                else F.lit(None).cast("bigint")
+            ).alias("n_seg"),
+        ).select(
+            F.lit(ver).cast("bigint").alias("version"),
+            F.lit(len(snap.columns)).cast("bigint").alias("n_cols"),
+            "n_rows",
+            "sum_price",
+            "n_seg",
+        )
+        snaps.append(agg)
+    return _detach_and_cleanup(spark, snaps[0].union(snaps[1]), root)
 
 
 @query(

@@ -239,10 +239,15 @@ corpus is deterministic so the counts are stable):
 replication multiplies that base pair graph by up to copies² —
 every (A, B) near-pair becomes (A_i, B_j) for all copy
 combinations. No plan can run faster than its own output grows;
-wall-clock factors of 4-17× against ~100× output growth mean the
-banded/blocked pipelines are SUB-linear in their output. At a real
-corpus's duplication rate (bounded cluster sizes, open vocabulary)
-the same operators scale with the linear rows above —
+wall-clock factors against ~100× output growth mean the
+banded/blocked pipelines are SUB-linear in their output. r12
+tightened this further for `dedup_simhash` (signature-distinct
+banding: candidates collapse from cluster² to representative²
+before the band join, pairs re-expand only at emit — factor
+18.6× → ~7×); the same rewrite applies to any LSH op if a future
+corpus pushes it back over the line. At a real corpus's
+duplication rate (bounded cluster sizes, open vocabulary) the
+same operators scale with the linear rows above —
 `dedup_fuzzy_minhash` and `dedup_minhash_portable`, whose
 threshold-verified pair sets stay sparse, show exactly that.""")
     else:
