@@ -184,6 +184,7 @@ GRADE_DEFER = [
     "acid_table_compact",
     "scan_broker_compacted",
     "acid_schema_evolution",
+    "sink_python_datasource",
 ]
 
 
