@@ -185,6 +185,7 @@ GRADE_DEFER = [
     "scan_broker_compacted",
     "acid_schema_evolution",
     "sink_python_datasource",
+    "acid_change_feed",
 ]
 
 

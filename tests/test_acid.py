@@ -289,3 +289,25 @@ def test_schema_evolution_backfill_and_rejection(spark, tmp_path):
             spark.createDataFrame([(5, "oops")], "k int, p string"),
             merge_schema=True,
         )
+
+
+def test_change_feed_merge_and_compact(spark, tmp_path):
+    """changes(v): merge surfaces as delete+insert pairs for matched
+    keys and pure inserts for new keys; compaction yields an empty
+    feed; appends yield pure inserts."""
+    tbl = ThriveTable(spark, str(tmp_path / "t"))
+    tbl.create(spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k int, p double"
+    ).repartition(2))
+    c1 = tbl.changes(1)
+    assert c1.filter("_change_type = 'delete'").count() == 0
+    assert c1.count() == 3
+    src = spark.createDataFrame([(2, 99.0), (4, 40.0)], "k int, p double")
+    tbl.merge_upsert(src, key="k")
+    c2 = tbl.changes(2).collect()
+    ins = {(r.k, r.p) for r in c2 if r._change_type == "insert"}
+    del_ = {(r.k, r.p) for r in c2 if r._change_type == "delete"}
+    assert ins == {(2, 99.0), (4, 40.0)}  # update's new image + insert
+    assert del_ == {(2, 20.0)}  # update's old image only
+    v = tbl.compact(min_file_bytes=1 << 30)
+    assert v == 3 and tbl.changes(3).count() == 0

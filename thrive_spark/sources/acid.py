@@ -453,6 +453,48 @@ class ThriveTable:
                 continue  # rebase: recompute the match set on latest
         raise CommitConflict("merge retries exhausted")
 
+    def changes(self, version: int):
+        """Change feed of ONE commit (Delta CDF role), derived purely
+        from the manifest file-set diff — no extra bookkeeping:
+
+            inserts = rows(added files)  EXCEPT ALL rows(removed files)
+            deletes = rows(removed files) EXCEPT ALL rows(added files)
+
+        Appends surface as pure inserts; a COW delete's rewritten
+        survivors cancel multiset-wise and only the victims surface
+        as deletes; a merge surfaces as delete+insert pairs (standard
+        CDF without update coalescing); COMPACTION cancels exactly —
+        an empty feed, the invariant that layout maintenance is not a
+        data change. Cost scales with the commit's churned files, not
+        the table. Returns rows under the version's schema plus a
+        ``_change_type`` column ('insert' | 'delete')."""
+        from pyspark.sql.types import StructType
+
+        m = self.manifest(version)
+        prev_files = (
+            set(self.files(self.manifest(version - 1)))
+            if version > 1
+            else set()
+        )
+        cur_files = set(self.files(m))
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        added = sorted(cur_files - prev_files)
+        removed = sorted(prev_files - cur_files)
+
+        def rows(paths):
+            if not paths:
+                return self.spark.createDataFrame([], schema)
+            return self.spark.read.schema(schema).parquet(*paths)
+
+        a, r = rows(added), rows(removed)
+        return (
+            a.exceptAll(r)
+            .withColumn("_change_type", F.lit("insert"))
+            .unionAll(
+                r.exceptAll(a).withColumn("_change_type", F.lit("delete"))
+            )
+        )
+
     # -- maintenance --
 
     def compact(
@@ -683,6 +725,76 @@ def _detach_and_cleanup(spark, df, root: str):
     rows, schema = df.collect(), df.schema
     shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "acid_change_feed",
+    oracle=f"""
+    WITH s0 AS (
+        SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        WHERE o_orderkey % 13 = 0
+    ),
+    s6 AS (
+        SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        WHERE o_orderkey % 13 = 6
+    ),
+    v2 AS (SELECT * FROM s0 UNION ALL SELECT * FROM s6),
+    feed AS (
+        SELECT CAST(1 AS BIGINT) AS version, 'insert' AS change_type,
+               count(*) AS n, {osum('p')} AS sum_p FROM s0
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'insert', count(*), {osum('p')} FROM s6
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'delete', count(*), {osum('p')}
+        FROM v2 WHERE (p > 200000) IS TRUE
+    )
+    SELECT * FROM feed WHERE n > 0
+    """,
+)
+def acid_change_feed(spark, sf_dir):
+    """Change data feed from the ACID table (Delta CDF role),
+    driver-verified across a create → append → COW delete → compact
+    history. The oracle replays each commit's logical change set:
+    appends are pure inserts, the delete surfaces EXACTLY its
+    predicate victims (rewritten survivors cancel multiset-wise in
+    the file diff), and COMPACTION emits no v4 rows — layout
+    maintenance is not a data change, pinned by the hash through
+    absence. In-query asserts prevent vacuity (compact must commit
+    v4; its feed must be empty)."""
+    import tempfile
+
+    from ..tables import Tables
+
+    t = Tables(spark, sf_dir)
+    orders = t.orders.select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    root = tempfile.mkdtemp(prefix="thrive_acid_cdf_")
+    tbl = ThriveTable(spark, root, segment_threshold=6)
+    tbl.create(orders.filter("k % 13 = 0").repartition(4))
+    tbl.append(orders.filter("k % 13 = 6").repartition(4))
+    tbl.delete_where("p > 200000")
+    v = tbl.compact(min_file_bytes=1 << 30, target_file_bytes=1 << 30)
+    assert v == 4, v
+    assert tbl.changes(4).count() == 0  # maintenance ≠ data change
+
+    feeds = []
+    for ver in tbl.versions():
+        feeds.append(
+            tbl.changes(ver)
+            .groupBy(F.col("_change_type").alias("change_type"))
+            .agg(F.count(F.lit(1)).alias("n"), dsum("p").alias("sum_p"))
+            .select(
+                F.lit(ver).cast("bigint").alias("version"),
+                "change_type",
+                "n",
+                "sum_p",
+            )
+        )
+    out = feeds[0]
+    for fdf in feeds[1:]:
+        out = out.union(fdf)
+    return _detach_and_cleanup(spark, out, root)
 
 
 @query(
