@@ -186,6 +186,7 @@ GRADE_DEFER = [
     "acid_schema_evolution",
     "sink_python_datasource",
     "acid_change_feed",
+    "scan_table_stream",
 ]
 
 

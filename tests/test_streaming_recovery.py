@@ -462,3 +462,66 @@ def test_broker_double_compaction_mechanics(tmp_path):
     size = _os.path.getsize(log._path(0, ".log"))
     for b in log._boundaries(0):
         assert 0 <= _phys(log.root, 0, b) <= size
+
+
+def test_table_stream_source_resume_and_append_only(spark, sf_dir, tmp_path):
+    """ACID-table streaming source: versions are the offsets — a
+    stopped query resumes from its checkpoint and drains ONLY the
+    versions committed while it was down; a rewrite commit (delete)
+    raises by default (append-only discipline) and streams added rows
+    under ignorechanges=true."""
+    import pytest as _pytest
+
+    from thrive_spark.sources.acid import ThriveTable
+    from thrive_spark.streaming.table_source import register
+
+    o = _orders_ts(spark, sf_dir)
+    tdir = str(tmp_path / "table")
+    tbl = ThriveTable(spark, tdir)
+    tbl.create(o.filter("k % 7 = 0"))
+    register(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain(**opts):
+        r = spark.readStream.format("thrive_table").option("path", tdir)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        q = (
+            r.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == o.filter("k % 7 = 0").count()
+    # two more commits while the stream is down; resume drains exactly
+    # the delta
+    tbl.append(o.filter("k % 7 = 1"))
+    tbl.append(o.filter("k % 7 = 2"))
+    drain()
+    got = spark.read.parquet(out)
+    want = o.filter("k % 7 IN (0, 1, 2)")
+    assert got.count() == want.count()
+    assert got.select("k").distinct().count() == want.count()
+    # a rewrite commit poisons the default stream...
+    tbl.delete_where("p > 200000")
+    from pyspark.errors import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException, match="append-only"):
+        drain()
+    # ...but ignorechanges accepts it (rewritten survivors re-emit —
+    # Delta's documented ignoreChanges contract — and deletes are not
+    # propagated)
+    drain(ignorechanges="true")
+    assert spark.read.parquet(out).count() >= want.count()
+
+
+def _orders_ts(spark, sf_dir):
+    return Tables(spark, sf_dir).orders.select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )

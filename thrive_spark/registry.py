@@ -68,4 +68,4 @@ def load_all() -> None:
     )
     from .sources import acid, formats, maintenance, pipeline, pyds, scans, sinks  # noqa: F401
     from .functions import banks  # noqa: F401
-    from .streaming import broker  # noqa: F401
+    from .streaming import broker, table_source  # noqa: F401
