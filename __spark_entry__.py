@@ -187,6 +187,7 @@ GRADE_DEFER = [
     "sink_python_datasource",
     "acid_change_feed",
     "scan_table_stream",
+    "sample_stratified_neyman",
 ]
 
 

@@ -311,3 +311,70 @@ def test_change_feed_merge_and_compact(spark, tmp_path):
     assert del_ == {(2, 20.0)}  # update's old image only
     v = tbl.compact(min_file_bytes=1 << 30)
     assert v == 3 and tbl.changes(3).count() == 0
+
+
+def test_e2e_broker_to_table_to_stream(spark, sf_dir, tmp_path):
+    """Both exactly-once edges COMPOSED: broker feed → Structured
+    Streaming → txn-token ACID appends → the table itself tailed as a
+    second stream (versions as offsets) → final sink equals the
+    original feed exactly once."""
+    from pyspark.sql import functions as F
+
+    from thrive_spark.sources.acid import acid_stream_sink
+    from thrive_spark.streaming import table_source
+    from thrive_spark.streaming.broker import BrokerLog
+    from thrive_spark.streaming.broker import register as reg_broker
+    from thrive_spark.tables import Tables
+
+    rows = (
+        Tables(spark, sf_dir)
+        .events.select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .limit(400)
+        .collect()
+    )
+    log = BrokerLog(str(tmp_path / "broker"), n_partitions=2)
+    for i in range(0, len(rows), 100):
+        log.produce(rows[i : i + 100])
+    reg_broker(spark)
+    table_source.register(spark)
+
+    tbl = ThriveTable(spark, str(tmp_path / "table"))
+    schema = (
+        "partition_id int, offset long, event_id long, ts_us long, "
+        "user_id long, event_type string, value double"
+    )
+    tbl.create(spark.createDataFrame([], schema))
+    # edge 1: broker → table (txn-token appends)
+    q1 = (
+        spark.readStream.format("thrive_broker")
+        .option("path", log.root)
+        .option("maxsegmentspertrigger", 1)
+        .load()
+        .writeStream.foreachBatch(acid_stream_sink(tbl, "e2e"))
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .start()
+    )
+    q1.processAllAvailable()
+    q1.stop()
+    # edge 2: table → stream (version offsets)
+    out = str(tmp_path / "out")
+    q2 = (
+        spark.readStream.format("thrive_table")
+        .option("path", str(tmp_path / "table"))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == len(rows)
+    assert got.select("event_id").distinct().count() == len(rows)

@@ -1522,3 +1522,96 @@ def dq_uniqueness_profile(spark, sf_dir):
         F.max(nn).cast("bigint").alias("max_value_freq"),
         (F.max(nn) == 1).alias("is_unique"),
     )
+
+
+NEYMAN_BUDGET = 500
+
+
+@query(
+    "sample_stratified_neyman",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS x FROM documents
+        WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+    ),
+    st AS (
+        SELECT lang, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx
+        FROM d GROUP BY lang
+    ),
+    w AS (
+        SELECT lang,
+               CAST(floor(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n
+                          * n * 1e6 + 0.5) AS BIGINT) AS wgt
+        FROM st
+    ),
+    alloc AS (
+        SELECT lang,
+               ({NEYMAN_BUDGET} * wgt) // (SELECT sum(wgt) FROM w) AS n_take
+        FROM w
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.lang, a.n_take,
+               row_number() OVER (
+                   PARTITION BY d.lang
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ) AS rn
+        FROM d JOIN alloc a ON d.lang = a.lang
+    )
+    SELECT lang, doc_id FROM ranked WHERE rn <= n_take
+    """,
+)
+def sample_stratified_neyman(spark, sf_dir):
+    """Neyman-allocation stratified sampling (r12): the statistically
+    optimal fixed-budget allocation n_h ∝ N_h·S_h — strata with more
+    documents AND more length variance get more of the budget — the
+    principled version of the proportional/temperature samplers
+    already in this module. Used in practice to build eval slices and
+    annotation batches from heterogeneous corpora.
+
+    Engine-exact discipline: S_h comes from EXACT integer sums
+    (ss = n·Σx² − (Σx)², then sqrt(ss)/n — two deterministic IEEE
+    ops), weights are half-up fixed-point BIGINTs so the stratum sum
+    is order-insensitive, the allocation is integer division, and
+    selection ranks a portable md5 of doc_id — every stage replays
+    bit-identically in DuckDB, so the SELECTED ID SET itself is
+    hash-checked, not just its size.
+
+    Scale shape: one aggregate over the corpus (map-side partial),
+    a broadcast of |strata| allocation rows, one window per stratum
+    for the rank — no shuffle carries document text."""
+    t = Tables(spark, sf_dir)
+    d = t.documents.filter(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    ).select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("x"))
+    st = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    w = st.select(
+        "lang",
+        F.floor(
+            F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                   .cast("double"))
+            / F.col("n")
+            * F.col("n")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("bigint").alias("wgt"),
+    )
+    total = w.agg(F.sum("wgt").alias("tw"))
+    alloc = w.crossJoin(F.broadcast(total)).select(
+        "lang",
+        F.expr(f"({NEYMAN_BUDGET} * wgt) div tw").alias("n_take"),
+    )
+    ranked = d.join(F.broadcast(alloc), "lang").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rn") <= F.col("n_take")).select(
+        "lang", "doc_id"
+    )
