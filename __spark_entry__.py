@@ -188,6 +188,7 @@ GRADE_DEFER = [
     "acid_change_feed",
     "scan_table_stream",
     "sample_stratified_neyman",
+    "ts_cusum_changepoints",
 ]
 
 

@@ -1545,8 +1545,12 @@ NEYMAN_BUDGET = 500
         FROM st
     ),
     alloc AS (
+        -- NULLIF: a degenerate corpus where every stratum has zero
+        -- length-variance gives total weight 0 — allocation becomes
+        -- NULL and nothing is selected (instead of a div-by-zero)
         SELECT lang,
-               ({NEYMAN_BUDGET} * wgt) // (SELECT sum(wgt) FROM w) AS n_take
+               ({NEYMAN_BUDGET} * wgt)
+                   // NULLIF((SELECT sum(wgt) FROM w), 0) AS n_take
         FROM w
     ),
     ranked AS (
@@ -1602,7 +1606,9 @@ def sample_stratified_neyman(spark, sf_dir):
     total = w.agg(F.sum("wgt").alias("tw"))
     alloc = w.crossJoin(F.broadcast(total)).select(
         "lang",
-        F.expr(f"({NEYMAN_BUDGET} * wgt) div tw").alias("n_take"),
+        F.expr(
+            f"({NEYMAN_BUDGET} * wgt) div nullif(tw, 0)"
+        ).alias("n_take"),
     )
     ranked = d.join(F.broadcast(alloc), "lang").withColumn(
         "rn",

@@ -756,3 +756,107 @@ def ts_interarrival_stats(spark, sf_dir):
         _r4(F.percentile("gap_s", 0.9)).alias("p90_gap_s"),
         F.max("gap_s").alias("max_gap_s"),
     )
+
+
+CUSUM_TOPK = 5
+
+
+@query(
+    "ts_cusum_changepoints",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // {BUCKET_S} AS bucket,
+               count(*) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    st AS (
+        SELECT event_type, count(*) AS nb, sum(x) AS tot
+        FROM b GROUP BY 1
+    ),
+    r AS (
+        SELECT b.event_type, bucket, x,
+               sum(nb * x - tot) OVER (
+                   PARTITION BY b.event_type ORDER BY bucket
+               ) AS run
+        FROM b JOIN st ON b.event_type = st.event_type
+    ),
+    s AS (
+        SELECT event_type, bucket, x,
+               run - least(0, min(run) OVER (
+                   PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )) AS cusum
+        FROM r
+    ),
+    k AS (
+        SELECT event_type, bucket, x, cusum,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY cusum DESC, bucket
+               ) AS rn
+        FROM s
+    )
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           CAST(x AS BIGINT) AS n_events, CAST(cusum AS BIGINT) AS cusum
+    FROM k WHERE rn <= {CUSUM_TOPK}
+    """,
+)
+def ts_cusum_changepoints(spark, sf_dir):
+    """CUSUM change-point detection per event_type: the top-{{K}}
+    upward excursions of the one-sided CUSUM statistic over 15-minute
+    event-count buckets — the classic sequential detector for "did
+    the event rate shift upward, and when did the burst start
+    accumulating" (Page 1954's recursion).
+
+    The recursion S_t = max(0, S_(t-1) + d_t) is NOT a window sum,
+    but its closed form IS: S_t = run_t − min(0, min_(j≤t) run_j)
+    over the deviation prefix sums — so the whole detector is two
+    stacked window passes, no UDF, no iteration. Deviations stay in
+    EXACT integers (d_t = nb·x_t − tot avoids the rational mean:
+    both engines fold identical BIGINTs), so the statistic
+    hash-checks. Emitting top-K by the statistic (unique buckets as
+    the tiebreak) instead of a tuned threshold keeps the exhibit
+    non-vacuous on any corpus.
+
+    Scale shape: one groupBy to buckets, a broadcast-size per-type
+    stats join, two windows over the bucket sort — O(1) state per
+    row, the same single-sort cost class as the running-sum ops."""
+    t = Tables(spark, sf_dir)
+    b = (
+        t.events.select(
+            "event_type",
+            F.expr(f"(unix_micros(ts) div 1000000) div {BUCKET_S}").alias(
+                "bucket"
+            ),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    st = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nb"), F.sum("x").alias("tot")
+    )
+    wrun = Window.partitionBy("event_type").orderBy("bucket")
+    r = b.join(F.broadcast(st), "event_type").withColumn(
+        "run",
+        F.sum(F.col("nb") * F.col("x") - F.col("tot")).over(wrun),
+    )
+    wmin = wrun.rowsBetween(Window.unboundedPreceding, 0)
+    s = r.withColumn(
+        "cusum",
+        F.col("run") - F.least(F.lit(0), F.min("run").over(wmin)),
+    )
+    k = s.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("cusum").desc(), F.col("bucket")
+            )
+        ),
+    )
+    return k.filter(F.col("rn") <= CUSUM_TOPK).select(
+        "event_type",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("x").cast("bigint").alias("n_events"),
+        F.col("cusum").cast("bigint").alias("cusum"),
+    )
