@@ -456,3 +456,12 @@ def test_pair_scan_groups_on_tiles_not_labels(spark, sf_dir):
         assert m, f"{qid}: no FlatMapGroupsInPandas grouping found\n{plan}"
         for k in keys:
             assert f"{k}#" in m.group(1), f"{qid}: missing tile key {k}"
+
+
+def test_neyman_allocation_broadcasts(spark, sf_dir):
+    """The Neyman sampler's allocation table (|strata| rows) must
+    reach the corpus as a broadcast join — a shuffled join on lang
+    would move the whole corpus for a handful of allocation rows."""
+    plan = physical_plan(QUERIES["sample_stratified_neyman"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -272,3 +272,101 @@ def test_portable_md5_conv_hash_parity(spark, vals):
     )
     want = _duck_rows(vals, "('0x' || substr(md5(v), 1, 15))::BIGINT")
     assert got == want, (vals, got, want)
+
+
+def test_broker_compaction_invariants_property():
+    """Hypothesis sweep over the broker log cleaner (pure log
+    mechanics, no Spark): for random keyed produce batches and a
+    random segment-boundary compaction point, (1) the compacted log
+    holds exactly the newest record per key from the cleaned head —
+    in original order — plus every tail record, (2) logical end
+    offsets never shrink, (3) every idx boundary translates to a
+    monotone in-bounds physical position, including after a SECOND
+    compaction (remaps must compose)."""
+    import json
+    import os
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from thrive_spark.streaming.broker import _FIELDS, BrokerLog, _phys
+
+    def record(rid, uid, v):
+        return {"event_id": rid, "ts_us": rid, "user_id": uid,
+                "event_type": "t", "value": float(v)}
+
+    def raw_len(rec):
+        return len(json.dumps(
+            {k: rec[k] for k in _FIELDS}, separators=(",", ":")
+        ).encode()) + 1
+
+    def check(log, root, produced, point):
+        bounds = log._boundaries(0)
+        size = os.path.getsize(log._path(0, ".log"))
+        phys = [_phys(root, 0, b) for b in bounds]
+        assert all(0 <= p <= size for p in phys)
+        assert phys == sorted(phys)
+        # replay the ORIGINAL logical byte stream to split head/tail
+        stream_pos, head, tail = 0, [], []
+        for rec in produced:
+            (head if stream_pos < point else tail).append(rec)
+            stream_pos += raw_len(rec)
+        last = {}
+        for rec in head:
+            last[rec["user_id"]] = rec["event_id"]
+        retained = [
+            r["event_id"] for r in head if last[r["user_id"]] == r["event_id"]
+        ]
+        with open(log._path(0, ".log"), "rb") as f:
+            got = [json.loads(x)["event_id"] for x in f.read().splitlines()]
+        assert got == retained + [r["event_id"] for r in tail], (
+            got, retained, point
+        )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        batches=st.lists(
+            st.lists(
+                st.tuples(st.integers(0, 6), st.integers(0, 99)),
+                min_size=1,
+                max_size=8,
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        cut=st.integers(0, 6),
+        cut2=st.integers(0, 6),
+    )
+    def run(batches, cut, cut2):
+        root = tempfile.mkdtemp(prefix="thrive_prop_broker_")
+        log = BrokerLog(root, n_partitions=1)
+        rid = 0
+        produced = []
+        for batch in batches:
+            rows = []
+            for uid, v in batch:
+                rows.append(record(rid, uid, v))
+                rid += 1
+            produced.extend(rows)
+            log.produce(rows)
+        bounds = log._boundaries(0)
+        point = bounds[min(cut, len(bounds) - 1)]
+        e_before = log.end_offsets()
+        log.compact(key="user_id", upto={"0": point})
+        assert log.end_offsets() == e_before  # logical size stable
+        check(log, root, produced, point)
+        # second compaction at another boundary: remaps must compose.
+        # NOTE the cleaner is monotone: a point BELOW the first one is
+        # a no-op for already-cleaned bytes, so expectation is the MAX
+        point2 = bounds[min(cut2, len(bounds) - 1)]
+        log.compact(key="user_id", upto={"0": point2})
+        assert log.end_offsets() == e_before
+        # after cleaning [0, p1) then [0, p2), retained-head semantics
+        # equal one cleaning at max(p1, p2) ONLY when p2 >= p1 (the
+        # second pass sees already-deduped head rows as fresh last-
+        # per-key candidates otherwise); assert the composable case
+        if point2 >= point:
+            check(log, root, produced, point2)
+
+    run()
