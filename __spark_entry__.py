@@ -189,6 +189,7 @@ GRADE_DEFER = [
     "scan_table_stream",
     "sample_stratified_neyman",
     "ts_cusum_changepoints",
+    "sink_broker_stream",
 ]
 
 

@@ -49,7 +49,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from ..operators._util import dsum, osum
@@ -537,6 +539,182 @@ def scan_broker_compacted(spark, sf_dir):  # noqa: ARG001 — synthetic feed
             F.count("*").alias("n_records"),
             F.max("event_id").cast("bigint").alias("last_event"),
             F.max_by("value", "event_id").alias("last_value"),
+        )
+    )
+    return _detach_and_cleanup(spark, agg, root)
+
+
+class BrokerSinkDataSource(DataSource):
+    """``writeStream.format("thrive_broker_sink")`` — the broker as a
+    streaming SINK via Spark 4's DataSourceStreamWriter, completing
+    the custom-source matrix (batch read: thrive_sensor; stream read:
+    thrive_broker; batch write: thrive_jsonl_sink; stream write:
+    here). Options: ``path`` (broker root), ``partitions``.
+
+    Exactly-once producer: tasks STAGE their rows (one temp JSON file
+    per task per epoch, returned through the WriterCommitMessage);
+    only the driver's commit() routes the staged rows into the log as
+    ONE produce() segment batch, under a batch-id ledger —
+    a checkpoint-replayed epoch is recognized and skipped, so the log
+    never double-appends (the transactional-producer idiom, shim
+    grain). abort() unlinks the stage files."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "thrive_broker_sink"
+
+    def streamWriter(self, schema, overwrite):  # noqa: ARG002 — fixed schema
+        return BrokerStreamWriter(self.options)
+
+
+class _BrokerStageCommit(WriterCommitMessage):
+    def __init__(self, stage: str, n: int):
+        self.stage = stage
+        self.n = n
+
+
+class BrokerStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options):
+        self.root = options["path"]
+        self.n_partitions = int(options.get("partitions", 2))
+
+    def write(self, iterator):
+        import tempfile
+
+        fd, stage = tempfile.mkstemp(
+            prefix="thrive_bsink_", suffix=".jsonl"
+        )
+        n = 0
+        with os.fdopen(fd, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(
+                    {k: row[k] for k in _FIELDS}, separators=(",", ":")
+                ) + "\n")
+                n += 1
+        return _BrokerStageCommit(stage, n)
+
+    def _ledger(self) -> str:
+        return os.path.join(self.root, "_produced_batches.json")
+
+    def commit(self, messages, batchId: int) -> None:
+        log = BrokerLog(self.root, n_partitions=self.n_partitions)
+        done: list = []
+        if os.path.exists(self._ledger()):
+            with open(self._ledger()) as f:
+                done = json.load(f)
+        try:
+            if batchId in done:
+                return  # replayed epoch: the log already has it
+            rows = []
+            for m in messages:
+                if m is None:
+                    continue
+                with open(m.stage) as f:
+                    rows.extend(json.loads(line) for line in f)
+            if rows:
+                log.produce(rows)
+            tmp = self._ledger() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(done + [batchId], f)
+            os.replace(tmp, self._ledger())
+        finally:
+            for m in messages:
+                if m is not None and os.path.exists(m.stage):
+                    os.unlink(m.stage)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: ARG002
+        for m in messages:
+            if m is not None and os.path.exists(m.stage):
+                os.unlink(m.stage)
+
+
+@query(
+    "sink_broker_stream",
+    oracle=f"""
+    WITH g AS (
+        SELECT unnest(generate_series(0, {BRK_SEGS * BRK_ROWS} - 1)) AS rid
+    )
+    SELECT rid % 23 % {BRK_PARTS} AS partition_id,
+           't' || CAST(rid % 5 AS VARCHAR) AS event_type,
+           count(*) AS n, CAST(max(rid) AS BIGINT) AS max_event,
+           {osum('((rid * 37) % 1000) / 10.0')} AS sum_value
+    FROM g GROUP BY 1, 2
+    """,
+)
+def sink_broker_stream(spark, sf_dir):  # noqa: ARG001 — feed is synthetic
+    """The broker as a streaming SINK, driver-verified end to end: the
+    deterministic feed streams from files (one file per trigger, so
+    MULTIPLE epochs run the two-phase producer commit), each epoch's
+    staged rows land as one produce() batch under the batch-id
+    ledger, a REPLAYED epoch is forced (manual commit with a spent
+    batchId — asserted a no-op on the log), and the produced log is
+    drained back through the broker stream source and aggregated.
+    The oracle re-derives the feed relationally, so the hash verifies
+    stage → transactional produce → keyed partition routing → log
+    read-back. Completes the Python DataSource matrix: batch read,
+    stream read, batch write, stream write."""
+    import tempfile
+
+    from ..sources.acid import _detach_and_cleanup
+
+    root = tempfile.mkdtemp(prefix="thrive_bsink_q_")
+    src = os.path.join(root, "src")
+    rows = [r for seg in range(BRK_SEGS) for r in _synth_rows(seg)]
+    for i in range(BRK_SEGS):
+        spark.createDataFrame(
+            [tuple(r[k] for k in _FIELDS)
+             for r in rows[i * BRK_ROWS : (i + 1) * BRK_ROWS]],
+            "event_id long, ts_us long, user_id long, "
+            "event_type string, value double",
+        ).coalesce(1).write.parquet(os.path.join(src, f"f{i}"))
+    try:
+        spark.dataSource.register(BrokerSinkDataSource)
+    except Exception:  # noqa: BLE001 — already registered on this session
+        pass
+    register(spark)
+    log_root = os.path.join(root, "log")
+    q = (
+        spark.readStream.schema(
+            "event_id long, ts_us long, user_id long, "
+            "event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+        .writeStream.format("thrive_broker_sink")
+        .option("path", log_root)
+        .option("partitions", str(BRK_PARTS))
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # forced epoch replay: a commit with an already-spent batchId must
+    # be a ledger no-op — the log's logical ends are untouched
+    log = BrokerLog(log_root, n_partitions=BRK_PARTS)
+    ends = log.end_offsets()
+    w = BrokerStreamWriter({"path": log_root, "partitions": str(BRK_PARTS)})
+    w.commit([_BrokerStageCommit("/nonexistent", 0)], 0)
+    assert log.end_offsets() == ends, "replayed epoch re-produced"
+    # drain the produced log back through the broker SOURCE
+    out = os.path.join(root, "out")
+    q2 = (
+        spark.readStream.format("thrive_broker")
+        .option("path", log_root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(root, "ckpt2"))
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    agg = (
+        spark.read.parquet(out)
+        .groupBy("partition_id", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("event_id").cast("bigint").alias("max_event"),
+            dsum("value").alias("sum_value"),
         )
     )
     return _detach_and_cleanup(spark, agg, root)
