@@ -190,6 +190,7 @@ GRADE_DEFER = [
     "sample_stratified_neyman",
     "ts_cusum_changepoints",
     "sink_broker_stream",
+    "acid_data_skipping",
 ]
 
 

@@ -378,3 +378,35 @@ def test_e2e_broker_to_table_to_stream(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == len(rows)
     assert got.select("event_id").distinct().count() == len(rows)
+
+
+def test_zone_map_pruning_survives_segments_and_cow(spark, sf_dir, tmp_path):
+    """Per-file min/max zone maps: prune a range scan to intersecting
+    files only; stats survive segment sealing AND a COW delete
+    (dissolved segments carry their survivors' stats); pruned results
+    always equal the unpruned filter."""
+    o = _orders(spark, sf_dir)
+    tbl = ThriveTable(spark, str(tmp_path / "t"), segment_threshold=3)
+    tbl.create(  # 6 range-disjoint files -> sealed into a segment
+        o.filter("k % 2 = 0").repartitionByRange(6, "k")
+        .sortWithinPartitions("k")
+    )
+    mx = o.filter("k % 2 = 0").agg(F.max("k")).first()[0]
+    lo, hi = mx // 5, mx // 3
+    df, scanned, total = tbl.snapshot_pruned("k", lo, hi)
+    assert scanned < total
+    want = tbl.snapshot().filter(
+        (F.col("k") >= lo) & (F.col("k") <= hi)
+    )
+    assert df.count() == want.count() > 0
+    # COW delete dissolves a victim file; survivors keep their maps
+    tbl.delete_where(f"k < {mx // 10}")
+    df2, scanned2, total2 = tbl.snapshot_pruned("k", lo, hi)
+    assert scanned2 < total2
+    want2 = tbl.snapshot().filter(
+        (F.col("k") >= lo) & (F.col("k") <= hi)
+    )
+    assert df2.count() == want2.count() > 0
+    # a column with no harvested stats is never pruned (safe)
+    _, s3, t3 = tbl.snapshot_pruned("p", -1e18, 1e18)
+    assert s3 == t3

@@ -101,7 +101,7 @@ class ThriveTable:
             _SEG_CACHE[path] = pq.read_table(path)["path"].to_pylist()
         return _SEG_CACHE[path]
 
-    def _write_segment(self, files: list[str]) -> dict:
+    def _write_segment(self, files: list[str], stats: dict) -> dict:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -109,8 +109,23 @@ class ThriveTable:
         path = os.path.join(
             self.segdir, f"seg-{uuid.uuid4().hex[:12]}.parquet"
         )
-        pq.write_table(pa.table({"path": files}), path)
+        pq.write_table(
+            pa.table(
+                {
+                    "path": files,
+                    # zone maps ride INSIDE the sealed segment so
+                    # pruning never loses stats to segmentation
+                    "stats": [
+                        json.dumps(stats.get(f, {})) for f in files
+                    ],
+                }
+            ),
+            path,
+        )
         _SEG_CACHE[path] = list(files)
+        _SEG_CACHE[(path, "stats")] = {
+            f: stats.get(f, {}) for f in files
+        }
         return {"path": path, "n_files": len(files)}
 
     def files(self, m: dict) -> list[str]:
@@ -121,15 +136,22 @@ class ThriveTable:
         out.extend(m.get("files", []))
         return out
 
-    def _pack(self, segments: list[dict], loose: list[str]) -> dict:
+    def _pack(
+        self, segments: list[dict], loose: list[str], stats: dict
+    ) -> dict:
         """Seal the loose tail into a new segment when it overflows;
-        carried segments ride by reference."""
+        carried segments ride by reference. ``stats`` holds the loose
+        files' zone maps — sealed ones move into the segment, the
+        remainder stays inline in the manifest."""
         if len(loose) > self.segment_threshold:
-            segments = segments + [self._write_segment(sorted(loose))]
+            segments = segments + [
+                self._write_segment(sorted(loose), stats)
+            ]
             loose = []
         return {
             "segments": segments,
             "files": loose,
+            "stats": {f: stats[f] for f in loose if f in stats},
             "n_files": sum(s["n_files"] for s in segments) + len(loose),
         }
 
@@ -184,6 +206,103 @@ class ThriveTable:
             if f.endswith(".parquet")
         )
 
+    # -- zone maps / data skipping (r12) --
+
+    @staticmethod
+    def _file_stats(files: list[str]) -> dict:
+        """Per-file column zone maps (min/max) harvested from parquet
+        FOOTERS via pyarrow — no data read. Stored in the manifest at
+        commit time (Delta's per-file stats role), so a pruned scan
+        plans from metadata alone. Only scalar-typed columns with
+        footer statistics appear; a file/column without stats is
+        simply never pruned."""
+        import pyarrow.parquet as pq
+
+        out: dict = {}
+        for path in files:
+            md = pq.ParquetFile(path).metadata
+            mins: dict = {}
+            maxs: dict = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    name = col.path_in_schema
+                    lo, hi = st.min, st.max
+                    # manifests are JSON: keep only plain scalars
+                    # (timestamps/bytes/decimals are skipped, so those
+                    # columns are simply never pruned)
+                    ok = (int, float, str, bool)
+                    if not (isinstance(lo, ok) and isinstance(hi, ok)):
+                        continue
+                    if name not in mins or lo < mins[name]:
+                        mins[name] = lo
+                    if name not in maxs or hi > maxs[name]:
+                        maxs[name] = hi
+            out[path] = {
+                k: [mins[k], maxs[k]] for k in mins if k in maxs
+            }
+        return out
+
+    def file_stats(self, m: dict) -> dict:
+        """Zone maps for every file of a manifest (loose + segments)."""
+        stats = dict(m.get("stats", {}))
+        for seg in m.get("segments", []):
+            stats.update(self._read_segment_stats(seg["path"]))
+        return stats
+
+    def _read_segment_stats(self, path: str) -> dict:
+        key = (path, "stats")
+        if key not in _SEG_CACHE:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(path)
+            if "stats" in t.column_names:
+                _SEG_CACHE[key] = {
+                    p: json.loads(s)
+                    for p, s in zip(
+                        t["path"].to_pylist(), t["stats"].to_pylist()
+                    )
+                }
+            else:  # pre-r12 segment: no zone maps, nothing pruned
+                _SEG_CACHE[key] = {}
+        return _SEG_CACHE[key]
+
+    def snapshot_pruned(
+        self, col: str, lo, hi, version: int | None = None
+    ):
+        """Data-skipping scan: read ONLY files whose [min, max] zone
+        map for ``col`` intersects [lo, hi], then apply the residual
+        filter. Returns (DataFrame, files_scanned, files_total) so
+        callers (and tests) can assert the prune actually happened.
+        Files without stats for ``col`` are always read (safe
+        over-approximation). At 100 TB this is the difference between
+        a metadata decision and an exabyte of footer round-trips —
+        the stats were paid for once, at commit."""
+        from pyspark.sql.types import StructType
+
+        v = self.latest_version() if version is None else version
+        m = self.manifest(v)
+        files = self.files(m)
+        stats = self.file_stats(m)
+        keep = []
+        for f in files:
+            zm = stats.get(f, {}).get(col)
+            if zm is None or (zm[0] <= hi and zm[1] >= lo):
+                keep.append(f)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        if not keep:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.schema(schema).parquet(*keep)
+        df = df.filter(
+            (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        )
+        return df, len(keep), len(files)
+
     def _try_commit(self, version: int, payload: dict) -> None:
         """Atomic put-if-absent of v<version>.json; CommitConflict if
         another writer already owns that version."""
@@ -209,7 +328,7 @@ class ThriveTable:
                 "op": "create",
                 "n_rows": n,
                 "schema": df.schema.json(),
-                **self._pack([], files),
+                **self._pack([], files, self._file_stats(files)),
             },
         )
         return 1
@@ -291,6 +410,10 @@ class ThriveTable:
                         **self._pack(
                             m.get("segments", []),
                             m.get("files", []) + new_files,
+                            {
+                                **m.get("stats", {}),
+                                **self._file_stats(new_files),
+                            },
                         ),
                         **(
                             {"txn": [txn[0], int(txn[1])]}
@@ -374,19 +497,31 @@ class ThriveTable:
     def _cow_pack(self, m: dict, affected: set, new_files: list) -> dict:
         """Manifest fragment for a copy-on-write commit: segments with
         no victims ride by reference; victim segments dissolve (their
-        survivors rejoin the loose tail) — metadata rewrite cost
-        follows churn at segment grain."""
+        survivors rejoin the loose tail, CARRYING their zone maps) —
+        metadata rewrite cost follows churn at segment grain."""
         segs: list[dict] = []
         loose: list[str] = []
+        stats: dict = {}
         for s in m.get("segments", []):
             sf = self._read_segment(s["path"])
             if affected.isdisjoint(sf):
                 segs.append(s)
             else:
-                loose.extend(f for f in sf if f not in affected)
-        loose.extend(f for f in m.get("files", []) if f not in affected)
+                sstats = self._read_segment_stats(s["path"])
+                for f in sf:
+                    if f not in affected:
+                        loose.append(f)
+                        if f in sstats:
+                            stats[f] = sstats[f]
+        base_stats = m.get("stats", {})
+        for f in m.get("files", []):
+            if f not in affected:
+                loose.append(f)
+                if f in base_stats:
+                    stats[f] = base_stats[f]
         loose.extend(new_files)
-        return self._pack(segs, loose)
+        stats.update(self._file_stats(new_files))
+        return self._pack(segs, loose, stats)
 
     def merge_upsert(self, source, key: str, max_retries: int = 10) -> int:
         """MERGE INTO at file grain (Delta MERGE role): matched target
@@ -725,6 +860,57 @@ def _detach_and_cleanup(spark, df, root: str):
     rows, schema = df.collect(), df.schema
     shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "acid_data_skipping",
+    oracle=f"""
+    WITH t AS (
+        SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        WHERE o_orderkey % 3 = 0
+    ),
+    bounds AS (
+        SELECT max(k) // 4 AS lo, max(k) // 2 AS hi FROM t
+    )
+    SELECT count(*) AS n, {osum('p')} AS sum_p,
+           CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
+    FROM t, bounds WHERE k BETWEEN lo AND hi
+    """,
+)
+def acid_data_skipping(spark, sf_dir):
+    """Zone-map data skipping, driver-verified: the table is written
+    range-clustered on k (repartitionByRange + sortWithinPartitions,
+    so files hold disjoint key ranges), per-file min/max stats land in
+    the manifest at commit, and a range scan PRUNES non-intersecting
+    files from metadata alone — files_scanned < files_total is
+    asserted in-query, and the pruned result hash-matches the
+    relational range filter (proof the prune is an optimization, not
+    an answer change). The same stats ride inside sealed manifest
+    segments, so segmentation never loses them."""
+    import tempfile
+
+    from ..tables import Tables
+
+    t = Tables(spark, sf_dir)
+    orders = t.orders.filter("o_orderkey % 3 = 0").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    root = tempfile.mkdtemp(prefix="thrive_acid_skip_")
+    tbl = ThriveTable(spark, root, segment_threshold=4)
+    tbl.create(
+        orders.repartitionByRange(8, "k").sortWithinPartitions("k")
+    )
+    mx = orders.agg(F.max("k")).first()[0]
+    lo, hi = mx // 4, mx // 2
+    df, scanned, total = tbl.snapshot_pruned("k", lo, hi)
+    assert scanned < total, (scanned, total)  # the prune engaged
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("p").alias("sum_p"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+    )
+    return _detach_and_cleanup(spark, agg, root)
 
 
 @query(
