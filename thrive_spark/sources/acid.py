@@ -714,6 +714,7 @@ class ThriveTable:
                 if p not in keep_segs:
                     os.unlink(p)
                     _SEG_CACHE.pop(p, None)
+                    _SEG_CACHE.pop((p, "stats"), None)
                     n_segs += 1
         data_root = os.path.join(self.root, "data")
         if os.path.isdir(data_root):
