@@ -191,6 +191,7 @@ GRADE_DEFER = [
     "ts_cusum_changepoints",
     "sink_broker_stream",
     "acid_data_skipping",
+    "sql_group_order_by_all",
 ]
 
 

@@ -417,3 +417,42 @@ def sql_any_all_rewrite(spark, sf_dir):
         ), CAST('-Infinity' AS DOUBLE))
         """
     )
+
+
+@query(
+    "sql_group_order_by_all",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS order_year,
+           count(*) AS n, {osum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def sql_group_order_by_all(spark, sf_dir):
+    """Modern SQL sugar exhibit: GROUP BY ALL (every non-aggregate
+    select item becomes a grouping key) and ORDER BY ALL — both
+    engines support the clauses NATIVELY (Spark 3.4+/4, DuckDB), so
+    the oracle runs the same sugar, hash-pinning that both expansions
+    pick the same keys and the same total order. Year extraction is
+    engine-portable as a string-format cast; no DATE-typed outputs
+    (CLAUDE.md output rules); ORDER BY ALL is deterministic because
+    the grouped key set is unique. The plan is the ordinary partial +
+    final hash aggregate — sugar must not change the physical shape
+    (asserted by the global plan sweep)."""
+    t = Tables(spark, sf_dir)
+    t.register_views()
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(date_format(o_orderdate, 'yyyy') AS BIGINT)
+                   AS order_year,
+               count(*) AS n,
+               sum(CAST(floor(o_totalprice * 1e4 + 0.5) AS BIGINT)) / 1e4
+                   AS revenue
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
