@@ -192,6 +192,7 @@ GRADE_DEFER = [
     "sink_broker_stream",
     "acid_data_skipping",
     "sql_group_order_by_all",
+    "multimodal_image_resize",
 ]
 
 

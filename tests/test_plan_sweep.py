@@ -39,6 +39,7 @@ ALLOWED_ARROW_PYTHON = {
     "multimodal_audio_wav",  # WAV codec encode/decode, map-only Arrow passes
     "sim_mmr_rerank",  # greedy MMR on the shortlist runs in one Arrow batch
     "multimodal_image_ahash",  # pixel-grid hashing over the real decoder
+    "multimodal_image_resize",  # NN/bilinear resample kernels, map-only Arrow
     "multimodal_image_jpeg",  # baseline JPEG encode/decode, map-only Arrow
     "multimodal_image_png",  # PNG deflate/inflate roundtrip, map-only Arrow
     "udf_pandas_window_agg",  # pandas UDF over window frames (slow-path exhibit)

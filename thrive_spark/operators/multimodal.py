@@ -797,3 +797,137 @@ def multimodal_image_png(spark, sf_dir):
         "doc_id long, width long, height long, "
         "rgb_md5 string, gray_md5 string",
     )
+
+
+@query(
+    "multimodal_image_resize",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, text, length(text) AS L,
+               greatest(length(text) // 3, 1) AS n_px
+        FROM documents WHERE doc_id < 128
+    ),
+    geom AS (
+        SELECT doc_id, text, L,
+               greatest(CAST(floor(sqrt(CAST(n_px AS DOUBLE)))
+                             AS BIGINT), 1) AS w,
+               greatest(n_px // greatest(CAST(floor(sqrt(CAST(n_px
+                   AS DOUBLE))) AS BIGINT), 1), 1) AS h
+        FROM dims
+    ),
+    cells AS (
+        SELECT g.doc_id, gi.i, gj.j,
+               (gi.i * g.h) // 16 AS ny, (gj.j * g.w) // 16 AS nx,
+               (gi.i * (g.h - 1)) // 15 AS y0,
+               (gi.i * (g.h - 1)) % 15 AS fy,
+               least((gi.i * (g.h - 1)) // 15 + 1, g.h - 1) AS y1,
+               (gj.j * (g.w - 1)) // 15 AS x0,
+               (gj.j * (g.w - 1)) % 15 AS fx,
+               least((gj.j * (g.w - 1)) // 15 + 1, g.w - 1) AS x1
+        FROM geom g,
+             (SELECT unnest(generate_series(0, 15)) AS i) gi,
+             (SELECT unnest(generate_series(0, 15)) AS j) gj
+    ),
+    coords AS (
+        SELECT DISTINCT doc_id, y, x FROM (
+            SELECT doc_id, ny AS y, nx AS x FROM cells
+            UNION ALL SELECT doc_id, y0, x0 FROM cells
+            UNION ALL SELECT doc_id, y0, x1 FROM cells
+            UNION ALL SELECT doc_id, y1, x0 FROM cells
+            UNION ALL SELECT doc_id, y1, x1 FROM cells
+        )
+    ),
+    gray AS (
+        SELECT c.doc_id, c.y, c.x,
+               (ascii(substr(g.text,
+                    CAST(((c.y * g.w + c.x) * 3) % g.L AS INT) + 1, 1))
+                + ascii(substr(g.text,
+                    CAST(((c.y * g.w + c.x) * 3 + 1) % g.L AS INT) + 1, 1))
+                + ascii(substr(g.text,
+                    CAST(((c.y * g.w + c.x) * 3 + 2) % g.L AS INT) + 1, 1))
+               ) // 3 AS g
+        FROM coords c JOIN geom g ON c.doc_id = g.doc_id
+    )
+    SELECT c.doc_id,
+           CAST(sum(gn.g) AS BIGINT) AS nn_sum,
+           CAST(sum((15 - c.fy) * (15 - c.fx) * g00.g
+                    + (15 - c.fy) * c.fx * g01.g
+                    + c.fy * (15 - c.fx) * g10.g
+                    + c.fy * c.fx * g11.g) AS BIGINT) AS bilinear_sum
+    FROM cells c
+    JOIN gray gn  ON gn.doc_id = c.doc_id AND gn.y = c.ny AND gn.x = c.nx
+    JOIN gray g00 ON g00.doc_id = c.doc_id AND g00.y = c.y0 AND g00.x = c.x0
+    JOIN gray g01 ON g01.doc_id = c.doc_id AND g01.y = c.y0 AND g01.x = c.x1
+    JOIN gray g10 ON g10.doc_id = c.doc_id AND g10.y = c.y1 AND g10.x = c.x0
+    JOIN gray g11 ON g11.doc_id = c.doc_id AND g11.y = c.y1 AND g11.x = c.x1
+    GROUP BY c.doc_id
+    """,
+)
+def multimodal_image_resize(spark, sf_dir):
+    """Image RESIZE kernels on the real decoder (the multimodal
+    plumbing set's missing verb): each document's PPM raster is
+    downsampled to a 16×16 grid with BOTH standard kernels —
+    nearest-neighbor (source pixel (i·h)//16, the ahash sampling) and
+    bilinear on the (h−1)×(w−1) lattice with EXACT INTEGER weights
+    (position i·(h−1) = y0·15 + fy, so the four corner weights
+    (15−fy)(15−fx)… sum to 225 and the interpolation needs no
+    division at all — the checksum is the undivided weighted sum).
+    Emits per-image checksums of both grids; the DuckDB oracle
+    replays every lookup symbolically (corner coordinate set →
+    distinct gray lookups → 4-way join), so resampling geometry,
+    clamping at the bottom/right edge (y1 = min(y0+1, h−1)) and the
+    kernel arithmetic are all hash-pinned.
+
+    Scale shape: map-only over the image bytes (one Arrow batch per
+    task, numpy gather per image) — the same shape a thumbnail or
+    patch-extraction stage has at 100 TB; nothing shuffles but the
+    per-image checksum rows."""
+    t = Tables(spark, sf_dir)
+    T = 16
+
+    def resize_metrics(payload: bytes):
+        import numpy as np
+
+        meta = decode_image(encode_ppm(payload))
+        w, h = meta["width"], meta["height"]
+        px = np.frombuffer(
+            encode_ppm(payload)[-(w * h * 3):], dtype=np.uint8
+        ).reshape(h, w, 3)
+        gray = (px.astype(np.int64).sum(axis=2) // 3)
+        ys = (np.arange(T) * h) // T
+        xs = (np.arange(T) * w) // T
+        nn = int(gray[np.ix_(ys, xs)].sum())
+        iy = np.arange(T) * (h - 1)
+        y0, fy = iy // (T - 1), iy % (T - 1)
+        y1 = np.minimum(y0 + 1, h - 1)
+        jx = np.arange(T) * (w - 1)
+        x0, fx = jx // (T - 1), jx % (T - 1)
+        x1 = np.minimum(x0 + 1, w - 1)
+        wy0, wy1 = (15 - fy)[:, None], fy[:, None]
+        wx0, wx1 = (15 - fx)[None, :], fx[None, :]
+        bl = (
+            wy0 * wx0 * gray[np.ix_(y0, x0)]
+            + wy0 * wx1 * gray[np.ix_(y0, x1)]
+            + wy1 * wx0 * gray[np.ix_(y1, x0)]
+            + wy1 * wx1 * gray[np.ix_(y1, x1)]
+        ).sum()
+        return nn, int(bl)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["img"]):
+                nn, bl = resize_metrics(bytes(b))
+                rows.append((int(doc_id), nn, bl))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "nn_sum", "bilinear_sum"]
+            )
+
+    src = t.documents.filter(F.col("doc_id") < 128).select(
+        "doc_id", F.encode("text", "UTF-8").alias("img")
+    )
+    return src.mapInPandas(
+        run, "doc_id long, nn_sum long, bilinear_sum long"
+    )
