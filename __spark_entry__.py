@@ -193,6 +193,7 @@ GRADE_DEFER = [
     "acid_data_skipping",
     "sql_group_order_by_all",
     "multimodal_image_resize",
+    "agg_hll_portable",
 ]
 
 
