@@ -194,6 +194,7 @@ GRADE_DEFER = [
     "sql_group_order_by_all",
     "multimodal_image_resize",
     "agg_hll_portable",
+    "agg_hll_portable_union",
 ]
 
 

@@ -1116,3 +1116,119 @@ def agg_hll_portable(spark, sf_dir):
         "n_empty_buckets",
         "exact_distinct",
     )
+
+
+@query(
+    "agg_hll_portable_union",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type, event_id % 2 AS shard,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                   ::BIGINT AS hv
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    ranked AS (
+        SELECT event_type, shard, hv % {HLLP_M} AS bucket,
+               CASE WHEN (hv // {HLLP_M}) % 4294967296 = 0 THEN 33
+                    ELSE list_position(
+                        [{", ".join(str(p) for p in HLLP_POWERS)}]
+                            ::BIGINT[],
+                        ((hv // {HLLP_M}) % 4294967296)
+                        & -((hv // {HLLP_M}) % 4294967296))
+               END AS rnk
+        FROM h
+    ),
+    shard_regs AS (
+        SELECT event_type, shard, bucket, max(rnk) AS reg
+        FROM ranked GROUP BY event_type, shard, bucket
+    ),
+    merged AS (  -- sketch UNION = per-bucket max over shard registers
+        SELECT event_type, bucket, max(reg) AS reg
+        FROM shard_regs GROUP BY event_type, bucket
+    ),
+    direct AS (
+        SELECT event_type, bucket, max(rnk) AS reg
+        FROM ranked GROUP BY event_type, bucket
+    ),
+    est_m AS (
+        SELECT event_type,
+               {HLLP_NUM} // (sum(1::BIGINT << (33 - reg))
+                   + (({HLLP_M} - count(*))::BIGINT << 33)) AS e
+        FROM merged GROUP BY event_type
+    ),
+    est_d AS (
+        SELECT event_type,
+               {HLLP_NUM} // (sum(1::BIGINT << (33 - reg))
+                   + (({HLLP_M} - count(*))::BIGINT << 33)) AS e
+        FROM direct GROUP BY event_type
+    )
+    SELECT m.event_type,
+           CAST(m.e AS BIGINT) AS merged_estimate_x1e4,
+           CAST(d.e AS BIGINT) AS direct_estimate_x1e4,
+           m.e = d.e AS lossless_merge
+    FROM est_m m JOIN est_d d ON m.event_type = d.event_type
+    """,
+)
+def agg_hll_portable_union(spark, sf_dir):
+    """Sketch MERGEABILITY, hash-pinned: the events stream splits into
+    two shards (event_id parity — the distributed-partial shape), each
+    shard builds its own portable-HLL register table, the shard
+    sketches UNION by per-bucket max, and the merged estimate must
+    equal the single-pass estimate EXACTLY — max-merge is lossless for
+    HLL registers, which is the whole reason the sketch works as
+    distributed partial state at 100 TB (combine on any tree shape,
+    same answer). Both estimates and the equality flag are in the
+    hashed output, and everything is exact integers end-to-end
+    (see agg_hll_portable), so 'lossless' is an oracle-verified
+    claim, not a test assertion."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.filter(F.col("user_id").isNotNull())
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    powers = "array(" + ", ".join(f"{p}L" for p in HLLP_POWERS) + ")"
+    ranked = ev.select(
+        "event_type",
+        (F.col("event_id") % 2).alias("shard"),
+        (hv % HLLP_M).alias("bucket"),
+        hv.alias("hv"),
+    ).select(
+        "event_type",
+        "shard",
+        "bucket",
+        F.expr(
+            f"""CASE WHEN (hv div {HLLP_M}) % 4294967296 = 0 THEN 33
+            ELSE array_position({powers},
+                 ((hv div {HLLP_M}) % 4294967296)
+                 & -((hv div {HLLP_M}) % 4294967296)) END"""
+        ).cast("long").alias("rnk"),
+    )
+    shard_regs = ranked.groupBy("event_type", "shard", "bucket").agg(
+        F.max("rnk").alias("reg")
+    )
+    merged = shard_regs.groupBy("event_type", "bucket").agg(
+        F.max("reg").alias("reg")
+    )
+    direct = ranked.groupBy("event_type", "bucket").agg(
+        F.max("rnk").alias("reg")
+    )
+
+    def estimate(regs, name):
+        return regs.groupBy("event_type").agg(
+            F.expr(
+                f"""{HLLP_NUM}L div (sum(shiftleft(1L,
+                cast(33 - reg as int)))
+                + shiftleft(cast({HLLP_M} - count(*) as bigint), 33))"""
+            ).cast("bigint").alias(name)
+        )
+
+    em = estimate(merged, "merged_estimate_x1e4")
+    ed = estimate(direct, "direct_estimate_x1e4")
+    return em.join(ed, "event_type").select(
+        "event_type",
+        "merged_estimate_x1e4",
+        "direct_estimate_x1e4",
+        (
+            F.col("merged_estimate_x1e4") == F.col("direct_estimate_x1e4")
+        ).alias("lossless_merge"),
+    )
