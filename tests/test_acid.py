@@ -235,8 +235,9 @@ def test_vacuum_prunes_history_and_orphans(spark, sf_dir, tmp_path):
     # retained snapshots still read (incl. time travel to v3)
     assert tbl.snapshot().count() == n_before
     assert tbl.snapshot(3).count() == tbl.manifest(3)["n_rows"]
-    # the boundary: vacuumed versions are gone, by design
-    with pytest.raises(FileNotFoundError):
+    # the boundary: vacuumed versions are gone, by design, with a
+    # descriptive retention error (not a raw FileNotFoundError)
+    with pytest.raises(ValueError, match="retention boundary"):
         tbl.manifest(1)
     # every file the retained manifests reference still exists
     for v in tbl.versions():
@@ -410,3 +411,114 @@ def test_zone_map_pruning_survives_segments_and_cow(spark, sf_dir, tmp_path):
     # a column with no harvested stats is never pruned (safe)
     _, s3, t3 = tbl.snapshot_pruned("p", -1e18, 1e18)
     assert s3 == t3
+
+
+def test_evolution_then_cow_rewrites_keep_evolved_column(
+    spark, tmp_path
+):
+    """r12-advice HIGH: after a merge_schema append the file set is
+    mixed-schema; the COW rewrite paths (delete/merge/compact) must
+    read under the MANIFEST schema — a plain parquet read infers from
+    an arbitrary footer and can silently drop the evolved column from
+    the rewritten survivor files."""
+    tbl = ThriveTable(spark, str(tmp_path / "t"))
+    tbl.create(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "k int, p double"
+        ).repartition(2)
+    )
+    tbl.append(
+        spark.createDataFrame(
+            [(4, 40.0, "x"), (5, 50.0, "y")], "k int, p double, tag string"
+        ),
+        merge_schema=True,
+    )
+
+    # DELETE touches both a pre-evolution file (k=1..3) and the
+    # evolved file (k=5): rewritten survivors must keep `tag`
+    tbl.delete_where("k = 2 OR k = 5")
+    got = {r.k: r.tag for r in tbl.snapshot().collect()}
+    assert got == {1: None, 3: None, 4: "x"}
+
+    # COMPACT rewrites the whole mixed-schema set into one layout
+    v = tbl.compact(min_file_bytes=1 << 30, target_file_bytes=1 << 30)
+    assert tbl.manifest(v)["op"] == "compact"
+    got = {r.k: r.tag for r in tbl.snapshot().collect()}
+    assert got == {1: None, 3: None, 4: "x"}
+
+    # MERGE rewrites the matched file; non-matched rows carried into
+    # the rewrite must keep their evolved values
+    tbl.merge_upsert(
+        spark.createDataFrame(
+            [(3, 33.0, "z"), (6, 60.0, "w")], "k int, p double, tag string"
+        ),
+        key="k",
+    )
+    got = {r.k: (r.p, r.tag) for r in tbl.snapshot().collect()}
+    assert got == {
+        1: (10.0, None), 3: (33.0, "z"), 4: (40.0, "x"), 6: (60.0, "w"),
+    }
+    # CDF of the merge surfaces old/new images under the evolved schema
+    c = tbl.changes(tbl.latest_version()).collect()
+    assert {(r.k, r.tag) for r in c if r._change_type == "insert"} == {
+        (3, "z"), (6, "w"),
+    }
+
+
+def test_merged_schema_does_not_mutate_caller_schema(spark):
+    """_merged_schema must COPY fields: setting nullable on the
+    caller DataFrame's StructField corrupts its cached schema."""
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("k", IntegerType(), nullable=False),
+        StructField("p", DoubleType(), nullable=False),
+        StructField("tag", StringType(), nullable=False),
+    ])
+    df = spark.createDataFrame([(1, 1.0, "a")], schema)
+    base = StructType([
+        StructField("k", IntegerType(), nullable=False),
+        StructField("p", DoubleType(), nullable=False),
+    ]).json()
+    merged = ThriveTable(spark, "/nonexistent")._merged_schema(base, df)
+    assert '"tag"' in merged
+    # the caller's schema object is untouched
+    assert df.schema["tag"].nullable is False
+
+
+def test_vacuum_retention_boundary_reader_race(spark, tmp_path):
+    """Verdict r12 #7: a long-lived reader's vacuumed snapshot must
+    fail CLEANLY at the manifest boundary — time travel to a vacuumed
+    version raises a descriptive error (never returns partial files),
+    and the change feed of the OLDEST retained version (which needs
+    the vacuumed previous manifest) raises the same way."""
+    tbl = ThriveTable(spark, str(tmp_path / "t"))
+    tbl.create(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0)], "k int, p double"
+        ).coalesce(1)
+    )
+    # COW delete REWRITES v1's only file: vacuum can then orphan it
+    tbl.delete_where("k = 2")
+    tbl.append(spark.createDataFrame([(3, 30.0)], "k int, p double"))
+    # the long-lived reader pins v1 BEFORE vacuum
+    reader = tbl.snapshot(1)
+    assert reader.count() == 2
+    tbl.vacuum(keep_last=1)
+    assert tbl.versions() == [3]
+    # time travel to a vacuumed version: descriptive error, no files
+    with pytest.raises(ValueError, match="retention boundary"):
+        tbl.snapshot(1)
+    with pytest.raises(ValueError, match="retention boundary"):
+        tbl.manifest(2)
+    # CDF needs v-1's manifest: the oldest retained version's feed is
+    # past the boundary too, with its own descriptive error
+    with pytest.raises(ValueError, match="vacuum"):
+        tbl.changes(3)
+    # the pinned reader's files are physically gone — re-executing it
+    # fails at scan time (documented: vacuum is the retention boundary,
+    # readers must finish inside it)
+    with pytest.raises(Exception):  # noqa: B017 — Spark scan error class varies
+        reader.count()

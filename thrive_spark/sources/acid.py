@@ -74,8 +74,20 @@ class CommitConflict(Exception):
 
 
 #: process-wide segment cache: segments are immutable (uuid paths,
-#: never rewritten), so a path's file list can be memoized forever
-_SEG_CACHE: dict[str, list[str]] = {}
+#: never rewritten), so an entry stays valid until its table root is
+#: vacuumed or torn down. Keys are ``path`` (-> list of data-file
+#: paths) and ``(path, "stats")`` (-> per-file zone maps); evicted by
+#: vacuum() and _detach_and_cleanup() so bench/driver processes don't
+#: accumulate dead file lists across exhibit invocations.
+_SEG_CACHE: dict[str | tuple[str, str], list[str] | dict] = {}
+
+
+def _evict_seg_cache_under(root: str) -> None:
+    """Drop cache entries whose segment path lives under ``root``."""
+    for k in list(_SEG_CACHE):
+        path = k[0] if isinstance(k, tuple) else k
+        if path.startswith(root.rstrip(os.sep) + os.sep):
+            _SEG_CACHE.pop(k, None)
 
 
 class ThriveTable:
@@ -171,25 +183,48 @@ class ThriveTable:
         return vs[-1] if vs else 0
 
     def manifest(self, version: int) -> dict:
-        with open(os.path.join(self.mdir, f"v{version}.json")) as f:
-            return json.load(f)
+        try:
+            with open(
+                os.path.join(self.mdir, f"v{version}.json")
+            ) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise ValueError(
+                f"version {version} is not available: retained "
+                f"versions are {self.versions()} — vacuum() prunes "
+                f"time travel past its retention boundary"
+            ) from None
+
+    def _schema_of(self, m: dict):
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(json.loads(m["schema"]))
+
+    def _read_under(self, m: dict, files: list[str]):
+        """Read data files UNDER THE MANIFEST SCHEMA. After a
+        merge_schema append the live file set is mixed-schema and a
+        plain ``spark.read.parquet`` infers from an arbitrary footer
+        (parquet mergeSchema defaults false) — a pre-evolution footer
+        would silently DROP the evolved column from a copy-on-write
+        rewrite's survivor files. Every internal read (snapshot, COW
+        delete/merge/compact, CDF) goes through here so old files
+        NULL-backfill evolved columns instead (r12 advice, high)."""
+        if not files:
+            return self.spark.createDataFrame([], self._schema_of(m))
+        return self.spark.read.schema(self._schema_of(m)).parquet(
+            *files
+        )
 
     def snapshot(self, version: int | None = None):
         """DataFrame of the table AS OF ``version`` (default latest).
         Reads exactly the committed file list — repeatable regardless
         of later commits."""
-        from pyspark.sql.types import StructType
-
         v = self.latest_version() if version is None else version
         m = self.manifest(v)
-        files = self.files(m)
-        schema = StructType.fromJson(json.loads(m["schema"]))
-        if not files:  # fully-deleted table: empty DF, same schema
-            return self.spark.createDataFrame([], schema)
         # the manifest schema is authoritative: reading with it makes
         # files written BEFORE a schema evolution NULL-backfill the
         # evolved columns (and pins column order per version)
-        return self.spark.read.schema(schema).parquet(*files)
+        return self._read_under(m, self.files(m))
 
     def history(self) -> list[dict]:
         return [self.manifest(v) for v in self.versions()]
@@ -282,8 +317,6 @@ class ThriveTable:
         over-approximation). At 100 TB this is the difference between
         a metadata decision and an exabyte of footer round-trips —
         the stats were paid for once, at commit."""
-        from pyspark.sql.types import StructType
-
         v = self.latest_version() if version is None else version
         m = self.manifest(v)
         files = self.files(m)
@@ -293,12 +326,7 @@ class ThriveTable:
             zm = stats.get(f, {}).get(col)
             if zm is None or (zm[0] <= hi and zm[1] >= lo):
                 keep.append(f)
-        schema = StructType.fromJson(json.loads(m["schema"]))
-        if not keep:
-            df = self.spark.createDataFrame([], schema)
-        else:
-            df = self.spark.read.schema(schema).parquet(*keep)
-        df = df.filter(
+        df = self._read_under(m, keep).filter(
             (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
         )
         return df, len(keep), len(files)
@@ -341,7 +369,7 @@ class ThriveTable:
         append as nullable; an existing column with a DIFFERENT type
         is rejected — silent type widening corrupts old files that
         will be read under the merged schema."""
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructField, StructType
 
         base = StructType.fromJson(json.loads(base_schema_json))
         by_name = {f.name: f for f in base.fields}
@@ -355,9 +383,14 @@ class ThriveTable:
                         f"{f.dataType}"
                     )
             else:
-                nf = f
-                nf.nullable = True  # backfilled NULL for old files
-                out.append(nf)
+                # COPY the field: mutating f.nullable in place would
+                # corrupt the caller DataFrame's cached schema object
+                out.append(
+                    StructField(  # backfilled NULL for old files
+                        f.name, f.dataType, nullable=True,
+                        metadata=f.metadata,
+                    )
+                )
         return StructType(out).json()
 
     def append(
@@ -452,7 +485,7 @@ class ThriveTable:
             base = self.latest_version()
             m = self.manifest(base)
             files = self.files(m)
-            tagged = self.spark.read.parquet(*files).withColumn(
+            tagged = self._read_under(m, files).withColumn(
                 "_file", F.input_file_name()
             )
             affected_uris = [
@@ -468,14 +501,14 @@ class ThriveTable:
             n_kept = 0
             if affected:
                 kept = (
-                    self.spark.read.parquet(*sorted(affected))
+                    self._read_under(m, sorted(affected))
                     .filter(f"NOT coalesce(({pred_sql}), false)")
                 )
                 n_kept = kept.count()
                 if n_kept:
                     new_files = self._write_files(kept)
             n_surv = (
-                self.spark.read.parquet(*survivors).count()
+                self._read_under(m, survivors).count()
                 if survivors
                 else 0
             )
@@ -543,7 +576,7 @@ class ThriveTable:
             base = self.latest_version()
             m = self.manifest(base)
             files = self.files(m)
-            tagged = self.spark.read.parquet(*files).withColumn(
+            tagged = self._read_under(m, files).withColumn(
                 "_file", F.input_file_name()
             )
             affected_uris = [
@@ -560,14 +593,14 @@ class ThriveTable:
             new_files: list[str] = []
             n_kept = 0
             if affected:
-                kept = self.spark.read.parquet(*sorted(affected)).join(
+                kept = self._read_under(m, sorted(affected)).join(
                     F.broadcast(keys), on=key, how="left_anti"
                 )
                 n_kept = kept.count()
                 if n_kept:
                     new_files = self._write_files(kept)
             n_surv = (
-                self.spark.read.parquet(*survivors).count()
+                self._read_under(m, survivors).count()
                 if survivors
                 else 0
             )
@@ -603,25 +636,24 @@ class ThriveTable:
         data change. Cost scales with the commit's churned files, not
         the table. Returns rows under the version's schema plus a
         ``_change_type`` column ('insert' | 'delete')."""
-        from pyspark.sql.types import StructType
-
         m = self.manifest(version)
+        if version > 1 and version - 1 not in self.versions():
+            raise ValueError(
+                f"change feed for v{version} needs manifest "
+                f"v{version - 1}, which vacuum() pruned — the "
+                f"retention boundary bounds CDF one version later "
+                f"than time travel (retained: {self.versions()})"
+            )
         prev_files = (
             set(self.files(self.manifest(version - 1)))
             if version > 1
             else set()
         )
         cur_files = set(self.files(m))
-        schema = StructType.fromJson(json.loads(m["schema"]))
         added = sorted(cur_files - prev_files)
         removed = sorted(prev_files - cur_files)
-
-        def rows(paths):
-            if not paths:
-                return self.spark.createDataFrame([], schema)
-            return self.spark.read.schema(schema).parquet(*paths)
-
-        a, r = rows(added), rows(removed)
+        a = self._read_under(m, added)
+        r = self._read_under(m, removed)
         return (
             a.exceptAll(r)
             .withColumn("_change_type", F.lit("insert"))
@@ -660,7 +692,7 @@ class ThriveTable:
                 return base  # nothing worth packing
             total = sum(os.path.getsize(f) for f in small)
             k = max(1, -(-total // target_file_bytes))
-            df = self.spark.read.parquet(*sorted(small)).coalesce(k)
+            df = self._read_under(m, sorted(small)).coalesce(k)
             new_files = self._write_files(df)
             try:
                 self._try_commit(
@@ -860,6 +892,7 @@ def _detach_and_cleanup(spark, df, root: str):
 
     rows, schema = df.collect(), df.schema
     shutil.rmtree(root, ignore_errors=True)
+    _evict_seg_cache_under(root)
     return spark.createDataFrame(rows, schema)
 
 
