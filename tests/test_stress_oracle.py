@@ -127,3 +127,25 @@ def test_tiled_pair_scan_multi_tile_matches_oracle(
     d_cols, d_rows = canon(duck_pdf)
     assert s_cols == d_cols
     assert s_rows == d_rows
+
+
+def test_ann_builders_no_zero_norm_warnings(spark, stress_dir):
+    """r12 verdict #2: the ANN index builders must not emit numpy
+    divide RuntimeWarnings on the stress corpus's zero-norm vectors —
+    driver-side sample/LUT builds run under warnings-as-errors, and
+    the full queries still return rows (zero rows can't win a cosine
+    comparison; unit_rows leaves them zero, never NaN)."""
+    import warnings
+
+    import numpy as np
+
+    from thrive_spark.operators._util import unit_rows
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        z = unit_rows(np.array([[0.0, 0.0], [3.0, 4.0]]))
+        assert z[0].tolist() == [0.0, 0.0]
+        assert z[1].tolist() == [0.6, 0.8]
+        for qid in ("sim_knn_ivf", "sim_knn_pq", "sim_knn_lsh"):
+            pdf = QUERIES[qid](spark, stress_dir).toPandas()
+            assert len(pdf) > 0, qid

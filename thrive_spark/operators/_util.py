@@ -122,3 +122,38 @@ def compact_iter_state(df, small_max_rows: int | None = None):
     if n <= small_max_rows:
         df = df.coalesce(1)
     return df, n
+
+
+def unit_rows(x):
+    """Row-normalize a 2-D numpy array, leaving zero-norm rows ZERO
+    instead of dividing by zero (r12 verdict #2): a zero vector has no
+    direction, a zero row can never win a cosine comparison, and the
+    masked divide keeps the ANN builders free of numpy
+    ``invalid value encountered in divide`` RuntimeWarnings — the
+    numpy twin of functions/vectors.py's NONZERO_EMB_SQL guard."""
+    import numpy as np
+
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    out = np.zeros_like(x, dtype=np.float64)
+    np.divide(x, n, out=out, where=n > 0)
+    return out
+
+
+def fan_out(df, target: int | None = None):
+    """Widen a NARROW scan to the session's core count before a heavy
+    per-row map stage (r13). A small or single parquet file arrives as
+    ONE input split, serializing md5/shingle/fold compute through one
+    core no matter how many the session has; at real scale the input
+    already lands in more splits than cores and this is a no-op — it
+    never SHRINKS partitioning. Costs one round-robin shuffle of the
+    projected columns, so call it only in front of map work that
+    dominates that shuffle (per-shingle hashing, signature folds,
+    tokenizer passes). Explicit-N repartition is deliberately used:
+    AQE would coalesce a small hash-shuffle back to one partition."""
+    if df.isStreaming:  # .rdd is illegal on a streaming DF; micro-
+        return df       # batch sizing is the engine's job anyway
+    sc = df.sparkSession.sparkContext
+    n = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        df = df.repartition(n)
+    return df

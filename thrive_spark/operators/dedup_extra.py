@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import Tables
-from ._util import compact_iter_state, ffix, ofix, r4
+from ._util import compact_iter_state, fan_out, ffix, ofix, r4
 from .llm import COSINE_THRESHOLD
 
 SIMHASH_BITS = 32
@@ -89,7 +89,7 @@ def dedup_simhash(spark, sf_dir):
     # oracle's unnest drops them naturally, and without this filter the
     # fold gives them all simhash=0, pairing every empty doc with every
     # other (flushed by the r10 stress corpus)
-    sig = t.documents.filter(
+    sig = fan_out(t.documents.select("doc_id", "text")).filter(
         F.expr("size(filter(split(text, ' '), t -> t != '')) > 0")
     ).select(
         "doc_id",
@@ -1656,7 +1656,12 @@ def _mhp_sig_bands(documents, checkpoint=True, carry_sets=False):
     row from 3 longs to 3 longs + |s| — only ever paid on the
     NEW-batch side of the incremental probe, never the corpus."""
     tk = F.filter(F.split("text", " "), lambda x: x != "")
-    d = documents.select("doc_id", tk.alias("tk"))
+    # fan_out: a single-split documents scan would serialize the
+    # md5-per-shingle map through one core (r13; no-op on streaming
+    # DFs and on inputs that already arrive in ≥cores splits)
+    d = fan_out(documents.select("doc_id", "text")).select(
+        "doc_id", tk.alias("tk")
+    )
     n3 = F.greatest(F.size("tk") - 2, F.lit(0))
     tri = F.zip_with(
         F.zip_with(

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine, to_double
 from ..registry import query
 from ..tables import Tables
-from ._util import r4
+from ._util import r4, unit_rows
 
 N_CELLS = 16
 N_PROBE = 4
@@ -35,7 +35,8 @@ def _centroids(t):
         t.embeddings.orderBy("vec_id").limit(256).toPandas()["embedding"]
     )
     x = np.array(sample.tolist(), dtype=np.float64)
-    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x[n[:, 0] > 0] / n[n[:, 0] > 0]  # zero vectors can't seed
     c = x[:N_CELLS].copy()  # deterministic init: first 16 unit vectors
     for _ in range(5):  # Lloyd iterations on cosine (≈ spherical k-means)
         assign = (x @ c.T).argmax(axis=1)
@@ -43,7 +44,9 @@ def _centroids(t):
             members = x[assign == j]
             if len(members):
                 m = members.sum(axis=0)
-                c[j] = m / np.linalg.norm(m)
+                nm = np.linalg.norm(m)
+                if nm > 0:  # opposed members can cancel exactly
+                    c[j] = m / nm
     return c
 
 
@@ -54,8 +57,9 @@ def _assigned(t, cents):
         import numpy as np
 
         for pdf in batches:
-            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            m = unit_rows(
+                np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            )
             pdf = pdf[["vec_id", "embedding"]].copy()
             pdf["cell"] = (m @ cents.T).argmax(axis=1).astype("int64")
             yield pdf
@@ -77,8 +81,9 @@ def sim_knn_ivf(spark, sf_dir):
 
     def probe_batches(batches):
         for pdf in batches:
-            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            m = unit_rows(
+                np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            )
             sims = m @ cents.T
             probes = np.argsort(-sims, axis=1)[:, :N_PROBE]
             out = pdf[["vec_id", "embedding"]].copy()

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from ..functions.vectors import NONZERO_EMB_SQL, cosine, norm, sq_norm, to_double
 from ..registry import query
 from ..tables import Tables
-from ._util import r4
+from ._util import fan_out, r4
 
 #: test-scale threshold: the synthetic 64-dim embeddings have
 #: same-label cosines up to ~0.47 (probed at sf0.01); production
@@ -153,7 +153,14 @@ def dedup_fuzzy_minhash(spark, sf_dir):
     bytes scanned, join traffic scales with near-duplicate density."""
     t = Tables(spark, sf_dir)
     tk = F.filter(F.split("text", " "), lambda x: x != "")
-    d = t.documents.select("doc_id", tk.alias("tk"))
+    # r13 (verdict #1): the documents table lands in ONE input split
+    # at bench scale, serializing the md5-per-shingle + 16-family
+    # minhash map stage through a single core — fan_out widens it to
+    # the session's parallelism (no-op once the input has ≥cores
+    # splits). Measured 2.2 s → 1.1 s at sf0.1.
+    d = fan_out(t.documents.select("doc_id", "text")).select(
+        "doc_id", tk.alias("tk")
+    )
     n3 = F.greatest(F.size("tk") - 2, F.lit(0))
     # positional 3-grams via zip_with over slices — NEVER element_at
     # over a computed array inside a lambda (CollapseProject re-inline

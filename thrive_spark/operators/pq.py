@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine, to_double
 from ..registry import query
 from ..tables import Tables
-from ._util import r4
+from ._util import r4, unit_rows
 
 M = 8  # subspaces
 KSUB = 16  # codewords per subspace (4-bit codes)
@@ -49,7 +49,8 @@ def _codebooks(t):
 
     sample = t.embeddings.orderBy("vec_id").limit(256).toPandas()["embedding"]
     x = np.array(sample.tolist(), dtype=np.float64)
-    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x[n[:, 0] > 0] / n[n[:, 0] > 0]  # zero vectors can't seed
     dim = x.shape[1]
     ds = dim // M
     books = np.zeros((M, KSUB, ds))
@@ -84,8 +85,7 @@ def sim_knn_pq(spark, sf_dir):
         .toPandas()
     )
     qids = qpd["vec_id"].to_numpy()
-    q = np.array(qpd["embedding"].tolist(), dtype=np.float64)
-    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    q = unit_rows(np.array(qpd["embedding"].tolist(), dtype=np.float64))
     luts = np.stack(
         [
             np.stack([q[:, mi * ds : (mi + 1) * ds] @ books[mi].T for mi in range(M)], axis=1)
@@ -96,8 +96,9 @@ def sim_knn_pq(spark, sf_dir):
         import pandas as pd
 
         for pdf in batches:
-            m_ = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            m_ = m_ / np.linalg.norm(m_, axis=1, keepdims=True)
+            m_ = unit_rows(
+                np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            )
             n = len(m_)
             approx = np.zeros((n, len(qids)))
             for mi in range(M):
