@@ -18,8 +18,10 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     exact = QUERIES["sim_knn_cosine_topk"](spark, sf_dir).toPandas()
     approx = QUERIES["sim_knn_ivf"](spark, sf_dir).toPandas()
     recall = _recall(exact, approx)
-    # 4/16 cells probed; adaptive cells beat LSH's fixed hyperplanes
-    assert recall >= 0.2, f"IVF recall@5 = {recall:.3f}"
+    # r13 tuned: 4/32 cells probed (~12.5% candidate fraction),
+    # measured 0.74-0.80 across sf0.001/0.01/0.1 — gate at measured
+    # floor minus margin
+    assert recall >= 0.6, f"IVF recall@5 = {recall:.3f}"
     assert approx.groupby("query_id").size().min() >= 1
 
 
@@ -36,22 +38,24 @@ def test_lsh_recall_vs_exact(spark, sf_dir):
     }
     assert len(e) > 0
     recall = len(e & a) / len(e)
-    # 9/256 cells probed on structure-free random vectors; measured
-    # ~0.3-0.5 at sf0.001-0.01. The gate catches a broken index
-    # (recall ≈ probe fraction ≈ 0.035), not a tuned one.
-    assert recall >= 0.15, f"recall@5 = {recall:.3f}"
+    # r13 tuned: 8 tables x 10 planes, radius-2 multiprobe; measured
+    # 0.77/0.80/0.83 at sf0.001/0.01/0.1 — gate at floor minus margin.
+    # (Single-table radius-2 measured 0.26-0.38 on these
+    # structure-free random vectors.)
+    assert recall >= 0.6, f"recall@5 = {recall:.3f}"
     # every query returns some neighbors
     assert approx.groupby("query_id").size().min() >= 1
 
 
 def test_pq_recall_vs_exact(spark, sf_dir):
-    """PQ + ADC + exact rerank: distortion from 4-bit codes is modest
-    even on structure-free random vectors (measured 0.76 at sf0.01);
-    the gate catches a broken codebook/LUT, not a tuned index."""
+    """PQ + ADC + exact rerank, r13 tuned: 16 4-dim subspaces +
+    100-candidate exact rerank measured recall@5 = 1.00/1.00/0.89 at
+    sf0.001/0.01/0.1 (5% rerank fraction at sf0.1) — the index family
+    that clears 0.8 under a 10% candidate budget on this corpus."""
     exact = QUERIES["sim_knn_cosine_topk"](spark, sf_dir).toPandas()
     approx = QUERIES["sim_knn_pq"](spark, sf_dir).toPandas()
     recall = _recall(exact, approx)
-    assert recall >= 0.4, f"PQ recall@5 = {recall:.3f}"
+    assert recall >= 0.75, f"PQ recall@5 = {recall:.3f}"
     assert approx.groupby("query_id").size().min() >= 1
 
 
@@ -210,3 +214,25 @@ def test_mmr_diversifies_over_topk(spark, sf_dir):
     )[:10]
     assert mean_pairwise(mmr["vec_id"].tolist()) < mean_pairwise(ranked)
     assert mmr.iloc[0]["vec_id"] == ranked[0]
+
+
+def test_ann_recall_gates_hold_at_sf01(spark):
+    """r12 verdict #3 'Done' criterion: the tuned gates hold at sf0.1
+    too (2000 vectors — 4× the default test corpus), not just at the
+    small fixture SF. One exact run amortized over all three indexes."""
+    import os
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf01):
+        import pytest
+
+        pytest.skip("sf0.1 testdata not present")
+    exact = QUERIES["sim_knn_cosine_topk"](spark, sf01).toPandas()
+    for qid, gate in (
+        ("sim_knn_lsh", 0.6),
+        ("sim_knn_ivf", 0.6),
+        ("sim_knn_pq", 0.75),
+    ):
+        approx = QUERIES[qid](spark, sf01).toPandas()
+        recall = _recall(exact, approx)
+        assert recall >= gate, f"{qid} recall@5 = {recall:.3f} at sf0.1"

@@ -22,7 +22,14 @@ from ..registry import query
 from ..tables import Tables
 from ._util import r4, unit_rows
 
-N_CELLS = 16
+#: r13 tuning (verdict #3): swept (cells, probes) in numpy against
+#: the exact operator — 32 cells / 4 probes measures recall@5 =
+#: 0.80/0.74/0.77 at sf0.001/0.01/0.1 with a ~12.5% candidate
+#: fraction, the best point on this corpus's recall/fraction frontier
+#: (these are STRUCTURE-FREE random vectors, ANN's worst case; more
+#: cells at the same probe budget lose recall faster than they save
+#: candidates: 64/6 → 0.64-0.72 at 9%).
+N_CELLS = 32
 N_PROBE = 4
 TOP_K = 5
 
