@@ -525,3 +525,79 @@ def _orders_ts(spark, sf_dir):
     return Tables(spark, sf_dir).orders.select(
         F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
     )
+
+
+def test_broker_sink_crash_between_produce_and_ledger(tmp_path):
+    """r12 advice: a crash AFTER log.produce() but BEFORE the ledger
+    records the batchId used to double-append the epoch on checkpoint
+    replay. The write-ahead intent now rolls the log back to the
+    recorded pre-produce ends before the replayed epoch re-produces —
+    simulate the crash by hand-writing the intent and the orphan
+    append, then replaying commit()."""
+    import json as _json
+
+    from thrive_spark.streaming.broker import (
+        BrokerLog,
+        BrokerStreamWriter,
+        _BrokerStageCommit,
+    )
+
+    root = str(tmp_path / "log")
+    w = BrokerStreamWriter({"path": root, "partitions": "2"})
+    log = BrokerLog(root, n_partitions=2)
+
+    def rows(tag, n):
+        return [
+            {
+                "event_id": i,
+                "ts_us": i,
+                "user_id": i,
+                "event_type": tag,
+                "value": 1.0,
+            }
+            for i in range(n)
+        ]
+
+    def stage(rs):
+        p = str(tmp_path / f"stage_{len(os.listdir(tmp_path))}.jsonl")
+        with open(p, "w") as f:
+            for r in rs:
+                f.write(_json.dumps(r) + "\n")
+        return _BrokerStageCommit(p, len(rs))
+
+    w.commit([stage(rows("b0", 4))], 0)  # epoch 0 lands cleanly
+    ends_after_b0 = log.end_offsets()
+
+    # CRASH SIMULATION for epoch 1: intent written, produce ran, but
+    # the process died before the ledger update
+    with open(w._intent() + ".tmp", "w") as f:
+        _json.dump({"batchId": 1, "ends": ends_after_b0}, f)
+    os.replace(w._intent() + ".tmp", w._intent())
+    log.produce(rows("b1", 6))  # the orphan (uncommitted) append
+    orphan_ends = log.end_offsets()
+
+    # replayed epoch 1: recovery must truncate the orphan, then the
+    # re-produce lands exactly once
+    w.commit([stage(rows("b1", 6))], 1)
+    final_ends = log.end_offsets()
+    assert final_ends == orphan_ends  # same bytes, appended ONCE
+    assert not os.path.exists(w._intent())
+    # every record appears exactly once across both partitions
+    seen = []
+    for p in range(2):
+        with open(os.path.join(root, f"p{p}.log")) as f:
+            seen += [_json.loads(line) for line in f if line.strip()]
+    by_type = {}
+    for r in seen:
+        by_type.setdefault(r["event_type"], []).append(r["event_id"])
+    assert sorted(by_type["b0"]) == list(range(4))
+    assert sorted(by_type["b1"]) == list(range(6))
+
+    # a replay of an already-committed epoch with a STALE intent left
+    # behind (crash after ledger, before intent unlink) is a no-op
+    with open(w._intent() + ".tmp", "w") as f:
+        _json.dump({"batchId": 1, "ends": ends_after_b0}, f)
+    os.replace(w._intent() + ".tmp", w._intent())
+    w.commit([stage(rows("b1", 6))], 1)
+    assert log.end_offsets() == final_ends
+    assert not os.path.exists(w._intent())

@@ -138,6 +138,21 @@ class BrokerLog:
             out[str(p)] = os.path.getsize(self._path(p, ".log")) + shrink
         return out
 
+    def truncate_to(self, ends: dict) -> None:
+        """Roll every partition log back to the given LOGICAL end
+        offsets, dropping idx boundaries past them. Only used by the
+        sink's crash recovery to undo a produce whose commit marker
+        never landed (the tail past a recorded end is by construction
+        the uncommitted append — nothing else writes the tail)."""
+        for p in range(self.n_partitions):
+            target = int(ends.get(str(p), 0))
+            phys = _phys(self.root, p, target)
+            with open(self._path(p, ".log"), "r+b") as f:
+                f.truncate(phys)
+            bounds = [b for b in self._boundaries(p) if b <= target]
+            with open(self._path(p, ".idx"), "w") as f:
+                f.writelines(f"{b}\n" for b in bounds)
+
     def _boundaries(self, p: int) -> list[int]:
         with open(self._path(p, ".idx")) as f:
             return [int(line) for line in f if line.strip()]
@@ -596,12 +611,32 @@ class BrokerStreamWriter(DataSourceStreamWriter):
     def _ledger(self) -> str:
         return os.path.join(self.root, "_produced_batches.json")
 
+    def _intent(self) -> str:
+        return os.path.join(self.root, "_produce_intent.json")
+
     def commit(self, messages, batchId: int) -> None:
+        """Two-phase transactional produce with a WRITE-AHEAD INTENT:
+        the pre-produce log ends are recorded before produce() and the
+        marker is cleared only after the ledger lands, so a crash in
+        ANY window (mid-produce, or between produce and ledger) leaves
+        an intent whose recovery truncates the log back to the
+        recorded ends before the replayed epoch re-produces — the log
+        never double-appends (r12 advice closed the produce→ledger
+        crash window)."""
         log = BrokerLog(self.root, n_partitions=self.n_partitions)
         done: list = []
         if os.path.exists(self._ledger()):
             with open(self._ledger()) as f:
                 done = json.load(f)
+        # crash recovery MUST run before the replay early-return: an
+        # intent from a died epoch means the log may hold an append
+        # whose commit marker never landed — roll it back
+        if os.path.exists(self._intent()):
+            with open(self._intent()) as f:
+                j = json.load(f)
+            if j["batchId"] not in done:
+                log.truncate_to(j["ends"])
+            os.unlink(self._intent())
         try:
             if batchId in done:
                 return  # replayed epoch: the log already has it
@@ -612,11 +647,20 @@ class BrokerStreamWriter(DataSourceStreamWriter):
                 with open(m.stage) as f:
                     rows.extend(json.loads(line) for line in f)
             if rows:
+                tmp = self._intent() + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(
+                        {"batchId": batchId, "ends": log.end_offsets()},
+                        f,
+                    )
+                os.replace(tmp, self._intent())
                 log.produce(rows)
             tmp = self._ledger() + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(done + [batchId], f)
             os.replace(tmp, self._ledger())
+            if rows:
+                os.unlink(self._intent())
         finally:
             for m in messages:
                 if m is not None and os.path.exists(m.stage):
