@@ -222,7 +222,9 @@ def _graded_ids() -> set[str]:
         glob.glob(os.path.join(here, "CORRECTNESS_r*.json")),
         key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
     )
+    last_clean: dict[str, int] = {}
     for path in paths:
+        rno = int(re.search(r"_r(\d+)", path).group(1))
         try:
             with open(path) as fh:
                 for k, row in json.load(fh).items():
@@ -233,8 +235,11 @@ def _graded_ids() -> set[str]:
                     hash_ok = err is None and row.get("hash_match") is not False
                     ok = hash_ok or (ran_rows_only and k not in registry.ORACLE)
                     verdict[k] = ok
+                    if ok:
+                        last_clean[k] = rno
         except Exception:  # noqa: BLE001 — a corrupt artifact must not kill entry()
             pass
+    _graded_ids.last_clean = last_clean  # side table for backfill ordering
     return {k for k, ok in verdict.items() if ok}
 
 
@@ -271,12 +276,16 @@ def _rotated(mapping: dict) -> dict:
         k for k in _rotating_canaries(mapping, rno) if k not in pri
     ]
     cut = max(0, _GRADE_WINDOW - len(canaries))
-    # graded ids backfill CIRCULARLY by round so every id is eventually
-    # re-graded, instead of the same mapping-order head every round
-    backfill = [k for k in sorted(mapping) if k in graded and k not in canaries]
-    if backfill:
-        start = (rno * 37) % len(backfill)
-        backfill = backfill[start:] + backfill[:start]
+    # graded ids backfill OLDEST-OFFICIAL-ROW-FIRST (r12 verdict #5:
+    # "the oldest stratum"): re-grading stamps a newer round, so the
+    # ordering self-rotates — the stalest ids always occupy the free
+    # window slots, bounding worst-case official-row age (the r11-r12
+    # circular walk bounded it only in expectation)
+    last = getattr(_graded_ids, "last_clean", {})
+    backfill = sorted(
+        (k for k in mapping if k in graded and k not in canaries),
+        key=lambda k: (last.get(k, 0), k),
+    )
     # r11 advice (low): ungraded overflow (pri[cut:]) must stay AHEAD
     # of the re-grade backfill — backfill last preserves the
     # never-graded-first priority whenever the ungraded pool exceeds

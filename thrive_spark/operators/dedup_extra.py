@@ -557,7 +557,8 @@ def dedup_cluster_components(spark, sf_dir):
     # - wide regime: large-star/small-star — O(log n) rounds even on
     #   adversarial chain graphs, no one-task serialization.
     edges, n_edges = compact_iter_state(
-        pairs.union(pairs.select("dup_id", "keep_id")).toDF("src", "nbr")
+        pairs.union(pairs.select("dup_id", "keep_id")).toDF("src", "nbr"),
+        cache_key=f"dedup_cluster_components:{sf_dir}",
     )
     if n_edges <= _util.SMALL_ITER_STATE_MAX_ROWS:
         labels = _cc_union_find(edges)
@@ -986,7 +987,8 @@ def dedup_semantic_cluster(spark, sf_dir):
         .select(F.col("a.vec_id").alias("u"), F.col("b.vec_id").alias("v"))
     )
     edges, n_edges = compact_iter_state(
-        prs.union(prs.select("v", "u")).toDF("src", "nbr")
+        prs.union(prs.select("v", "u")).toDF("src", "nbr"),
+        cache_key=f"dedup_semantic_cluster:{sf_dir}",
     )
     if n_edges <= _util.SMALL_ITER_STATE_MAX_ROWS:
         labels = _cc_union_find(edges)

@@ -227,14 +227,18 @@ def graph_pagerank(spark, sf_dir):
     from .analytics import _basket_pairs
 
     und = _basket_pairs(ob).groupBy("src", "dst").agg(F.count("*").alias("w"))
-    ranks = pagerank(und.select("src", "dst"), rounds=PR_ROUNDS)
+    ranks = pagerank(
+        und.select("src", "dst"),
+        rounds=PR_ROUNDS,
+        cache_key=f"graph_pagerank_edges:{sf_dir}",
+    )
     return ranks.select(
         F.col("node").alias("brand"),
         (F.expr("(rf + 500000) div 1000000") / 1e6).alias("pagerank"),
     )
 
 
-def pagerank(und_edges, rounds: int = PR_ROUNDS):
+def pagerank(und_edges, rounds: int = PR_ROUNDS, cache_key=None):
     """Damped power iteration over an UNDIRECTED edge list (src, dst)
     — shared by graph_pagerank and text_textrank_keywords.
 
@@ -255,7 +259,9 @@ def pagerank(und_edges, rounds: int = PR_ROUNDS):
     # the join gets AQE skew splitting, so a celebrity vertex's 10^8
     # edges never serialize through one window task.
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edges, _n_edges = compact_iter_state(sym.join(deg, "src"))
+    edges, _n_edges = compact_iter_state(
+        sym.join(deg, "src"), cache_key=cache_key
+    )
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()  # scalar: |vertices|, bounded
     # EXACT fixed-point iteration (r7): ranks live as rank*PR_SCALE
@@ -344,7 +350,9 @@ def text_textrank_keywords(spark, sf_dir):
         ).alias("p")
     ).select("p.src", "p.dst")
     und = bigrams.filter(F.col("src") != F.col("dst")).distinct()
-    ranks = pagerank(und, rounds=PR_ROUNDS)
+    ranks = pagerank(
+        und, rounds=PR_ROUNDS, cache_key=f"text_rank_edges:{sf_dir}"
+    )
     return (
         ranks.orderBy(F.col("rf").desc(), "node")
         .limit(25)
