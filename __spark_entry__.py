@@ -195,6 +195,11 @@ GRADE_DEFER = [
     "multimodal_image_resize",
     "agg_hll_portable",
     "agg_hll_portable_union",
+    # r13 registrations
+    "acid_table_restore",
+    "sql_distinct_on",
+    "sample_bottom_k_sketch",
+    "sim_knn_ivfpq",
 ]
 
 

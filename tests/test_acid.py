@@ -522,3 +522,29 @@ def test_vacuum_retention_boundary_reader_race(spark, tmp_path):
     # readers must finish inside it)
     with pytest.raises(Exception):  # noqa: B017 — Spark scan error class varies
         reader.count()
+
+
+def test_restore_then_vacuum_keeps_restored_data(spark, tmp_path):
+    """restore(v) is a NEW commit replaying v's file list; after a
+    vacuum that drops every version except the restore, the restored
+    data must still read (the restore re-references the files, so
+    retention keeps them) while time travel to the sources raises."""
+    tbl = ThriveTable(spark, str(tmp_path / "t"))
+    tbl.create(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 300000.0)], "k int, p double"
+        ).coalesce(1)
+    )
+    tbl.delete_where("p > 150000")  # v2: k=1 only (v1 file rewritten)
+    v = tbl.restore(1)
+    assert v == 3
+    assert sorted(r.k for r in tbl.snapshot().collect()) == [1, 2]
+    tbl.vacuum(keep_last=1)
+    assert tbl.versions() == [3]
+    # restored data survives retention of its source version
+    assert sorted(r.k for r in tbl.snapshot().collect()) == [1, 2]
+    with pytest.raises(ValueError, match="retention boundary"):
+        tbl.snapshot(1)
+    # restoring a vacuumed version fails at the boundary, cleanly
+    with pytest.raises(ValueError, match="retention boundary"):
+        tbl.restore(2)

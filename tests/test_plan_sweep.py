@@ -33,6 +33,7 @@ ALLOWED_ARROW_PYTHON = {
     "sim_knn_lsh",
     "sim_knn_ivf",
     "sim_knn_pq",
+    "sim_knn_ivfpq",  # probe-bounded ADC scan, map-only Arrow pass
     "cluster_topics_kmeans",
     "dedup_semantic_cluster",  # small-regime CC union-find Arrow task (r11)
     "tokenizer_apply_bpe",  # per-doc BPE re-tokenize, map-only Arrow pass

@@ -1621,3 +1621,116 @@ def sample_stratified_neyman(spark, sf_dir):
     return ranked.filter(F.col("rn") <= F.col("n_take")).select(
         "lang", "doc_id"
     )
+
+
+#: bottom-k sketch size; the integer estimate constant is
+#: (k-1) * 2^60 folded into one in-range BIGINT literal so the
+#: published estimate is a single integer division both engines
+#: truncate identically (the agg_hll_portable discipline)
+BOTTOMK_K = 8
+BOTTOMK_NUM = (BOTTOMK_K - 1) * (1 << 60)  # 7 * 2^60 < 2^63
+
+
+@query(
+    "sample_bottom_k_sketch",
+    oracle=f"""
+    WITH h AS (
+        SELECT source,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+        FROM documents
+    ),
+    keep AS (
+        SELECT source, h FROM (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM h
+        ) WHERE rn <= {BOTTOMK_K}
+    ),
+    per AS (
+        SELECT source, count(*) AS n_kept, max(h) AS kth,
+               array_to_string(list(h ORDER BY h), '|') AS kept
+        FROM keep GROUP BY source
+    ),
+    mkeep AS (
+        SELECT h FROM (
+            SELECT h, row_number() OVER (ORDER BY h) AS rn FROM keep
+        ) WHERE rn <= {BOTTOMK_K}
+    ),
+    mper AS (
+        SELECT '__all__' AS source, count(*) AS n_kept, max(h) AS kth,
+               array_to_string(list(h ORDER BY h), '|') AS kept
+        FROM mkeep
+    ),
+    u AS (SELECT * FROM per UNION ALL SELECT * FROM mper)
+    SELECT source, CAST(n_kept AS BIGINT) AS n_kept, kth,
+           CASE WHEN n_kept = {BOTTOMK_K}
+                THEN {BOTTOMK_NUM} // kth END AS est_distinct,
+           kept
+    FROM u
+    """,
+)
+def sample_bottom_k_sketch(spark, sf_dir):
+    """Bottom-k (KMV) sketch per source + a MERGED global sketch: keep
+    the k smallest portable 60-bit key hashes per group — a mergeable
+    uniform sample of the group's distinct keys AND a distinct-count
+    estimator, est = (k-1)·2^60 / kth_smallest, published as ONE exact
+    BIGINT division (Bar-Yossef et al. 2002, the KMV/bottom-k
+    estimator — the same family Theta sketches build on).
+
+    The 100 TB story is the MERGE: the union of per-partition bottom-k
+    sets re-cut to its k smallest IS the bottom-k of the union (every
+    global bottom-k member is in its own partition's bottom-k), so the
+    '__all__' row is derived from the per-source KEPT SETS ONLY —
+    k·groups rows — never a re-scan. That is the shuffle shape of
+    every mergeable-sketch rollup: partials combine associatively, and
+    the sketch doubles as a consistent sample for downstream eyeballs.
+    The per-group cut is row_number ≤ k over (group, hash) — a single
+    shuffle with per-partition TopK pushdown, no collect_list of the
+    full group anywhere. Hash-checked bit-for-bit: md5-conv keys,
+    integer-only estimate (no float, no ln)."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    base = t.documents.select("source", h.alias("h"))
+    w = Window.partitionBy("source").orderBy("h")
+    keep = (
+        base.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BOTTOMK_K)
+        .select("source", "h")
+        .localCheckpoint()  # feeds per-source AND merged cuts once
+    )
+    # kept serializes to a '|'-joined string: the driver
+    # canonicalizer rejects list-typed cells (output-column rules)
+    per = keep.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("kth"),
+        F.array_join(F.sort_array(F.collect_list("h")), "|").alias("kept"),
+    )
+    wm = Window.orderBy("h")
+    mper = (
+        keep.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= BOTTOMK_K)
+        .groupBy(F.lit("__all__").alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("h").alias("kth"),
+            F.array_join(F.sort_array(F.collect_list("h")), "|").alias(
+                "kept"
+            ),
+        )
+    )
+    u = per.unionByName(mper)
+    return u.select(
+        "source",
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        "kth",
+        F.when(
+            F.col("n_kept") == BOTTOMK_K,
+            F.expr(f"CAST({BOTTOMK_NUM} AS BIGINT) div kth"),
+        ).alias("est_distinct"),
+        "kept",
+    )

@@ -456,3 +456,44 @@ def sql_group_order_by_all(spark, sf_dir):
         ORDER BY ALL
         """
     )
+
+
+@query(
+    "sql_distinct_on",
+    oracle="""
+    SELECT DISTINCT ON (o_custkey)
+           o_custkey AS custkey,
+           o_orderkey AS last_orderkey,
+           CAST(o_orderdate AS VARCHAR) AS last_orderdate,
+           o_totalprice AS last_price
+    FROM orders
+    ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC
+    """,
+)
+def sql_distinct_on(spark, sf_dir):
+    """DISTINCT ON — the Postgres/DuckDB "newest row per key" sugar
+    Spark does NOT ship. Re-expressed Spark-first as the canonical
+    row_number()-over-window top-1 (partition by the DISTINCT ON key,
+    order by the query's ORDER BY tail), which is what Catalyst turns
+    into a single shuffle + per-partition TopK — the same physical
+    work DuckDB's DISTINCT ON does. Full determinism needs the same
+    tiebreaker rule on both engines: the ORDER BY must pin a unique
+    column (o_orderkey) after the ranking column, or DISTINCT ON
+    returns an arbitrary member of ties (the classic footgun this
+    exhibit documents). Dates cross as strings (output-column rule)."""
+    t = Tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        t.orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_orderdate").cast("string").alias("last_orderdate"),
+            F.col("o_totalprice").alias("last_price"),
+        )
+    )

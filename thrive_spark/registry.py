@@ -46,6 +46,7 @@ def load_all() -> None:
         dedup_extra,
         graph,
         ivf,
+        ivfpq,
         lm_score,
         matching,
         joins,

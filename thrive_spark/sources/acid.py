@@ -711,6 +711,40 @@ class ThriveTable:
                 continue  # rebase: recompute the small set on latest
         raise CommitConflict("compact retries exhausted")
 
+    def restore(self, version: int, max_retries: int = 10) -> int:
+        """RESTORE TABLE ... TO VERSION (Delta RESTORE role): commit a
+        NEW version whose file list replays snapshot ``version`` —
+        history is never rewritten, the rollback is itself a commit,
+        so it time-travels, CDF-diffs (restore surfaces as the inverse
+        of the undone commits), conflicts/rebases like any writer, and
+        vacuum treats the restored files as referenced again. Metadata
+        only: no data file is read or written — the cost is one
+        manifest, independent of table size."""
+        src = self.manifest(version)  # raises past retention boundary
+        payload_files = self.files(src)
+        stats = self.file_stats(src)
+        for _ in range(max_retries):
+            base = self.latest_version()
+            try:
+                self._try_commit(
+                    base + 1,
+                    {
+                        "op": "restore",
+                        "restored_from": version,
+                        "n_rows": src["n_rows"],
+                        "schema": src["schema"],
+                        # re-pack rather than alias src's segments: the
+                        # restored version must stay readable even if a
+                        # LATER vacuum drops the source version whose
+                        # segments it would have shared
+                        **self._pack([], list(payload_files), stats),
+                    },
+                )
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict("restore retries exhausted")
+
     # -- retention --
 
     def vacuum(self, keep_last: int = 3) -> dict:
@@ -1252,6 +1286,88 @@ def acid_stream_ingest(spark, sf_dir):  # noqa: ARG001 — feed is synthetic
         )
     )
     return _detach_and_cleanup(spark, agg, root)
+
+
+@query(
+    "acid_table_restore",
+    oracle=f"""
+    WITH v1 AS (
+        SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        WHERE o_orderkey % 6 = 0
+    ),
+    v2 AS (
+        SELECT * FROM v1
+        UNION ALL
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey % 6 = 2
+    ),
+    v3 AS (SELECT * FROM v2 WHERE (p > 150000) IS NOT TRUE)
+    SELECT CAST(1 AS BIGINT) AS version, 'create' AS op,
+           count(*) AS n_rows, {osum('p')} AS sum_price FROM v1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'append', count(*), {osum('p')} FROM v2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'delete', count(*), {osum('p')} FROM v3
+    UNION ALL
+    SELECT CAST(4 AS BIGINT), 'restore', count(*), {osum('p')} FROM v2
+    """,
+)
+def acid_table_restore(spark, sf_dir):
+    """RESTORE as a commit (Delta RESTORE role), driver-verified:
+    create → append → COW delete → restore(2). The oracle pins v4 ≡ v2
+    relationally — the rollback resurrects exactly the deleted rows —
+    while v3 stays readable (history is append-only; restore is a NEW
+    commit, not a rewrite). In-query asserts pin the metadata-only
+    contract (no new data files) and that the restore's change feed
+    equals the undone delete's victims re-inserted."""
+    import tempfile
+
+    from ..tables import Tables
+
+    t = Tables(spark, sf_dir)
+    orders = t.orders.select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    root = tempfile.mkdtemp(prefix="thrive_acid_restore_")
+    tbl = ThriveTable(spark, root)
+    tbl.create(orders.filter("k % 6 = 0"))
+    tbl.append(orders.filter("k % 6 = 2"))
+    tbl.delete_where("p > 150000")
+    v = tbl.restore(2)
+    assert v == 4, v
+    # metadata-only: every restored file already existed in v2
+    assert set(tbl.files(tbl.manifest(4))) == set(
+        tbl.files(tbl.manifest(2))
+    )
+    # the restore's CDF is the inverse of the undone delete: its
+    # inserts are exactly v3's deleted victims
+    n_restored = (
+        tbl.changes(4).filter("_change_type = 'insert'").count()
+    )
+    n_victims = tbl.changes(3).filter("_change_type = 'delete'").count()
+    assert n_restored == n_victims, (n_restored, n_victims)
+
+    snaps = []
+    for ver in tbl.versions():
+        m = tbl.manifest(ver)
+        snap = tbl.snapshot(ver).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("p").alias("sum_price"),
+        ).select(
+            F.lit(ver).cast("bigint").alias("version"),
+            F.lit(m["op"]).alias("op"),
+            "n_rows",
+            "sum_price",
+        )
+        snaps.append(snap.withColumn(
+            "n_rows",
+            F.when(F.col("n_rows") == F.lit(m["n_rows"]),
+                   F.col("n_rows")),
+        ))
+    out = snaps[0]
+    for s in snaps[1:]:
+        out = out.union(s)
+    return _detach_and_cleanup(spark, out, root)
 
 
 @query(
