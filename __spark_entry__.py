@@ -200,6 +200,7 @@ GRADE_DEFER = [
     "sql_distinct_on",
     "sample_bottom_k_sketch",
     "sim_knn_ivfpq",
+    "scan_delta_log_table",
 ]
 
 

@@ -67,6 +67,15 @@ def load_all() -> None:
         vectors,
         windows,
     )
-    from .sources import acid, formats, maintenance, pipeline, pyds, scans, sinks  # noqa: F401
+    from .sources import (  # noqa: F401
+        acid,
+        delta_lite,
+        formats,
+        maintenance,
+        pipeline,
+        pyds,
+        scans,
+        sinks,
+    )
     from .functions import banks  # noqa: F401
     from .streaming import broker, table_source  # noqa: F401
