@@ -201,6 +201,7 @@ GRADE_DEFER = [
     "sample_bottom_k_sketch",
     "sim_knn_ivfpq",
     "scan_delta_log_table",
+    "acid_optimize_zorder",
 ]
 
 

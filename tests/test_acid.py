@@ -548,3 +548,32 @@ def test_restore_then_vacuum_keeps_restored_data(spark, tmp_path):
     # restoring a vacuumed version fails at the boundary, cleanly
     with pytest.raises(ValueError, match="retention boundary"):
         tbl.restore(2)
+
+
+def test_zorder_cluster_prunes_both_dims_and_vacuums(spark, tmp_path):
+    """cluster_by: after the Morton rewrite BOTH clustered columns'
+    zone maps prune; rows are untouched; vacuum handles the
+    partitionBy subdir layout (recursive walk) and retires the
+    pre-cluster files."""
+    import os as _os
+
+    rows = [(i, (i * 37) % 1000, float(i)) for i in range(1000)]
+    tbl = ThriveTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(rows, "k int, c int, p double")
+    tbl.create(df.repartitionByRange(8, "k").sortWithinPartitions("k"))
+    _, sc0, tc0 = tbl.snapshot_pruned("c", 250, 499)
+    assert sc0 == tc0  # k-clustered layout: c never prunes
+    v = tbl.cluster_by(["k", "c"], n_files=8)
+    assert v == 2
+    n = tbl.snapshot().count()
+    assert n == 1000 == tbl.manifest(2)["n_rows"]
+    dfk, sk, tk = tbl.snapshot_pruned("k", 250, 499)
+    dfc, sc, tc = tbl.snapshot_pruned("c", 250, 499)
+    assert sk < tk and sc < tc, (sk, tk, sc, tc)
+    assert dfk.count() == 250 and dfc.count() == 250
+    stats = tbl.vacuum(keep_last=1)
+    assert stats["deleted_data_files"] >= 8  # pre-cluster layout died
+    assert tbl.snapshot().count() == 1000
+    # every surviving referenced file exists (subdir layout intact)
+    for f in tbl.files(tbl.manifest(2)):
+        assert _os.path.exists(f), f

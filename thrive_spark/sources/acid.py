@@ -711,6 +711,116 @@ class ThriveTable:
                 continue  # rebase: recompute the small set on latest
         raise CommitConflict("compact retries exhausted")
 
+    def cluster_by(
+        self, cols: list[str], n_files: int = 8, max_retries: int = 10
+    ) -> int:
+        """OPTIMIZE ZORDER BY (Delta's multi-dimensional clustering
+        role): rewrite the table ordered by the MORTON INTERLEAVING of
+        the columns' per-column rank buckets, so files hold small
+        hyper-rectangles of the key space and the zone maps of EVERY
+        clustered column become selective — range-sorting by one
+        column makes its zone maps tight but leaves the others' spans
+        full-width. Each column is bucketed against 255 approxQuantile
+        boundaries (rank-based, so skew can't collapse buckets; the
+        boundary fetch is a bounded driver scalar per column, NOT a
+        global-window rank that would single-thread the sort), then
+        the 8-bit bucket ids interleave into the Morton code with
+        shift/or expressions, all JVM-side. Rows are untouched —
+        like compact(), this is layout maintenance: time travel keeps
+        the old layout, the change feed of the commit is empty, and
+        vacuum retires the pre-cluster files when they age out. At
+        100 TB the rewrite is the expensive once-a-week job that makes
+        every 2-D range scan after it a metadata decision."""
+        bits = 8
+        nb = 1 << bits
+        for _ in range(max_retries):
+            base = self.latest_version()
+            m = self.manifest(base)
+            files = self.files(m)
+            df = self._read_under(m, files)
+            ranked = df
+            rank_cols = []
+            for i, c in enumerate(cols):
+                qs = df.select(
+                    F.col(c).cast("double").alias("_q")
+                ).stat.approxQuantile(
+                    "_q", [j / nb for j in range(1, nb)], 0.001
+                )
+                arr = F.array(*[F.lit(float(b)) for b in qs])
+                rc = f"_rk{i}"
+
+                # closure, NOT a default-arg lambda param — pyspark
+                # derives the HOF arity from the Python signature
+                def _rank_of(colname):
+                    # bucket = #boundaries <= value (NULL takes the
+                    # else branch everywhere -> bucket 0)
+                    return lambda acc, b: acc + F.when(
+                        F.col(colname).cast("double") >= b, F.lit(1)
+                    ).otherwise(F.lit(0)).cast("long")
+
+                ranked = ranked.withColumn(
+                    rc,
+                    F.aggregate(
+                        arr, F.lit(0).cast("long"), _rank_of(c)
+                    ),
+                )
+                rank_cols.append(rc)
+            z = F.lit(0).cast("long")
+            for b in range(bits):
+                for i, rc in enumerate(rank_cols):
+                    z = z.bitwiseOR(
+                        F.shiftleft(
+                            F.shiftright(F.col(rc), b).bitwiseAND(F.lit(1)),
+                            b * len(cols) + i,
+                        )
+                    )
+            # files are cut at Morton PREFIX boundaries (write
+            # partitionBy on the top log2(n_files) z bits), not at
+            # sampled z ranges: a range-sampled cut can straddle a
+            # prefix and leave one file spanning both halves of a
+            # dimension, breaking the pruning guarantee at small row
+            # counts. partitionBy also strips the helper column from
+            # the data files for free.
+            pbits = max(1, (int(n_files) - 1).bit_length())
+            clustered = (
+                ranked.withColumn("_z", z)
+                .withColumn(
+                    "_zf",
+                    F.shiftright(
+                        F.col("_z"), bits * len(cols) - pbits
+                    ),
+                )
+                .repartition(1 << pbits, "_zf")
+                .sortWithinPartitions("_zf", "_z")
+                .drop("_z", *rank_cols)
+            )
+            token = uuid.uuid4().hex[:12]
+            out = os.path.join(self.root, "data", token)
+            clustered.write.partitionBy("_zf").parquet(out)
+            new_files = sorted(
+                os.path.join(dirpath, f)
+                for dirpath, _dirs, fs in os.walk(out)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+            try:
+                self._try_commit(
+                    base + 1,
+                    {
+                        "op": "cluster",
+                        "cluster_by": list(cols),
+                        "n_rows": m["n_rows"],
+                        "schema": m["schema"],
+                        **self._cow_pack(m, set(files), new_files),
+                    },
+                )
+                return base + 1
+            except CommitConflict:
+                for f in new_files:
+                    os.unlink(f)
+                continue  # rebase: recompute on the new latest
+        raise CommitConflict("cluster retries exhausted")
+
     def restore(self, version: int, max_retries: int = 10) -> int:
         """RESTORE TABLE ... TO VERSION (Delta RESTORE role): commit a
         NEW version whose file list replays snapshot ``version`` —
@@ -784,21 +894,24 @@ class ThriveTable:
                     n_segs += 1
         data_root = os.path.join(self.root, "data")
         if os.path.isdir(data_root):
+            import shutil
+
             for token in list(os.listdir(data_root)):
                 tdir = os.path.join(data_root, token)
                 keep_any = False
-                for f in list(os.listdir(tdir)):
-                    p = os.path.join(tdir, f)
-                    if f.endswith(".parquet"):
-                        if p in keep_files:
-                            keep_any = True
-                        else:
-                            os.unlink(p)
-                            n_data += 1
+                # walk recursively: cluster_by writes partitionBy
+                # subdirs (data/<token>/_zf=N/part-*.parquet)
+                for dirpath, _dirs, fs in os.walk(tdir):
+                    for f in fs:
+                        p = os.path.join(dirpath, f)
+                        if f.endswith(".parquet"):
+                            if p in keep_files:
+                                keep_any = True
+                            else:
+                                os.unlink(p)
+                                n_data += 1
                 if not keep_any:  # no live data: drop markers + dir
-                    for f in list(os.listdir(tdir)):
-                        os.unlink(os.path.join(tdir, f))
-                    os.rmdir(tdir)
+                    shutil.rmtree(tdir)
         return {
             "dropped_versions": dropped,
             "deleted_data_files": n_data,
@@ -1286,6 +1399,73 @@ def acid_stream_ingest(spark, sf_dir):  # noqa: ARG001 — feed is synthetic
         )
     )
     return _detach_and_cleanup(spark, agg, root)
+
+
+@query(
+    "acid_optimize_zorder",
+    oracle=f"""
+    WITH t AS (
+        SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS p
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    bounds AS (
+        SELECT max(k) // 4 AS klo, max(k) // 2 AS khi,
+               max(c) // 4 AS clo, max(c) // 2 AS chi
+        FROM t
+    )
+    SELECT 'k' AS dim, count(*) AS n, {osum('p')} AS sum_p
+    FROM t, bounds WHERE k BETWEEN klo AND khi
+    UNION ALL
+    SELECT 'c', count(*), {osum('p')}
+    FROM t, bounds WHERE c BETWEEN clo AND chi
+    """,
+)
+def acid_optimize_zorder(spark, sf_dir):
+    """OPTIMIZE ZORDER as a table-format commit, driver-verified: the
+    table starts range-clustered on k alone (k zone maps tight, c
+    spans full-width — in-query asserts pin that a c-range scan
+    prunes NOTHING), then cluster_by(["k","c"]) rewrites the layout
+    along the Morton interleaving and BOTH dimensions prune. The
+    oracle replays the two range aggregates relationally, proving the
+    clustered rewrite changed no row while the physical asserts prove
+    it changed the scan; the commit's change feed is empty
+    (layout maintenance is not a data change, same invariant as
+    compact)."""
+    import tempfile
+
+    from ..tables import Tables
+
+    t = Tables(spark, sf_dir)
+    base = t.orders.filter("o_orderkey % 2 = 0").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.col("o_totalprice").alias("p"),
+    )
+    root = tempfile.mkdtemp(prefix="thrive_acid_zorder_")
+    tbl = ThriveTable(spark, root, segment_threshold=16)
+    tbl.create(base.repartitionByRange(8, "k").sortWithinPartitions("k"))
+    mk, mc = base.agg(F.max("k"), F.max("c")).first()
+    klo, khi = mk // 4, mk // 2
+    clo, chi = mc // 4, mc // 2
+    _, sk, tk_ = tbl.snapshot_pruned("k", klo, khi)
+    _, sc, tc_ = tbl.snapshot_pruned("c", clo, chi)
+    assert sk < tk_, (sk, tk_)  # k-clustered: k prunes
+    assert sc == tc_, (sc, tc_)  # ...but c spans are full-width
+    v = tbl.cluster_by(["k", "c"], n_files=8)
+    assert v == 2 and tbl.manifest(2)["op"] == "cluster"
+    assert tbl.changes(2).count() == 0  # maintenance ≠ data change
+    dfk, sk2, tk2 = tbl.snapshot_pruned("k", klo, khi)
+    dfc, sc2, tc2 = tbl.snapshot_pruned("c", clo, chi)
+    assert sk2 < tk2, (sk2, tk2)  # k still prunes post-zorder
+    assert sc2 < tc2, (sc2, tc2)  # and now c does too
+    out = dfk.agg(
+        F.count(F.lit(1)).alias("n"), dsum("p").alias("sum_p")
+    ).select(F.lit("k").alias("dim"), "n", "sum_p").union(
+        dfc.agg(
+            F.count(F.lit(1)).alias("n"), dsum("p").alias("sum_p")
+        ).select(F.lit("c").alias("dim"), "n", "sum_p")
+    )
+    return _detach_and_cleanup(spark, out, root)
 
 
 @query(
