@@ -202,6 +202,7 @@ GRADE_DEFER = [
     "sim_knn_ivfpq",
     "scan_delta_log_table",
     "acid_optimize_zorder",
+    "agg_percentile_sketch_portable",
 ]
 
 

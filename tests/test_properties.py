@@ -370,3 +370,28 @@ def test_broker_compaction_invariants_property():
             check(log, root, produced, point2)
 
     run()
+
+
+def test_percentile_sketch_rank_error_bounded(spark, sf_dir):
+    """agg_percentile_sketch_portable: the KMV-sample estimate's TRUE
+    rank must sit within a few percent of the target quantile (the
+    ~1/sqrt(k) sampling bound, k=256) — accuracy gate on top of the
+    oracle's reproducibility gate."""
+    import pyspark.sql.functions as F
+
+    from thrive_spark.registry import QUERIES
+    from thrive_spark.tables import Tables
+
+    est = QUERIES["agg_percentile_sketch_portable"](spark, sf_dir).collect()
+    li = Tables(spark, sf_dir).lineitem.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+    )
+    for r in est:
+        grp = li.filter(F.col("flag") == r.flag)
+        n = grp.count()
+        below = grp.filter(F.col("v") <= r.est).count()
+        rank = below / n
+        assert abs(rank - r.q_pct / 100) <= 0.12, (
+            r.flag, r.q_pct, rank,
+        )

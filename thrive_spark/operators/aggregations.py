@@ -1232,3 +1232,99 @@ def agg_hll_portable_union(spark, sf_dir):
             F.col("merged_estimate_x1e4") == F.col("direct_estimate_x1e4")
         ).alias("lossless_merge"),
     )
+
+
+#: KMV-sample size for the portable percentile sketch
+PCTK_K = 256
+
+
+@query(
+    "agg_percentile_sketch_portable",
+    oracle=f"""
+    WITH h AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS v,
+               ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                                   CAST(l_linenumber AS VARCHAR)), 1, 15)
+               )::BIGINT AS hk
+        FROM lineitem
+    ),
+    keep AS (
+        SELECT flag, v FROM (
+            SELECT flag, v,
+                   row_number() OVER (PARTITION BY flag ORDER BY hk) AS rn
+            FROM h
+        ) WHERE rn <= {PCTK_K}
+    ),
+    s AS (
+        SELECT flag, list_sort(list(v)) AS arr, count(*) AS n
+        FROM keep GROUP BY flag
+    )
+    SELECT flag, q.q AS q_pct, CAST(n AS BIGINT) AS n_sample,
+           arr[((n - 1) * q.q) // 100 + 1] AS est
+    FROM s, (SELECT unnest([20, 50, 80]) AS q) q
+    """,
+)
+def agg_percentile_sketch_portable(spark, sf_dir):
+    """APPROXIMATE percentiles that hash-match the oracle bit-for-bit
+    — the percentile twin of agg_hll_portable (that one proved
+    "approximate" and "reproducible" are orthogonal for distinct
+    counts; this one proves it for quantiles, the other rows-only-by-
+    design §2 boundary). Two deterministic stages:
+
+    1. KMV sample: per group keep the {PCTK_K} rows with the SMALLEST
+       portable 60-bit md5 hash of the row key — a uniform sample
+       BOTH engines derive identically (no RNG, no engine sketch),
+       and mergeable state: the union of per-partition bottom-k sets
+       re-cut to k is the group's bottom-k, the same combine shape
+       percentile_approx's KLL sketch uses at 100 TB.
+    2. Type-1 (lower-rank) discrete quantile over the sorted sample:
+       index = (n−1)·q_pct div 100 — ALL-INTEGER rank arithmetic and
+       pure element selection, no interpolation float whose last ulp
+       engines could round apart.
+
+    The engine-private percentile_approx stays rows-only next to
+    this (agg_percentile_approx); accuracy is the standard KMV bound
+    (~1/√k ≈ 6% rank error at k={PCTK_K}), traded for cross-engine
+    replayability."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    hk = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = t.lineitem.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+        hk.alias("hk"),
+    )
+    w = Window.partitionBy("flag").orderBy("hk")
+    keep = (
+        base.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PCTK_K)
+        .select("flag", "v")
+    )
+    s = keep.groupBy("flag").agg(
+        F.sort_array(F.collect_list("v")).alias("arr"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    qs = F.explode(F.array(*[F.lit(q) for q in (20, 50, 80)]))
+    return s.select("flag", qs.alias("q_pct"), "arr", "n").select(
+        "flag",
+        "q_pct",
+        F.col("n").cast("bigint").alias("n_sample"),
+        F.expr(
+            "element_at(arr, CAST(((n - 1) * q_pct) div 100 AS INT) + 1)"
+        ).alias("est"),
+    )
