@@ -249,7 +249,17 @@ corpus pushes it back over the line. At a real corpus's
 duplication rate (bounded cluster sizes, open vocabulary) the
 same operators scale with the linear rows above —
 `dedup_fuzzy_minhash` and `dedup_minhash_portable`, whose
-threshold-verified pair sets stay sparse, show exactly that.""")
+threshold-verified pair sets stay sparse, show exactly that.
+
+Reading the ×10 RATIO across rounds: it is sf1 ÷ sf0.1, so a fix
+that removes small-scale overhead RAISES the ratio without any
+sf1 regression — r13's fan_out change cut the minhash family's
+sf0.1 times ~40% (1.77 → 1.17, 1.45 → 0.84, 1.56 → 0.88 s) while
+their sf1 times stayed flat within box noise (3.46 → 3.63,
+3.12 → 3.16, 2.63 → 3.10 s), moving the printed factors from
+~2.0 to ~3.1-3.8. Compare the ABSOLUTE sf1 column round-over-
+round for scaling health; the ratio alone conflates it with
+small-scale overhead wins.""")
     else:
         print(f"\nWorst factor: `{worst[0]}` at {round(worst[3], 2)}× — "
               "sub-linear-to-linear across the board.")
