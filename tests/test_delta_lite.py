@@ -110,3 +110,45 @@ def test_log_is_newline_delimited_spec_actions(spark, tmp_path):
         json.loads(actions[1]["metaData"]["schemaString"])
     )
     assert [f.name for f in st.fields] == ["k", "s"]
+
+
+def test_partition_filter_prunes_at_the_log(spark, tmp_path):
+    """A partition-predicate read must plan ONLY matching files —
+    pruning happens on the log's partitionValues, before any parquet
+    footer is touched."""
+    root = str(tmp_path / "d")
+    tbl = DeltaLiteTable(spark, root)
+    full = spark.createDataFrame(
+        [(1, "us", 10.0), (2, "eu", 20.0), (3, "us", 30.0)],
+        "k int, region string, p double",
+    )
+    adds = []
+    for region in ("us", "eu"):
+        sub = full.filter(f"region = '{region}'").drop("region")
+        out = os.path.join(root, f"region={region}")
+        sub.coalesce(1).write.mode("overwrite").parquet(out)
+        adds += [
+            {"add": {"path": f"region={region}/{f}", "size": 1,
+                     "modificationTime": 0, "dataChange": True,
+                     "partitionValues": {"region": region}}}
+            for f in os.listdir(out) if f.endswith(".parquet")
+        ]
+    tbl._commit(0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "t",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": full.schema.json(),
+                      "partitionColumns": ["region"],
+                      "configuration": {}}},
+        *adds,
+    ])
+    got = tbl.snapshot(partition_filter={"region": "us"})
+    assert {(r.k, r.region) for r in got.collect()} == {
+        (1, "us"), (3, "us"),
+    }
+    # metadata-level proof: only the us file appears in the plan
+    files = [f for f in got.inputFiles()]
+    assert len(files) == 1 and "region=us" in files[0], files
+    # empty match: zero files, schema intact
+    none = tbl.snapshot(partition_filter={"region": "ap"})
+    assert none.count() == 0 and none.columns == ["k", "region", "p"]

@@ -94,14 +94,36 @@ class DeltaLiteTable:
             raise ValueError("Delta log has no metaData action")
         return {"version": v, "meta": meta, "adds": list(live.values())}
 
-    def snapshot(self, version: int | None = None):
+    def snapshot(
+        self,
+        version: int | None = None,
+        partition_filter: dict[str, str] | None = None,
+    ):
         """DataFrame of the table AS OF ``version`` under the log's
         schemaString; partitionValues re-materialize as literal
         columns (Delta stores partition columns in the log, NOT in
-        the data files)."""
+        the data files).
+
+        ``partition_filter={"region": "us"}`` prunes ``add`` actions
+        AT THE LOG — the point of log-resident partition values: a
+        partition-predicate scan is a metadata decision, zero
+        non-matching files are ever opened (asserted in
+        tests/test_delta_lite.py by counting planned files)."""
         from pyspark.sql.types import StructType
 
         st = self.state(version)
+        if partition_filter:
+            st = {
+                **st,
+                "adds": [
+                    a
+                    for a in st["adds"]
+                    if all(
+                        a.get("partitionValues", {}).get(k) == v
+                        for k, v in partition_filter.items()
+                    )
+                ],
+            }
         schema = StructType.fromJson(json.loads(st["meta"]["schemaString"]))
         part_cols = st["meta"].get("partitionColumns", [])
         data_schema = StructType(
