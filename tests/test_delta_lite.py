@@ -152,3 +152,33 @@ def test_partition_filter_prunes_at_the_log(spark, tmp_path):
     # empty match: zero files, schema intact
     none = tbl.snapshot(partition_filter={"region": "ap"})
     assert none.count() == 0 and none.columns == ["k", "region", "p"]
+
+
+def test_checkpoint_survives_log_cleanup(spark, tmp_path):
+    """A mature Delta table's old JSON commits are cleaned up once a
+    checkpoint covers them — the reader must reconstruct snapshots
+    from <v>.checkpoint.parquet + the JSON tail, refuse cleanly for
+    versions older than the checkpoint, and keep appending past it."""
+    tbl = DeltaLiteTable(spark, str(tmp_path / "d"))
+    tbl.create(spark.createDataFrame([(1, 10.0)], "k int, p double"))
+    tbl.append(spark.createDataFrame([(2, 20.0)], "k int, p double"))
+    tbl.remove_where_file_contains("k = 1")  # v2
+    cp = tbl.checkpoint()
+    assert cp == 2
+    removed = tbl.cleanup_log()
+    assert removed == 3  # v0..v2 JSONs gone
+    assert tbl.versions() == []  # only the checkpoint remains
+    # snapshot at the checkpoint version from the parquet alone
+    assert sorted(r.k for r in tbl.snapshot().collect()) == [2]
+    assert sorted(r.k for r in tbl.snapshot(2).collect()) == [2]
+    # pre-checkpoint versions are gone, with a clean refusal
+    with pytest.raises(ValueError, match="cleaned up"):
+        tbl.snapshot(1)
+    # the log keeps growing past the checkpoint: JSON tail folds on top
+    v = tbl.append(spark.createDataFrame([(3, 30.0)], "k int, p double"))
+    assert v == 3
+    assert sorted(r.k for r in tbl.snapshot().collect()) == [2, 3]
+    assert sorted(r.k for r in tbl.snapshot(2).collect()) == [2]
+    # _last_checkpoint pointer exists and points at the checkpoint
+    with open(os.path.join(tbl.log, "_last_checkpoint")) as fh:
+        assert json.load(fh)["version"] == 2

@@ -60,22 +60,85 @@ class DeltaLiteTable:
         ) as fh:
             return [json.loads(line) for line in fh if line.strip()]
 
+    def checkpoints(self) -> list[int]:
+        if not os.path.isdir(self.log):
+            return []
+        return sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(self.log)
+            if f.endswith(".checkpoint.parquet")
+        )
+
+    def _checkpoint_state(self, cv: int):
+        """Load the consolidated snapshot state from a checkpoint
+        parquet (the spec's compaction of the action log: one action
+        per ROW, struct-typed add/remove/metaData/protocol columns).
+        Reading it is a parquet scan, so at 100 TB a real reader
+        distributes the add-file extraction exactly like any other
+        scan; the exhibit collects — checkpoint rows are file-count
+        metadata, bounded here."""
+        df = self.spark.read.parquet(
+            os.path.join(self.log, f"{cv:020d}.checkpoint.parquet")
+        )
+        live: dict[str, dict] = {}
+        meta = None
+        protocol = None
+        for r in df.collect():
+            d = r.asDict(recursive=True)
+            if d.get("metaData") and d["metaData"].get("id"):
+                meta = d["metaData"]
+            if d.get("protocol") and d["protocol"].get(
+                "minReaderVersion"
+            ) is not None:
+                protocol = d["protocol"]
+            if d.get("add") and d["add"].get("path"):
+                a = d["add"]
+                a["partitionValues"] = a.get("partitionValues") or {}
+                live[a["path"]] = a
+        return live, meta, protocol
+
     def state(self, version: int | None = None) -> dict:
-        """Fold add/remove actions over commits 0..version into the
-        live file set + latest metaData — the protocol's snapshot
-        definition. Cost is O(log entries), never O(data)."""
+        """Fold add/remove actions into the live file set + latest
+        metaData — the protocol's snapshot definition. Starts from the
+        newest CHECKPOINT parquet ≤ version when one exists (on a real
+        mature table the pre-checkpoint JSON commits are eventually
+        cleaned up, so a fold that ignores checkpoints would mis-read
+        or fail), then folds the JSON commits after it. Cost is
+        O(checkpoint rows + tail commits), never O(data)."""
         vs = self.versions()
-        if not vs:
+        cps = self.checkpoints()
+        if not vs and not cps:
             raise ValueError(f"no Delta log at {self.log}")
-        v = vs[-1] if version is None else version
-        if v not in vs:
-            raise ValueError(f"version {v} not in Delta log ({vs})")
+        newest = max(vs[-1] if vs else -1, cps[-1] if cps else -1)
+        v = newest if version is None else version
+        usable_cps = [c for c in cps if c <= v]
+        start_cp = usable_cps[-1] if usable_cps else None
+        # every commit in (checkpoint, v] must exist as JSON; v itself
+        # must be materialized either as the checkpoint or as JSON
+        if start_cp is None:
+            if v not in vs or any(x < v and x not in vs for x in range(v)):
+                raise ValueError(
+                    f"version {v} not in Delta log (json commits {vs},"
+                    f" checkpoints {cps}) — pre-checkpoint commits may"
+                    f" have been cleaned up"
+                )
+        else:
+            missing = [
+                x for x in range(start_cp + 1, v + 1) if x not in vs
+            ]
+            if missing:
+                raise ValueError(
+                    f"version {v} not reconstructible: commits "
+                    f"{missing} missing after checkpoint {start_cp}"
+                )
         live: dict[str, dict] = {}
         meta: dict | None = None
         protocol: dict | None = None
+        if start_cp is not None:
+            live, meta, protocol = self._checkpoint_state(start_cp)
         for ver in vs:
-            if ver > v:
-                break
+            if ver > v or (start_cp is not None and ver <= start_cp):
+                continue
             for a in self._actions(ver):
                 if "metaData" in a:
                     meta = a["metaData"]
@@ -204,10 +267,98 @@ class DeltaLiteTable:
         )
 
     def append(self, df) -> int:
-        v = self.versions()[-1] + 1
+        vs, cps = self.versions(), self.checkpoints()
+        v = max(vs[-1] if vs else -1, cps[-1] if cps else -1) + 1
         adds = self._write_files(df, f"part-{uuid.uuid4().hex[:8]}")
         self._commit(v, [{"add": a} for a in adds])
         return v
+
+    def checkpoint(self, version: int | None = None) -> int:
+        """Write <v>.checkpoint.parquet consolidating the snapshot
+        state (the spec's log compaction: one action per row, struct
+        columns add/metaData/protocol) plus the ``_last_checkpoint``
+        pointer file readers use to skip the JSON listing. After a
+        checkpoint the pre-checkpoint JSON commits are REMOVABLE (the
+        spec's metadata cleanup) — state() reconstructs any version ≥
+        the checkpoint from it alone."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        st = self.state(version)
+        v = st["version"]
+        meta_row = {
+            "id": st["meta"].get("id", ""),
+            "schemaString": st["meta"]["schemaString"],
+            "partitionColumns": st["meta"].get("partitionColumns", []),
+        }
+        proto_row = {"minReaderVersion": 1, "minWriterVersion": 2}
+        rows = [
+            {"add": None, "metaData": meta_row, "protocol": None},
+            {"add": None, "metaData": None, "protocol": proto_row},
+        ] + [
+            {
+                "add": {
+                    "path": a["path"],
+                    "partitionValues": a.get("partitionValues") or {},
+                    "size": int(a.get("size", 0)),
+                    "modificationTime": int(a.get("modificationTime", 0)),
+                    "dataChange": False,
+                },
+                "metaData": None,
+                "protocol": None,
+            }
+            for a in st["adds"]
+        ]
+        schema = pa.schema(
+            [
+                pa.field("add", pa.struct([
+                    pa.field("path", pa.string()),
+                    pa.field("partitionValues",
+                             pa.map_(pa.string(), pa.string())),
+                    pa.field("size", pa.int64()),
+                    pa.field("modificationTime", pa.int64()),
+                    pa.field("dataChange", pa.bool_()),
+                ])),
+                pa.field("metaData", pa.struct([
+                    pa.field("id", pa.string()),
+                    pa.field("schemaString", pa.string()),
+                    pa.field("partitionColumns",
+                             pa.list_(pa.string())),
+                ])),
+                pa.field("protocol", pa.struct([
+                    pa.field("minReaderVersion", pa.int32()),
+                    pa.field("minWriterVersion", pa.int32()),
+                ])),
+            ]
+        )
+        def _conv(r):
+            a = r["add"]
+            if a is not None:
+                a = {**a, "partitionValues":
+                     list(a["partitionValues"].items())}
+            return {**r, "add": a}
+
+        table = pa.Table.from_pylist([_conv(r) for r in rows], schema)
+        pq.write_table(
+            table, os.path.join(self.log, f"{v:020d}.checkpoint.parquet")
+        )
+        with open(os.path.join(self.log, "_last_checkpoint"), "w") as fh:
+            json.dump({"version": v, "size": len(rows)}, fh)
+        return v
+
+    def cleanup_log(self) -> int:
+        """Spec metadata cleanup: delete JSON commits at or below the
+        newest checkpoint (readers reconstruct them from it). Returns
+        the number of commit files removed."""
+        cps = self.checkpoints()
+        if not cps:
+            return 0
+        n = 0
+        for v in self.versions():
+            if v <= cps[-1]:
+                os.unlink(os.path.join(self.log, f"{v:020d}.json"))
+                n += 1
+        return n
 
     def remove_where_file_contains(self, pred_sql: str) -> int:
         """Spec-level delete at file grain for the exhibit: remove
