@@ -203,6 +203,7 @@ GRADE_DEFER = [
     "scan_delta_log_table",
     "acid_optimize_zorder",
     "agg_percentile_sketch_portable",
+    "scan_delta_checkpoint",
 ]
 
 

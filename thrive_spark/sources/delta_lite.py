@@ -14,9 +14,11 @@ ANY engine that can list a prefix and read parquet can plan a
 snapshot from the log alone.
 
 Scope honestly bounded: reader version 1 tables (no deletion vectors,
-no column mapping, no checkpoint parquet — checkpoints are an
-optimization over the same actions and a real reader falls back to
-the JSON fold exactly like this one). Writes stay on the repo's own
+no column mapping). Checkpoint parquet IS read (r13 second pass):
+state() starts from the newest <v>.checkpoint.parquet ≤ the requested
+version and folds only the JSON tail — mature tables clean up
+pre-checkpoint commits, so the checkpoint path is required, not an
+optimization. Writes stay on the repo's own
 ThriveTable format; this module is the FOREIGN-read path, plus a
 minimal protocol writer used to construct genuine Delta logs for the
 exhibit and tests (the writer emits spec-conformant actions, so a
@@ -479,3 +481,76 @@ def scan_delta_log_table(spark, sf_dir):
     for s in snaps[1:]:
         out = out.union(s)
     return _detach_and_cleanup(spark, out, root)
+
+
+@query(
+    "scan_delta_checkpoint",
+    oracle=f"""
+    WITH v0 AS (
+        SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        WHERE o_orderkey % 9 = 0
+    ),
+    v1 AS (
+        SELECT * FROM v0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey % 9 = 4
+    ),
+    v2 AS (
+        SELECT * FROM v1
+        UNION ALL
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey % 9 = 7
+    )
+    SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+           {osum('p')} AS sum_price FROM v1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), count(*), {osum('p')} FROM v2
+    """,
+)
+def scan_delta_checkpoint(spark, sf_dir):
+    """The MATURE-table Delta read path, driver-verified: after
+    checkpoint() + the spec's metadata cleanup deletes every JSON
+    commit it covers, snapshots reconstruct from the checkpoint
+    parquet alone, and a post-cleanup append folds as a JSON tail on
+    top of it. In-query asserts pin the lifecycle (all pre-checkpoint
+    JSONs actually deleted; pre-checkpoint time travel refuses
+    cleanly); the oracle replays both reconstructible versions
+    relationally, so the hash verifies checkpoint write → cleanup →
+    checkpoint-based fold → tail fold."""
+    import tempfile
+
+    from ..tables import Tables
+    from .acid import _detach_and_cleanup
+
+    t = Tables(spark, sf_dir)
+    orders = t.orders.select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    root = tempfile.mkdtemp(prefix="thrive_delta_cp_")
+    tbl = DeltaLiteTable(spark, root)
+    tbl.create(orders.filter("k % 9 = 0").repartition(2))
+    tbl.append(orders.filter("k % 9 = 4").repartition(2))
+    assert tbl.checkpoint() == 1
+    assert tbl.cleanup_log() == 2  # v0+v1 JSONs gone
+    try:
+        tbl.snapshot(0)
+        raise AssertionError("pre-checkpoint version must refuse")
+    except ValueError:
+        pass
+    v = tbl.append(orders.filter("k % 9 = 7").repartition(2))
+    assert v == 2, v
+
+    snaps = []
+    for ver in (1, 2):
+        snaps.append(
+            tbl.snapshot(ver).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum("p").alias("sum_price"),
+            ).select(
+                F.lit(ver).cast("bigint").alias("version"),
+                "n_rows",
+                "sum_price",
+            )
+        )
+    return _detach_and_cleanup(spark, snaps[0].union(snaps[1]), root)
