@@ -204,6 +204,7 @@ GRADE_DEFER = [
     "acid_optimize_zorder",
     "agg_percentile_sketch_portable",
     "scan_delta_checkpoint",
+    "scan_delta_stream",
 ]
 
 

@@ -182,3 +182,111 @@ def test_checkpoint_survives_log_cleanup(spark, tmp_path):
     # _last_checkpoint pointer exists and points at the checkpoint
     with open(os.path.join(tbl.log, "_last_checkpoint")) as fh:
         assert json.load(fh)["version"] == 2
+
+
+def test_delta_stream_resume_and_append_only(spark, tmp_path):
+    """Delta stream source: a stopped query resumes from its
+    checkpoint and drains ONLY the new versions (no duplicates); a
+    remove-bearing commit raises unless ignorechanges=true."""
+    from pyspark.sql import functions as F
+
+    from thrive_spark.streaming.delta_source import register
+
+    root = str(tmp_path / "d")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    tbl = DeltaLiteTable(spark, root)
+    # ONE file for k=1,k=2: the later COW delete of k=1 then rewrites
+    # the survivor k=2 into a new file, which ignorechanges re-emits
+    tbl.create(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0)], "k int, p double"
+        ).coalesce(1)
+    )
+    register(spark)
+
+    def drain():
+        q = (
+            spark.readStream.format("thrive_delta")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain()
+    assert sorted(r.k for r in spark.read.parquet(out).collect()) == [1, 2]
+    tbl.append(spark.createDataFrame([(3, 30.0)], "k int, p double"))
+    drain()  # resume: only v1's rows arrive, nothing re-emitted
+    assert sorted(r.k for r in spark.read.parquet(out).collect()) == [1, 2, 3]
+    # a rewrite commit breaks the append-only contract
+    tbl.remove_where_file_contains("k = 1")
+    try:
+        drain()
+        raise AssertionError("remove-bearing commit must raise")
+    except Exception as e:  # noqa: BLE001 — streaming wraps the ValueError
+        assert "append-only" in str(e)
+    # ignorechanges: added rows stream, the delete is not propagated
+    q = (
+        spark.readStream.format("thrive_delta")
+        .option("path", root)
+        .option("ignorechanges", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r.k for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 2, 3], got  # k=2 re-added by the COW rewrite
+
+
+def test_delta_stream_partition_values_cast(spark, tmp_path):
+    """Partition columns re-materialize from the log's STRING
+    partitionValues, cast to the schema type per file."""
+    from thrive_spark.streaming.delta_source import register
+
+    root = str(tmp_path / "d")
+    tbl = DeltaLiteTable(spark, root)
+    full = spark.createDataFrame(
+        [(1, 7, 10.0), (2, 8, 20.0)], "k int, bucket int, p double"
+    )
+    adds = []
+    for b in (7, 8):
+        sub = full.filter(f"bucket = {b}").drop("bucket")
+        out = os.path.join(root, f"bucket={b}")
+        sub.coalesce(1).write.mode("overwrite").parquet(out)
+        adds += [
+            {"add": {"path": f"bucket={b}/{f}", "size": 1,
+                     "modificationTime": 0, "dataChange": True,
+                     "partitionValues": {"bucket": str(b)}}}
+            for f in os.listdir(out) if f.endswith(".parquet")
+        ]
+    tbl._commit(0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "t",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": full.schema.json(),
+                      "partitionColumns": ["bucket"],
+                      "configuration": {}}},
+        *adds,
+    ])
+    register(spark)
+    q = (
+        spark.readStream.format("thrive_delta")
+        .option("path", root)
+        .load()
+        .writeStream.format("memory")
+        .queryName("t_dspv")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.k, r.bucket, r.p) for r in spark.sql("SELECT * FROM t_dspv").collect()}
+    assert got == {(1, 7, 10.0), (2, 8, 20.0)}

@@ -78,4 +78,4 @@ def load_all() -> None:
         sinks,
     )
     from .functions import banks  # noqa: F401
-    from .streaming import broker, table_source  # noqa: F401
+    from .streaming import broker, delta_source, table_source  # noqa: F401
