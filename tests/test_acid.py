@@ -347,7 +347,7 @@ def test_e2e_broker_to_table_to_stream(spark, sf_dir, tmp_path):
 
     tbl = ThriveTable(spark, str(tmp_path / "table"))
     schema = (
-        "partition_id int, offset long, event_id long, ts_us long, "
+        "partition_id long, offset long, event_id long, ts_us long, "
         "user_id long, event_type string, value double"
     )
     tbl.create(spark.createDataFrame([], schema))

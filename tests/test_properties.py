@@ -395,3 +395,46 @@ def test_percentile_sketch_rank_error_bounded(spark, sf_dir):
         assert abs(rank - r.q_pct / 100) <= 0.12, (
             r.flag, r.q_pct, rank,
         )
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),        # group
+            st.integers(0, 50),       # hash key (small domain -> TIES)
+            st.integers(-5, 5),       # payload value
+            st.integers(0, 2),        # shard
+        ),
+        min_size=0,
+        max_size=120,
+    ),
+    st.integers(1, 8),                # k
+)
+def test_bottom_k_merge_identity(rows, k):
+    """The KMV merge law agg_percentile_sketch_union hash-pins on real
+    data, property-tested on adversarial multisets: for bottom-k by a
+    TOTAL order over (key, value), re-cutting the union of per-shard
+    bottom-k partials equals the single-pass bottom-k — including
+    duplicate keys (the r14 lineitem tie hazard) and duplicate whole
+    rows, because ties are broken by the value and fully-identical
+    rows are interchangeable in a multiset."""
+    from collections import Counter
+
+    def bottom_k(items):
+        return sorted(items)[:k]
+
+    for g in {r[0] for r in rows}:
+        grp = [(h, v) for gg, h, v, _s in rows if gg == g]
+        direct = bottom_k(grp)
+        partials = []
+        for s in {r[3] for r in rows if r[0] == g}:
+            partials += bottom_k(
+                [(h, v) for gg, h, v, ss in rows if gg == g and ss == s]
+            )
+        merged = bottom_k(partials)
+        assert Counter(merged) == Counter(direct), (g, merged, direct)

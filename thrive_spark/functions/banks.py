@@ -249,7 +249,7 @@ def fn_math_bank(spark, sf_dir):
            nullif(o_orderstatus, 'P') AS c_nullif,
            round(greatest(o_totalprice, 200000.0), 4) AS c_greatest,
            round(least(o_totalprice, 200000.0), 4) AS c_least,
-           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS c_if
+           CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS BIGINT) AS c_if
     FROM orders
     """,
 )
@@ -272,7 +272,7 @@ def fn_conditional_bank(spark, sf_dir):
         F.when(F.col("o_orderpriority") == "1-URGENT", 1)
         .otherwise(0)
         .cast("int")
-        .alias("c_if"),
+        .cast("bigint").alias("c_if"),
     )
 
 
@@ -586,7 +586,7 @@ def fn_bitwise_bank(spark, sf_dir):
              AS c_field_dbl,
            CASE WHEN struct_pack(a := o_custkey, b := o_orderstatus)
                    = struct_pack(a := o_custkey, b := o_orderstatus)
-                THEN 1 ELSE 0 END AS c_struct_eq,
+                THEN 1 ELSE 0 END::BIGINT AS c_struct_eq,
            struct_extract(
              CASE WHEN o_totalprice > 200000.0
                   THEN struct_pack(tag := 'big',  v := o_totalprice)
@@ -617,7 +617,7 @@ def fn_struct_bank(spark, sf_dir):
         "o_orderkey",
         s.getField("k").alias("c_field_int"),
         s.getField("p").alias("c_field_dbl"),
-        F.when(eq == eq, 1).otherwise(0).alias("c_struct_eq"),
+        F.when(eq == eq, 1).otherwise(0).cast("bigint").alias("c_struct_eq"),
         branch.getField("tag").alias("c_branch_tag"),
     )
 
@@ -628,8 +628,8 @@ def fn_struct_bank(spark, sf_dir):
     SELECT doc_id,
            regexp_extract(text, '([a-z]+)', 1) AS c_first_word,
            regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS c_second_word,
-           CASE WHEN regexp_matches(text, 'data') THEN 1 ELSE 0 END
-             AS c_has_data,
+           CAST(CASE WHEN regexp_matches(text, 'data') THEN 1 ELSE 0 END
+                AS BIGINT) AS c_has_data,
            regexp_replace(text, ' +', '_', 'g') AS c_underscored,
            CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT)
              AS c_n_fields,
@@ -656,7 +656,7 @@ def fn_regex_bank(spark, sf_dir):
         "doc_id",
         F.regexp_extract("text", r"([a-z]+)", 1).alias("c_first_word"),
         F.regexp_extract("text", r"([a-z]+) ([a-z]+)", 2).alias("c_second_word"),
-        F.when(F.col("text").rlike("data"), 1).otherwise(0).alias("c_has_data"),
+        F.when(F.col("text").rlike("data"), 1).otherwise(0).cast("bigint").alias("c_has_data"),
         F.regexp_replace("text", " +", "_").alias("c_underscored"),
         F.size(F.split("text", " +")).cast("bigint").alias("c_n_fields"),
         F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+a[a-z]*"), 0)).cast(
@@ -915,7 +915,7 @@ def fn_surrogate_key_bank(spark, sf_dir):
         ).alias("composite_key"),
         F.row_number()
         .over(Window.orderBy("c_mktsegment", "c_custkey"))
-        .alias("dense_seq_key"),
+        .cast("bigint").alias("dense_seq_key"),
     )
 
 

@@ -1251,7 +1251,8 @@ PCTK_K = 256
     keep AS (
         SELECT flag, v FROM (
             SELECT flag, v,
-                   row_number() OVER (PARTITION BY flag ORDER BY hk) AS rn
+                   row_number() OVER (PARTITION BY flag
+                                      ORDER BY hk, v) AS rn
             FROM h
         ) WHERE rn <= {PCTK_K}
     ),
@@ -1259,7 +1260,7 @@ PCTK_K = 256
         SELECT flag, list_sort(list(v)) AS arr, count(*) AS n
         FROM keep GROUP BY flag
     )
-    SELECT flag, q.q AS q_pct, CAST(n AS BIGINT) AS n_sample,
+    SELECT flag, CAST(q.q AS BIGINT) AS q_pct, CAST(n AS BIGINT) AS n_sample,
            arr[((n - 1) * q.q) // 100 + 1] AS est
     FROM s, (SELECT unnest([20, 50, 80]) AS q) q
     """,
@@ -1309,7 +1310,14 @@ def agg_percentile_sketch_portable(spark, sf_dir):
         F.col("l_extendedprice").alias("v"),
         hk.alias("hk"),
     )
-    w = Window.partitionBy("flag").orderBy("hk")
+    # ORDER BY (hk, v), not hk alone: the corpus contains duplicate
+    # (l_orderkey, l_linenumber) rows, so hk has ~5k ties at sf0.01 —
+    # a tie group straddling the k-boundary makes row_number's pick
+    # engine- AND run-nondeterministic (the REAL cause of the r13
+    # official hash-fail; it passed locally because the flake needs a
+    # tie at the boundary). Adding v gives a total order over kept
+    # MULTISETS: rows identical in (flag, hk, v) are interchangeable.
+    w = Window.partitionBy("flag").orderBy("hk", "v")
     keep = (
         base.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= PCTK_K)
@@ -1319,7 +1327,11 @@ def agg_percentile_sketch_portable(spark, sf_dir):
         F.sort_array(F.collect_list("v")).alias("arr"),
         F.count(F.lit(1)).alias("n"),
     )
-    qs = F.explode(F.array(*[F.lit(q) for q in (20, 50, 80)]))
+    # BIGINT, not the int32 F.lit default: int32 output columns are the
+    # documented driver-canonicalizer FAIL class (r13's one red row).
+    qs = F.explode(
+        F.array(*[F.lit(q).cast("bigint") for q in (20, 50, 80)])
+    )
     return s.select("flag", qs.alias("q_pct"), "arr", "n").select(
         "flag",
         "q_pct",
@@ -1327,4 +1339,143 @@ def agg_percentile_sketch_portable(spark, sf_dir):
         F.expr(
             "element_at(arr, CAST(((n - 1) * q_pct) div 100 AS INT) + 1)"
         ).alias("est"),
+    )
+
+
+@query(
+    "agg_percentile_sketch_union",
+    oracle=f"""
+    WITH h AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS v,
+               l_orderkey % 2 AS shard,
+               ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                                   CAST(l_linenumber AS VARCHAR)), 1, 15)
+               )::BIGINT AS hk
+        FROM lineitem
+    ),
+    skeep AS (
+        SELECT flag, v, hk FROM (
+            SELECT flag, v, hk,
+                   row_number() OVER (PARTITION BY flag, shard
+                                      ORDER BY hk, v) AS rn
+            FROM h
+        ) WHERE rn <= {PCTK_K}
+    ),
+    merged AS (
+        SELECT flag, v FROM (
+            SELECT flag, v,
+                   row_number() OVER (PARTITION BY flag
+                                      ORDER BY hk, v) AS rn
+            FROM skeep
+        ) WHERE rn <= {PCTK_K}
+    ),
+    direct AS (
+        SELECT flag, v FROM (
+            SELECT flag, v,
+                   row_number() OVER (PARTITION BY flag
+                                      ORDER BY hk, v) AS rn
+            FROM h
+        ) WHERE rn <= {PCTK_K}
+    ),
+    ms AS (
+        SELECT flag, list_sort(list(v)) AS arr, count(*) AS n
+        FROM merged GROUP BY flag
+    ),
+    ds AS (
+        SELECT flag, list_sort(list(v)) AS arr, count(*) AS n
+        FROM direct GROUP BY flag
+    )
+    SELECT ms.flag, CAST(q.q AS BIGINT) AS q_pct,
+           ms.arr[((ms.n - 1) * q.q) // 100 + 1] AS est_merged,
+           ds.arr[((ds.n - 1) * q.q) // 100 + 1] AS est_direct,
+           ms.arr[((ms.n - 1) * q.q) // 100 + 1]
+               = ds.arr[((ds.n - 1) * q.q) // 100 + 1] AS lossless_merge
+    FROM ms JOIN ds ON ms.flag = ds.flag,
+         (SELECT unnest([20, 50, 80]) AS q) q
+    """,
+)
+def agg_percentile_sketch_union(spark, sf_dir):
+    """KMV-quantile MERGEABILITY, hash-pinned — the quantile analogue
+    of agg_hll_portable_union (r13 verdict #8, proof shape from
+    sample_bottom_k_sketch): rows split into two shards (l_orderkey
+    parity — the distributed-partial shape), each shard keeps its own
+    bottom-{PCTK_K} sample per group, the shard partials UNION and
+    re-cut to the {PCTK_K} smallest, and the percentile estimated from
+    the merged sample must equal the single-pass estimate EXACTLY.
+    Why that holds: every member of the group's global bottom-k is by
+    definition within its own shard's bottom-k, so the re-cut union
+    loses nothing — the same combine-on-any-tree-shape property that
+    makes KLL/t-digest partials work as distributed aggregation state
+    at 100 TB. Both estimates and the equality flag are in the hashed
+    output, so 'lossless' is oracle-verified, not asserted.
+
+    Ordering is (hk, v) on BOTH cuts and BOTH engines — the corpus has
+    duplicate (l_orderkey, l_linenumber) rows, so hk alone has ties
+    and a boundary-straddling tie makes the kept set nondeterministic
+    (the r13 agg_percentile_sketch_portable hash-fail, fixed r14)."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    hk = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = t.lineitem.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+        (F.col("l_orderkey") % 2).alias("shard"),
+        hk.alias("hk"),
+    )
+    w_shard = Window.partitionBy("flag", "shard").orderBy("hk", "v")
+    w_flag = Window.partitionBy("flag").orderBy("hk", "v")
+
+    def cut(df, w):
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= PCTK_K)
+            .drop("rn")
+        )
+
+    skeep = cut(base, w_shard).select("flag", "v", "hk")
+    merged = cut(skeep, w_flag).select("flag", "v")
+    direct = cut(base, w_flag).select("flag", "v")
+
+    def sample(df, est_name):
+        s = df.groupBy("flag").agg(
+            F.sort_array(F.collect_list("v")).alias("arr"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        qs = F.explode(
+            F.array(*[F.lit(q).cast("bigint") for q in (20, 50, 80)])
+        )
+        return s.select("flag", qs.alias("q_pct"), "arr", "n").select(
+            "flag",
+            "q_pct",
+            F.expr(
+                "element_at(arr, CAST(((n - 1) * q_pct) div 100 AS INT)"
+                " + 1)"
+            ).alias(est_name),
+        )
+
+    m = sample(merged, "est_merged")
+    d = sample(direct, "est_direct")
+    return m.join(d, ["flag", "q_pct"]).select(
+        "flag",
+        "q_pct",
+        "est_merged",
+        "est_direct",
+        (F.col("est_merged") == F.col("est_direct")).alias(
+            "lossless_merge"
+        ),
     )

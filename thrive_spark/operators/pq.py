@@ -161,6 +161,8 @@ def sim_knn_pq(spark, sf_dir):
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
     )
-    return pairs.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= TOP_K
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .withColumn("rn", F.col("rn").cast("bigint"))
     )

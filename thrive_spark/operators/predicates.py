@@ -18,7 +18,7 @@ from ._util import r4
 @query(
     "project_select_rename",
     oracle="""
-    SELECT l_orderkey, l_linenumber,
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
            l_quantity AS qty,
            round(l_extendedprice * (1 - l_discount), 4) AS net_price
     FROM lineitem
@@ -29,7 +29,7 @@ def project_select_rename(spark, sf_dir):
     t = Tables(spark, sf_dir)
     return t.lineitem.select(
         "l_orderkey",
-        "l_linenumber",
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
         F.col("l_quantity").alias("qty"),
         r4(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
     )
@@ -40,8 +40,9 @@ def project_select_rename(spark, sf_dir):
     oracle="""
     SELECT o_orderkey,
            CAST(o_orderkey AS VARCHAR) AS key_str,
-           TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
-           TRY_CAST(o_orderpriority AS INTEGER) AS bad_int,
+           CAST(TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS BIGINT)
+               AS prio_num,
+           CAST(TRY_CAST(o_orderpriority AS INTEGER) AS BIGINT) AS bad_int,
            CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
            CAST(CAST(o_orderkey AS INTEGER) AS DOUBLE) AS key_dbl,
            TRY_CAST('not-a-date' AS TIMESTAMP) AS bad_ts
@@ -54,8 +55,11 @@ def project_cast_matrix(spark, sf_dir):
     return t.orders.select(
         "o_orderkey",
         F.col("o_orderkey").cast("string").alias("key_str"),
-        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_num"),
-        F.col("o_orderpriority").try_cast("int").alias("bad_int"),
+        F.substring("o_orderpriority", 1, 1)
+        .try_cast("int")
+        .cast("bigint")
+        .alias("prio_num"),
+        F.col("o_orderpriority").try_cast("int").cast("bigint").alias("bad_int"),
         F.col("o_orderdate").cast("date").cast("string").alias("order_date"),
         F.col("o_orderkey").cast("int").cast("double").alias("key_dbl"),
         F.lit("not-a-date").try_cast("timestamp").alias("bad_ts"),
@@ -65,7 +69,8 @@ def project_cast_matrix(spark, sf_dir):
 @query(
     "filter_simple_pred",
     oracle="""
-    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           l_quantity, l_extendedprice
     FROM lineitem WHERE l_quantity > 30
     """,
 )
@@ -73,7 +78,10 @@ def filter_simple_pred(spark, sf_dir):
     """Single comparison predicate pushed to the parquet scan."""
     t = Tables(spark, sf_dir)
     return t.lineitem.filter(F.col("l_quantity") > 30).select(
-        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        "l_quantity",
+        "l_extendedprice",
     )
 
 
@@ -157,9 +165,15 @@ def filter_like_regex(spark, sf_dir):
 
 @query(
     "distinct_rows",
-    oracle="SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+    oracle="""SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                     c_mktsegment FROM customer""",
 )
 def distinct_rows(spark, sf_dir):
     """dropDuplicates over a 2-column projection (DISTINCT exhibit)."""
     t = Tables(spark, sf_dir)
-    return t.customer.select("c_nationkey", "c_mktsegment").dropDuplicates()
+    return (
+        t.customer.select(
+            F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+            "c_mktsegment",
+        ).dropDuplicates()
+    )

@@ -79,7 +79,8 @@ def sort_nulls_first_last(spark, sf_dir):
 @query(
     "topk_global",
     oracle="""
-    SELECT l_orderkey, l_linenumber, l_extendedprice
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           l_extendedprice
     FROM lineitem
     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
     LIMIT 20
@@ -89,7 +90,11 @@ def topk_global(spark, sf_dir):
     """Global top-20 by price via orderBy+limit (TakeOrderedAndProject exhibit)."""
     t = Tables(spark, sf_dir)
     return (
-        t.lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        t.lineitem.select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+            "l_extendedprice",
+        )
         .orderBy(
             F.col("l_extendedprice").desc(),
             F.col("l_orderkey"),

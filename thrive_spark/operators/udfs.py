@@ -53,7 +53,7 @@ def udf_python_scalar(spark, sf_dir):
 @query(
     "udf_pandas_scalar",
     oracle="""
-    SELECT l_orderkey, l_linenumber,
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
            round(l_extendedprice * (1 - l_discount), 4) AS net_price
     FROM lineitem
     """,
@@ -69,7 +69,7 @@ def udf_pandas_scalar(spark, sf_dir):
 
     return t.lineitem.select(
         "l_orderkey",
-        "l_linenumber",
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
         F.round(net("l_extendedprice", "l_discount"), 4).alias("net_price"),
     )
 

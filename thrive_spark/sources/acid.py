@@ -1362,7 +1362,7 @@ def acid_stream_ingest(spark, sf_dir):  # noqa: ARG001 — feed is synthetic
     # v1: the table must exist before the first foreachBatch append
     # rebases onto it — create an empty snapshot with the row schema
     schema = (
-        "partition_id int, offset long, event_id long, ts_us long, "
+        "partition_id long, offset long, event_id long, ts_us long, "
         "user_id long, event_type string, value double"
     )
     tbl.create(spark.createDataFrame([], schema))

@@ -58,7 +58,7 @@ from ..operators._util import dsum, osum
 from ..registry import query
 
 SCHEMA = (
-    "partition_id int, offset bigint, event_id bigint, ts_us bigint, "
+    "partition_id bigint, offset bigint, event_id bigint, ts_us bigint, "
     "user_id bigint, event_type string, value double"
 )
 _FIELDS = ("event_id", "ts_us", "user_id", "event_type", "value")
@@ -78,6 +78,34 @@ def _load_remap(root: str, p: int) -> tuple[int, dict[int, int]]:
     with open(path) as f:
         j = json.load(f)
     return int(j["shrink"]), {int(k): int(v) for k, v in j["map"].items()}
+
+
+def _stable_cap(root: str) -> dict | None:
+    """Last-STABLE-offset cap (r13 advice): a produce intent whose
+    batchId never reached the producer ledger marks the log tail past
+    its recorded ends as UNCOMMITTED — either a mid-produce crash
+    (recovery will truncate it at the next commit()) or a produce in
+    flight right now. Read-side offset planning must stop at those
+    ends, or a reader racing the crash consumes rows that recovery
+    then rolls back, leaving its consumer checkpoint pointing past the
+    log end. Returns {partition: logical_end} or None when the whole
+    log is stable — the read_committed isolation level of a real
+    broker's transactional producer."""
+    intent = os.path.join(root, "_produce_intent.json")
+    try:
+        with open(intent) as f:
+            j = json.load(f)
+    except FileNotFoundError:
+        return None
+    ledger = os.path.join(root, "_produced_batches.json")
+    try:
+        with open(ledger) as f:
+            done = json.load(f)
+    except FileNotFoundError:
+        done = []
+    if j["batchId"] in done:
+        return None  # ledger landed; the tail is committed
+    return {str(k): int(v) for k, v in j["ends"].items()}
 
 
 def _phys(root: str, p: int, o: int) -> int:
@@ -132,10 +160,14 @@ class BrokerLog:
                 f.write(f"{end + shrink}\n".encode())
 
     def end_offsets(self) -> dict:
+        cap = _stable_cap(self.root)
         out = {}
         for p in range(self.n_partitions):
             shrink, _ = _load_remap(self.root, p)
-            out[str(p)] = os.path.getsize(self._path(p, ".log")) + shrink
+            end = os.path.getsize(self._path(p, ".log")) + shrink
+            if cap is not None:
+                end = min(end, cap.get(str(p), 0))
+            out[str(p)] = end
         return out
 
     def truncate_to(self, ends: dict) -> None:
@@ -333,8 +365,11 @@ class BrokerStreamReader(DataSourceStreamReader):
             with open(commits_path) as f:
                 committed = json.load(f)
         out = {}
+        cap = _stable_cap(self.root)
         for p in range(self.n_partitions):
             segs = self._segments(p)
+            if cap is not None:  # read_committed: stop at stable ends
+                segs = [s for s in segs if s <= cap.get(str(p), 0)]
             end = segs[-1] if segs else 0
             if self.max_segs:
                 cur = max(
