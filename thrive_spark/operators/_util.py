@@ -158,7 +158,10 @@ def unit_rows(x):
     return out
 
 
-def fan_out(df, target: int | None = None):
+_FAN_OUT_NPART_CACHE: dict = {}
+
+
+def fan_out(df, target: int | None = None, cache_key=None):
     """Widen a NARROW scan to the session's core count before a heavy
     per-row map stage (r13). A small or single parquet file arrives as
     ONE input split, serializing md5/shingle/fold compute through one
@@ -168,11 +171,24 @@ def fan_out(df, target: int | None = None):
     projected columns, so call it only in front of map work that
     dominates that shuffle (per-shingle hashing, signature folds,
     tokenizer passes). Explicit-N repartition is deliberately used:
-    AQE would coalesce a small hash-shuffle back to one partition."""
+    AQE would coalesce a small hash-shuffle back to one partition.
+
+    The ``df.rdd.getNumPartitions()`` probe is a driver-side physical
+    planning pass on every call; pass ``cache_key`` (e.g.
+    ``(sf_dir, "documents")``) to memoize the measured split count per
+    immutable input — the same per-input pattern as llm._FANOUT_CACHE
+    (r13 verdict #7). Keyless calls probe every time, unchanged."""
     if df.isStreaming:  # .rdd is illegal on a streaming DF; micro-
         return df       # batch sizing is the engine's job anyway
     sc = df.sparkSession.sparkContext
     n = target or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
+    cur = (
+        _FAN_OUT_NPART_CACHE.get(cache_key) if cache_key is not None else None
+    )
+    if cur is None:
+        cur = df.rdd.getNumPartitions()
+        if cache_key is not None:
+            _FAN_OUT_NPART_CACHE[cache_key] = cur
+    if cur < n:
         df = df.repartition(n)
     return df

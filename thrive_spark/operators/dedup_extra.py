@@ -89,7 +89,10 @@ def dedup_simhash(spark, sf_dir):
     # oracle's unnest drops them naturally, and without this filter the
     # fold gives them all simhash=0, pairing every empty doc with every
     # other (flushed by the r10 stress corpus)
-    sig = fan_out(t.documents.select("doc_id", "text")).filter(
+    sig = fan_out(
+        t.documents.select("doc_id", "text"),
+        cache_key=(sf_dir, "documents"),
+    ).filter(
         F.expr("size(filter(split(text, ' '), t -> t != '')) > 0")
     ).select(
         "doc_id",
@@ -1529,7 +1532,7 @@ def dedup_incremental_minhash(spark, sf_dir):
             F.expr("(4 * max(doc_id)) div 5").alias("v")
         )
     )
-    sh, bands = _mhp_sig_bands(docs)
+    sh, bands = _mhp_sig_bands(docs, fan_key=(sf_dir, "documents"))
     b = bands.crossJoin(F.broadcast(split))
     new_b = b.filter(F.col("doc_id") >= F.col("v")).select(
         F.col("doc_id").alias("new_id"), "band", "key"
@@ -1569,7 +1572,7 @@ def _bucketed_probe(spark, sf_dir, prefix="thrive_lsh"):
     t = Tables(spark, sf_dir)
     docs = t.documents
     split = docs.agg(F.expr("(4 * max(doc_id)) div 5").alias("v"))
-    sh, bands = _mhp_sig_bands(docs)
+    sh, bands = _mhp_sig_bands(docs, fan_key=(sf_dir, "documents"))
     b = bands.crossJoin(F.broadcast(split))
     new_b = b.filter(F.col("doc_id") >= F.col("v")).select(
         F.col("doc_id").alias("new_id"), "band", "key"
@@ -1643,7 +1646,8 @@ def dedup_incremental_bucketed(spark, sf_dir):
         cleanup()
 
 
-def _mhp_sig_bands(documents, checkpoint=True, carry_sets=False):
+def _mhp_sig_bands(documents, checkpoint=True, carry_sets=False,
+                   fan_key=None):
     """Shared engine-portable MinHash pipeline: documents → (sh, bands).
 
     ``sh`` is (doc_id, s: array<long>) of distinct md5-conv 60-bit
@@ -1665,9 +1669,9 @@ def _mhp_sig_bands(documents, checkpoint=True, carry_sets=False):
     # fan_out: a single-split documents scan would serialize the
     # md5-per-shingle map through one core (r13; no-op on streaming
     # DFs and on inputs that already arrive in ≥cores splits)
-    d = fan_out(documents.select("doc_id", "text")).select(
-        "doc_id", tk.alias("tk")
-    )
+    d = fan_out(
+        documents.select("doc_id", "text"), cache_key=fan_key
+    ).select("doc_id", tk.alias("tk"))
     n3 = F.greatest(F.size("tk") - 2, F.lit(0))
     tri = F.zip_with(
         F.zip_with(
@@ -1805,7 +1809,9 @@ def dedup_minhash_portable(spark, sf_dir):
     ARRAY domain per row (zip_with 3-gram build, no explode before
     the band projection); the band join shuffles (doc_id, band, key)
     only; hashed-shingle sets travel only for banded candidates."""
-    sh, bands = _mhp_sig_bands(Tables(spark, sf_dir).documents)
+    sh, bands = _mhp_sig_bands(
+        Tables(spark, sf_dir).documents, fan_key=(sf_dir, "documents")
+    )
     cand = (
         bands.alias("a")
         .join(

@@ -158,9 +158,10 @@ def dedup_fuzzy_minhash(spark, sf_dir):
     # minhash map stage through a single core — fan_out widens it to
     # the session's parallelism (no-op once the input has ≥cores
     # splits). Measured 2.2 s → 1.1 s at sf0.1.
-    d = fan_out(t.documents.select("doc_id", "text")).select(
-        "doc_id", tk.alias("tk")
-    )
+    d = fan_out(
+        t.documents.select("doc_id", "text"),
+        cache_key=(sf_dir, "documents"),
+    ).select("doc_id", tk.alias("tk"))
     n3 = F.greatest(F.size("tk") - 2, F.lit(0))
     # positional 3-grams via zip_with over slices — NEVER element_at
     # over a computed array inside a lambda (CollapseProject re-inline
