@@ -290,3 +290,57 @@ def test_delta_stream_partition_values_cast(spark, tmp_path):
     q.stop()
     got = {(r.k, r.bucket, r.p) for r in spark.sql("SELECT * FROM t_dspv").collect()}
     assert got == {(1, 7, 10.0), (2, 8, 20.0)}
+
+
+def test_delta_stream_restart_after_cleanup_gap(spark, tmp_path):
+    """r13 advice: a consumer whose committed offset was cleaned up
+    (cleanup_log outran it — its JSON gone, no checkpoint at or below
+    it) must NOT spin on an unreconstructible-version error forever.
+    Default: a clean, actionable refusal. With allowoffsetgaps=true:
+    resume from the nearest log checkpoint ≥ the committed version,
+    knowingly skipping rows added in the gap, then stream new commits
+    normally."""
+    from thrive_spark.streaming.delta_source import register
+
+    root = str(tmp_path / "d")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    tbl = DeltaLiteTable(spark, root)
+    tbl.create(spark.createDataFrame([(1, 10.0)], "k int, p double"))
+    register(spark)
+
+    def drain(**opts):
+        r = spark.readStream.format("thrive_delta").option("path", root)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        q = (
+            r.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain()  # committed offset = version 0
+    assert sorted(r.k for r in spark.read.parquet(out).collect()) == [1]
+    # gap rows the consumer never saw; then cleanup outruns its offset
+    tbl.append(spark.createDataFrame([(2, 20.0)], "k int, p double"))
+    tbl.append(spark.createDataFrame([(3, 30.0)], "k int, p double"))
+    assert tbl.checkpoint() == 2
+    assert tbl.cleanup_log() == 3  # v0..v2 JSONs gone
+    # default: refuse with the operational hint, not a silent skip
+    try:
+        drain()
+        raise AssertionError("unreconstructible offset must raise")
+    except Exception as e:  # noqa: BLE001 — streaming wraps ValueError
+        assert "allowoffsetgaps" in str(e)
+        assert "cleanup_log" in str(e)
+    # opt-in: catch up at the checkpoint (k=2,3 skipped — documented),
+    # and fresh commits stream through afterwards
+    drain(allowoffsetgaps="true")
+    assert sorted(r.k for r in spark.read.parquet(out).collect()) == [1]
+    tbl.append(spark.createDataFrame([(4, 40.0)], "k int, p double"))
+    drain(allowoffsetgaps="true")
+    assert sorted(r.k for r in spark.read.parquet(out).collect()) == [1, 4]

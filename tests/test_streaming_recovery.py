@@ -271,7 +271,7 @@ def test_broker_to_acid_kill_resume_exactly_once(spark, sf_dir, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     tbl = ThriveTable(spark, str(tmp_path / "table"))
     schema = (
-        "partition_id int, offset long, event_id long, ts_us long, "
+        "partition_id long, offset long, event_id long, ts_us long, "
         "user_id long, event_type string, value double"
     )
     tbl.create(spark.createDataFrame([], schema))
@@ -574,13 +574,30 @@ def test_broker_sink_crash_between_produce_and_ledger(tmp_path):
         _json.dump({"batchId": 1, "ends": ends_after_b0}, f)
     os.replace(w._intent() + ".tmp", w._intent())
     log.produce(rows("b1", 6))  # the orphan (uncommitted) append
-    orphan_ends = log.end_offsets()
+    # r13 advice: while the intent is uncommitted, read-side planning
+    # must NOT see the orphan tail (read_committed) — end_offsets caps
+    # at the intent's recorded pre-produce ends
+    assert log.end_offsets() == ends_after_b0
+    orphan_phys = {
+        p: os.path.getsize(os.path.join(root, f"p{p}.log"))
+        for p in range(2)
+    }
 
     # replayed epoch 1: recovery must truncate the orphan, then the
     # re-produce lands exactly once
     w.commit([stage(rows("b1", 6))], 1)
     final_ends = log.end_offsets()
-    assert final_ends == orphan_ends  # same bytes, appended ONCE
+    # same bytes as the orphan append, landed ONCE — and with the
+    # intent cleared the full log is stable (visible) again
+    assert {
+        p: os.path.getsize(os.path.join(root, f"p{p}.log"))
+        for p in range(2)
+    } == orphan_phys
+    assert all(
+        final_ends[str(p)] > ends_after_b0[str(p)]
+        for p in range(2)
+        if orphan_phys[p] > 0
+    )
     assert not os.path.exists(w._intent())
     # every record appears exactly once across both partitions
     seen = []
@@ -601,3 +618,54 @@ def test_broker_sink_crash_between_produce_and_ledger(tmp_path):
     w.commit([stage(rows("b1", 6))], 1)
     assert log.end_offsets() == final_ends
     assert not os.path.exists(w._intent())
+
+
+def test_broker_reader_ignores_uncommitted_tail(tmp_path):
+    """r13 advice: between a mid-produce crash and the writer's next
+    commit() (where intent recovery truncates the orphan), a reader
+    planning offsets must not consume the uncommitted tail — otherwise
+    its consumer checkpoint ends up pointing PAST the post-recovery
+    log end. latestOffset/end_offsets stop at the intent's recorded
+    stable ends; once the ledger marks the batch committed, the cap
+    lifts without waiting for the intent unlink."""
+    import json as _json
+
+    from thrive_spark.streaming.broker import (
+        BrokerLog,
+        BrokerStreamReader,
+        BrokerStreamWriter,
+    )
+
+    root = str(tmp_path / "log")
+    w = BrokerStreamWriter({"path": root, "partitions": "2"})
+    log = BrokerLog(root, n_partitions=2)
+
+    def rows(tag, n):
+        return [
+            {"event_id": i, "ts_us": i, "user_id": i,
+             "event_type": tag, "value": 1.0}
+            for i in range(n)
+        ]
+
+    log.produce(rows("stable", 4))
+    stable = log.end_offsets()
+
+    # mid-produce crash: intent present (batchId 7 not in ledger),
+    # orphan bytes + idx boundaries already appended
+    with open(w._intent() + ".tmp", "w") as f:
+        _json.dump({"batchId": 7, "ends": stable}, f)
+    os.replace(w._intent() + ".tmp", w._intent())
+    log.produce(rows("orphan", 6))
+
+    rdr = BrokerStreamReader({"path": root})
+    assert rdr.latestOffset() == stable
+    assert log.end_offsets() == stable
+
+    # ledger landing (commit completed, intent unlink racing) lifts
+    # the cap: the tail is committed even while the intent file exists
+    with open(os.path.join(root, "_produced_batches.json"), "w") as f:
+        _json.dump([7], f)
+    lifted = rdr.latestOffset()
+    assert all(
+        lifted[str(p)] >= stable[str(p)] for p in range(2)
+    ) and lifted != stable

@@ -288,10 +288,23 @@ class DeltaLiteTable:
 
         st = self.state(version)
         v = st["version"]
+        # full spec metaData shape (r13 advice): format + configuration
+        # are required fields — a real delta-spark reader rejects a
+        # checkpoint-only table whose metaData row omits them, which is
+        # exactly the post-cleanup_log state where ONLY this row exists
+        def _pairs(x):  # pyarrow map_ wants key/value pair lists
+            return list(x.items()) if isinstance(x, dict) else list(x or [])
+
+        fmt = st["meta"].get("format") or {}
         meta_row = {
             "id": st["meta"].get("id", ""),
+            "format": {
+                "provider": fmt.get("provider", "parquet"),
+                "options": _pairs(fmt.get("options")),
+            },
             "schemaString": st["meta"]["schemaString"],
             "partitionColumns": st["meta"].get("partitionColumns", []),
+            "configuration": _pairs(st["meta"].get("configuration")),
         }
         proto_row = {"minReaderVersion": 1, "minWriterVersion": 2}
         rows = [
@@ -323,9 +336,16 @@ class DeltaLiteTable:
                 ])),
                 pa.field("metaData", pa.struct([
                     pa.field("id", pa.string()),
+                    pa.field("format", pa.struct([
+                        pa.field("provider", pa.string()),
+                        pa.field("options",
+                                 pa.map_(pa.string(), pa.string())),
+                    ])),
                     pa.field("schemaString", pa.string()),
                     pa.field("partitionColumns",
                              pa.list_(pa.string())),
+                    pa.field("configuration",
+                             pa.map_(pa.string(), pa.string())),
                 ])),
                 pa.field("protocol", pa.struct([
                     pa.field("minReaderVersion", pa.int32()),

@@ -173,6 +173,9 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.ignore_changes = (
             str(options.get("ignorechanges", "false")).lower() == "true"
         )
+        self.allow_offset_gaps = (
+            str(options.get("allowoffsetgaps", "false")).lower() == "true"
+        )
         self.schema = schema
         meta = _latest_meta(self.root)
         self.part_cols = meta.get("partitionColumns", [])
@@ -192,9 +195,37 @@ class DeltaStreamReader(DataSourceStreamReader):
         sv, ev = int(start["version"]), int(end["version"])
         jsons = set(_json_versions(self.root))
         parts: list[InputPartition] = []
-        prev: dict[str, dict] = (
-            _fold_live(self.root, sv) if sv >= 0 else {}
-        )
+        # Restart hole (r13 advice): if cleanup_log ran after the
+        # engine committed sv and sv sits BELOW the newest checkpoint
+        # (its JSON gone, no checkpoint ≤ sv), state(sv) is gone
+        # forever and the stream would raise on every retry. Default
+        # is to keep raising — cleanup_log must not outrun consumer
+        # offsets, and silently skipping committed-but-unread versions
+        # is data loss. With allowoffsetgaps=true we catch up at the
+        # NEAREST checkpoint ≥ sv instead: its full state becomes
+        # `prev`, so only files added AFTER it are emitted, and any
+        # rows added in (sv, checkpoint] are knowingly skipped.
+        try:
+            prev: dict[str, dict] = (
+                _fold_live(self.root, sv) if sv >= 0 else {}
+            )
+        except ValueError:
+            cps_ge = [c for c in _checkpoints(self.root) if c >= sv]
+            if not (self.allow_offset_gaps and cps_ge):
+                raise ValueError(
+                    f"delta stream: committed start version {sv} is no "
+                    "longer reconstructible (cleanup_log removed its "
+                    "commits). Either re-create the query checkpoint, "
+                    "or set allowoffsetgaps=true to resume from the "
+                    "nearest log checkpoint — rows added between the "
+                    "committed offset and that checkpoint will be "
+                    "SKIPPED. Operationally: cleanup_log must not "
+                    "outrun consumer offsets."
+                ) from None
+            sv = cps_ge[0]
+            prev, _meta = _checkpoint_adds(self.root, sv)
+            if sv >= ev:
+                return [InputPartition((None, [], [], {}))]
 
         def emit(cur: dict, label: int) -> None:
             removed = set(prev) - set(cur)
