@@ -205,6 +205,10 @@ GRADE_DEFER = [
     "agg_percentile_sketch_portable",
     "scan_delta_checkpoint",
     "scan_delta_stream",
+    # r14 registrations
+    "scan_iceberg_log_table",
+    "scan_iceberg_partition_prune",
+    "agg_percentile_sketch_union",
 ]
 
 

@@ -70,6 +70,9 @@ HEADLINE = [
     # earlier (26 -> 28 queries); compare per-query.
     "dedup_incremental_minhash",  # corpus-probe ingest dedup (r10)
     "split_dedup_safe",        # leakage-safe split manifest (r10)
+    # r14 addition (verdict #9): lakehouse interop gets a tracked warm
+    # number — suite total not comparable to BENCH_r13 (29 -> 30).
+    "scan_delta_log_table",    # Delta log fold + 3-version time travel
 ]
 
 

@@ -1,0 +1,223 @@
+"""Jar-free Iceberg reader (sources/iceberg_lite.py) + the pure-Python
+Avro codec under it (sources/avro_lite.py) — mirrors
+tests/test_delta_lite.py's strategy: construct genuine spec trees,
+read them back through real scan planning, pin the spec behaviors
+(by-reference manifest carry, status fold, metadata-resident pruning,
+honest guards on out-of-scope features)."""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+import pytest
+
+from thrive_spark.sources.avro_lite import (
+    _Reader,
+    _zigzag,
+    read_container,
+    write_container,
+)
+from thrive_spark.sources.iceberg_lite import IcebergLiteTable
+
+
+# ---------- avro_lite ----------
+
+def test_zigzag_known_vectors():
+    """Spec-pinned zigzag varints (Avro spec 'Binary Encoding'):
+    0→00, -1→01, 1→02, -2→03, 2→04, -64→7f, 64→80 01."""
+    vectors = {0: b"\x00", -1: b"\x01", 1: b"\x02", -2: b"\x03",
+               2: b"\x04", -64: b"\x7f", 64: b"\x80\x01",
+               2**40: b"\x80\x80\x80\x80\x80\x40"}
+    for n, b in vectors.items():
+        assert _zigzag(n) == b, n
+        assert _Reader(b).long() == n
+
+
+def test_container_roundtrip_all_types(tmp_path):
+    schema = {
+        "type": "record", "name": "t", "fields": [
+            {"name": "b", "type": "boolean"},
+            {"name": "l", "type": "long"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "by", "type": "bytes"},
+            {"name": "u", "type": ["null", "long"], "default": None},
+            {"name": "arr", "type": {"type": "array", "items": "string"}},
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+            {"name": "fx", "type": {"type": "fixed", "name": "f4",
+                                    "size": 4}},
+            {"name": "e", "type": {"type": "enum", "name": "E",
+                                   "symbols": ["X", "Y"]}},
+        ],
+    }
+    rows = [
+        {"b": True, "l": -(2**62), "d": 3.5, "s": "héllo", "by": b"\x00\xff",
+         "u": None, "arr": ["a", ""], "m": {"k1": 1, "k2": -2},
+         "fx": b"abcd", "e": "Y"},
+        {"b": False, "l": 0, "d": -0.0, "s": "", "by": b"",
+         "u": 7, "arr": [], "m": {}, "fx": b"\x00\x00\x00\x00", "e": "X"},
+    ]
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / f"t_{codec}.avro")
+        write_container(p, schema, rows, codec=codec)
+        got, sch, meta = read_container(p)
+        assert got == rows
+        assert sch == schema
+        assert meta["avro.codec"] == codec.encode()
+
+
+def test_container_rejects_garbage(tmp_path):
+    p = str(tmp_path / "bad.avro")
+    with open(p, "wb") as f:
+        f.write(b"PAR1 not avro")
+    with pytest.raises(ValueError, match="not an Avro"):
+        read_container(p)
+
+
+def test_named_type_reference_resolves(tmp_path):
+    """A schema that refers to an earlier named record BY NAME (the
+    shape Iceberg uses for repeated struct types)."""
+    schema = {
+        "type": "record", "name": "outer", "fields": [
+            {"name": "a", "type": {"type": "record", "name": "pt",
+                                   "fields": [{"name": "x",
+                                               "type": "long"}]}},
+            {"name": "b", "type": "pt"},
+        ],
+    }
+    rows = [{"a": {"x": 1}, "b": {"x": 2}}]
+    p = str(tmp_path / "n.avro")
+    write_container(p, schema, rows)
+    got, _, _ = read_container(p)
+    assert got == rows
+
+
+# ---------- iceberg_lite ----------
+
+def _mk(spark, tmp_path, name="t"):
+    return IcebergLiteTable(spark, str(tmp_path / name))
+
+
+def test_snapshot_fold_and_time_travel(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    tbl.create(spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k bigint, p double"))
+    sid2 = tbl.append(spark.createDataFrame([(3, 30.0)],
+                                            "k bigint, p double"))
+    sid3 = tbl.delete_where_file_contains("k = 1")
+    assert (sid2, sid3) == (2, 3)
+    assert sorted(r.k for r in tbl.snapshot(1).collect()) == [1, 2]
+    assert sorted(r.k for r in tbl.snapshot(2).collect()) == [1, 2, 3]
+    assert sorted(r.k for r in tbl.snapshot(3).collect()) == [2, 3]
+    assert sorted(r.k for r in tbl.snapshot().collect()) == [2, 3]
+
+
+def test_append_carries_manifests_by_reference(spark, tmp_path):
+    """Spec behavior that keeps planning O(new files): the new
+    snapshot's manifest list must point at the PRIOR manifest file,
+    not rewrite its entries."""
+    from thrive_spark.sources.avro_lite import read_container as rc
+
+    tbl = _mk(spark, tmp_path)
+    tbl.create(spark.createDataFrame([(1, 1.0)], "k bigint, p double"))
+    tbl.append(spark.createDataFrame([(2, 2.0)], "k bigint, p double"))
+    md = tbl.metadata()
+    paths = {}
+    for s in md["snapshots"]:
+        rows, _, _ = rc(os.path.join(tbl.root, s["manifest-list"]))
+        paths[s["snapshot-id"]] = {r["manifest_path"] for r in rows}
+    assert paths[1] <= paths[2]
+    assert len(paths[2]) == len(paths[1]) + 1
+
+
+def test_partition_prune_in_metadata(spark, tmp_path):
+    """Zero non-matching files planned, and the pruning decisions are
+    visible in plan_files' stats: whole manifests skipped via field
+    summaries, remaining files skipped via partition tuples."""
+    tbl = _mk(spark, tmp_path)
+    df = spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(40)],
+        "k bigint, bucket bigint, v double",
+    )
+    tbl.create(df.filter("bucket < 2"), partition_columns=["bucket"])
+    tbl.append(df.filter("bucket >= 2"))
+    files, stats = tbl.plan_files(partition_filter={"bucket": 2})
+    assert files and all(f["partition"]["bucket"] == 2 for f in files)
+    assert stats["manifests_pruned"] >= 1  # the bucket<2 manifest
+    got = tbl.snapshot(partition_filter={"bucket": 2})
+    assert sorted(r.k for r in got.collect()) == [
+        i for i in range(40) if i % 4 == 2
+    ]
+    # partition values come from METADATA, not the data files
+    assert set(r.bucket for r in got.collect()) == {2}
+
+
+def test_string_partition_values(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    df = spark.createDataFrame(
+        [(1, "us", 1.0), (2, "eu", 2.0), (3, "us", 3.0)],
+        "k bigint, region string, v double",
+    )
+    tbl.create(df, partition_columns=["region"])
+    got = tbl.snapshot(partition_filter={"region": "us"})
+    assert sorted(r.k for r in got.collect()) == [1, 3]
+
+
+def test_field_summaries_are_spec_serialized(spark, tmp_path):
+    """Manifest-list lower/upper bounds use Iceberg single-value
+    serialization: 8-byte little-endian for long."""
+    from thrive_spark.sources.avro_lite import read_container as rc
+
+    tbl = _mk(spark, tmp_path)
+    df = spark.createDataFrame(
+        [(i, i % 3, 0.0) for i in range(9)],
+        "k bigint, bucket bigint, v double",
+    )
+    tbl.create(df, partition_columns=["bucket"])
+    md = tbl.metadata()
+    ml = md["snapshots"][-1]["manifest-list"]
+    rows, _, _ = rc(os.path.join(tbl.root, ml))
+    summ = rows[0]["partitions"][0]
+    assert struct.unpack("<q", summ["lower_bound"])[0] == 0
+    assert struct.unpack("<q", summ["upper_bound"])[0] == 2
+    assert summ["contains_null"] is False
+
+
+def test_v2_and_nonidentity_guards(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    tbl.create(spark.createDataFrame([(1, 1.0)], "k bigint, p double"))
+    mpath = tbl._current_metadata_path()
+    with open(mpath) as f:
+        md = json.load(f)
+    md["format-version"] = 2
+    with open(mpath, "w") as f:
+        json.dump(md, f)
+    with pytest.raises(NotImplementedError, match="v1"):
+        tbl.snapshot()
+    md["format-version"] = 1
+    md["partition-specs"][0]["fields"] = [
+        {"name": "k_bucket", "transform": "bucket[16]",
+         "source-id": 1, "field-id": 1000}
+    ]
+    with open(mpath, "w") as f:
+        json.dump(md, f)
+    with pytest.raises(NotImplementedError, match="transform"):
+        tbl.snapshot()
+
+
+def test_metadata_json_is_spec_shaped(spark, tmp_path):
+    tbl = _mk(spark, tmp_path)
+    tbl.create(spark.createDataFrame([(1, 1.0)], "k bigint, p double"))
+    with open(tbl._current_metadata_path()) as f:
+        md = json.load(f)
+    for key in ("format-version", "table-uuid", "location", "schema",
+                "partition-specs", "default-spec-id",
+                "current-snapshot-id", "snapshots", "last-column-id"):
+        assert key in md, key
+    snap = md["snapshots"][0]
+    for key in ("snapshot-id", "timestamp-ms", "manifest-list", "summary"):
+        assert key in snap, key
+    # schema fields carry ids (the spec's column-identity mechanism)
+    assert all("id" in f for f in md["schema"]["fields"])

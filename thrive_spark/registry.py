@@ -71,6 +71,7 @@ def load_all() -> None:
         acid,
         delta_lite,
         formats,
+        iceberg_lite,
         maintenance,
         pipeline,
         pyds,
