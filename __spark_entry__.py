@@ -209,6 +209,7 @@ GRADE_DEFER = [
     "scan_iceberg_log_table",
     "scan_iceberg_partition_prune",
     "agg_percentile_sketch_union",
+    "scan_delta_deletion_vectors",
 ]
 
 

@@ -228,6 +228,21 @@ class DeltaStreamReader(DataSourceStreamReader):
                 return [InputPartition((None, [], [], {}))]
 
         def emit(cur: dict, label: int) -> None:
+            # a DV-bearing add — whether a brand-new file or an
+            # existing path RE-ADDED with a bitmap (same path in prev
+            # and cur, so it slips both set-difference checks) — means
+            # rows were deleted; emitting the file would resurrect them
+            dvd = [
+                p for p in cur
+                if cur[p].get("deletionVector") and cur[p] != prev.get(p)
+            ]
+            if dvd:
+                raise NotImplementedError(
+                    f"delta stream: version {label} adds files with "
+                    "deletion vectors; the streaming source would "
+                    "emit deleted rows — read via "
+                    "DeltaLiteTable.snapshot() instead"
+                )
             removed = set(prev) - set(cur)
             if removed and not self.ignore_changes:
                 raise ValueError(
