@@ -210,6 +210,7 @@ GRADE_DEFER = [
     "scan_iceberg_partition_prune",
     "agg_percentile_sketch_union",
     "scan_delta_deletion_vectors",
+    "scan_avro_files",
 ]
 
 

@@ -45,6 +45,7 @@ ALLOWED_ARROW_PYTHON = {
     "multimodal_image_png",  # PNG deflate/inflate roundtrip, map-only Arrow
     "udf_pandas_window_agg",  # pandas UDF over window frames (slow-path exhibit)
     "multimodal_decode_stub",
+    "scan_avro_files",  # per-file Avro container decode, map-only Arrow
     "multimodal_frame_sample",
     "join_asof_cogroup",
     # r10: small-regime CC is single-pass union-find in ONE Arrow task

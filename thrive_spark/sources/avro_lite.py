@@ -248,9 +248,16 @@ def read_container(path: str) -> tuple[list, dict, dict]:
     bytes-valued); ``avro.schema`` is parsed into ``schema``."""
     with open(path, "rb") as fh:
         data = fh.read()
+    return decode_container(data, label=path)
+
+
+def decode_container(data: bytes, label: str = "<bytes>"):
+    """Decode container BYTES — the executor-side entry point: a
+    distributed Avro scan hands each task whole-file content (the
+    binaryFile source), so decode must not require filesystem access."""
     r = _Reader(data)
     if r.read(4) != MAGIC:
-        raise ValueError(f"{path}: not an Avro object container file")
+        raise ValueError(f"{label}: not an Avro object container file")
     meta: dict[str, bytes] = {}
     while True:
         n = r.long()
@@ -279,7 +286,7 @@ def read_container(path: str) -> tuple[list, dict, dict]:
         for _ in range(n):
             rows.append(_decode(schema, br, names))
         if r.read(16) != sync:
-            raise ValueError(f"{path}: sync marker mismatch")
+            raise ValueError(f"{label}: sync marker mismatch")
     return rows, schema, meta
 
 
@@ -330,3 +337,111 @@ def write_container(
     with open(tmp, "wb") as fh:
         fh.write(out.getvalue())
     os.replace(tmp, path)
+
+
+def _register_scan_avro():
+    """Deferred registration keeps the codec importable standalone."""
+    from pyspark.sql import functions as F
+
+    from ..operators._util import dsum, osum
+    from ..registry import query
+
+    @query(
+        "scan_avro_files",
+        oracle=f"""
+        SELECT o_orderstatus AS status, count(*) AS n_rows,
+               {osum('o_totalprice')} AS sum_price,
+               count(CASE WHEN o_orderkey % 5 != 0
+                          THEN o_orderpriority END) AS n_comment
+        FROM orders WHERE o_orderkey % 13 = 1
+        GROUP BY 1
+        """,
+    )
+    def scan_avro_files(spark, sf_dir):
+        """Avro as a BATCH SOURCE without the spark-avro jar (r13
+        "what's missing" #3): genuine Object Container Files (4 files,
+        alternating null/deflate codecs, a nullable union column) are
+        written by the codec, then read back DISTRIBUTED — the
+        binaryFile source hands each task whole-file bytes and
+        mapInPandas decodes them executor-side (decode_container needs
+        no filesystem), so at scale the decode parallelizes per file
+        exactly like the multimodal codecs. The oracle replays the
+        slice relationally, so the hash verifies encode → container
+        framing → per-codec block decode → union/null handling →
+        distributed re-assembly."""
+        import os
+        import tempfile
+
+        from ..tables import Tables
+        from .acid import _detach_and_cleanup
+
+        t = Tables(spark, sf_dir)
+        rows = (
+            t.orders.filter("o_orderkey % 13 = 1")
+            .select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").alias("p"),
+                F.when(
+                    F.col("o_orderkey") % 5 != 0, F.col("o_orderpriority")
+                ).alias("comment"),  # deterministic NULLs: union branch
+            )
+            # bounded: the %13 slice of the orders dim; a production
+            # writer would emit per-partition via mapPartitions
+            .collect()
+        )
+        schema = {
+            "type": "record",
+            "name": "order_row",
+            "fields": [
+                {"name": "k", "type": "long"},
+                {"name": "status", "type": "string"},
+                {"name": "p", "type": "double"},
+                {"name": "comment", "type": ["null", "string"],
+                 "default": None},
+            ],
+        }
+        root = tempfile.mkdtemp(prefix="thrive_avro_scan_")
+        for i in range(4):
+            write_container(
+                os.path.join(root, f"part-{i}.avro"),
+                schema,
+                [
+                    {"k": r.k, "status": r.status, "p": r.p,
+                     "comment": r.comment}
+                    for r in rows
+                    if r.k % 4 == i
+                ],
+                codec="deflate" if i % 2 else "null",
+            )
+
+        def decode(batches):
+            import pandas as pd
+
+            from thrive_spark.sources.avro_lite import decode_container
+
+            for pdf in batches:
+                for content in pdf["content"]:
+                    recs, _, _ = decode_container(bytes(content))
+                    yield pd.DataFrame(
+                        recs, columns=["k", "status", "p", "comment"]
+                    )
+
+        decoded = (
+            spark.read.format("binaryFile")
+            .load(root)
+            .select("content")
+            .mapInPandas(
+                decode,
+                "k bigint, status string, p double, comment string",
+            )
+        )
+        agg = decoded.groupBy(F.col("status")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("p").alias("sum_price"),
+            F.count("comment").alias("n_comment"),
+        )
+        return _detach_and_cleanup(spark, agg, root)
+
+
+_register_scan_avro()
