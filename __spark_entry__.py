@@ -211,6 +211,7 @@ GRADE_DEFER = [
     "agg_percentile_sketch_union",
     "scan_delta_deletion_vectors",
     "scan_avro_files",
+    "scan_iceberg_stats_prune",
 ]
 
 

@@ -221,3 +221,59 @@ def test_metadata_json_is_spec_shaped(spark, tmp_path):
         assert key in snap, key
     # schema fields carry ids (the spec's column-identity mechanism)
     assert all("id" in f for f in md["schema"]["fields"])
+
+
+def test_column_stats_written_and_spec_serialized(spark, tmp_path):
+    """Manifests carry per-file lower/upper bounds as field-id-keyed
+    byte maps; doubles use Appendix D 8-byte LE IEEE."""
+    tbl = _mk(spark, tmp_path)
+    df = spark.createDataFrame(
+        [(i, float(i) * 1.5) for i in range(100)], "k bigint, p double"
+    )
+    tbl.create(df.repartitionByRange(2, "p").sortWithinPartitions("p"))
+    files, _ = tbl.plan_files()
+    assert len(files) == 2
+    by_id = {f["id"]: f for f in tbl.metadata()["schema"]["fields"]}
+    ranges = []
+    for f in files:
+        lo = {e["key"]: e["value"] for e in f["lower_bounds"]}
+        hi = {e["key"]: e["value"] for e in f["upper_bounds"]}
+        kid = next(i for i, fl in by_id.items() if fl["name"] == "p")
+        ranges.append((
+            struct.unpack("<d", lo[kid])[0],
+            struct.unpack("<d", hi[kid])[0],
+        ))
+    ranges.sort()
+    assert ranges[0][0] == 0.0 and ranges[-1][1] == 99 * 1.5
+    assert ranges[0][1] < ranges[1][0]  # range clustering -> disjoint
+
+
+def test_stats_prune_superset_and_missing_stats_safe(spark, tmp_path):
+    """Files whose bounds exclude the band are skipped; files WITHOUT
+    stats are never skipped (missing metadata widens the scan)."""
+    tbl = _mk(spark, tmp_path)
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k bigint, p double"
+    )
+    tbl.create(df.repartitionByRange(4, "p").sortWithinPartitions("p"))
+    files, stats = tbl.plan_files(stats_filter={"p": (10.0, 20.0)})
+    assert stats["files_pruned_by_stats"] >= 2
+    got = (
+        tbl.snapshot(stats_filter={"p": (10.0, 20.0)})
+        .filter("p BETWEEN 10 AND 20")
+    )
+    assert sorted(r.k for r in got.collect()) == list(range(10, 21))
+    # strip the bounds (an old-schema manifest) -> nothing prunes
+    for f in files:
+        f.pop("lower_bounds", None)
+        f.pop("upper_bounds", None)
+    cols = {f["name"]: f for f in tbl.metadata()["schema"]["fields"]}
+    assert not any(
+        IcebergLiteTable._stats_excludes(f, {"p": (1e9, 2e9)}, cols)
+        for f in files
+    )
+    # open-ended bands
+    _, s2 = tbl.plan_files(stats_filter={"p": (90.0, None)})
+    assert s2["files_pruned_by_stats"] >= 2
+    _, s3 = tbl.plan_files(stats_filter={"p": (None, 5.0)})
+    assert s3["files_pruned_by_stats"] >= 2

@@ -136,6 +136,35 @@ def _manifest_entry_schema(part_fields: list[dict]) -> dict:
                      "field-id": 104},
                     {"name": "block_size_in_bytes", "type": "long",
                      "field-id": 105},
+                    # column stats: map<field-id, bytes> — Avro maps
+                    # require string keys, so the spec models these as
+                    # arrays of key/value records (k126_v127 etc.)
+                    {"name": "lower_bounds", "field-id": 125,
+                     "type": ["null", {
+                         "type": "array",
+                         "items": {
+                             "type": "record", "name": "k126_v127",
+                             "fields": [
+                                 {"name": "key", "type": "int",
+                                  "field-id": 126},
+                                 {"name": "value", "type": "bytes",
+                                  "field-id": 127},
+                             ],
+                         },
+                     }], "default": None},
+                    {"name": "upper_bounds", "field-id": 128,
+                     "type": ["null", {
+                         "type": "array",
+                         "items": {
+                             "type": "record", "name": "k129_v130",
+                             "fields": [
+                                 {"name": "key", "type": "int",
+                                  "field-id": 129},
+                                 {"name": "value", "type": "bytes",
+                                  "field-id": 130},
+                             ],
+                         },
+                     }], "default": None},
                 ],
             }},
         ],
@@ -144,9 +173,12 @@ def _manifest_entry_schema(part_fields: list[dict]) -> dict:
 
 def _ser_bound(v, ice_type: str) -> bytes:
     """Iceberg single-value serialization (spec Appendix D): long =
-    8-byte little-endian two's complement; string = UTF-8 bytes."""
+    8-byte little-endian two's complement; double = 8-byte LE IEEE;
+    string = UTF-8 bytes."""
     if ice_type == "long":
         return struct.pack("<q", int(v))
+    if ice_type == "double":
+        return struct.pack("<d", float(v))
     if ice_type == "string":
         return str(v).encode()
     raise NotImplementedError(f"bound serialization for {ice_type}")
@@ -155,6 +187,8 @@ def _ser_bound(v, ice_type: str) -> bytes:
 def _deser_bound(b: bytes, ice_type: str):
     if ice_type == "long":
         return struct.unpack("<q", b)[0]
+    if ice_type == "double":
+        return struct.unpack("<d", b)[0]
     if ice_type == "string":
         return b.decode()
     raise NotImplementedError(f"bound deserialization for {ice_type}")
@@ -224,12 +258,17 @@ class IcebergLiteTable:
         self,
         snapshot_id: int | None = None,
         partition_filter: dict | None = None,
+        stats_filter: dict | None = None,
     ) -> tuple[list[dict], dict]:
         """The Iceberg scan-planning walk: snapshot → manifest list
         (pruned by field summaries) → manifests (pruned by partition
-        tuples) → live data files. Returns (files, plan_stats); stats
-        count what the metadata pruned so tests can assert pruning
-        happened IN the tree, not after the fact."""
+        tuples AND per-file column min/max stats) → live data files.
+        ``stats_filter={col: (lo, hi)}`` keeps only files whose
+        [lower_bound, upper_bound] intersects [lo, hi] (either end may
+        be None) — a superset prune: the caller still applies the row
+        predicate, the stats only bound which files OPEN. Returns
+        (files, plan_stats); stats count what the metadata pruned so
+        tests can assert pruning happened IN the tree."""
         md = self.metadata()
         sid = snapshot_id if snapshot_id is not None else md.get(
             "current-snapshot-id"
@@ -250,7 +289,9 @@ class IcebergLiteTable:
             "manifests_pruned": 0,
             "files_total": 0,
             "files_pruned": 0,
+            "files_pruned_by_stats": 0,
         }
+        col_by_name = {f["name"]: f for f in md["schema"]["fields"]}
         files: list[dict] = []
         for mf in mf_rows:
             if partition_filter and mf.get("partitions"):
@@ -285,13 +326,45 @@ class IcebergLiteTable:
                 ):
                     stats["files_pruned"] += 1
                     continue
+                if stats_filter and self._stats_excludes(
+                    df_rec, stats_filter, col_by_name
+                ):
+                    stats["files_pruned_by_stats"] += 1
+                    continue
                 files.append(df_rec)
         return files, stats
+
+    @staticmethod
+    def _stats_excludes(
+        df_rec: dict, stats_filter: dict, col_by_name: dict
+    ) -> bool:
+        """True iff the file's column bounds PROVE no row can match.
+        Files without stats (older manifests, stats-less columns) are
+        never excluded — missing metadata must widen the scan, not
+        silently narrow it."""
+        lo_map = {
+            e["key"]: e["value"] for e in (df_rec.get("lower_bounds") or [])
+        }
+        hi_map = {
+            e["key"]: e["value"] for e in (df_rec.get("upper_bounds") or [])
+        }
+        for col, (want_lo, want_hi) in stats_filter.items():
+            f = col_by_name.get(col)
+            if f is None or f["id"] not in lo_map or f["id"] not in hi_map:
+                continue
+            f_lo = _deser_bound(lo_map[f["id"]], f["type"])
+            f_hi = _deser_bound(hi_map[f["id"]], f["type"])
+            if want_lo is not None and f_hi < want_lo:
+                return True
+            if want_hi is not None and f_lo > want_hi:
+                return True
+        return False
 
     def snapshot(
         self,
         snapshot_id: int | None = None,
         partition_filter: dict | None = None,
+        stats_filter: dict | None = None,
     ):
         """DataFrame of the table AS OF ``snapshot_id`` (current when
         None). Identity-partition values re-materialize as literal
@@ -308,7 +381,7 @@ class IcebergLiteTable:
         data_ddl = ", ".join(
             f"{n} {t}" for n, t in spark_fields if n not in part_names
         )
-        files, _ = self.plan_files(snapshot_id, partition_filter)
+        files, _ = self.plan_files(snapshot_id, partition_filter, stats_filter)
         if not files:
             return self.spark.createDataFrame([], ddl)
         if not part_fields:
@@ -335,10 +408,18 @@ class IcebergLiteTable:
 
     # ---------- minimal spec writer (exhibit/test construction) ----------
 
-    def _write_data_files(self, df, part_fields: list[dict]) -> list[dict]:
+    def _write_data_files(
+        self,
+        df,
+        part_fields: list[dict],
+        schema_fields: list[dict] | None = None,
+    ) -> list[dict]:
         """Write df as parquet data files; returns data_file records
-        (record_count/file_size from the parquet footers via pyarrow —
-        no extra Spark job)."""
+        (record_count/file_size AND per-column lower/upper bounds from
+        the parquet footers via pyarrow — no extra Spark job; stats are
+        limited to long/double columns because parquet string stats may
+        be truncated, and a truncated bound used for pruning would drop
+        matching files)."""
         import pyarrow.parquet as pq
 
         part_names = [f["name"] for f in part_fields]
@@ -369,6 +450,39 @@ class IcebergLiteTable:
                     continue
                 fpath = os.path.join(out, fname)
                 meta = pq.ParquetFile(fpath).metadata
+                lower, upper = [], []
+                if schema_fields and meta.num_rows:
+                    by_name = {
+                        f["name"]: f for f in schema_fields
+                        if f["type"] in ("long", "double")
+                    }
+                    rg0 = meta.row_group(0)
+                    col_idx = {
+                        rg0.column(i).path_in_schema: i
+                        for i in range(rg0.num_columns)
+                    }
+                    for name, f in by_name.items():
+                        if name not in col_idx:
+                            continue
+                        mins, maxs = [], []
+                        for g in range(meta.num_row_groups):
+                            st = meta.row_group(g).column(
+                                col_idx[name]
+                            ).statistics
+                            if st is None or not st.has_min_max:
+                                mins = []
+                                break
+                            mins.append(st.min)
+                            maxs.append(st.max)
+                        if mins:
+                            lower.append({
+                                "key": f["id"],
+                                "value": _ser_bound(min(mins), f["type"]),
+                            })
+                            upper.append({
+                                "key": f["id"],
+                                "value": _ser_bound(max(maxs), f["type"]),
+                            })
                 recs.append({
                     "file_path": f"{sub}/pv-{tag}/{fname}",
                     "file_format": "PARQUET",
@@ -376,6 +490,8 @@ class IcebergLiteTable:
                     "record_count": meta.num_rows,
                     "file_size_in_bytes": os.path.getsize(fpath),
                     "block_size_in_bytes": 67108864,
+                    "lower_bounds": lower or None,
+                    "upper_bounds": upper or None,
                 })
         return recs
 
@@ -520,7 +636,7 @@ class IcebergLiteTable:
             "metadata-log": [],
         }
         sid = 1
-        adds = self._write_data_files(df, spec_fields)
+        adds = self._write_data_files(df, spec_fields, schema["fields"])
         entries = [
             {"status": 1, "snapshot_id": sid, "data_file": a}
             for a in adds
@@ -539,7 +655,7 @@ class IcebergLiteTable:
         prior, _, _ = read_container(
             os.path.join(self.root, cur["manifest-list"])
         )
-        adds = self._write_data_files(df, part_fields)
+        adds = self._write_data_files(df, part_fields, md["schema"]["fields"])
         entries = [
             {"status": 1, "snapshot_id": sid, "data_file": a}
             for a in adds
@@ -582,7 +698,9 @@ class IcebergLiteTable:
         if kept.count():
             entries += [
                 {"status": 1, "snapshot_id": sid, "data_file": a}
-                for a in self._write_data_files(kept, part_fields)
+                for a in self._write_data_files(
+                    kept, part_fields, md["schema"]["fields"]
+                )
             ]
         mrow = self._write_manifest(entries, part_fields, sid)
         self._commit_snapshot(md, [mrow], sid)
@@ -732,6 +850,68 @@ def scan_iceberg_partition_prune(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             dsum("bal").alias("sum_bal"),
+        )
+    )
+    return _detach_and_cleanup(spark, agg, root)
+
+
+@query(
+    "scan_iceberg_stats_prune",
+    oracle=f"""
+    SELECT count(*) AS n_rows, {osum('o_totalprice')} AS sum_price,
+           CAST(min(o_orderkey) AS BIGINT) AS min_k
+    FROM orders
+    WHERE o_orderkey % 5 IN (0, 2)
+      AND o_totalprice BETWEEN 50000 AND 100000
+    """,
+)
+def scan_iceberg_stats_prune(spark, sf_dir):
+    """Iceberg FILE SKIPPING from manifest column statistics, driver-
+    verified: orders land range-clustered on price (two commits, four
+    files each), the manifests carry per-file lower/upper bounds in
+    the spec's field-id-keyed byte maps (Appendix D single-value
+    serialization, written from the parquet footers), and a
+    range-predicate scan proves in plan stats that files whose
+    [min,max] cannot intersect the band were never opened. This is
+    the second half of Iceberg's planning story at 100 TB: partition
+    pruning cuts the tree by VALUE EQUALITY, column stats cut it by
+    RANGE — a time-range or amount-band query on a million-file table
+    opens only the overlapping slices. Stats pruning is a superset
+    prune (the row predicate still runs), so correctness never
+    depends on it — the hash pins the aggregate, the asserts pin that
+    the pruning actually fired."""
+    import tempfile
+
+    from ..tables import Tables
+    from .acid import _detach_and_cleanup
+
+    t = Tables(spark, sf_dir)
+    orders = t.orders.select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    root = tempfile.mkdtemp(prefix="thrive_iceberg_sp_")
+    tbl = IcebergLiteTable(spark, root)
+    tbl.create(
+        orders.filter("k % 5 = 0")
+        .repartitionByRange(4, "p")
+        .sortWithinPartitions("p")
+    )
+    tbl.append(
+        orders.filter("k % 5 = 2")
+        .repartitionByRange(4, "p")
+        .sortWithinPartitions("p")
+    )
+    band = {"p": (50000.0, 100000.0)}
+    files, stats = tbl.plan_files(stats_filter=band)
+    assert stats["files_pruned_by_stats"] >= 2, stats
+    assert files, stats  # the band itself must still be covered
+    agg = (
+        tbl.snapshot(stats_filter=band)
+        .filter("p BETWEEN 50000 AND 100000")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("p").alias("sum_price"),
+            F.min("k").cast("bigint").alias("min_k"),
         )
     )
     return _detach_and_cleanup(spark, agg, root)
