@@ -413,18 +413,41 @@ def test_dv_delete_no_rewrite_and_merge(spark, tmp_path):
     assert (v3, n3) == (2, 0)
 
 
+def test_dv_checkpoint_roundtrip_after_cleanup(spark, tmp_path):
+    """The mature-table path with DVs: checkpoint() serializes the
+    deletionVector struct AND the v3 protocol row, so after cleanup
+    deletes every JSON commit the snapshot still drops DV'd rows —
+    the failure this guards is silent row RESURRECTION."""
+    tbl = DeltaLiteTable(spark, str(tmp_path / "d"))
+    tbl.create(spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k bigint, p double"))
+    tbl.delete_rows_dv("k >= 7")
+    tbl.delete_rows_dv("k = 0", inline=True)
+    assert tbl.checkpoint() == 2
+    assert tbl.cleanup_log() == 3
+    assert tbl.versions() == []
+    st = tbl.state()
+    assert st["protocol"]["minReaderVersion"] == 3
+    assert st["protocol"]["readerFeatures"] == ["deletionVectors"]
+    assert sorted(r.k for r in tbl.snapshot().collect()) == list(
+        range(1, 7)
+    )
+    # and the log keeps folding past the checkpoint
+    tbl.append(spark.createDataFrame([(99, 99.0)], "k bigint, p double"))
+    assert sorted(r.k for r in tbl.snapshot().collect()) == [
+        *range(1, 7), 99
+    ]
+
+
 def test_dv_protocol_guards(spark, tmp_path):
     """Reader v3 is accepted ONLY with the deletionVectors feature;
-    checkpoints refuse to drop DVs; the streaming source refuses
-    DV-bearing adds."""
+    the streaming source refuses DV-bearing adds."""
     from thrive_spark.streaming.delta_source import register
 
     tbl = DeltaLiteTable(spark, str(tmp_path / "d"))
     tbl.create(spark.createDataFrame([(1, 1.0), (2, 2.0)],
                                      "k bigint, p double"))
     tbl.delete_rows_dv("k = 1")
-    with pytest.raises(NotImplementedError, match="deletion vectors"):
-        tbl.checkpoint()
     register(spark)
     q = (
         spark.readStream.format("thrive_delta")

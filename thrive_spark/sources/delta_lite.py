@@ -171,7 +171,13 @@ class DeltaLiteTable:
                 )
         if meta is None:
             raise ValueError("Delta log has no metaData action")
-        return {"version": v, "meta": meta, "adds": list(live.values())}
+        return {
+            "version": v,
+            "meta": meta,
+            "adds": list(live.values()),
+            "protocol": protocol
+            or {"minReaderVersion": 1, "minWriterVersion": 2},
+        }
 
     def snapshot(
         self,
@@ -402,14 +408,6 @@ class DeltaLiteTable:
         import pyarrow.parquet as pq
 
         st = self.state(version)
-        if any(a.get("deletionVector") for a in st["adds"]):
-            # the checkpoint add-struct below has no deletionVector
-            # column; writing one would silently RESURRECT deleted
-            # rows after cleanup — refuse instead
-            raise NotImplementedError(
-                "checkpoint() does not serialize deletion vectors yet "
-                "— compact DV'd files (rewrite without victims) first"
-            )
         v = st["version"]
         # full spec metaData shape (r13 advice): format + configuration
         # are required fields — a real delta-spark reader rejects a
@@ -429,7 +427,32 @@ class DeltaLiteTable:
             "partitionColumns": st["meta"].get("partitionColumns", []),
             "configuration": _pairs(st["meta"].get("configuration")),
         }
-        proto_row = {"minReaderVersion": 1, "minWriterVersion": 2}
+        # the LIVE protocol, not a hardcoded v1: a DV'd table's
+        # checkpoint must keep advertising reader v3 + the feature, or
+        # a post-cleanup reader would treat the DV structs as unknown
+        proto_row = {
+            "minReaderVersion": int(
+                st["protocol"].get("minReaderVersion", 1)
+            ),
+            "minWriterVersion": int(
+                st["protocol"].get("minWriterVersion", 2)
+            ),
+            "readerFeatures": st["protocol"].get("readerFeatures"),
+            "writerFeatures": st["protocol"].get("writerFeatures"),
+        }
+
+        def _dv_row(a: dict):
+            d = a.get("deletionVector")
+            if not d:
+                return None
+            return {
+                "storageType": d["storageType"],
+                "pathOrInlineDv": d["pathOrInlineDv"],
+                "offset": d.get("offset"),
+                "sizeInBytes": int(d["sizeInBytes"]),
+                "cardinality": int(d["cardinality"]),
+            }
+
         rows = [
             {"add": None, "metaData": meta_row, "protocol": None},
             {"add": None, "metaData": None, "protocol": proto_row},
@@ -441,6 +464,7 @@ class DeltaLiteTable:
                     "size": int(a.get("size", 0)),
                     "modificationTime": int(a.get("modificationTime", 0)),
                     "dataChange": False,
+                    "deletionVector": _dv_row(a),
                 },
                 "metaData": None,
                 "protocol": None,
@@ -456,6 +480,13 @@ class DeltaLiteTable:
                     pa.field("size", pa.int64()),
                     pa.field("modificationTime", pa.int64()),
                     pa.field("dataChange", pa.bool_()),
+                    pa.field("deletionVector", pa.struct([
+                        pa.field("storageType", pa.string()),
+                        pa.field("pathOrInlineDv", pa.string()),
+                        pa.field("offset", pa.int32()),
+                        pa.field("sizeInBytes", pa.int32()),
+                        pa.field("cardinality", pa.int64()),
+                    ])),
                 ])),
                 pa.field("metaData", pa.struct([
                     pa.field("id", pa.string()),
@@ -473,6 +504,8 @@ class DeltaLiteTable:
                 pa.field("protocol", pa.struct([
                     pa.field("minReaderVersion", pa.int32()),
                     pa.field("minWriterVersion", pa.int32()),
+                    pa.field("readerFeatures", pa.list_(pa.string())),
+                    pa.field("writerFeatures", pa.list_(pa.string())),
                 ])),
             ]
         )
