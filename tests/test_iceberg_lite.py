@@ -277,3 +277,42 @@ def test_stats_prune_superset_and_missing_stats_safe(spark, tmp_path):
     assert s2["files_pruned_by_stats"] >= 2
     _, s3 = tbl.plan_files(stats_filter={"p": (None, 5.0)})
     assert s3["files_pruned_by_stats"] >= 2
+
+
+def test_expire_snapshots_gc_and_shared_files_survive(spark, tmp_path):
+    """Expiration drops old snapshots and garbage-collects ONLY what
+    no survivor reaches: the create-commit's data files are shared by
+    every later snapshot (by-reference manifests) so they must ride
+    through, while files that existed only in a dropped COW-delete
+    victim set are physically removed."""
+    tbl = _mk(spark, tmp_path)
+    tbl.create(spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k bigint, p double"
+    ).coalesce(1))
+    tbl.append(spark.createDataFrame([(10, 10.0)], "k bigint, p double"))
+    # COW delete rewrites the appended file; its ORIGINAL becomes
+    # reachable only from snapshots 1-2
+    tbl.delete_where_file_contains("k = 10")
+    f2, _ = tbl.plan_files(2)
+    f3, _ = tbl.plan_files(3)
+    only_old = {f["file_path"] for f in f2} - {f["file_path"] for f in f3}
+    assert only_old  # the pre-delete appended file
+    stats = tbl.expire_snapshots(keep_last=1)
+    assert stats["snapshots"] == 2 and stats["data_files"] >= 1
+    # survivors intact, current snapshot reads identically
+    assert sorted(r.k for r in tbl.snapshot().collect()) == list(range(10))
+    for p in only_old:
+        assert not os.path.exists(os.path.join(tbl.root, p))
+    # expired snapshots are gone with a clean error
+    with pytest.raises(ValueError, match="not found"):
+        tbl.snapshot(1)
+    # the log keeps growing past expiration with non-colliding
+    # metadata versions
+    sid = tbl.append(spark.createDataFrame([(42, 42.0)],
+                                           "k bigint, p double"))
+    assert sid == 4
+    assert sorted(r.k for r in tbl.snapshot().collect()) == [
+        *range(10), 42
+    ]
+    with pytest.raises(ValueError):
+        tbl.expire_snapshots(keep_last=0)

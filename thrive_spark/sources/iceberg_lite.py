@@ -568,7 +568,16 @@ class IcebergLiteTable:
             "summary": {"operation": "append"},
         }]
         md["current-snapshot-id"] = sid
-        n = len(md["snapshots"])
+        # next metadata version = current file number + 1 (NOT the
+        # snapshot count: expiration shrinks the snapshot list, and a
+        # count-based number would collide with an existing file)
+        try:
+            n = int(
+                os.path.basename(self._current_metadata_path())[1:]
+                .split(".")[0]
+            ) + 1
+        except ValueError:
+            n = 1
         mpath = os.path.join(self.meta_dir, f"v{n}.metadata.json")
         tmp = mpath + ".tmp"
         with open(tmp, "w") as fh:
@@ -665,6 +674,82 @@ class IcebergLiteTable:
         # BY REFERENCE — planning stays O(new files) per commit
         self._commit_snapshot(md, prior + [mrow], sid)
         return sid
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Spec maintenance (the Iceberg analogue of Delta's metadata
+        cleanup): drop all but the newest ``keep_last`` snapshots from
+        the table metadata, then garbage-collect everything only they
+        referenced — manifest lists, manifests, and DATA FILES no
+        surviving snapshot reaches. Reachability is computed over the
+        metadata tree (manifest-list → manifest → file), never by
+        scanning data, so expiration cost is O(metadata) exactly like
+        planning. Files shared with surviving snapshots ride through
+        untouched — the by-reference manifest carry means most of the
+        tree survives. Returns deletion counts."""
+        md = self.metadata()
+        snaps = sorted(md["snapshots"], key=lambda s: s["snapshot-id"])
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+        if not drop:
+            return {"snapshots": 0, "manifests": 0, "data_files": 0}
+
+        def reach(snapshot_list):
+            mls, mans, files = set(), set(), set()
+            for s in snapshot_list:
+                mls.add(s["manifest-list"])
+                rows, _, _ = read_container(
+                    os.path.join(self.root, s["manifest-list"])
+                )
+                for mf in rows:
+                    mans.add(mf["manifest_path"])
+                    entries, _, _ = read_container(
+                        os.path.join(self.root, mf["manifest_path"])
+                    )
+                    # status-2 entries keep the PATH reachable for
+                    # history but the file is dead to this snapshot;
+                    # it stays deletable only if NO snapshot plans it
+                    files.update(
+                        e["data_file"]["file_path"]
+                        for e in entries
+                        if e["status"] != 2
+                    )
+            return mls, mans, files
+
+        k_mls, k_mans, k_files = reach(keep)
+        d_mls, d_mans, d_files = reach(drop)
+        n_man = n_dat = 0
+        for p in sorted(d_mls - k_mls):
+            os.unlink(os.path.join(self.root, p))
+        for p in sorted(d_mans - k_mans):
+            os.unlink(os.path.join(self.root, p))
+            n_man += 1
+        for p in sorted(d_files - k_files):
+            os.unlink(os.path.join(self.root, p))
+            n_dat += 1
+        md["snapshots"] = keep
+        if md["current-snapshot-id"] not in {
+            s["snapshot-id"] for s in keep
+        }:
+            md["current-snapshot-id"] = keep[-1]["snapshot-id"]
+        n = int(
+            os.path.basename(self._current_metadata_path())[1:]
+            .split(".")[0]
+        ) + 1
+        mpath = os.path.join(self.meta_dir, f"v{n}.metadata.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(md, fh, indent=1)
+        os.replace(tmp, mpath)
+        with open(
+            os.path.join(self.meta_dir, "version-hint.text"), "w"
+        ) as fh:
+            fh.write(str(n))
+        return {
+            "snapshots": len(drop),
+            "manifests": n_man,
+            "data_files": n_dat,
+        }
 
     def delete_where_file_contains(self, pred_sql: str) -> int:
         """File-grain copy-on-write delete (the v1 shape: v2 delete
