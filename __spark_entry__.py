@@ -212,6 +212,7 @@ GRADE_DEFER = [
     "scan_delta_deletion_vectors",
     "scan_avro_files",
     "scan_iceberg_stats_prune",
+    "scan_iceberg_stream",
 ]
 
 

@@ -316,3 +316,76 @@ def test_expire_snapshots_gc_and_shared_files_survive(spark, tmp_path):
     ]
     with pytest.raises(ValueError):
         tbl.expire_snapshots(keep_last=0)
+
+
+# ---------- streaming source ----------
+
+def test_iceberg_stream_resume_append_only_and_gap(spark, tmp_path):
+    """The Iceberg stream source: resume from checkpoint drains only
+    new snapshots; a file-removing snapshot refuses without
+    ignorechanges; an EXPIRED committed offset refuses by default and
+    resumes (with documented skip) under allowoffsetgaps."""
+    from thrive_spark.streaming.iceberg_source import register
+
+    root = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    tbl = IcebergLiteTable(spark, root)
+    tbl.create(spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k bigint, p double").coalesce(1))
+    register(spark)
+
+    def drain(**opts):
+        r = spark.readStream.format("thrive_iceberg").option("path", root)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        q = (
+            r.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain()
+    assert sorted(r.k for r in spark.read.parquet(out).collect()) == [1, 2]
+    tbl.append(spark.createDataFrame([(3, 30.0)], "k bigint, p double"))
+    drain()  # resume: only the new snapshot's rows arrive
+    assert sorted(r.k for r in spark.read.parquet(out).collect()) == [
+        1, 2, 3
+    ]
+    # COW delete removes a file -> append-only refusal
+    tbl.delete_where_file_contains("k = 1")
+    try:
+        drain()
+        raise AssertionError("file-removing snapshot must refuse")
+    except Exception as e:  # noqa: BLE001 — engine wraps the error
+        assert "append-only" in str(e)
+    # ignorechanges: the COW rewrite's new file streams (k=2 re-added)
+    drain(ignorechanges="true")
+    got = sorted(r.k for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 2, 3], got
+    # expire everything below the newest snapshot; the committed
+    # offset (the delete snapshot) survives here, so stream continues
+    tbl.append(spark.createDataFrame([(4, 40.0)], "k bigint, p double"))
+    tbl.expire_snapshots(keep_last=1)
+    # committed offset is the delete snapshot (id 3): now expired
+    try:
+        drain(ignorechanges="true")
+        raise AssertionError("expired committed offset must refuse")
+    except Exception as e:  # noqa: BLE001
+        assert "allowoffsetgaps" in str(e)
+    # opt-in: skip semantics — the oldest retained snapshot counts as
+    # consumed, so the gap row (k=4) is knowingly SKIPPED and nothing
+    # re-emits; later appends stream normally
+    drain(ignorechanges="true", allowoffsetgaps="true")
+    assert sorted(
+        r.k for r in spark.read.parquet(out).collect()
+    ) == [1, 2, 2, 3]
+    tbl.append(spark.createDataFrame([(5, 50.0)], "k bigint, p double"))
+    drain(ignorechanges="true", allowoffsetgaps="true")
+    assert sorted(
+        r.k for r in spark.read.parquet(out).collect()
+    ) == [1, 2, 2, 3, 5]

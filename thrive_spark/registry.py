@@ -79,4 +79,9 @@ def load_all() -> None:
         sinks,
     )
     from .functions import banks  # noqa: F401
-    from .streaming import broker, delta_source, table_source  # noqa: F401
+    from .streaming import (  # noqa: F401
+        broker,
+        delta_source,
+        iceberg_source,
+        table_source,
+    )
