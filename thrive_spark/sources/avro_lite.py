@@ -394,9 +394,14 @@ def _register_scan_avro():
             "type": "record",
             "name": "order_row",
             "fields": [
+                # k is non-null post-filter; status/p/comment must be
+                # nullable unions — adversarial corpora carry NULLs
+                # (stress-sweep flush, r14)
                 {"name": "k", "type": "long"},
-                {"name": "status", "type": "string"},
-                {"name": "p", "type": "double"},
+                {"name": "status", "type": ["null", "string"],
+                 "default": None},
+                {"name": "p", "type": ["null", "double"],
+                 "default": None},
                 {"name": "comment", "type": ["null", "string"],
                  "default": None},
             ],
