@@ -507,3 +507,45 @@ def test_dv_with_partition_columns(spark, tmp_path):
     )
     pruned = tbl.snapshot(partition_filter={"g": "b"})
     assert sorted(r.k for r in pruned.collect()) == [5, 6, 8, 9]
+
+
+def test_purge_dvs_rewrites_and_drops_descriptors(spark, tmp_path):
+    """purge_dvs materializes DV'd files without their deleted rows,
+    drops descriptors, GCs on-disk sidecars, and preserves partition
+    values; time travel to the pre-purge version still sees the DVs."""
+    import glob
+
+    root = str(tmp_path / "d")
+    tbl = DeltaLiteTable(spark, root)
+    df = spark.createDataFrame(
+        [(i, "a" if i < 5 else "b", float(i)) for i in range(10)],
+        "k bigint, g string, p double",
+    )
+    parts = []
+    for g in ("a", "b"):
+        adds = tbl._write_files(df.filter(f"g = '{g}'").drop("g"), f"g={g}")
+        for a in adds:
+            a["partitionValues"] = {"g": g}
+        parts += adds
+    tbl._commit(0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "t", "format": {"provider": "parquet", "options": {}},
+            "schemaString": df.schema.json(),
+            "partitionColumns": ["g"], "configuration": {},
+        }},
+        *({"add": a} for a in parts),
+    ])
+    v1, _ = tbl.delete_rows_dv("k in (2, 7)")  # on-disk sidecars
+    assert glob.glob(os.path.join(root, "deletion_vector_*.bin"))
+    v2, n = tbl.purge_dvs()
+    assert (v2, n) == (v1 + 1, 2)
+    st = tbl.state()
+    assert not any(a.get("deletionVector") for a in st["adds"])
+    assert not glob.glob(os.path.join(root, "deletion_vector_*.bin"))
+    got = sorted((r.g, r.k) for r in tbl.snapshot().collect())
+    assert got == sorted(
+        ("a" if k < 5 else "b", k) for k in range(10) if k not in (2, 7)
+    )
+    # idempotent
+    assert tbl.purge_dvs() == (v2, 0)

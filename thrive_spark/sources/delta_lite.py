@@ -345,6 +345,62 @@ class DeltaLiteTable:
         self._commit(v, actions)
         return v, n_new
 
+    def purge_dvs(self) -> tuple[int, int]:
+        """REWRITE maintenance (real Delta's PURGE): materialize every
+        DV'd file WITHOUT its deleted rows and drop the descriptors —
+        the compaction that ends a deletion vector's life once the
+        merge-on-read debt is worth paying down. Untouched files carry
+        by reference; DV sidecar files of purged descriptors are
+        removed from disk. Returns (version, files_rewritten); no-op
+        (current version, 0) when nothing carries a DV."""
+        from pyspark.sql.types import StructType
+
+        st = self.state()
+        dv_adds = [a for a in st["adds"] if a.get("deletionVector")]
+        if not dv_adds:
+            return st["version"], 0
+        schema = StructType.fromJson(
+            json.loads(st["meta"]["schemaString"])
+        )
+        part_cols = st["meta"].get("partitionColumns", [])
+        data_schema = StructType(
+            [f for f in schema.fields if f.name not in part_cols]
+        )
+        actions: list[dict] = [
+            {"remove": {"path": a["path"], "dataChange": False}}
+            for a in dv_adds
+        ]
+        # rewrite per partition tuple so partitionValues survive (data
+        # files never hold partition columns)
+        by_pv: dict[tuple, list] = {}
+        for a in dv_adds:
+            pv = tuple(
+                (c, a.get("partitionValues", {}).get(c))
+                for c in part_cols
+            )
+            by_pv.setdefault(pv, []).append(a)
+        for pv, group in sorted(by_pv.items()):
+            kept = self._read_adds(group, data_schema)
+            if not kept.count():
+                continue
+            for a in self._write_files(
+                kept, f"part-{uuid.uuid4().hex[:8]}"
+            ):
+                a["partitionValues"] = dict(pv)
+                actions.append({"add": a})
+        vs, cps = self.versions(), self.checkpoints()
+        v = max(vs[-1] if vs else -1, cps[-1] if cps else -1) + 1
+        self._commit(v, actions)
+        for a in dv_adds:  # GC the sidecars the log no longer references
+            d = a["deletionVector"]
+            if d["storageType"] == "u":
+                from .deletion_vectors import _dv_file_path
+
+                p = _dv_file_path(self.root, d["pathOrInlineDv"])
+                if os.path.exists(p):
+                    os.unlink(p)
+        return v, len(dv_adds)
+
     def _commit(self, version: int, actions: list[dict]) -> None:
         os.makedirs(self.log, exist_ok=True)
         tmp = os.path.join(self.log, f".tmp-{uuid.uuid4().hex[:8]}")
