@@ -102,6 +102,11 @@ IDS = [
     # measured rather than assumed
     "basket_brand_affinity",
     "text_perplexity_bigram",
+    # r14: lakehouse interop — the exhibits BUILD their tables from
+    # orders, so the ×10 point measures create/commit/plan/fold cost
+    # against 10× the fact rows (metadata stays O(files))
+    "scan_delta_log_table",
+    "scan_iceberg_log_table",
 ]
 
 
