@@ -213,6 +213,7 @@ GRADE_DEFER = [
     "scan_avro_files",
     "scan_iceberg_stats_prune",
     "scan_iceberg_stream",
+    "scan_iceberg_pos_delete",
 ]
 
 

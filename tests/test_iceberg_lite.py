@@ -191,10 +191,11 @@ def test_v2_and_nonidentity_guards(spark, tmp_path):
     mpath = tbl._current_metadata_path()
     with open(mpath) as f:
         md = json.load(f)
-    md["format-version"] = 2
+    # v2 is in scope since r14 (position deletes); v3 still refuses
+    md["format-version"] = 3
     with open(mpath, "w") as f:
         json.dump(md, f)
-    with pytest.raises(NotImplementedError, match="v1"):
+    with pytest.raises(NotImplementedError, match="format-version"):
         tbl.snapshot()
     md["format-version"] = 1
     md["partition-specs"][0]["fields"] = [
@@ -436,3 +437,85 @@ def test_avro_roundtrip_property():
             assert got == rows
 
     check()
+
+
+# ---------- v2 position deletes ----------
+
+def test_positional_delete_no_rewrite_and_accumulate(spark, tmp_path):
+    """delete_rows_positional marks rows via a position delete file and
+    a content=1 delete manifest — zero data-file rewrite, repeated
+    deletes accumulate, already-deleted rows never re-mark, and time
+    travel sees each snapshot's delete state."""
+    tbl = _mk(spark, tmp_path)
+    tbl.create(spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k bigint, p double"
+    ).coalesce(2))
+    files1 = {f["file_path"] for f in tbl.plan_files(1)[0]}
+    v2, n2 = tbl.delete_rows_positional("k >= 15")
+    v3, n3 = tbl.delete_rows_positional("k % 2 = 1")
+    assert (v2, v3) == (2, 3)
+    assert n2 == 5 and n3 == 7  # odd k in 0..14 only (live rows)
+    assert tbl.metadata()["format-version"] == 2
+    for sid in (2, 3):
+        fs, ds, stats = tbl._plan(sid)
+        assert {f["file_path"] for f in fs} == files1  # no rewrite
+        assert len(ds) == sid - 1
+        assert stats["delete_files"] == sid - 1
+    assert sorted(r.k for r in tbl.snapshot(1).collect()) == list(range(20))
+    assert sorted(r.k for r in tbl.snapshot(2).collect()) == list(range(15))
+    assert sorted(r.k for r in tbl.snapshot(3).collect()) == [
+        k for k in range(15) if k % 2 == 0
+    ]
+    # deleting already-deleted rows is a no-op
+    assert tbl.delete_rows_positional("k >= 15") == (3, 0)
+
+
+def test_positional_delete_with_partitions_and_guards(spark, tmp_path):
+    """Deletes compose with identity partitions; equality-delete
+    entries and the stream source refuse rather than mis-read."""
+    from thrive_spark.streaming.iceberg_source import register
+
+    tbl = _mk(spark, tmp_path)
+    df = spark.createDataFrame(
+        [(i, i % 2, float(i)) for i in range(10)],
+        "k bigint, bucket bigint, v double",
+    )
+    tbl.create(df, partition_columns=["bucket"])
+    sid, n = tbl.delete_rows_positional("k in (2, 7)")
+    assert n == 2
+    got = sorted(r.k for r in tbl.snapshot().collect())
+    assert got == [k for k in range(10) if k not in (2, 7)]
+    pruned = tbl.snapshot(partition_filter={"bucket": 1})
+    assert sorted(r.k for r in pruned.collect()) == [1, 3, 5, 9]
+    # stream refuses a delete-bearing table
+    register(spark)
+    q = (
+        spark.readStream.format("thrive_iceberg")
+        .option("path", tbl.root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        raise AssertionError("stream over deletes must refuse")
+    except Exception as e:  # noqa: BLE001 — engine wraps the error
+        assert "position delete" in str(e)
+    finally:
+        q.stop()
+    # equality-delete entries refuse at plan time
+    from thrive_spark.sources.avro_lite import read_container as rc
+    from thrive_spark.sources.avro_lite import write_container as wc
+
+    md = tbl.metadata()
+    cur = next(s for s in md["snapshots"]
+               if s["snapshot-id"] == md["current-snapshot-id"])
+    rows, sch, _ = rc(os.path.join(tbl.root, cur["manifest-list"]))
+    dm = next(r for r in rows if r.get("content") == 1)
+    entries, esch, _ = rc(os.path.join(tbl.root, dm["manifest_path"]))
+    entries[0]["data_file"]["content"] = 2  # pretend equality delete
+    wc(os.path.join(tbl.root, dm["manifest_path"]), esch, entries)
+    with pytest.raises(NotImplementedError, match="equality"):
+        tbl.snapshot()

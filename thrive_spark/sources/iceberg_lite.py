@@ -25,11 +25,13 @@ same log-resident pruning delta_lite.py:172-193 does, one level
 deeper: Iceberg's two-level tree is what keeps planning sub-linear
 when a table has millions of files).
 
-Scope honestly bounded (mirrors delta_lite's honesty): format v1,
-identity partition transforms over long/string columns, data files in
-parquet. v2 row-level deletes (positional/equality delete files) and
+Scope honestly bounded (mirrors delta_lite's honesty): format v1 and
+v2, identity partition transforms over long/string columns, data
+files in parquet. v2 POSITION deletes are fully supported (r14 —
+content=1 delete manifests plan, and snapshot() drops marked rows via
+a row-index anti-join, the merge-on-read shape); EQUALITY deletes and
 non-identity transforms raise NotImplementedError rather than
-mis-reading. The writer half emits spec-conformant v1 metadata so the
+mis-reading. The writer half emits spec-conformant metadata so the
 exhibit and tests read back GENUINE Iceberg trees it did not shape to
 its own convenience.
 """
@@ -89,6 +91,9 @@ _MANIFEST_FILE = {
         {"name": "added_rows_count", "type": "long", "field-id": 512},
         {"name": "existing_rows_count", "type": "long", "field-id": 513},
         {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        # v2: 0 = data manifest, 1 = delete manifest (field id 517)
+        {"name": "content", "type": "int", "default": 0,
+         "field-id": 517},
     ],
 }
 
@@ -124,6 +129,10 @@ def _manifest_entry_schema(part_fields: list[dict]) -> dict:
                 "type": "record",
                 "name": "r2",
                 "fields": [
+                    # v2: 0 = data, 1 = position deletes, 2 = equality
+                    # deletes (field id 134)
+                    {"name": "content", "type": "int", "default": 0,
+                     "field-id": 134},
                     {"name": "file_path", "type": "string",
                      "field-id": 100},
                     {"name": "file_format", "type": "string",
@@ -224,10 +233,14 @@ class IcebergLiteTable:
     def metadata(self) -> dict:
         with open(self._current_metadata_path()) as fh:
             md = json.load(fh)
-        if md.get("format-version", 1) != 1:
+        if md.get("format-version", 1) not in (1, 2):
+            # v2 is in scope since r14: delete manifests (content=1)
+            # are planned and POSITION deletes applied in snapshot();
+            # equality deletes raise at plan time (_plan below), so a
+            # v2 table can never silently mis-read
             raise NotImplementedError(
-                "iceberg_lite reads format v1 tables only (v2 row-level "
-                "deletes would be silently wrong if ignored)"
+                "iceberg_lite reads format v1/v2 tables only "
+                f"(got format-version {md.get('format-version')})"
             )
         return md
 
@@ -269,6 +282,25 @@ class IcebergLiteTable:
         predicate, the stats only bound which files OPEN. Returns
         (files, plan_stats); stats count what the metadata pruned so
         tests can assert pruning happened IN the tree."""
+        files, _deletes, stats = self._plan(
+            snapshot_id, partition_filter, stats_filter
+        )
+        return files, stats
+
+    def _plan(
+        self,
+        snapshot_id: int | None = None,
+        partition_filter: dict | None = None,
+        stats_filter: dict | None = None,
+    ) -> tuple[list[dict], list[dict], dict]:
+        """plan_files plus the v2 DELETE FILES (manifest-list rows with
+        content=1): returns (data_files, position_delete_files, stats).
+        Position deletes reference data files by exact file_path, so
+        they are never partition/stats-pruned here — a delete row for
+        a pruned data file simply never matches. Equality deletes
+        (data_file.content == 2) raise: applying them needs value
+        comparison semantics this reader does not implement, and
+        skipping them would resurrect rows."""
         md = self.metadata()
         sid = snapshot_id if snapshot_id is not None else md.get(
             "current-snapshot-id"
@@ -293,7 +325,26 @@ class IcebergLiteTable:
         }
         col_by_name = {f["name"]: f for f in md["schema"]["fields"]}
         files: list[dict] = []
+        deletes: list[dict] = []
         for mf in mf_rows:
+            if mf.get("content", 0) == 1:  # v2 delete manifest
+                entries, _, _ = read_container(
+                    os.path.join(self.root, mf["manifest_path"])
+                )
+                for e in entries:
+                    if e["status"] == 2:
+                        continue
+                    rec = e["data_file"]
+                    if rec.get("content", 1) != 1:
+                        raise NotImplementedError(
+                            "equality delete files are not supported "
+                            "(skipping them would resurrect rows)"
+                        )
+                    deletes.append(rec)
+                stats["delete_files"] = stats.get("delete_files", 0) + len(
+                    [e for e in entries if e["status"] != 2]
+                )
+                continue
             if partition_filter and mf.get("partitions"):
                 skip = False
                 for pf, summ in zip(part_fields, mf["partitions"]):
@@ -332,7 +383,7 @@ class IcebergLiteTable:
                     stats["files_pruned_by_stats"] += 1
                     continue
                 files.append(df_rec)
-        return files, stats
+        return files, deletes, stats
 
     @staticmethod
     def _stats_excludes(
@@ -381,14 +432,21 @@ class IcebergLiteTable:
         data_ddl = ", ".join(
             f"{n} {t}" for n, t in spark_fields if n not in part_names
         )
-        files, _ = self.plan_files(snapshot_id, partition_filter, stats_filter)
+        files, deletes, _ = self._plan(
+            snapshot_id, partition_filter, stats_filter
+        )
         if not files:
             return self.spark.createDataFrame([], ddl)
-        if not part_fields:
-            return self.spark.read.schema(data_ddl).parquet(
+
+        def read_group(fs):
+            df = self.spark.read.schema(data_ddl).parquet(
                 *sorted(os.path.join(self.root, f["file_path"])
-                        for f in files)
+                        for f in fs)
             )
+            return self._apply_pos_deletes(df, deletes)
+
+        if not part_fields:
+            return read_group(files)
         by_pv: dict[tuple, list] = {}
         for f in files:
             pv = tuple(f["partition"].get(c) for c in part_names)
@@ -396,15 +454,49 @@ class IcebergLiteTable:
         out = None
         col_types = dict(spark_fields)
         for pv, fs in sorted(by_pv.items()):
-            df = self.spark.read.schema(data_ddl).parquet(
-                *sorted(os.path.join(self.root, f["file_path"])
-                        for f in fs)
-            )
+            df = read_group(fs)
             for c, val in zip(part_names, pv):
                 df = df.withColumn(c, F.lit(val).cast(col_types[c]))
             df = df.select(*[n for n, _ in spark_fields])
             out = df if out is None else out.unionByName(df)
         return out
+
+    def _apply_pos_deletes(self, df, deletes: list[dict]):
+        """v2 merge-on-read: drop rows position delete files mark —
+        a distributed anti-join on (_metadata.file_path,
+        _metadata.row_index), the same shape as Delta deletion
+        vectors. Delete files are plain parquet (file_path, pos), so
+        the delete side is itself a pruned columnar scan; it
+        broadcasts here because deletes are the small side by
+        construction."""
+        if not deletes:
+            return df
+        df = df.select(
+            "*",
+            F.col("_metadata.file_path").alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+        return df.join(
+            F.broadcast(self._delete_keys_df(deletes)),
+            ["__fp", "__ri"],
+            "left_anti",
+        ).drop("__fp", "__ri")
+
+    def _delete_keys_df(self, deletes: list[dict]):
+        """(__fp, __ri) keys of every position-deleted row, with
+        file_path widened to the _metadata.file_path URI form."""
+        del_df = self.spark.read.schema(
+            "file_path string, pos bigint"
+        ).parquet(
+            *sorted(
+                os.path.join(self.root, d["file_path"]) for d in deletes
+            )
+        )
+        prefix = "file:" + os.path.abspath(self.root) + "/"
+        return del_df.select(
+            F.concat(F.lit(prefix), F.col("file_path")).alias("__fp"),
+            F.col("pos").alias("__ri"),
+        )
 
     # ---------- minimal spec writer (exhibit/test construction) ----------
 
@@ -502,6 +594,8 @@ class IcebergLiteTable:
         (with field summaries computed from the entries)."""
         path = f"metadata/{uuid.uuid4().hex}-m0.avro"
         schema = _manifest_entry_schema(part_fields)
+        for e in entries:
+            e["data_file"].setdefault("content", 0)
         write_container(
             os.path.join(self.root, path),
             schema,
@@ -549,12 +643,16 @@ class IcebergLiteTable:
             "deleted_rows_count": sum(
                 e["data_file"]["record_count"] for e in st[2]
             ),
+            "content": 0,
         }
 
     def _commit_snapshot(
         self, md: dict, manifest_rows: list[dict], sid: int
     ) -> None:
         ml_path = f"metadata/snap-{sid}-1-{uuid.uuid4().hex[:8]}.avro"
+        for r in manifest_rows:
+            # rows carried by reference from pre-v2 lists lack content
+            r.setdefault("content", 0)
         write_container(
             os.path.join(self.root, ml_path),
             _MANIFEST_FILE,
@@ -750,6 +848,104 @@ class IcebergLiteTable:
             "manifests": n_man,
             "data_files": n_dat,
         }
+
+    def delete_rows_positional(self, pred_sql: str) -> tuple[int, int]:
+        """v2 MERGE-ON-READ row delete — the Iceberg twin of Delta
+        deletion vectors: matching row POSITIONS land in a position
+        delete file (plain parquet: file_path, pos — spec §"Position
+        Delete Files") tracked by a DELETE MANIFEST (content=1) in the
+        new snapshot's manifest list. Zero data-file rewrite; the read
+        side applies deletes as a row-index anti-join
+        (_apply_pos_deletes). Positions are computed against the LIVE
+        snapshot, so re-deleting already-deleted rows is a no-op and
+        repeated deletes accumulate delete files (compaction of those
+        is the maintenance job, as in any MoR design). Upgrades the
+        table to format-version 2 on first use. Returns (snapshot_id,
+        rows_marked)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        md = self.metadata()
+        part_fields = self._spec_fields(md)
+        files, deletes, _ = self._plan()
+        victims: list[tuple[str, int]] = []
+        for f in files:
+            abs_p = os.path.join(self.root, f["file_path"])
+            # only LIVE rows are victims: capture the row index, then
+            # anti-join existing deletes (so re-deleting is a no-op)
+            df = self.spark.read.parquet(abs_p).select(
+                "*",
+                F.col("_metadata.file_path").alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+            if deletes:
+                df = df.join(
+                    F.broadcast(self._delete_keys_df(deletes)),
+                    ["__fp", "__ri"],
+                    "left_anti",
+                )
+            # bounded: matching positions within one exhibit-sized
+            # file; a production writer keeps this distributed
+            pos = [
+                r["__ri"]
+                for r in df.filter(pred_sql).select("__ri").collect()
+            ]
+            victims.extend((f["file_path"], p) for p in sorted(pos))
+        if not victims:
+            return md["current-snapshot-id"], 0
+        sid = max(s["snapshot-id"] for s in md["snapshots"]) + 1
+        rel = f"data/delete-{uuid.uuid4().hex[:8]}.parquet"
+        tbl_pa = pa.table({
+            "file_path": pa.array([v[0] for v in victims], pa.string()),
+            "pos": pa.array([v[1] for v in victims], pa.int64()),
+        })
+        pq.write_table(tbl_pa, os.path.join(self.root, rel))
+        del_rec = {
+            "content": 1,
+            "file_path": rel,
+            "file_format": "PARQUET",
+            "partition": {f["name"]: None for f in part_fields},
+            "record_count": len(victims),
+            "file_size_in_bytes": os.path.getsize(
+                os.path.join(self.root, rel)
+            ),
+            "block_size_in_bytes": 67108864,
+            "lower_bounds": None,
+            "upper_bounds": None,
+        }
+        mpath = f"metadata/{uuid.uuid4().hex}-m0.avro"
+        write_container(
+            os.path.join(self.root, mpath),
+            _manifest_entry_schema(part_fields),
+            [{"status": 1, "snapshot_id": sid, "data_file": del_rec}],
+            metadata={"format-version": b"2", "content": b"deletes"},
+        )
+        mrow = {
+            "manifest_path": mpath,
+            "manifest_length": os.path.getsize(
+                os.path.join(self.root, mpath)
+            ),
+            "partition_spec_id": 0,
+            "added_snapshot_id": sid,
+            "added_data_files_count": 1,
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "partitions": None,
+            "added_rows_count": len(victims),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "content": 1,
+        }
+        cur = next(
+            s for s in md["snapshots"]
+            if s["snapshot-id"] == md["current-snapshot-id"]
+        )
+        prior, _, _ = read_container(
+            os.path.join(self.root, cur["manifest-list"])
+        )
+        md["format-version"] = 2
+        self._commit_snapshot(md, prior + [mrow], sid)
+        return sid, len(victims)
 
     def delete_where_file_contains(self, pred_sql: str) -> int:
         """File-grain copy-on-write delete (the v1 shape: v2 delete
@@ -1000,3 +1196,81 @@ def scan_iceberg_stats_prune(spark, sf_dir):
         )
     )
     return _detach_and_cleanup(spark, agg, root)
+
+
+@query(
+    "scan_iceberg_pos_delete",
+    oracle=f"""
+    WITH s1 AS (
+        SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        WHERE o_orderkey % 23 = 0
+    ),
+    s2 AS (SELECT * FROM s1 WHERE (p > 150000) IS NOT TRUE),
+    s3 AS (SELECT * FROM s2 WHERE (k % 3 = 0) IS NOT TRUE)
+    SELECT CAST(1 AS BIGINT) AS snap, count(*) AS n_rows,
+           {osum('p')} AS sum_price FROM s1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), count(*), {osum('p')} FROM s2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), count(*), {osum('p')} FROM s3
+    """,
+)
+def scan_iceberg_pos_delete(spark, sf_dir):
+    """Iceberg FORMAT-V2 position deletes, driver-verified — the
+    Iceberg twin of scan_delta_deletion_vectors: two row-level deletes
+    land as position delete files (parquet of (file_path, pos))
+    tracked by content=1 DELETE MANIFESTS, and every snapshot is
+    time-traveled through the merge-on-read scan (delete-key
+    broadcast, row-index anti-join). In-query asserts pin what makes
+    MoR matter at 100 TB: the DATA FILE SET is identical across all
+    three snapshots (zero rewrite), the second delete marks only LIVE
+    rows (no double-marking across delete files), and the table
+    upgraded to format-version 2. Logical states are labeled 1..3 so
+    the oracle holds even if an adversarial corpus empties one victim
+    class (a victimless delete commits nothing)."""
+    import tempfile
+
+    from ..tables import Tables
+    from .acid import _detach_and_cleanup
+
+    t = Tables(spark, sf_dir)
+    orders = t.orders.select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    root = tempfile.mkdtemp(prefix="thrive_iceberg_pd_")
+    tbl = IcebergLiteTable(spark, root)
+    tbl.create(
+        orders.filter("k % 23 = 0")
+        .repartitionByRange(3, "p")
+        .sortWithinPartitions("p")
+    )
+    files1 = {f["file_path"] for f in tbl.plan_files(1)[0]}
+    v2, n2 = tbl.delete_rows_positional("p > 150000")
+    v3, n3 = tbl.delete_rows_positional("k % 3 = 0")
+    assert v2 == 1 + (1 if n2 else 0), (v2, n2)
+    assert v3 == v2 + (1 if n3 else 0), (v2, v3, n3)
+    if n2 or n3:
+        assert tbl.metadata()["format-version"] == 2
+    for sid in {v2, v3}:
+        fs, ds, _ = tbl._plan(sid)
+        assert {f["file_path"] for f in fs} == files1, (
+            "position deletes must not rewrite data files"
+        )
+        assert sum(d["record_count"] for d in ds) <= n2 + n3
+
+    snaps = []
+    for label, sid in enumerate((1, v2, v3), start=1):
+        snaps.append(
+            tbl.snapshot(sid).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum("p").alias("sum_price"),
+            ).select(
+                F.lit(label).cast("bigint").alias("snap"),
+                "n_rows",
+                "sum_price",
+            )
+        )
+    out = snaps[0]
+    for s in snaps[1:]:
+        out = out.union(s)
+    return _detach_and_cleanup(spark, out, root)

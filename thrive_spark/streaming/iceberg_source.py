@@ -126,15 +126,15 @@ class IcebergStreamReader(DataSourceStreamReader):
         ]
         parts: list[InputPartition] = []
         prev: dict[str, dict] = {}
+        prev_del: set[str] = set()
         if sv != -1:
-            prev = {
-                f["file_path"]: f for f in tbl.plan_files(sv)[0]
-            }
+            pf, pd, _ = tbl._plan(sv)
+            prev = {f["file_path"]: f for f in pf}
+            prev_del = {d["file_path"] for d in pd}
         for i in range(lo, hi):
-            cur = {
-                f["file_path"]: f
-                for f in tbl.plan_files(ids[i])[0]
-            }
+            cf, cd, _ = tbl._plan(ids[i])
+            cur = {f["file_path"]: f for f in cf}
+            cur_del = {d["file_path"] for d in cd}
             removed = set(prev) - set(cur)
             if removed and not self.ignore_changes:
                 raise ValueError(
@@ -143,6 +143,16 @@ class IcebergStreamReader(DataSourceStreamReader):
                     "set ignorechanges=true to stream added rows "
                     "anyway (deletes will NOT be propagated)"
                 )
+            if cur_del - prev_del:
+                # v2 position deletes mark rows dead in files ALREADY
+                # emitted — no flag makes that append-only-safe
+                raise ValueError(
+                    f"iceberg stream: snapshot {ids[i]} adds position "
+                    "delete files; the streaming source would leave "
+                    "deleted rows in the output — read via "
+                    "IcebergLiteTable.snapshot() instead"
+                )
+            prev_del = cur_del
             for p in sorted(set(cur) - set(prev)):
                 parts.append(InputPartition((
                     os.path.join(self.root, p),
