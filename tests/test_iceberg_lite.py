@@ -519,3 +519,33 @@ def test_positional_delete_with_partitions_and_guards(spark, tmp_path):
     wc(os.path.join(tbl.root, dm["manifest_path"]), esch, entries)
     with pytest.raises(NotImplementedError, match="equality"):
         tbl.snapshot()
+
+
+def test_purge_deletes_rewrites_touched_files_only(spark, tmp_path):
+    """purge_deletes rewrites only the data files position deletes
+    touch, carries the rest by reference, retires the delete files,
+    and the current snapshot reads identically."""
+    import glob
+
+    tbl = _mk(spark, tmp_path)
+    # two data files; deletes will touch only one of them
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k bigint, p double"
+    )
+    tbl.create(df.repartitionByRange(2, "k").sortWithinPartitions("k"))
+    files1 = {f["file_path"] for f in tbl.plan_files(1)[0]}
+    assert len(files1) == 2
+    _, n = tbl.delete_rows_positional("k in (1, 3)")  # low file only
+    assert n == 2
+    sid, rewritten = tbl.purge_deletes()
+    assert rewritten == 1
+    fs, ds, _ = tbl._plan(sid)
+    assert not ds  # delete manifests gone from the new snapshot
+    assert not glob.glob(os.path.join(tbl.root, "data", "delete-*"))
+    kept = {f["file_path"] for f in fs}
+    assert len(kept & files1) == 1  # untouched file carried by ref
+    assert sorted(r.k for r in tbl.snapshot().collect()) == [
+        k for k in range(20) if k not in (1, 3)
+    ]
+    # idempotent
+    assert tbl.purge_deletes() == (sid, 0)

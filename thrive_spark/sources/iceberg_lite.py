@@ -947,6 +947,69 @@ class IcebergLiteTable:
         self._commit_snapshot(md, prior + [mrow], sid)
         return sid, len(victims)
 
+    def purge_deletes(self) -> tuple[int, int]:
+        """REWRITE maintenance (Iceberg's rewrite_data_files +
+        rewrite_position_delete_files combined, the twin of
+        delta_lite.purge_dvs): materialize every data file that
+        position deletes touch WITHOUT its dead rows, drop the delete
+        manifests from the new snapshot, and remove the delete parquet
+        files — paying down the merge-on-read debt. Untouched data
+        files carry by reference. Like vacuum, removing the delete
+        parquet files breaks time travel to delete-bearing snapshots —
+        run expire_snapshots first if that history must go cleanly.
+        Returns (snapshot_id, files_rewritten); no-op when no deletes
+        exist."""
+        md = self.metadata()
+        part_fields = self._spec_fields(md)
+        files, deletes, _ = self._plan()
+        if not deletes:
+            return md["current-snapshot-id"], 0
+        # which data files do the deletes actually touch?
+        touched = set()
+        import pyarrow.parquet as pq
+
+        for d in deletes:
+            t = pq.read_table(
+                os.path.join(self.root, d["file_path"]),
+                columns=["file_path"],
+            )
+            touched.update(t["file_path"].to_pylist())
+        sid = max(s["snapshot-id"] for s in md["snapshots"]) + 1
+        part_names = [f["name"] for f in part_fields]
+        entries = []
+        for f in files:
+            if f["file_path"] not in touched:
+                entries.append(
+                    {"status": 0, "snapshot_id": sid, "data_file": f}
+                )
+                continue
+            entries.append(
+                {"status": 2, "snapshot_id": sid, "data_file": f}
+            )
+            live = self._apply_pos_deletes(
+                self.spark.read.parquet(
+                    os.path.join(self.root, f["file_path"])
+                ),
+                deletes,
+            )
+            if not live.count():
+                continue
+            pv = f["partition"]
+            for a in self._write_data_files(
+                live, [], md["schema"]["fields"]
+            ):
+                a["partition"] = dict(pv)
+                entries.append(
+                    {"status": 1, "snapshot_id": sid, "data_file": a}
+                )
+        mrow = self._write_manifest(entries, part_fields, sid)
+        self._commit_snapshot(md, [mrow], sid)
+        for d in deletes:  # GC the retired delete files
+            p = os.path.join(self.root, d["file_path"])
+            if os.path.exists(p):
+                os.unlink(p)
+        return sid, len(touched)
+
     def delete_where_file_contains(self, pred_sql: str) -> int:
         """File-grain copy-on-write delete (the v1 shape: v2 delete
         FILES are out of scope — guarded in metadata()): victim files
