@@ -549,3 +549,36 @@ def test_purge_deletes_rewrites_touched_files_only(spark, tmp_path):
     ]
     # idempotent
     assert tbl.purge_deletes() == (sid, 0)
+
+
+def test_schema_evolution_add_column_null_backfill(spark, tmp_path):
+    """add_column assigns a fresh field id without touching data
+    files; pre-evolution files read the new column as NULL, post-
+    evolution appends carry real values, and stats/pruning still work
+    on the new column for files that have it."""
+    tbl = _mk(spark, tmp_path)
+    tbl.create(spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "k bigint, p double"))
+    old_files = {f["file_path"] for f in tbl.plan_files(1)[0]}
+    sch_id = tbl.add_column("score", "double")
+    md = tbl.metadata()
+    assert md["current-schema-id"] == sch_id
+    assert md["last-column-id"] == 3
+    assert len(md["schemas"]) == 2
+    # ids never reuse: the new field's id is fresh
+    assert [f["id"] for f in md["schema"]["fields"]] == [1, 2, 3]
+    tbl.append(spark.createDataFrame(
+        [(3, 3.0, 0.9)], "k bigint, p double, score double"))
+    got = {(r.k, r.score) for r in tbl.snapshot().collect()}
+    assert got == {(1, None), (2, None), (3, 0.9)}
+    # old data files untouched
+    now_files = {f["file_path"] for f in tbl.plan_files()[0]}
+    assert old_files <= now_files
+    with pytest.raises(ValueError, match="already exists"):
+        tbl.add_column("score", "double")
+    # stats prune on the evolved column: only the new file has bounds,
+    # old files (no stats for the column) are never excluded
+    files, stats = tbl.plan_files(stats_filter={"score": (0.0, 1.0)})
+    assert {f["file_path"] for f in files} == now_files
+    _, s2 = tbl.plan_files(stats_filter={"score": (5.0, 9.0)})
+    assert s2["files_pruned_by_stats"] == 1  # the new file's bounds miss

@@ -666,9 +666,13 @@ class IcebergLiteTable:
             "summary": {"operation": "append"},
         }]
         md["current-snapshot-id"] = sid
-        # next metadata version = current file number + 1 (NOT the
-        # snapshot count: expiration shrinks the snapshot list, and a
-        # count-based number would collide with an existing file)
+        self._write_metadata(md)
+
+    def _write_metadata(self, md: dict) -> None:
+        """Write the next metadata file + version hint. The version is
+        the current file number + 1 (NOT the snapshot count: expiration
+        shrinks the snapshot list, and a count-based number would
+        collide with an existing file)."""
         try:
             n = int(
                 os.path.basename(self._current_metadata_path())[1:]
@@ -684,6 +688,41 @@ class IcebergLiteTable:
         with open(os.path.join(self.meta_dir, "version-hint.text"),
                   "w") as fh:
             fh.write(str(n))
+
+    def add_column(self, name: str, ice_type: str) -> int:
+        """SCHEMA EVOLUTION (spec §Schemas): append a new optional
+        column with a FRESH field id (ids are the spec's column
+        identity — never reused, which is what makes adds safe without
+        touching a single data file). The evolved schema joins the
+        ``schemas`` list and becomes current; data files written under
+        older schemas simply lack the column and read as NULL
+        (id-based resolution; this reader never renames, so name-based
+        NULL backfill is equivalent). Returns the new schema-id."""
+        md = self.metadata()
+        if any(f["name"] == name for f in md["schema"]["fields"]):
+            raise ValueError(f"column {name!r} already exists")
+        if ice_type not in ("long", "double", "string", "boolean"):
+            raise NotImplementedError(
+                f"add_column: iceberg type {ice_type!r}"
+            )
+        new_id = md["last-column-id"] + 1
+        schema_id = (
+            max(s.get("schema-id", 0) for s in md.get("schemas", [{}]))
+            + 1
+        )
+        schema = {
+            **md["schema"],
+            "schema-id": schema_id,
+            "fields": md["schema"]["fields"]
+            + [{"id": new_id, "name": name, "required": False,
+                "type": ice_type}],
+        }
+        md["schema"] = schema
+        md["schemas"] = md.get("schemas", []) + [schema]
+        md["current-schema-id"] = schema_id
+        md["last-column-id"] = new_id
+        self._write_metadata(md)
+        return schema_id
 
     def _ice_schema(self, df, partition_columns: list[str]) -> dict:
         ice_t = {"bigint": "long", "double": "double", "string": "string",
