@@ -13,11 +13,13 @@ needs no jar — which is exactly why Delta interop matters at 100 TB:
 ANY engine that can list a prefix and read parquet can plan a
 snapshot from the log alone.
 
-Scope honestly bounded: reader version 1 tables, PLUS reader-v3
-tables whose only reader feature is deletionVectors (r14 —
+Scope honestly bounded: reader v1 and v2 tables (v2 = column mapping
+— snapshot() resolves the schemaString's physical names, including
+physically-keyed partitionValues), plus reader-v3 tables whose
+features are a subset of {deletionVectors, columnMapping} (r14 —
 sources/deletion_vectors.py decodes the Z85/RoaringBitmap sidecars
-and snapshot() drops DV'd rows via a row-index anti-join); column
-mapping and other v2/v3 features raise rather than mis-read.
+and snapshot() drops DV'd rows via a row-index anti-join); other v3
+features raise rather than mis-read.
 Checkpoint parquet IS read (r13 second pass):
 state() starts from the newest <v>.checkpoint.parquet ≤ the requested
 version and folds only the JSON tail — mature tables clean up
@@ -155,19 +157,24 @@ class DeltaLiteTable:
                 elif "remove" in a:
                     live.pop(a["remove"]["path"], None)
         if protocol and protocol.get("minReaderVersion", 1) > 1:
-            # reader v3 + the deletionVectors feature alone is in scope
-            # (r14; sources/deletion_vectors.py). Anything else —
-            # column mapping, timestampNtz, v2 generally — still
-            # raises rather than mis-reads.
+            # in scope (r14): v2 (column mapping — the only v2
+            # capability; snapshot() resolves physical names) and v3
+            # with the deletionVectors/columnMapping features. Anything
+            # else — timestampNtz, v2 checkpoints etc. — still raises
+            # rather than mis-reads.
             feats = set(protocol.get("readerFeatures") or [])
-            if not (
-                protocol.get("minReaderVersion") == 3
-                and feats == {"deletionVectors"}
-            ):
+            mrv = protocol.get("minReaderVersion")
+            ok = mrv == 2 or (
+                mrv == 3
+                and feats
+                and feats <= {"deletionVectors", "columnMapping"}
+            )
+            if not ok:
                 raise NotImplementedError(
-                    "delta_lite reads protocol v1 tables, plus v3 "
-                    "tables whose only reader feature is "
-                    f"deletionVectors (got {protocol})"
+                    "delta_lite reads protocol v1/v2 tables, plus v3 "
+                    "tables whose reader features are a subset of "
+                    "{deletionVectors, columnMapping} "
+                    f"(got {protocol})"
                 )
         if meta is None:
             raise ValueError("Delta log has no metaData action")
@@ -197,38 +204,57 @@ class DeltaLiteTable:
         from pyspark.sql.types import StructType
 
         st = self.state(version)
+        from pyspark.sql.types import StructField
+
+        schema = StructType.fromJson(json.loads(st["meta"]["schemaString"]))
+        part_cols = st["meta"].get("partitionColumns", [])
+        # column mapping (reader v2, r14): data files and the log's
+        # partitionValues use PHYSICAL names the schemaString's field
+        # metadata declares; read physically, rename to logical
+        phys = self._col_mapping(st["meta"])
+        data_schema = StructType(
+            [
+                StructField(phys[f.name], f.dataType, True)
+                for f in schema.fields
+                if f.name not in part_cols
+            ]
+        )
+
+        def read_logical(adds):
+            df = self._read_adds(adds, data_schema)
+            for logical, physical in phys.items():
+                if physical != logical and physical in df.columns:
+                    df = df.withColumnRenamed(physical, logical)
+            return df
+
+        def pv_of(a, c):  # partitionValues key under the active mode
+            pvs = a.get("partitionValues", {})
+            return pvs.get(phys[c], pvs.get(c))
+
         if partition_filter:
             st = {
                 **st,
                 "adds": [
-                    a
-                    for a in st["adds"]
+                    a for a in st["adds"]
                     if all(
-                        a.get("partitionValues", {}).get(k) == v
+                        pv_of(a, k) == v
                         for k, v in partition_filter.items()
                     )
                 ],
             }
-        schema = StructType.fromJson(json.loads(st["meta"]["schemaString"]))
-        part_cols = st["meta"].get("partitionColumns", [])
-        data_schema = StructType(
-            [f for f in schema.fields if f.name not in part_cols]
-        )
         if not st["adds"]:
             return self.spark.createDataFrame([], schema)
         if not part_cols:
-            return self._read_adds(st["adds"], data_schema)
+            return read_logical(st["adds"])
         # group adds by identical partitionValues: one pruned scan per
         # partition tuple, literals appended from the log
         by_pv: dict[tuple, list] = {}
         for a in st["adds"]:
-            pv = tuple(
-                a.get("partitionValues", {}).get(c) for c in part_cols
-            )
+            pv = tuple(pv_of(a, c) for c in part_cols)
             by_pv.setdefault(pv, []).append(a)
         out = None
         for pv, adds in sorted(by_pv.items()):
-            df = self._read_adds(adds, data_schema)
+            df = read_logical(adds)
             for c, val in zip(part_cols, pv):
                 typ = dict(
                     (f.name, f.dataType) for f in schema.fields
@@ -237,6 +263,29 @@ class DeltaLiteTable:
             df = df.select(*[f.name for f in schema.fields])
             out = df if out is None else out.unionByName(df)
         return out
+
+    @staticmethod
+    def _col_mapping(meta: dict) -> dict:
+        """logical -> physical column names (identity when the table
+        has no column mapping). Physical names come from the
+        schemaString's delta.columnMapping.physicalName field
+        metadata, per the name-mapping spec."""
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        return {
+            f.name: (
+                f.metadata.get(
+                    "delta.columnMapping.physicalName", f.name
+                )
+                if mode in ("name", "id")
+                else f.name
+            )
+            for f in schema.fields
+        }
 
     def _read_adds(self, adds: list[dict], data_schema):
         """Scan a list of add actions, applying deletion vectors where
@@ -305,15 +354,18 @@ class DeltaLiteTable:
             }
         }]
         n_new = 0
+        phys = self._col_mapping(st["meta"])
         for a in st["adds"]:
             abs_p = os.path.join(self.root, a["path"])
+            df = self.spark.read.parquet(abs_p).select(
+                F.col("_metadata.row_index").alias("__ri"), "*"
+            )
+            for logical, physical in phys.items():
+                if physical != logical and physical in df.columns:
+                    df = df.withColumnRenamed(physical, logical)
             vic = [
                 r["__ri"]
-                for r in self.spark.read.parquet(abs_p)
-                .select(
-                    F.col("_metadata.row_index").alias("__ri"), "*"
-                )
-                .filter(pred_sql)
+                for r in df.filter(pred_sql)
                 .select("__ri")
                 # bounded: row indices of matching rows in ONE file of
                 # an exhibit-sized table; a production writer would
@@ -359,12 +411,19 @@ class DeltaLiteTable:
         dv_adds = [a for a in st["adds"] if a.get("deletionVector")]
         if not dv_adds:
             return st["version"], 0
+        from pyspark.sql.types import StructField
+
         schema = StructType.fromJson(
             json.loads(st["meta"]["schemaString"])
         )
         part_cols = st["meta"].get("partitionColumns", [])
-        data_schema = StructType(
-            [f for f in schema.fields if f.name not in part_cols]
+        phys = self._col_mapping(st["meta"])
+        data_schema = StructType(  # physical: rewrites keep the layout
+            [
+                StructField(phys[f.name], f.dataType, True)
+                for f in schema.fields
+                if f.name not in part_cols
+            ]
         )
         actions: list[dict] = [
             {"remove": {"path": a["path"], "dataChange": False}}
@@ -426,19 +485,61 @@ class DeltaLiteTable:
             if f.endswith(".parquet")
         ]
 
-    def create(self, df, partition_columns: list[str] | None = None) -> None:
-        adds = self._write_files(df, f"part-{uuid.uuid4().hex[:8]}")
+    def create(
+        self,
+        df,
+        partition_columns: list[str] | None = None,
+        column_mapping: bool = False,
+    ) -> None:
+        """``column_mapping=True`` writes the spec's NAME-mapping shape
+        (reader v2): schemaString fields carry
+        delta.columnMapping.{id,physicalName} metadata, configuration
+        sets the mode, protocol bumps to (2, 5), and data files store
+        PHYSICAL column names — the layout that lets a real writer
+        rename/drop columns as metadata operations."""
+        protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+        configuration: dict = {}
+        schema_json = df.schema.json()
+        write_df = df
+        if column_mapping:
+            from pyspark.sql.types import StructField, StructType
+
+            if partition_columns:
+                raise NotImplementedError(
+                    "column_mapping=True with partition columns is not "
+                    "supported by this minimal writer (the reader "
+                    "handles both; build such logs by hand in tests)"
+                )
+            fields = []
+            renames = {}
+            for i, f in enumerate(df.schema.fields, start=1):
+                pname = f"col-{uuid.uuid4().hex[:8]}"
+                renames[f.name] = pname
+                fields.append(StructField(f.name, f.dataType, True, {
+                    "delta.columnMapping.id": i,
+                    "delta.columnMapping.physicalName": pname,
+                }))
+            schema_json = StructType(fields).json()
+            write_df = df.select(
+                *[F.col(l).alias(p) for l, p in renames.items()]
+            )
+            protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
+            configuration = {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": str(len(fields)),
+            }
+        adds = self._write_files(write_df, f"part-{uuid.uuid4().hex[:8]}")
         self._commit(
             0,
             [
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                {"protocol": protocol},
                 {
                     "metaData": {
                         "id": str(uuid.uuid4()),
                         "format": {"provider": "parquet", "options": {}},
-                        "schemaString": df.schema.json(),
+                        "schemaString": schema_json,
                         "partitionColumns": partition_columns or [],
-                        "configuration": {},
+                        "configuration": configuration,
                     }
                 },
                 *({"add": a} for a in adds),
