@@ -214,6 +214,7 @@ GRADE_DEFER = [
     "scan_iceberg_stats_prune",
     "scan_iceberg_stream",
     "scan_iceberg_pos_delete",
+    "scan_delta_column_mapping",
 ]
 
 

@@ -587,7 +587,7 @@ def test_column_mapping_name_mode(spark, tmp_path):
     st = tbl.state()
     assert st["protocol"]["minReaderVersion"] == 3
     feats = set(st["protocol"]["readerFeatures"])
-    assert feats == {"deletionVectors"}  # mapping rides configuration
+    assert feats == {"deletionVectors", "columnMapping"}
     # foreign v3 feature still refuses
     tbl._commit(tbl.versions()[-1] + 1, [{"protocol": {
         "minReaderVersion": 3, "minWriterVersion": 7,

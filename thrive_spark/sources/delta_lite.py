@@ -345,12 +345,19 @@ class DeltaLiteTable:
         from .deletion_vectors import read_dv, write_dv
 
         st = self.state()
+        feats = ["deletionVectors"]
+        if (st["meta"].get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        ) != "none":
+            # spec: a v3 protocol lists EVERY active feature — a
+            # mapped table must keep advertising columnMapping
+            feats.append("columnMapping")
         actions: list[dict] = [{
             "protocol": {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["deletionVectors"],
-                "writerFeatures": ["deletionVectors"],
+                "readerFeatures": feats,
+                "writerFeatures": feats,
             }
         }]
         n_new = 0
@@ -979,3 +986,67 @@ def scan_delta_deletion_vectors(spark, sf_dir):
     for s in snaps[1:]:
         out = out.union(s)
     return _detach_and_cleanup(spark, out, root)
+
+
+@query(
+    "scan_delta_column_mapping",
+    oracle=f"""
+    WITH t AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               o_totalprice AS p
+        FROM orders WHERE o_orderkey % 21 = 1
+    ),
+    live AS (SELECT * FROM t WHERE (p > 180000) IS NOT TRUE)
+    SELECT status, count(*) AS n_rows, {osum('p')} AS sum_price,
+           CAST(min(k) AS BIGINT) AS min_k
+    FROM live GROUP BY status
+    """,
+)
+def scan_delta_column_mapping(spark, sf_dir):
+    """Delta READER-V2 column mapping, driver-verified: the table is
+    written in the spec's NAME-mapping shape — data files store
+    physical ``col-xxxx`` names, the schemaString's field metadata
+    carries delta.columnMapping.{{id,physicalName}}, configuration
+    sets the mode — and the snapshot presents logical names. A DV
+    row-level delete runs on top (its predicate resolves through the
+    mapping), so the hash verifies physical-name read → logical
+    rename → mapped DV delete → aggregate. In-query asserts pin that
+    the parquet files really hold physical names (the property that
+    makes rename/drop a metadata operation at 100 TB) and that the
+    protocol advertises reader v2/v3."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..tables import Tables
+    from .acid import _detach_and_cleanup
+
+    t = Tables(spark, sf_dir)
+    orders = t.orders.filter("o_orderkey % 21 = 1").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("p"),
+    )
+    root = tempfile.mkdtemp(prefix="thrive_delta_cm_")
+    tbl = DeltaLiteTable(spark, root)
+    tbl.create(orders.repartition(2), column_mapping=True)
+    st0 = tbl.state()
+    assert st0["protocol"]["minReaderVersion"] == 2
+    a_path = os.path.join(root, st0["adds"][0]["path"])
+    assert all(
+        n.startswith("col-") for n in pq.read_schema(a_path).names
+    ), "data files must store physical names"
+    v, n = tbl.delete_rows_dv("p > 180000")
+    assert v == (1 if n else 0), (v, n)
+    if n:
+        assert tbl.state()["protocol"]["minReaderVersion"] == 3
+    agg = (
+        tbl.snapshot()
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("p").alias("sum_price"),
+            F.min("k").cast("bigint").alias("min_k"),
+        )
+    )
+    return _detach_and_cleanup(spark, agg, root)
