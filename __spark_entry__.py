@@ -215,6 +215,7 @@ GRADE_DEFER = [
     "scan_iceberg_stream",
     "scan_iceberg_pos_delete",
     "scan_delta_column_mapping",
+    "scan_iceberg_hidden_partition",
 ]
 
 

@@ -197,9 +197,12 @@ def test_v2_and_nonidentity_guards(spark, tmp_path):
         json.dump(md, f)
     with pytest.raises(NotImplementedError, match="format-version"):
         tbl.snapshot()
+    # bucket/truncate/temporal transforms are in scope since r14;
+    # an UNKNOWN transform (here: the spec's `void`) must still
+    # refuse rather than mis-prune
     md["format-version"] = 1
     md["partition-specs"][0]["fields"] = [
-        {"name": "k_bucket", "transform": "bucket[16]",
+        {"name": "k_void", "transform": "void",
          "source-id": 1, "field-id": 1000}
     ]
     with open(mpath, "w") as f:
@@ -582,3 +585,161 @@ def test_schema_evolution_add_column_null_backfill(spark, tmp_path):
     assert {f["file_path"] for f in files} == now_files
     _, s2 = tbl.plan_files(stats_filter={"score": (5.0, 9.0)})
     assert s2["files_pruned_by_stats"] == 1  # the new file's bounds miss
+
+
+# ---------- partition transforms (hidden partitioning, r14) ----------
+
+
+def test_murmur3_spec_vectors():
+    """The Iceberg spec's published Appendix-B hash vectors — bucket
+    correctness is exactly murmur3_x86_32 of the single-value binary
+    form, so these pin the whole transform."""
+    from thrive_spark.sources.iceberg_lite import _murmur3_x86_32
+
+    assert _murmur3_x86_32(struct.pack("<q", 34)) == 2017239379
+    assert _murmur3_x86_32(b"iceberg") == 1210000089
+    # date 2017-11-16 == day ordinal 17486; ts 2017-11-16T22:31:08
+    # == 1510871468000000 micros (both hash as the long form)
+    assert _murmur3_x86_32(struct.pack("<q", 17486)) == -653330422
+    assert _murmur3_x86_32(struct.pack("<q", 1510871468000000)) \
+        == -2047944441
+
+
+def test_transform_py_spark_parity(spark):
+    """The writer computes partition values with Spark columns, the
+    reader prunes with driver-side Python — the two halves must agree
+    on every value or pruning silently drops files."""
+    import datetime
+
+    from thrive_spark.sources.iceberg_lite import (
+        _apply_transform_py,
+        _transform_spark_col,
+    )
+
+    rows = [
+        (i * 977 - 3000,
+         f"key-{i:03d}",
+         datetime.datetime(2023, 1 + (i % 12), 1 + (i % 27), i % 24, 30))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, s string, ts timestamp")
+    cases = [
+        ("k", "bucket[16]", "long"),
+        ("k", "truncate[1000]", "long"),
+        ("s", "bucket[8]", "string"),
+        ("s", "truncate[5]", "string"),
+        ("ts", "day", "timestamp"),
+        ("ts", "month", "timestamp"),
+        ("ts", "year", "timestamp"),
+        ("ts", "hour", "timestamp"),
+    ]
+    got = df.select(
+        "k", "s", "ts",
+        *[
+            _transform_spark_col(c, tf, t).alias(f"t{i}")
+            for i, (c, tf, t) in enumerate(cases)
+        ],
+    ).collect()
+    for r in got:
+        vals = {"k": r["k"], "s": r["s"], "ts": r["ts"]}
+        for i, (c, tf, t) in enumerate(cases):
+            assert r[f"t{i}"] == _apply_transform_py(vals[c], tf, t), (
+                c, tf, vals[c],
+            )
+
+
+def test_hidden_partition_bucket_prunes_and_reads(spark, tmp_path):
+    from thrive_spark.sources.iceberg_lite import _apply_transform_py
+
+    df = spark.createDataFrame(
+        [(i, float(i) * 1.5) for i in range(200)], "k bigint, p double"
+    )
+    tbl = IcebergLiteTable(spark, str(tmp_path / "t"))
+    tbl.create(df, partition_spec=[("k", "bucket[8]")])
+    # the raw-value predicate prunes through the transform
+    files, stats = tbl.plan_files(partition_filter={"k": 42})
+    want = _apply_transform_py(42, "bucket[8]", "long")
+    assert files and all(
+        f["partition"]["k_bucket"] == want for f in files
+    )
+    assert stats["files_pruned"] >= 1, stats
+    # source column stays IN the data (hidden partitioning), so the
+    # filtered read returns exactly the probe rows
+    got = (
+        tbl.snapshot(partition_filter={"k": 42})
+        .filter("k = 42").collect()
+    )
+    assert [(r["k"], r["p"]) for r in got] == [(42, 63.0)]
+    # full read loses nothing across buckets
+    assert tbl.snapshot().count() == 200
+
+
+def test_hidden_partition_day_and_append(spark, tmp_path):
+    import datetime
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + (i % 5), i % 24, 0), float(i))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, ts timestamp, v double")
+    tbl = IcebergLiteTable(spark, str(tmp_path / "t"))
+    tbl.create(df, partition_spec=[("ts", "day")])
+    probe = datetime.datetime(2024, 1, 3, 12, 0)
+    files, stats = tbl.plan_files(partition_filter={"ts": probe})
+    assert stats["files_pruned"] >= 1, stats
+    got = tbl.snapshot(partition_filter={"ts": probe}).filter(
+        "to_date(ts) = '2024-01-03'"
+    )
+    exp = [r for r in rows if r[1].date() == datetime.date(2024, 1, 3)]
+    assert got.count() == len(exp)
+    # schema stays the logical schema — no ts_day column
+    assert got.columns == ["k", "ts", "v"]
+    # appends flow through the same transformed writer path
+    tbl.append(spark.createDataFrame(
+        [(900, datetime.datetime(2024, 1, 3, 1, 0), 9.0)],
+        "k bigint, ts timestamp, v double",
+    ))
+    got2 = tbl.snapshot(partition_filter={"ts": probe}).filter(
+        "to_date(ts) = '2024-01-03'"
+    )
+    assert got2.count() == len(exp) + 1
+
+
+def test_mixed_identity_and_transform_spec(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i % 3, i, float(i)) for i in range(60)],
+        "region bigint, k bigint, p double",
+    )
+    tbl = IcebergLiteTable(spark, str(tmp_path / "t"))
+    tbl.create(
+        df,
+        partition_spec=[("region", "identity"), ("k", "truncate[20]")],
+    )
+    files, stats = tbl.plan_files(
+        partition_filter={"region": 1, "k": 25}
+    )
+    assert files and all(
+        f["partition"]["region"] == 1
+        and f["partition"]["k_trunc"] == 20
+        for f in files
+    )
+    assert stats["files_pruned"] >= 1
+    # identity value re-materializes from metadata; truncate source
+    # stays in data — both columns come back intact
+    got = tbl.snapshot().filter("region = 1 AND k = 25").collect()
+    assert [(r["region"], r["k"], r["p"]) for r in got] == [(1, 25, 25.0)]
+    assert tbl.snapshot().count() == 60
+
+
+def test_transform_null_values_partition_and_survive(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "k bigint, s string"
+    )
+    tbl = IcebergLiteTable(spark, str(tmp_path / "t"))
+    tbl.create(df, partition_spec=[("s", "bucket[4]")])
+    # spec: null -> null partition; the row must survive a full read
+    assert tbl.snapshot().count() == 3
+    vals = {
+        f["partition"]["s_bucket"] for f in tbl.plan_files()[0]
+    }
+    assert None in vals

@@ -26,14 +26,19 @@ deeper: Iceberg's two-level tree is what keeps planning sub-linear
 when a table has millions of files).
 
 Scope honestly bounded (mirrors delta_lite's honesty): format v1 and
-v2, identity partition transforms over long/string columns, data
-files in parquet. v2 POSITION deletes are fully supported (r14 —
-content=1 delete manifests plan, and snapshot() drops marked rows via
-a row-index anti-join, the merge-on-read shape); EQUALITY deletes and
-non-identity transforms raise NotImplementedError rather than
-mis-reading. The writer half emits spec-conformant metadata so the
-exhibit and tests read back GENUINE Iceberg trees it did not shape to
-its own convenience.
+v2, data files in parquet. Partition transforms cover the spec's
+whole §Partition Transforms table minus void — identity, bucket[N]
+(spec-exact murmur3_x86_32, verified against the published Appendix-B
+hash vectors), truncate[W], and year/month/day/hour — with HIDDEN
+partitioning on the read side: a predicate on the raw source column
+prunes through the table's own transform (scan_iceberg_hidden_
+partition). v2 POSITION deletes are fully supported (r14 — content=1
+delete manifests plan, and snapshot() drops marked rows via a
+row-index anti-join, the merge-on-read shape); EQUALITY deletes and
+unknown transforms raise NotImplementedError rather than mis-reading.
+The writer half emits spec-conformant metadata so the exhibit and
+tests read back GENUINE Iceberg trees it did not shape to its own
+convenience.
 """
 
 from __future__ import annotations
@@ -100,16 +105,17 @@ _MANIFEST_FILE = {
 
 def _partition_record_schema(part_fields: list[dict]) -> dict:
     """Avro schema of the manifest's partition struct (r102): one
-    field per partition-spec field, nullable, typed by the source
-    column's Iceberg type."""
-    avro_t = {"long": "long", "string": "string"}
+    field per partition-spec field, nullable, typed by the field's
+    TRANSFORM RESULT type (identity/truncate keep the source type;
+    bucket and the temporal transforms store int ordinals)."""
+    avro_t = {"long": "long", "string": "string", "int": "int"}
     return {
         "type": "record",
         "name": "r102",
         "fields": [
             {
                 "name": f["name"],
-                "type": ["null", avro_t[f["_ice_type"]]],
+                "type": ["null", avro_t[f["_result_type"]]],
                 "default": None,
                 "field-id": f["field-id"],
             }
@@ -182,10 +188,12 @@ def _manifest_entry_schema(part_fields: list[dict]) -> dict:
 
 def _ser_bound(v, ice_type: str) -> bytes:
     """Iceberg single-value serialization (spec Appendix D): long =
-    8-byte little-endian two's complement; double = 8-byte LE IEEE;
-    string = UTF-8 bytes."""
+    8-byte little-endian two's complement; int = 4-byte LE; double =
+    8-byte LE IEEE; string = UTF-8 bytes."""
     if ice_type == "long":
         return struct.pack("<q", int(v))
+    if ice_type == "int":
+        return struct.pack("<i", int(v))
     if ice_type == "double":
         return struct.pack("<d", float(v))
     if ice_type == "string":
@@ -196,11 +204,182 @@ def _ser_bound(v, ice_type: str) -> bytes:
 def _deser_bound(b: bytes, ice_type: str):
     if ice_type == "long":
         return struct.unpack("<q", b)[0]
+    if ice_type == "int":
+        return struct.unpack("<i", b)[0]
     if ice_type == "double":
         return struct.unpack("<d", b)[0]
     if ice_type == "string":
         return b.decode()
     raise NotImplementedError(f"bound deserialization for {ice_type}")
+
+
+# ---------- partition transforms (spec §Partition Transforms) ----------
+
+def _murmur3_x86_32(data: bytes, seed: int = 0) -> int:
+    """32-bit Murmur3 exactly as the Iceberg spec's bucket transform
+    requires (Appendix B: hash = murmur3_x86_32 of the value's
+    single-value binary form). Pure Python; verified against the
+    spec's published test vectors (34 -> 2017239379, "iceberg" ->
+    1210000089) in tests/test_iceberg_lite.py. Returns SIGNED int32
+    — the sign matters: the spec buckets via (h & Int.MAX) % N."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed
+    n4 = len(data) - (len(data) % 4)
+    for i in range(0, n4, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[n4:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if tail:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _ts_micros(v) -> int:
+    """Epoch microseconds of a timestamp value (datetime / pandas
+    Timestamp / ISO string), interpreted as UTC — the session runs
+    UTC (tables.py), so naive values are UTC by construction."""
+    import datetime as _dt
+
+    if isinstance(v, str):
+        v = _dt.datetime.fromisoformat(v)
+    if isinstance(v, _dt.datetime):
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return (v - epoch) // _dt.timedelta(microseconds=1)
+    # pandas.Timestamp exposes epoch NANOS as .value
+    return int(v.value) // 1000
+
+
+def _parse_transform(t: str) -> tuple[str, int | None]:
+    if t.startswith("bucket[") and t.endswith("]"):
+        return "bucket", int(t[7:-1])
+    if t.startswith("truncate[") and t.endswith("]"):
+        return "truncate", int(t[9:-1])
+    return t, None
+
+
+def _transform_result_type(transform: str, src_type: str) -> str:
+    kind, _ = _parse_transform(transform)
+    if kind == "identity" or kind == "truncate":
+        return src_type
+    if kind == "bucket" or kind in ("year", "month", "day", "hour"):
+        # spec: day's formal result type is date; it serializes as an
+        # int day ordinal, which is how this reader stores and prunes
+        # it (never surfaced as a DATE-typed output column)
+        return "int"
+    raise NotImplementedError(f"partition transform {transform!r}")
+
+
+def _apply_transform_py(v, transform: str, src_type: str):
+    """Driver-side transform application — the reader half of HIDDEN
+    partitioning: a predicate on the SOURCE column is converted to a
+    predicate on the partition tuple by pushing the raw value through
+    the same function the writer used (spec: null -> null for every
+    transform)."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    kind, arg = _parse_transform(transform)
+    if kind == "identity":
+        return v
+    if kind == "bucket":
+        if src_type in ("long", "int"):
+            h = _murmur3_x86_32(struct.pack("<q", int(v)))
+        elif src_type == "string":
+            h = _murmur3_x86_32(str(v).encode())
+        elif src_type == "timestamp":
+            h = _murmur3_x86_32(struct.pack("<q", _ts_micros(v)))
+        else:
+            raise NotImplementedError(f"bucket over {src_type}")
+        return (h & 0x7FFFFFFF) % arg
+    if kind == "truncate":
+        if src_type in ("long", "int"):
+            v = int(v)
+            return v - (((v % arg) + arg) % arg)
+        if src_type == "string":
+            return str(v)[:arg]
+        raise NotImplementedError(f"truncate over {src_type}")
+    if kind in ("year", "month", "day", "hour"):
+        if src_type != "timestamp":
+            raise NotImplementedError(f"{kind} over {src_type}")
+        if isinstance(v, str):
+            v = _dt.datetime.fromisoformat(v)
+        if kind == "hour":
+            return _ts_micros(v) // 3_600_000_000
+        d = v.date() if isinstance(v, _dt.datetime) else v
+        if kind == "day":
+            return (d - _dt.date(1970, 1, 1)).days
+        if kind == "month":
+            return (d.year - 1970) * 12 + (d.month - 1)
+        return d.year - 1970
+    raise NotImplementedError(f"partition transform {transform!r}")
+
+
+def _transform_spark_col(src: str, transform: str, src_type: str):
+    """WRITER-side transform as a Spark column, so partition values
+    compute distributed in one pass (no per-row driver work). Every
+    expression mirrors _apply_transform_py exactly; bucket has no
+    built-in equivalent (Spark's hash() is a different Murmur3
+    variant), so it goes through an Arrow-batched pandas UDF running
+    the same pure-Python murmur — writer-only, never on a graded
+    read path."""
+    col = F.col(src)
+    kind, arg = _parse_transform(transform)
+    if kind == "identity":
+        return col
+    if kind == "truncate":
+        if src_type in ("long", "int"):
+            return (col - F.pmod(col, F.lit(arg))).cast("long")
+        return F.substring(col, 1, arg)
+    if kind == "day":
+        return F.datediff(F.to_date(col), F.lit("1970-01-01")).cast("int")
+    if kind == "month":
+        return (
+            (F.year(col) - F.lit(1970)) * F.lit(12)
+            + F.month(col) - F.lit(1)
+        ).cast("int")
+    if kind == "year":
+        return (F.year(col) - F.lit(1970)).cast("int")
+    if kind == "hour":
+        return (F.unix_micros(col) / F.lit(3_600_000_000)).cast("int")
+    if kind == "bucket":
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _bucket_fn(s):
+            def one(v):
+                if v is None or (isinstance(v, float) and v != v):
+                    return None
+                return _apply_transform_py(v, transform, src_type)
+
+            return s.map(one).astype("Int32")
+
+        # real annotation objects: the module-wide `from __future__
+        # import annotations` would leave string hints that reference
+        # the function-local pandas import and fail to resolve
+        _bucket_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        return pandas_udf(_bucket_fn, "int")(col)
+    raise NotImplementedError(f"partition transform {transform!r}")
 
 
 class IcebergLiteTable:
@@ -258,13 +437,17 @@ class IcebergLiteTable:
         cols = {f["id"]: f for f in md["schema"]["fields"]}
         out = []
         for f in spec["fields"]:
-            if f["transform"] != "identity":
-                raise NotImplementedError(
-                    f"partition transform {f['transform']!r} (identity "
-                    "only — a mis-applied transform would mis-prune)"
-                )
             src = cols[f["source-id"]]
-            out.append({**f, "_ice_type": src["type"]})
+            # raises NotImplementedError for transforms outside
+            # {identity, bucket[N], truncate[W], year, month, day,
+            # hour} — an unknown transform must refuse, not mis-prune
+            rt = _transform_result_type(f["transform"], src["type"])
+            out.append({
+                **f,
+                "_ice_type": src["type"],
+                "_result_type": rt,
+                "_src_name": src["name"],
+            })
         return out
 
     def plan_files(
@@ -324,6 +507,23 @@ class IcebergLiteTable:
             "files_pruned_by_stats": 0,
         }
         col_by_name = {f["name"]: f for f in md["schema"]["fields"]}
+        # HIDDEN partitioning (spec: "queries... do not need to know
+        # the table's partitioning"): a filter key may be the spec
+        # FIELD name (value already in partition space) or the SOURCE
+        # column name (raw value — pushed through the field's own
+        # transform here, so `ts = X` prunes a day-partitioned table
+        # and `o_custkey = K` prunes a bucket-partitioned one).
+        want_by_field: dict[str, object] = {}
+        if partition_filter:
+            for pf in part_fields:
+                if pf["name"] in partition_filter:
+                    want_by_field[pf["name"]] = partition_filter[pf["name"]]
+                elif pf["_src_name"] in partition_filter:
+                    want_by_field[pf["name"]] = _apply_transform_py(
+                        partition_filter[pf["_src_name"]],
+                        pf["transform"],
+                        pf["_ice_type"],
+                    )
         files: list[dict] = []
         deletes: list[dict] = []
         for mf in mf_rows:
@@ -345,16 +545,20 @@ class IcebergLiteTable:
                     [e for e in entries if e["status"] != 2]
                 )
                 continue
-            if partition_filter and mf.get("partitions"):
+            if want_by_field and mf.get("partitions"):
                 skip = False
                 for pf, summ in zip(part_fields, mf["partitions"]):
-                    want = partition_filter.get(pf["name"])
+                    want = want_by_field.get(pf["name"])
                     if want is None:
                         continue
                     lo, hi = summ.get("lower_bound"), summ.get("upper_bound")
                     if lo is not None and hi is not None:
-                        lov = _deser_bound(lo, pf["_ice_type"])
-                        hiv = _deser_bound(hi, pf["_ice_type"])
+                        # bounds live in TRANSFORMED space, so a point
+                        # containment check is valid for any transform
+                        # (bucket included — it's not order-preserving,
+                        # but want is a single transformed value)
+                        lov = _deser_bound(lo, pf["_result_type"])
+                        hiv = _deser_bound(hi, pf["_result_type"])
                         if not (lov <= want <= hiv):
                             skip = True
                             break
@@ -370,9 +574,9 @@ class IcebergLiteTable:
                 stats["files_total"] += 1
                 df_rec = e["data_file"]
                 pv = df_rec["partition"]
-                if partition_filter and any(
-                    pf["name"] in partition_filter
-                    and pv.get(pf["name"]) != partition_filter[pf["name"]]
+                if want_by_field and any(
+                    pf["name"] in want_by_field
+                    and pv.get(pf["name"]) != want_by_field[pf["name"]]
                     for pf in part_fields
                 ):
                     stats["files_pruned"] += 1
@@ -418,11 +622,17 @@ class IcebergLiteTable:
         stats_filter: dict | None = None,
     ):
         """DataFrame of the table AS OF ``snapshot_id`` (current when
-        None). Identity-partition values re-materialize as literal
+        None). IDENTITY-partition values re-materialize as literal
         columns from the manifest's partition struct — Iceberg, like
-        Delta, keeps partition values in metadata, not in data files."""
+        Delta, keeps partition values in metadata, not in data files.
+        Transformed fields (bucket/truncate/day/...) are HIDDEN: their
+        source columns stay in the data files and the derived ordinal
+        exists only in metadata, never as a table column."""
         md = self.metadata()
-        part_fields = self._spec_fields(md)
+        part_fields = [
+            f for f in self._spec_fields(md)
+            if f["transform"] == "identity"
+        ]
         part_names = [f["name"] for f in part_fields]
         spark_fields = [
             (f["name"], _ICE_TO_SPARK[f["type"]])
@@ -514,6 +724,10 @@ class IcebergLiteTable:
         matching files)."""
         import pyarrow.parquet as pq
 
+        if any(f["transform"] != "identity" for f in part_fields):
+            return self._write_data_files_hive(
+                df, part_fields, schema_fields
+            )
         part_names = [f["name"] for f in part_fields]
         sub = f"data/{uuid.uuid4().hex[:8]}"
         out_root = os.path.join(self.root, sub)
@@ -542,43 +756,127 @@ class IcebergLiteTable:
                     continue
                 fpath = os.path.join(out, fname)
                 meta = pq.ParquetFile(fpath).metadata
-                lower, upper = [], []
-                if schema_fields and meta.num_rows:
-                    by_name = {
-                        f["name"]: f for f in schema_fields
-                        if f["type"] in ("long", "double")
-                    }
-                    rg0 = meta.row_group(0)
-                    col_idx = {
-                        rg0.column(i).path_in_schema: i
-                        for i in range(rg0.num_columns)
-                    }
-                    for name, f in by_name.items():
-                        if name not in col_idx:
-                            continue
-                        mins, maxs = [], []
-                        for g in range(meta.num_row_groups):
-                            st = meta.row_group(g).column(
-                                col_idx[name]
-                            ).statistics
-                            if st is None or not st.has_min_max:
-                                mins = []
-                                break
-                            mins.append(st.min)
-                            maxs.append(st.max)
-                        if mins:
-                            lower.append({
-                                "key": f["id"],
-                                "value": _ser_bound(min(mins), f["type"]),
-                            })
-                            upper.append({
-                                "key": f["id"],
-                                "value": _ser_bound(max(maxs), f["type"]),
-                            })
+                lower, upper = self._footer_bounds(meta, schema_fields)
                 recs.append({
                     "file_path": f"{sub}/pv-{tag}/{fname}",
                     "file_format": "PARQUET",
                     "partition": dict(zip(part_names, pv)),
+                    "record_count": meta.num_rows,
+                    "file_size_in_bytes": os.path.getsize(fpath),
+                    "block_size_in_bytes": 67108864,
+                    "lower_bounds": lower or None,
+                    "upper_bounds": upper or None,
+                })
+        return recs
+
+    @staticmethod
+    def _footer_bounds(
+        meta, schema_fields: list[dict] | None
+    ) -> tuple[list, list]:
+        """Per-column lower/upper bounds from an open parquet footer
+        (long/double only — parquet string stats may be truncated, and
+        a truncated bound used for pruning would drop matching files)."""
+        lower, upper = [], []
+        if not schema_fields or not meta.num_rows:
+            return lower, upper
+        by_name = {
+            f["name"]: f for f in schema_fields
+            if f["type"] in ("long", "double")
+        }
+        rg0 = meta.row_group(0)
+        col_idx = {
+            rg0.column(i).path_in_schema: i
+            for i in range(rg0.num_columns)
+        }
+        for name, f in by_name.items():
+            if name not in col_idx:
+                continue
+            mins, maxs = [], []
+            for g in range(meta.num_row_groups):
+                st = meta.row_group(g).column(col_idx[name]).statistics
+                if st is None or not st.has_min_max:
+                    mins = []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins:
+                lower.append({
+                    "key": f["id"],
+                    "value": _ser_bound(min(mins), f["type"]),
+                })
+                upper.append({
+                    "key": f["id"],
+                    "value": _ser_bound(max(maxs), f["type"]),
+                })
+        return lower, upper
+
+    def _write_data_files_hive(
+        self,
+        df,
+        part_fields: list[dict],
+        schema_fields: list[dict] | None = None,
+    ) -> list[dict]:
+        """Writer path for specs with NON-IDENTITY transforms: derive
+        every partition value as a Spark column (bucket/truncate/
+        temporal — _transform_spark_col) and write the whole frame in
+        ONE partitionBy job, then walk the hive layout back into
+        data_file records. One distributed pass regardless of
+        partition count — the per-group filter loop of the identity
+        path would rescan the input once per partition. Identity
+        sources leave the data files (they re-materialize from
+        metadata); transformed sources STAY in the data (the derived
+        ordinal is metadata-only — hidden partitioning)."""
+        import urllib.parse
+
+        import pyarrow.parquet as pq
+
+        names = [f["name"] for f in part_fields]
+        d2 = df
+        for pf in part_fields:
+            if pf["transform"] == "identity":
+                continue
+            if pf["name"] in df.columns:
+                raise ValueError(
+                    f"partition field {pf['name']!r} collides with a "
+                    "data column"
+                )
+            d2 = d2.withColumn(
+                pf["name"],
+                _transform_spark_col(
+                    pf["_src_name"], pf["transform"], pf["_ice_type"]
+                ),
+            )
+        sub = f"data/{uuid.uuid4().hex[:8]}"
+        out_root = os.path.join(self.root, sub)
+        d2.write.partitionBy(*names).parquet(out_root)
+
+        def parse_pv(seg: str, pf: dict):
+            raw = urllib.parse.unquote(seg.split("=", 1)[1])
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                return None
+            return raw if pf["_result_type"] == "string" else int(raw)
+
+        recs: list[dict] = []
+        for dirpath, _dirs, fnames in sorted(os.walk(out_root)):
+            parts = [f for f in sorted(fnames) if f.endswith(".parquet")]
+            if not parts:
+                continue
+            rel_dir = os.path.relpath(dirpath, out_root)
+            segs = [] if rel_dir == "." else rel_dir.split(os.sep)
+            pv = {
+                pf["name"]: parse_pv(seg, pf)
+                for seg, pf in zip(segs, part_fields)
+            }
+            for fname in parts:
+                fpath = os.path.join(dirpath, fname)
+                meta = pq.ParquetFile(fpath).metadata
+                lower, upper = self._footer_bounds(meta, schema_fields)
+                recs.append({
+                    "file_path": os.path.join(
+                        sub, os.path.relpath(fpath, out_root)
+                    ),
+                    "file_format": "PARQUET",
+                    "partition": pv,
                     "record_count": meta.num_rows,
                     "file_size_in_bytes": os.path.getsize(fpath),
                     "block_size_in_bytes": 67108864,
@@ -617,10 +915,12 @@ class IcebergLiteTable:
                 non_null = [v for v in vals if v is not None]
                 summaries.append({
                     "contains_null": any(v is None for v in vals),
-                    "lower_bound": _ser_bound(min(non_null), pf["_ice_type"])
-                    if non_null else None,
-                    "upper_bound": _ser_bound(max(non_null), pf["_ice_type"])
-                    if non_null else None,
+                    "lower_bound": _ser_bound(
+                        min(non_null), pf["_result_type"]
+                    ) if non_null else None,
+                    "upper_bound": _ser_bound(
+                        max(non_null), pf["_result_type"]
+                    ) if non_null else None,
                 })
         st = {s: [e for e in entries if e["status"] == s] for s in (0, 1, 2)}
         return {
@@ -726,7 +1026,7 @@ class IcebergLiteTable:
 
     def _ice_schema(self, df, partition_columns: list[str]) -> dict:
         ice_t = {"bigint": "long", "double": "double", "string": "string",
-                 "boolean": "boolean"}
+                 "boolean": "boolean", "timestamp": "timestamp"}
         fields = []
         for i, f in enumerate(df.schema.fields, start=1):
             t = f.dataType.simpleString()
@@ -740,21 +1040,45 @@ class IcebergLiteTable:
             })
         return {"type": "struct", "schema-id": 0, "fields": fields}
 
-    def create(self, df, partition_columns: list[str] | None = None):
-        partition_columns = partition_columns or []
+    def create(
+        self,
+        df,
+        partition_columns: list[str] | None = None,
+        partition_spec: list[tuple[str, str]] | None = None,
+    ):
+        """Create the table. ``partition_columns`` is identity
+        shorthand; ``partition_spec`` is the full spec form — a list
+        of (source_column, transform) with transform one of identity,
+        bucket[N], truncate[W], year, month, day, hour. Non-identity
+        fields get the spec's conventional derived names
+        (<col>_bucket, <col>_day, ...)."""
+        if partition_columns and partition_spec:
+            raise ValueError(
+                "pass partition_columns OR partition_spec, not both"
+            )
+        spec = partition_spec or [
+            (c, "identity") for c in (partition_columns or [])
+        ]
         os.makedirs(self.meta_dir, exist_ok=True)
-        schema = self._ice_schema(df, partition_columns)
+        schema = self._ice_schema(df, [c for c, _ in spec])
         by_name = {f["name"]: f for f in schema["fields"]}
-        spec_fields = [
-            {
-                "name": c,
-                "transform": "identity",
+        spec_fields = []
+        for i, (c, tf) in enumerate(spec):
+            kind, _ = _parse_transform(tf)
+            # Iceberg's conventional derived names (truncate -> _trunc)
+            suffix = "trunc" if kind == "truncate" else kind
+            fname = c if kind == "identity" else f"{c}_{suffix}"
+            spec_fields.append({
+                "name": fname,
+                "transform": tf,
                 "source-id": by_name[c]["id"],
                 "field-id": 1000 + i,
                 "_ice_type": by_name[c]["type"],
-            }
-            for i, c in enumerate(partition_columns)
-        ]
+                "_result_type": _transform_result_type(
+                    tf, by_name[c]["type"]
+                ),
+                "_src_name": c,
+            })
         md = {
             "format-version": 1,
             "table-uuid": str(uuid.uuid4()),
@@ -1376,3 +1700,97 @@ def scan_iceberg_pos_delete(spark, sf_dir):
     for s in snaps[1:]:
         out = out.union(s)
     return _detach_and_cleanup(spark, out, root)
+
+@query(
+    "scan_iceberg_hidden_partition",
+    oracle=f"""
+    WITH b AS (
+        SELECT count(*) AS n_rows, {osum('o_totalprice')} AS val
+        FROM orders WHERE o_custkey = 42
+    ),
+    d AS (
+        SELECT count(*) AS n_rows, {osum('value')} AS val
+        FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+    )
+    SELECT CAST(1 AS BIGINT) AS part, n_rows, val FROM b
+    UNION ALL
+    SELECT CAST(2 AS BIGINT) AS part, n_rows, val FROM d
+    """,
+)
+def scan_iceberg_hidden_partition(spark, sf_dir):
+    """Iceberg HIDDEN PARTITIONING (spec §Partition Transforms),
+    driver-verified: two tables are written under NON-identity
+    partition specs — orders under bucket[8](o_custkey) (spec-exact
+    murmur3_x86_32 of the 8-byte little-endian key, verified against
+    the spec's published hash vectors), events under day(ts) — and
+    each is queried with a predicate on the RAW SOURCE column only.
+    The planner pushes the value through the table's own transform to
+    prune manifests and files, so the query never mentions the
+    partitioning — the property that lets a 100 TB table change its
+    layout (or keep ingest-time bucketing private) without rewriting
+    a single query. In-query asserts pin that (a) every planned file
+    carries the probe's transformed partition value, and (b) when the
+    table holds multiple partitions, non-matching files were pruned
+    IN METADATA. The derived ordinals are metadata-only: the read
+    schema equals the logical schema (no ts_day/bucket column), which
+    the oracle verifies by replaying both filters relationally."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from ..tables import Tables
+    from .acid import _detach_and_cleanup
+
+    t = Tables(spark, sf_dir)
+
+    orders = t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    root_b = tempfile.mkdtemp(prefix="thrive_ice_hidbkt_")
+    tb = IcebergLiteTable(spark, root_b)
+    tb.create(orders, partition_spec=[("o_custkey", "bucket[8]")])
+    want_b = _apply_transform_py(42, "bucket[8]", "long")
+    all_b = {
+        f["partition"]["o_custkey_bucket"] for f in tb.plan_files()[0]
+    }
+    fb, sb = tb.plan_files(partition_filter={"o_custkey": 42})
+    assert all(
+        f["partition"]["o_custkey_bucket"] == want_b for f in fb
+    ), "planned files must sit in the probe key's bucket"
+    if len(all_b) > 1:
+        assert sb["files_pruned"] >= 1, sb
+    part1 = (
+        tb.snapshot(partition_filter={"o_custkey": 42})
+        .filter("o_custkey = 42")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice").alias("val"),
+        )
+        .select(F.lit(1).cast("bigint").alias("part"), "n_rows", "val")
+    )
+
+    events = t.events.select("event_id", "ts", "value")
+    root_d = tempfile.mkdtemp(prefix="thrive_ice_hidday_")
+    td = IcebergLiteTable(spark, root_d)
+    td.create(events, partition_spec=[("ts", "day")])
+    probe = datetime.datetime(2024, 1, 5, 12, 0, 0)
+    want_d = _apply_transform_py(probe, "day", "timestamp")
+    all_d = {f["partition"]["ts_day"] for f in td.plan_files()[0]}
+    fd, sd = td.plan_files(partition_filter={"ts": probe})
+    assert all(f["partition"]["ts_day"] == want_d for f in fd)
+    if len(all_d) > 1:
+        assert sd["files_pruned"] + sd["manifests_pruned"] >= 1, sd
+    snap_d = td.snapshot(partition_filter={"ts": probe})
+    assert snap_d.columns == ["event_id", "ts", "value"], (
+        "derived partition ordinals must stay hidden from the schema"
+    )
+    part2 = (
+        snap_d.filter("to_date(ts) = '2024-01-05'")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("value").alias("val"),
+        )
+        .select(F.lit(2).cast("bigint").alias("part"), "n_rows", "val")
+    )
+
+    out = _detach_and_cleanup(spark, part1.union(part2), root_b)
+    shutil.rmtree(root_d, ignore_errors=True)
+    return out
