@@ -743,3 +743,92 @@ def test_transform_null_values_partition_and_survive(spark, tmp_path):
         f["partition"]["s_bucket"] for f in tbl.plan_files()[0]
     }
     assert None in vals
+
+
+# ---------- equality deletes (format v2, r14) ----------
+
+
+def test_equality_delete_sequence_visibility(spark, tmp_path):
+    """The spec's strictly-less-than rule: an equality delete at data
+    sequence s drops matching rows only from files with seq < s, so a
+    delete-then-reinsert leaves the reinserted rows alive."""
+    tbl = IcebergLiteTable(spark, str(tmp_path / "t"))
+    tbl.create(spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(50)],
+        "k bigint, ck bigint, p double",
+    ))
+    tbl.delete_rows_equality(["ck"], [(2,)])
+    assert sorted(r.k for r in tbl.snapshot().collect()) == [
+        i for i in range(50) if i % 5 != 2
+    ]
+    # reinsert ck=2 rows AFTER the delete — they must survive
+    tbl.append(spark.createDataFrame(
+        [(100, 2, 1.0), (101, 2, 2.0)], "k bigint, ck bigint, p double"
+    ))
+    got = sorted(r.k for r in tbl.snapshot().collect())
+    assert 100 in got and 101 in got
+    # time travel: the delete-era snapshot still hides ck=2
+    assert all(r.ck != 2 for r in tbl.snapshot(2).collect())
+    assert tbl.metadata()["format-version"] == 2
+
+
+def test_equality_delete_no_rewrite_and_accumulate(spark, tmp_path):
+    tbl = IcebergLiteTable(spark, str(tmp_path / "t"))
+    tbl.create(spark.createDataFrame(
+        [(i, float(i)) for i in range(30)], "k bigint, p double"
+    ))
+    files1 = {f["file_path"] for f in tbl.plan_files(1)[0]}
+    tbl.delete_rows_equality(["k"], [(1,), (2,)])
+    tbl.delete_rows_equality(["k"], [(3,)])
+    fs, ds, _ = tbl._plan()
+    assert {f["file_path"] for f in fs} == files1, (
+        "equality deletes must not rewrite data files"
+    )
+    assert sum(1 for d in ds if d.get("content") == 2) == 2
+    assert sorted(r.k for r in tbl.snapshot().collect()) == [
+        i for i in range(30) if i not in (1, 2, 3)
+    ]
+
+
+def test_equality_delete_null_safe_multicolumn(spark, tmp_path):
+    """Spec: matching is IS NOT DISTINCT FROM — a null value in the
+    delete tuple matches null cells, and only full-tuple matches
+    drop."""
+    tbl = IcebergLiteTable(spark, str(tmp_path / "t"))
+    tbl.create(spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, None)],
+        "k bigint, s string",
+    ))
+    tbl.delete_rows_equality(["k", "s"], [(1, "a"), (2, None)])
+    assert sorted(r.k for r in tbl.snapshot().collect()) == [3, 4]
+
+
+def test_purge_deletes_applies_equality_then_drops_them(spark, tmp_path):
+    tbl = IcebergLiteTable(spark, str(tmp_path / "t"))
+    tbl.create(spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k bigint, p double"
+    ))
+    tbl.delete_rows_equality(["k"], [(5,), (6,)])
+    before = sorted(r.k for r in tbl.snapshot().collect())
+    sid, rewritten = tbl.purge_deletes()
+    assert rewritten >= 1
+    fs, ds, _ = tbl._plan()
+    assert not ds, "purge must retire every delete file"
+    assert sorted(r.k for r in tbl.snapshot().collect()) == before
+
+
+def test_equality_delete_guards(spark, tmp_path):
+    tbl = IcebergLiteTable(spark, str(tmp_path / "t"))
+    tbl.create(
+        spark.createDataFrame(
+            [(1, 1, 1.0)], "k bigint, region bigint, p double"
+        ),
+        partition_columns=["region"],
+    )
+    with pytest.raises(ValueError, match="unknown equality"):
+        tbl.delete_rows_equality(["nope"], [(1,)])
+    # identity partition columns live in metadata, not data files —
+    # an equality delete on one must refuse, not silently no-op
+    tbl.delete_rows_equality(["region"], [(1,)])
+    with pytest.raises(NotImplementedError, match="identity partition"):
+        tbl.snapshot().collect()

@@ -32,10 +32,13 @@ whole §Partition Transforms table minus void — identity, bucket[N]
 hash vectors), truncate[W], and year/month/day/hour — with HIDDEN
 partitioning on the read side: a predicate on the raw source column
 prunes through the table's own transform (scan_iceberg_hidden_
-partition). v2 POSITION deletes are fully supported (r14 — content=1
-delete manifests plan, and snapshot() drops marked rows via a
-row-index anti-join, the merge-on-read shape); EQUALITY deletes and
-unknown transforms raise NotImplementedError rather than mis-reading.
+partition). v2 row-level deletes are fully supported (r14): POSITION
+deletes (content=1 delete manifests plan, snapshot() drops marked
+rows via a row-index anti-join) and EQUALITY deletes (value-tuple
+parquet + equality_ids, applied with the spec's strictly-less-than
+data-sequence-number visibility and null-safe matching — the
+merge-on-read shape streaming upserts need). Unknown transforms and
+delete contents raise NotImplementedError rather than mis-reading.
 The writer half emits spec-conformant metadata so the exhibit and
 tests read back GENUINE Iceberg trees it did not shape to its own
 convenience.
@@ -131,6 +134,11 @@ def _manifest_entry_schema(part_fields: list[dict]) -> dict:
         "fields": [
             {"name": "status", "type": "int", "field-id": 0},
             {"name": "snapshot_id", "type": "long", "field-id": 1},
+            # v2: DATA sequence number — the commit order that decides
+            # which rows an equality delete can see (null on entries
+            # from pre-v2 manifests; read as 0 = oldest)
+            {"name": "sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 3},
             {"name": "data_file", "field-id": 2, "type": {
                 "type": "record",
                 "name": "r2",
@@ -180,6 +188,11 @@ def _manifest_entry_schema(part_fields: list[dict]) -> dict:
                              ],
                          },
                      }], "default": None},
+                    # v2 equality deletes: schema field ids of the
+                    # columns the delete file matches on
+                    {"name": "equality_ids", "field-id": 135,
+                     "type": ["null", {"type": "array", "items": "int"}],
+                     "default": None},
                 ],
             }},
         ],
@@ -535,11 +548,13 @@ class IcebergLiteTable:
                     if e["status"] == 2:
                         continue
                     rec = e["data_file"]
-                    if rec.get("content", 1) != 1:
+                    if rec.get("content", 1) not in (1, 2):
                         raise NotImplementedError(
-                            "equality delete files are not supported "
-                            "(skipping them would resurrect rows)"
+                            "unknown delete-file content "
+                            f"{rec.get('content')!r} (skipping it "
+                            "would resurrect rows)"
                         )
+                    rec["_seq"] = e.get("sequence_number") or 0
                     deletes.append(rec)
                 stats["delete_files"] = stats.get("delete_files", 0) + len(
                     [e for e in entries if e["status"] != 2]
@@ -586,6 +601,7 @@ class IcebergLiteTable:
                 ):
                     stats["files_pruned_by_stats"] += 1
                     continue
+                df_rec["_seq"] = e.get("sequence_number") or 0
                 files.append(df_rec)
         return files, deletes, stats
 
@@ -648,12 +664,14 @@ class IcebergLiteTable:
         if not files:
             return self.spark.createDataFrame([], ddl)
 
+        file_seq = {f["file_path"]: f.get("_seq", 0) for f in files}
+
         def read_group(fs):
             df = self.spark.read.schema(data_ddl).parquet(
                 *sorted(os.path.join(self.root, f["file_path"])
                         for f in fs)
             )
-            return self._apply_pos_deletes(df, deletes)
+            return self._apply_deletes(df, deletes, file_seq)
 
         if not part_fields:
             return read_group(files)
@@ -679,7 +697,7 @@ class IcebergLiteTable:
         the delete side is itself a pruned columnar scan; it
         broadcasts here because deletes are the small side by
         construction."""
-        if not deletes:
+        if not any(d.get("content", 1) == 1 for d in deletes):
             return df
         df = df.select(
             "*",
@@ -694,19 +712,104 @@ class IcebergLiteTable:
 
     def _delete_keys_df(self, deletes: list[dict]):
         """(__fp, __ri) keys of every position-deleted row, with
-        file_path widened to the _metadata.file_path URI form."""
+        file_path widened to the _metadata.file_path URI form.
+        Equality-delete records are ignored here — their files carry
+        value tuples, not positions."""
+        pos = [d for d in deletes if d.get("content", 1) == 1]
+        if not pos:
+            return self.spark.createDataFrame(
+                [], "__fp string, __ri bigint"
+            )
         del_df = self.spark.read.schema(
             "file_path string, pos bigint"
         ).parquet(
-            *sorted(
-                os.path.join(self.root, d["file_path"]) for d in deletes
-            )
+            *sorted(os.path.join(self.root, d["file_path"]) for d in pos)
         )
         prefix = "file:" + os.path.abspath(self.root) + "/"
         return del_df.select(
             F.concat(F.lit(prefix), F.col("file_path")).alias("__fp"),
             F.col("pos").alias("__ri"),
         )
+
+    def _apply_eq_deletes(self, df, deletes: list[dict], file_seq: dict):
+        """v2 EQUALITY deletes, sequence-aware (spec §Scan Planning):
+        a delete file with data sequence number s drops a row only
+        when the row's data file has a STRICTLY lower sequence number
+        — which is exactly what lets `DELETE keys; INSERT keys` leave
+        the re-inserted rows alive without reading any data at write
+        time. Matching is null-safe equality over the delete file's
+        equality_ids columns (spec: IS NOT DISTINCT FROM). ``df``
+        must carry __fp (the _metadata.file_path URI); the
+        metadata-sized file→sequence map and the delete values both
+        broadcast, the drop is a null-safe anti-join — scan
+        parallelism untouched."""
+        eqs = [d for d in deletes if d.get("content") == 2]
+        if not eqs:
+            return df
+        md = self.metadata()
+        id2name = {f["id"]: f["name"] for f in md["schema"]["fields"]}
+        sp_type = {
+            f["name"]: _ICE_TO_SPARK[f["type"]]
+            for f in md["schema"]["fields"]
+        }
+        prefix = "file:" + os.path.abspath(self.root) + "/"
+        seq_df = self.spark.createDataFrame(
+            [(prefix + p, int(s)) for p, s in sorted(file_seq.items())],
+            "__fp string, __seq bigint",
+        )
+        df = df.join(F.broadcast(seq_df), "__fp", "left")
+        by_ids: dict[tuple, list] = {}
+        for d in eqs:
+            by_ids.setdefault(tuple(d["equality_ids"] or ()), []).append(d)
+        for ids, ds in sorted(by_ids.items()):
+            cols = [id2name[i] for i in ids]
+            missing = [c for c in cols if c not in df.columns]
+            if missing:
+                raise NotImplementedError(
+                    f"equality delete on column(s) {missing} absent "
+                    "from the data files (identity partition columns "
+                    "live in metadata)"
+                )
+            ddl = ", ".join(f"{c} {sp_type[c]}" for c in cols)
+            dd = None
+            for d in ds:
+                one = self.spark.read.schema(ddl).parquet(
+                    os.path.join(self.root, d["file_path"])
+                ).withColumn(
+                    "__dseq", F.lit(int(d["_seq"])).cast("bigint")
+                )
+                dd = one if dd is None else dd.unionByName(one)
+            # a row survives iff its seq >= EVERY matching delete's
+            # seq, i.e. >= the max — one anti-join per id-tuple
+            dd = dd.groupBy(*cols).agg(F.max("__dseq").alias("__dseq"))
+            cond = df["__seq"] < dd["__dseq"]
+            for c in cols:
+                cond = cond & df[c].eqNullSafe(dd[c])
+            df = df.join(F.broadcast(dd), on=cond, how="left_anti")
+        return df.drop("__seq")
+
+    def _apply_deletes(self, df, deletes: list[dict], file_seq: dict):
+        """Apply both v2 delete kinds to a frame that still has its
+        _metadata identity; returns the live rows with helper columns
+        dropped."""
+        pos = [d for d in deletes if d.get("content", 1) == 1]
+        eqs = [d for d in deletes if d.get("content") == 2]
+        if not (pos or eqs):
+            return df
+        df = df.select(
+            "*",
+            F.col("_metadata.file_path").alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+        if pos:
+            df = df.join(
+                F.broadcast(self._delete_keys_df(pos)),
+                ["__fp", "__ri"],
+                "left_anti",
+            )
+        if eqs:
+            df = self._apply_eq_deletes(df, eqs, file_seq)
+        return df.drop("__fp", "__ri")
 
     # ---------- minimal spec writer (exhibit/test construction) ----------
 
@@ -886,14 +989,23 @@ class IcebergLiteTable:
         return recs
 
     def _write_manifest(
-        self, entries: list[dict], part_fields: list[dict], sid: int
+        self,
+        entries: list[dict],
+        part_fields: list[dict],
+        sid: int,
+        seq: int | None = None,
     ) -> dict:
         """Write one manifest avro; returns its manifest_file row
-        (with field summaries computed from the entries)."""
+        (with field summaries computed from the entries). ``seq``
+        stamps the commit's data sequence number on entries that do
+        not already carry one — entries rewritten from older
+        manifests preset theirs to keep delete visibility stable."""
         path = f"metadata/{uuid.uuid4().hex}-m0.avro"
         schema = _manifest_entry_schema(part_fields)
         for e in entries:
             e["data_file"].setdefault("content", 0)
+            if seq is not None:
+                e.setdefault("sequence_number", seq)
         write_container(
             os.path.join(self.root, path),
             schema,
@@ -947,7 +1059,11 @@ class IcebergLiteTable:
         }
 
     def _commit_snapshot(
-        self, md: dict, manifest_rows: list[dict], sid: int
+        self,
+        md: dict,
+        manifest_rows: list[dict],
+        sid: int,
+        seq: int | None = None,
     ) -> None:
         ml_path = f"metadata/snap-{sid}-1-{uuid.uuid4().hex[:8]}.avro"
         for r in manifest_rows:
@@ -959,11 +1075,14 @@ class IcebergLiteTable:
             manifest_rows,
             metadata={"format-version": b"1"},
         )
+        if seq is not None:
+            md["last-sequence-number"] = seq
         md["snapshots"] = md.get("snapshots", []) + [{
             "snapshot-id": sid,
             "timestamp-ms": 1700000000000 + sid,
             "manifest-list": ml_path,
             "summary": {"operation": "append"},
+            **({"sequence-number": seq} if seq is not None else {}),
         }]
         md["current-snapshot-id"] = sid
         self._write_metadata(md)
@@ -1101,6 +1220,7 @@ class IcebergLiteTable:
             }],
             "default-spec-id": 0,
             "properties": {},
+            "last-sequence-number": 0,
             "snapshots": [],
             "snapshot-log": [],
             "metadata-log": [],
@@ -1111,8 +1231,8 @@ class IcebergLiteTable:
             {"status": 1, "snapshot_id": sid, "data_file": a}
             for a in adds
         ]
-        mrow = self._write_manifest(entries, spec_fields, sid)
-        self._commit_snapshot(md, [mrow], sid)
+        mrow = self._write_manifest(entries, spec_fields, sid, seq=1)
+        self._commit_snapshot(md, [mrow], sid, seq=1)
 
     def append(self, df) -> int:
         md = self.metadata()
@@ -1130,10 +1250,11 @@ class IcebergLiteTable:
             {"status": 1, "snapshot_id": sid, "data_file": a}
             for a in adds
         ]
-        mrow = self._write_manifest(entries, part_fields, sid)
+        seq = md.get("last-sequence-number", 0) + 1
+        mrow = self._write_manifest(entries, part_fields, sid, seq=seq)
         # spec: unchanged manifests carry into the new manifest list
         # BY REFERENCE — planning stays O(new files) per commit
-        self._commit_snapshot(md, prior + [mrow], sid)
+        self._commit_snapshot(md, prior + [mrow], sid, seq=seq)
         return sid
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
@@ -1276,11 +1397,13 @@ class IcebergLiteTable:
             "lower_bounds": None,
             "upper_bounds": None,
         }
+        seq = md.get("last-sequence-number", 0) + 1
         mpath = f"metadata/{uuid.uuid4().hex}-m0.avro"
         write_container(
             os.path.join(self.root, mpath),
             _manifest_entry_schema(part_fields),
-            [{"status": 1, "snapshot_id": sid, "data_file": del_rec}],
+            [{"status": 1, "snapshot_id": sid,
+              "sequence_number": seq, "data_file": del_rec}],
             metadata={"format-version": b"2", "content": b"deletes"},
         )
         mrow = {
@@ -1307,8 +1430,96 @@ class IcebergLiteTable:
             os.path.join(self.root, cur["manifest-list"])
         )
         md["format-version"] = 2
-        self._commit_snapshot(md, prior + [mrow], sid)
+        self._commit_snapshot(md, prior + [mrow], sid, seq=seq)
         return sid, len(victims)
+
+    def delete_rows_equality(
+        self, eq_cols: list[str], values: list[tuple]
+    ) -> int:
+        """v2 EQUALITY delete (spec §Equality Delete Files): the
+        delete lands as a parquet file of VALUE TUPLES plus the
+        schema field ids it matches on (equality_ids), written
+        WITHOUT reading a single data row — the property that makes
+        streaming upsert/CDC ingestion O(delta) on a 100 TB table
+        (position deletes need the victim positions; equality deletes
+        need only the keys). Visibility is sequence-based: this
+        commit's data sequence number s drops matching rows only from
+        data files with sequence number < s, so rows re-inserted by a
+        LATER commit survive. Null values match null cells (spec:
+        IS NOT DISTINCT FROM). Upgrades the table to format v2.
+        Returns the new snapshot id."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        md = self.metadata()
+        part_fields = self._spec_fields(md)
+        by_name = {f["name"]: f for f in md["schema"]["fields"]}
+        missing = [c for c in eq_cols if c not in by_name]
+        if missing:
+            raise ValueError(f"unknown equality column(s) {missing}")
+        pa_t = {
+            "long": pa.int64(), "int": pa.int64(),
+            "double": pa.float64(), "string": pa.string(),
+            "boolean": pa.bool_(), "timestamp": pa.timestamp("us"),
+        }
+        rel = f"data/eq-delete-{uuid.uuid4().hex[:8]}.parquet"
+        tbl_pa = pa.table({
+            c: pa.array(
+                [v[i] for v in values], pa_t[by_name[c]["type"]]
+            )
+            for i, c in enumerate(eq_cols)
+        })
+        pq.write_table(tbl_pa, os.path.join(self.root, rel))
+        sid = max(s["snapshot-id"] for s in md["snapshots"]) + 1
+        seq = md.get("last-sequence-number", 0) + 1
+        del_rec = {
+            "content": 2,
+            "file_path": rel,
+            "file_format": "PARQUET",
+            "partition": {f["name"]: None for f in part_fields},
+            "record_count": len(values),
+            "file_size_in_bytes": os.path.getsize(
+                os.path.join(self.root, rel)
+            ),
+            "block_size_in_bytes": 67108864,
+            "lower_bounds": None,
+            "upper_bounds": None,
+            "equality_ids": [by_name[c]["id"] for c in eq_cols],
+        }
+        mpath = f"metadata/{uuid.uuid4().hex}-m0.avro"
+        write_container(
+            os.path.join(self.root, mpath),
+            _manifest_entry_schema(part_fields),
+            [{"status": 1, "snapshot_id": sid,
+              "sequence_number": seq, "data_file": del_rec}],
+            metadata={"format-version": b"2", "content": b"deletes"},
+        )
+        mrow = {
+            "manifest_path": mpath,
+            "manifest_length": os.path.getsize(
+                os.path.join(self.root, mpath)
+            ),
+            "partition_spec_id": 0,
+            "added_snapshot_id": sid,
+            "added_data_files_count": 1,
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "partitions": None,
+            "added_rows_count": len(values),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "content": 1,
+        }
+        cur = next(
+            s for s in md["snapshots"]
+            if s["snapshot-id"] == md["current-snapshot-id"]
+        )
+        prior, _, _ = read_container(
+            os.path.join(self.root, cur["manifest-list"])
+        )
+        md["format-version"] = 2
+        self._commit_snapshot(md, prior + [mrow], sid, seq=seq)
+        return sid
 
     def purge_deletes(self) -> tuple[int, int]:
         """REWRITE maintenance (Iceberg's rewrite_data_files +
@@ -1327,33 +1538,49 @@ class IcebergLiteTable:
         files, deletes, _ = self._plan()
         if not deletes:
             return md["current-snapshot-id"], 0
-        # which data files do the deletes actually touch?
+        # which data files do the deletes actually touch? Position
+        # deletes name their victims; an equality delete can touch
+        # any file with a strictly lower sequence number.
         touched = set()
         import pyarrow.parquet as pq
 
         for d in deletes:
+            if d.get("content") == 2:
+                continue
             t = pq.read_table(
                 os.path.join(self.root, d["file_path"]),
                 columns=["file_path"],
             )
             touched.update(t["file_path"].to_pylist())
+        max_eq_seq = max(
+            (d["_seq"] for d in deletes if d.get("content") == 2),
+            default=0,
+        )
         sid = max(s["snapshot-id"] for s in md["snapshots"]) + 1
         part_names = [f["name"] for f in part_fields]
         entries = []
+        n_rewritten = 0
         for f in files:
-            if f["file_path"] not in touched:
+            if (
+                f["file_path"] not in touched
+                and f.get("_seq", 0) >= max_eq_seq
+            ):
                 entries.append(
-                    {"status": 0, "snapshot_id": sid, "data_file": f}
+                    {"status": 0, "snapshot_id": sid,
+                     "sequence_number": f.get("_seq", 0), "data_file": f}
                 )
                 continue
+            n_rewritten += 1
             entries.append(
-                {"status": 2, "snapshot_id": sid, "data_file": f}
+                {"status": 2, "snapshot_id": sid,
+                 "sequence_number": f.get("_seq", 0), "data_file": f}
             )
-            live = self._apply_pos_deletes(
+            live = self._apply_deletes(
                 self.spark.read.parquet(
                     os.path.join(self.root, f["file_path"])
                 ),
                 deletes,
+                {f["file_path"]: f.get("_seq", 0)},
             )
             if not live.count():
                 continue
@@ -1365,13 +1592,14 @@ class IcebergLiteTable:
                 entries.append(
                     {"status": 1, "snapshot_id": sid, "data_file": a}
                 )
-        mrow = self._write_manifest(entries, part_fields, sid)
-        self._commit_snapshot(md, [mrow], sid)
+        seq = md.get("last-sequence-number", 0) + 1
+        mrow = self._write_manifest(entries, part_fields, sid, seq=seq)
+        self._commit_snapshot(md, [mrow], sid, seq=seq)
         for d in deletes:  # GC the retired delete files
             p = os.path.join(self.root, d["file_path"])
             if os.path.exists(p):
                 os.unlink(p)
-        return sid, len(touched)
+        return sid, n_rewritten
 
     def delete_where_file_contains(self, pred_sql: str) -> int:
         """File-grain copy-on-write delete (the v1 shape: v2 delete
@@ -1396,10 +1624,12 @@ class IcebergLiteTable:
             *[os.path.join(self.root, f["file_path"]) for f in victims]
         ).filter(f"NOT coalesce(({pred_sql}), false)")
         entries = [
-            {"status": 0, "snapshot_id": sid, "data_file": f}
+            {"status": 0, "snapshot_id": sid,
+             "sequence_number": f.get("_seq", 0), "data_file": f}
             for f in carried
         ] + [
-            {"status": 2, "snapshot_id": sid, "data_file": f}
+            {"status": 2, "snapshot_id": sid,
+             "sequence_number": f.get("_seq", 0), "data_file": f}
             for f in victims
         ]
         if kept.count():
@@ -1409,8 +1639,9 @@ class IcebergLiteTable:
                     kept, part_fields, md["schema"]["fields"]
                 )
             ]
-        mrow = self._write_manifest(entries, part_fields, sid)
-        self._commit_snapshot(md, [mrow], sid)
+        seq = md.get("last-sequence-number", 0) + 1
+        mrow = self._write_manifest(entries, part_fields, sid, seq=seq)
+        self._commit_snapshot(md, [mrow], sid, seq=seq)
         return sid
 
 
@@ -1794,3 +2025,111 @@ def scan_iceberg_hidden_partition(spark, sf_dir):
     out = _detach_and_cleanup(spark, part1.union(part2), root_b)
     shutil.rmtree(root_d, ignore_errors=True)
     return out
+
+@query(
+    "scan_iceberg_eq_delete",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_custkey AS ck, o_totalprice AS p
+        FROM orders WHERE o_orderkey % 19 = 0
+    ),
+    app AS (
+        SELECT o_orderkey + 1000000 AS k, CAST(7 AS BIGINT) AS ck,
+               o_totalprice AS p
+        FROM orders WHERE o_orderkey % 19 = 3
+    ),
+    s2 AS (SELECT * FROM base WHERE (ck IN (7, 13)) IS NOT TRUE),
+    s3 AS (SELECT * FROM s2 UNION ALL SELECT * FROM app),
+    dk AS (
+        SELECT DISTINCT k FROM (
+            SELECT k FROM base WHERE k % 2 = 0 ORDER BY k LIMIT 5
+        )
+    ),
+    s4 AS (
+        SELECT * FROM s3
+        WHERE (k IN (SELECT k FROM dk)) IS NOT TRUE
+    )
+    SELECT CAST(1 AS BIGINT) AS snap, count(*) AS n_rows,
+           {osum('p')} AS sum_price FROM base
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), count(*), {osum('p')} FROM s2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), count(*), {osum('p')} FROM s3
+    UNION ALL
+    SELECT CAST(4 AS BIGINT), count(*), {osum('p')} FROM s4
+    """,
+)
+def scan_iceberg_eq_delete(spark, sf_dir):
+    """Iceberg FORMAT-V2 equality deletes with SEQUENCE-NUMBER
+    visibility, driver-verified — the delete shape that makes
+    streaming upsert/CDC O(delta): commit 2 deletes two customer keys
+    as a parquet file of VALUE TUPLES (equality_ids → schema field
+    ids) without reading any data; commit 3 re-inserts rows under one
+    deleted key, and those rows SURVIVE because the delete's data
+    sequence number (2) is not greater than theirs (3) — the spec's
+    strictly-less-than rule, which the oracle pins by replaying the
+    states relationally (a reader that applied deletes regardless of
+    sequence would hash-mismatch on snapshot 3). Commit 4 layers a
+    second delete on different columns (order keys), exercising
+    delete accumulation across distinct equality_id tuples. In-query
+    asserts pin the MoR economics: the data file set never changes
+    across delete commits (zero rewrite), and matching is null-safe
+    so adversarial NULL keys survive symmetrically on both engines
+    ((...) IS NOT TRUE oracle guard)."""
+    import tempfile
+
+    from ..tables import Tables
+    from .acid import _detach_and_cleanup
+
+    t = Tables(spark, sf_dir)
+    orders = t.orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        F.col("o_totalprice").alias("p"),
+    )
+    base = orders.filter("k % 19 = 0")
+    root = tempfile.mkdtemp(prefix="thrive_ice_eqd_")
+    tbl = IcebergLiteTable(spark, root)
+    tbl.create(base.repartitionByRange(3, "p").sortWithinPartitions("p"))
+    files1 = {f["file_path"] for f in tbl.plan_files(1)[0]}
+
+    v2 = tbl.delete_rows_equality(["ck"], [(7,), (13,)])
+    app = orders.filter("k % 19 = 3").select(
+        (F.col("k") + F.lit(1000000)).alias("k"),
+        F.lit(7).cast("bigint").alias("ck"),
+        "p",
+    )
+    v3 = tbl.append(app)
+    # bounded driver hop: 5 smallest even base keys (sorted, ties
+    # collapse to the same value set on both engines)
+    dk = sorted({
+        r["k"]
+        for r in base.filter("k % 2 = 0").orderBy("k").limit(5).collect()
+    })
+    v4 = tbl.delete_rows_equality(["k"], [(k,) for k in dk]) if dk \
+        else v3
+    assert tbl.metadata()["format-version"] == 2
+    # MoR economics: equality deletes never rewrite data files — only
+    # the append added new ones
+    fs4, ds4, _ = tbl._plan(v4)
+    assert files1 <= {f["file_path"] for f in fs4}
+    assert sum(1 for d in ds4 if d.get("content") == 2) == (
+        2 if dk else 1
+    )
+
+    snaps = []
+    for label, sid in enumerate((1, v2, v3, v4), start=1):
+        snaps.append(
+            tbl.snapshot(sid).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum("p").alias("sum_price"),
+            ).select(
+                F.lit(label).cast("bigint").alias("snap"),
+                "n_rows",
+                "sum_price",
+            )
+        )
+    out = snaps[0]
+    for s in snaps[1:]:
+        out = out.union(s)
+    return _detach_and_cleanup(spark, out, root)
