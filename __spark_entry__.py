@@ -217,6 +217,7 @@ GRADE_DEFER = [
     "scan_delta_column_mapping",
     "scan_iceberg_hidden_partition",
     "scan_iceberg_eq_delete",
+    "scan_delta_cdf",
 ]
 
 

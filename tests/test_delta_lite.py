@@ -650,3 +650,85 @@ def test_column_mapping_partitioned_by_hand(spark, tmp_path):
     assert got == {(1, "us", 10.0), (2, "eu", 20.0), (3, "us", 30.0)}
     pruned = tbl.snapshot(partition_filter={"region": "us"})
     assert sorted(r.k for r in pruned.collect()) == [1, 3]
+
+
+# ---------- change data feed (r14) ----------
+
+
+def _mk_cdf(spark, tmp_path, n=20):
+    t = DeltaLiteTable(spark, str(tmp_path / "cdf"))
+    t.create(
+        spark.createDataFrame(
+            [(i, float(i) * 10) for i in range(n)], "k bigint, p double"
+        ),
+        change_data_feed=True,
+    )
+    return t
+
+
+def test_cdf_derives_inserts_and_reads_cdc_deletes(spark, tmp_path):
+    t = _mk_cdf(spark, tmp_path)
+    t.append(spark.createDataFrame([(100, 1.0)], "k bigint, p double"))
+    v2 = t.delete_where_cdf("k % 5 = 0")
+    ch = t.table_changes(0, v2)
+    by = {}
+    for r in ch.collect():
+        by.setdefault((r["_commit_version"], r["_change_type"]), []).append(r["k"])
+    assert sorted(by[(0, "insert")]) == list(range(20))
+    assert by[(1, "insert")] == [100]
+    assert sorted(by[(2, "delete")]) == [0, 5, 10, 15, 100]
+    # cdc commit contributes ONLY its cdc rows — the COW survivor
+    # rewrite must not appear as phantom insert/delete
+    assert {ct for v, ct in by if v == 2} == {"delete"}
+
+
+def test_cdf_update_pre_post_images(spark, tmp_path):
+    t = _mk_cdf(spark, tmp_path)
+    v = t.update_where_cdf("k = 7", {"p": "p + 1e5"})
+    ch = t.table_changes(v, v).collect()
+    pre = [r for r in ch if r["_change_type"] == "update_preimage"]
+    post = [r for r in ch if r["_change_type"] == "update_postimage"]
+    assert len(pre) == len(post) == 1
+    assert pre[0]["p"] == 70.0 and post[0]["p"] == 70.0 + 1e5
+    # snapshot reflects the update
+    assert {
+        r["p"] for r in t.snapshot().filter("k = 7").collect()
+    } == {70.0 + 1e5}
+
+
+def test_cdf_range_slice_and_vacuous_commits(spark, tmp_path):
+    t = _mk_cdf(spark, tmp_path)
+    v = t.delete_where_cdf("k > 1000")  # no victims: no commit
+    assert v == 0
+    v2 = t.delete_where_cdf("k = 3")
+    assert t.table_changes(v2, v2).count() == 1
+    assert t.table_changes(1, v2).count() == 1
+
+
+def test_cdf_guards(spark, tmp_path):
+    t = DeltaLiteTable(spark, str(tmp_path / "nocdf"))
+    t.create(spark.createDataFrame([(1, 1.0)], "k bigint, p double"))
+    with pytest.raises(ValueError, match="not enabled"):
+        t.table_changes(0)
+    with pytest.raises(ValueError, match="not enabled"):
+        t.delete_where_cdf("k = 1")
+    # enable_cdf is a metadata-only commit; changes flow afterwards
+    v = t.enable_cdf()
+    assert t.table_changes(v, v).count() == 0
+    v2 = t.update_where_cdf("k = 1", {"p": "p * 2e0"})
+    assert t.table_changes(v2, v2).count() == 2
+    with pytest.raises(ValueError, match="unknown update"):
+        t.update_where_cdf("k = 1", {"zzz": "1"})
+
+
+def test_cdf_missing_commit_and_vacuumed_remove_raise(spark, tmp_path):
+    t = _mk_cdf(spark, tmp_path)
+    # a plain COW delete (no cdc): derivation needs the removed file
+    v = t.remove_where_file_contains("k = 3")
+    victims = [
+        a["remove"]["path"]
+        for a in t._actions(v) if "remove" in a
+    ]
+    os.unlink(os.path.join(t.root, victims[0]))
+    with pytest.raises(ValueError, match="no longer exist"):
+        t.table_changes(v, v).count()

@@ -24,7 +24,13 @@ Checkpoint parquet IS read (r13 second pass):
 state() starts from the newest <v>.checkpoint.parquet ≤ the requested
 version and folds only the JSON tail — mature tables clean up
 pre-checkpoint commits, so the checkpoint path is required, not an
-optimization. Writes stay on the repo's own
+optimization. CHANGE DATA FEED is supported end to end (r14):
+``cdc`` actions reference _change_data/ files, delete_where_cdf /
+update_where_cdf emit the true row deltas (delete and
+update_preimage/update_postimage), and table_changes() reconstructs
+the feed — cdc-bearing commits contribute only their cdc rows,
+derived commits contribute dataChange add rows as inserts and
+dataChange remove rows as deletes. Writes stay on the repo's own
 ThriveTable format; this module is the FOREIGN-read path, plus a
 minimal protocol writer used to construct genuine Delta logs for the
 exhibit and tests (the writer emits spec-conformant actions, so a
@@ -497,6 +503,7 @@ class DeltaLiteTable:
         df,
         partition_columns: list[str] | None = None,
         column_mapping: bool = False,
+        change_data_feed: bool = False,
     ) -> None:
         """``column_mapping=True`` writes the spec's NAME-mapping shape
         (reader v2): schemaString fields carry
@@ -534,6 +541,11 @@ class DeltaLiteTable:
             configuration = {
                 "delta.columnMapping.mode": "name",
                 "delta.columnMapping.maxColumnId": str(len(fields)),
+            }
+        if change_data_feed:
+            configuration = {
+                **configuration,
+                "delta.enableChangeDataFeed": "true",
             }
         adds = self._write_files(write_df, f"part-{uuid.uuid4().hex[:8]}")
         self._commit(
@@ -741,6 +753,276 @@ class DeltaLiteTable:
         v = self.versions()[-1] + 1
         self._commit(v, actions)
         return v
+
+    # -- change data feed (spec §Add CDC File, r14) --
+
+    def _cdf_enabled(self, st: dict) -> bool:
+        return (st["meta"].get("configuration") or {}).get(
+            "delta.enableChangeDataFeed"
+        ) == "true"
+
+    def enable_cdf(self) -> int:
+        """Flip delta.enableChangeDataFeed=true as a metadata-only
+        commit (how a real writer enables CDF on an existing table —
+        changes are recorded from the NEXT commit on)."""
+        st = self.state()
+        meta = dict(st["meta"])
+        meta["configuration"] = {
+            **(meta.get("configuration") or {}),
+            "delta.enableChangeDataFeed": "true",
+        }
+        v = st["version"] + 1
+        self._commit(v, [{"metaData": meta}])
+        return v
+
+    def _write_cdc_files(self, df) -> list[dict]:
+        """Write change rows (table columns + _change_type) under
+        _change_data/, returning `cdc` action payloads. dataChange is
+        false by definition — cdc files never alter the snapshot, they
+        only describe the delta."""
+        sub = f"_change_data/cdc-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self.root, sub)
+        df.write.parquet(out)
+        return [
+            {
+                "path": f"{sub}/{f}",
+                "size": os.path.getsize(os.path.join(out, f)),
+                "dataChange": False,
+                "partitionValues": {},
+            }
+            for f in sorted(os.listdir(out))
+            if f.endswith(".parquet")
+        ]
+
+    def delete_where_cdf(self, pred_sql: str) -> int:
+        """Copy-on-write DELETE that also emits the commit's CHANGE
+        DATA: the deleted rows land in a cdc file with
+        _change_type='delete'. Without cdc files a CDF reader deriving
+        changes from this commit's add/remove pair would wrongly
+        report every SURVIVOR row as delete+insert — recording only
+        the true delta is the point of the cdc action. Returns the new
+        version (no commit when nothing matches)."""
+        st = self.state()
+        if not self._cdf_enabled(st):
+            raise ValueError("change data feed is not enabled")
+        paths = [os.path.join(self.root, a["path"]) for a in st["adds"]]
+        tagged = self.spark.read.parquet(*paths).withColumn(
+            "_f", F.input_file_name()
+        )
+        from urllib.parse import urlparse
+
+        hit_uris = [
+            r[0]
+            for r in tagged.filter(pred_sql).select("_f")
+            .distinct().collect()
+        ]
+        hits = {urlparse(u).path for u in hit_uris}
+        victims = [
+            a for a in st["adds"]
+            if os.path.join(self.root, a["path"]) in hits
+        ]
+        if not victims:
+            return st["version"]
+        hit_df = self.spark.read.parquet(*sorted(hits))
+        kept = hit_df.filter(f"NOT coalesce(({pred_sql}), false)")
+        gone = hit_df.filter(f"coalesce(({pred_sql}), false)")
+        actions = [
+            {"remove": {"path": a["path"], "dataChange": True}}
+            for a in victims
+        ]
+        if kept.count():
+            actions += [
+                {"add": a}
+                for a in self._write_files(
+                    kept, f"part-{uuid.uuid4().hex[:8]}"
+                )
+            ]
+        actions += [
+            {"cdc": c}
+            for c in self._write_cdc_files(
+                gone.withColumn("_change_type", F.lit("delete"))
+            )
+        ]
+        v = st["version"] + 1
+        self._commit(v, actions)
+        return v
+
+    def update_where_cdf(self, pred_sql: str, set_map: dict) -> int:
+        """Copy-on-write UPDATE emitting change data as the spec's
+        update_preimage/update_postimage row pairs — the shape CDC
+        consumers (materialized views, downstream merges) need to
+        apply the delta without diffing snapshots. ``set_map`` maps
+        column -> SQL expression over the pre-update row. Returns the
+        new version (no commit when nothing matches)."""
+        st = self.state()
+        if not self._cdf_enabled(st):
+            raise ValueError("change data feed is not enabled")
+        cols = [
+            f["name"]
+            for f in json.loads(st["meta"]["schemaString"])["fields"]
+        ]
+        unknown = set(set_map) - set(cols)
+        if unknown:
+            raise ValueError(f"unknown update column(s) {sorted(unknown)}")
+        paths = [os.path.join(self.root, a["path"]) for a in st["adds"]]
+        tagged = self.spark.read.parquet(*paths).withColumn(
+            "_f", F.input_file_name()
+        )
+        from urllib.parse import urlparse
+
+        hit_uris = [
+            r[0]
+            for r in tagged.filter(pred_sql).select("_f")
+            .distinct().collect()
+        ]
+        hits = {urlparse(u).path for u in hit_uris}
+        victims = [
+            a for a in st["adds"]
+            if os.path.join(self.root, a["path"]) in hits
+        ]
+        if not victims:
+            return st["version"]
+        hit_df = self.spark.read.parquet(*sorted(hits))
+        pre = hit_df.filter(f"coalesce(({pred_sql}), false)")
+        post = pre.selectExpr(
+            *[f"({set_map[c]}) AS {c}" if c in set_map else c
+              for c in cols]
+        )
+        untouched = hit_df.filter(f"NOT coalesce(({pred_sql}), false)")
+        actions = [
+            {"remove": {"path": a["path"], "dataChange": True}}
+            for a in victims
+        ] + [
+            {"add": a}
+            for a in self._write_files(
+                untouched.unionByName(post),
+                f"part-{uuid.uuid4().hex[:8]}",
+            )
+        ]
+        cdc = pre.withColumn(
+            "_change_type", F.lit("update_preimage")
+        ).unionByName(
+            post.withColumn("_change_type", F.lit("update_postimage"))
+        )
+        actions += [{"cdc": c} for c in self._write_cdc_files(cdc)]
+        v = st["version"] + 1
+        self._commit(v, actions)
+        return v
+
+    def table_changes(self, start: int, end: int | None = None):
+        """CHANGE DATA FEED reader (the protocol's table_changes
+        semantics): for each commit in [start, end], emit the change
+        rows — from the commit's cdc files when it has any (a commit
+        with cdc actions describes its OWN delta and its add/remove
+        pairs are ignored for change purposes), otherwise DERIVED:
+        every row of a dataChange add is an insert, every row of a
+        dataChange remove is a delete. Reading changes costs
+        O(changed files), never O(table) — the property that makes
+        incremental downstream pipelines viable at 100 TB. Returns
+        table columns + _change_type + _commit_version (ordering
+        metadata, not data). Honest bounds: requires the JSON commits
+        (cleaned-up ranges raise), unpartitioned tables, and refuses
+        DV-bearing commits without cdc files (deriving row-level
+        changes from a bitmap delta needs the pre-state)."""
+        st_end = self.state(end)
+        end = st_end["version"]
+        if not self._cdf_enabled(st_end):
+            raise ValueError("change data feed is not enabled")
+        if st_end["meta"].get("partitionColumns"):
+            raise NotImplementedError(
+                "table_changes on partitioned tables"
+            )
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(
+            json.loads(st_end["meta"]["schemaString"])
+        )
+        cols = [f.name for f in schema.fields]
+        vs = set(self.versions())
+        out = None
+
+        def emit(df, ctype, v):
+            d = df.select(
+                *cols,
+                (F.col("_change_type") if ctype is None
+                 else F.lit(ctype)).alias("_change_type"),
+                F.lit(v).cast("bigint").alias("_commit_version"),
+            )
+            nonlocal out
+            out = d if out is None else out.unionByName(d)
+
+        for v in range(start, end + 1):
+            if v not in vs:
+                raise ValueError(
+                    f"commit {v} missing from the log (cleaned up?) — "
+                    "change feed cannot be reconstructed"
+                )
+            acts = self._actions(v)
+            cdcs = [a["cdc"] for a in acts if "cdc" in a]
+            if cdcs:
+                from pyspark.sql.types import StringType, StructField
+
+                cdc_schema = StructType(
+                    list(schema.fields)
+                    + [StructField("_change_type", StringType())]
+                )
+                df = self.spark.read.schema(cdc_schema).parquet(*[
+                    os.path.join(self.root, c["path"]) for c in cdcs
+                ])
+                emit(df, None, v)
+                continue
+            adds = [
+                a["add"] for a in acts
+                if "add" in a and a["add"].get("dataChange", True)
+            ]
+            if any(a.get("deletionVector") for a in adds):
+                raise NotImplementedError(
+                    "deriving change data from deletion-vector commits"
+                )
+            removes = [
+                a["remove"] for a in acts
+                if "remove" in a and a["remove"].get("dataChange", True)
+            ]
+            if adds:
+                emit(
+                    self.spark.read.schema(schema).parquet(*[
+                        os.path.join(self.root, a["path"]) for a in adds
+                    ]),
+                    "insert", v,
+                )
+            if removes:
+                missing = [
+                    r["path"] for r in removes
+                    if not os.path.exists(
+                        os.path.join(self.root, r["path"])
+                    )
+                ]
+                if missing:
+                    raise ValueError(
+                        f"removed files {missing} no longer exist "
+                        "(vacuumed?) — delete changes cannot be derived"
+                    )
+                emit(
+                    self.spark.read.schema(schema).parquet(*[
+                        os.path.join(self.root, r["path"])
+                        for r in removes
+                    ]),
+                    "delete", v,
+                )
+        if out is None:
+            from pyspark.sql.types import (
+                LongType,
+                StringType,
+                StructField,
+            )
+
+            ddl = StructType(
+                list(schema.fields)
+                + [StructField("_change_type", StringType()),
+                   StructField("_commit_version", LongType())]
+            )
+            return self.spark.createDataFrame([], ddl)
+        return out
 
 
 @query(
@@ -1047,6 +1329,85 @@ def scan_delta_column_mapping(spark, sf_dir):
             F.count(F.lit(1)).alias("n_rows"),
             dsum("p").alias("sum_price"),
             F.min("k").cast("bigint").alias("min_k"),
+        )
+    )
+    return _detach_and_cleanup(spark, agg, root)
+
+@query(
+    "scan_delta_cdf",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_custkey AS ck, o_totalprice AS p
+        FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    app AS (
+        SELECT o_orderkey AS k, o_custkey AS ck, o_totalprice AS p
+        FROM orders WHERE o_orderkey % 13 = 2
+    ),
+    ins AS (SELECT * FROM base UNION ALL SELECT * FROM app),
+    del AS (SELECT * FROM ins WHERE coalesce(p > 150000, false)),
+    s2 AS (SELECT * FROM ins WHERE NOT coalesce(p > 150000, false)),
+    pre AS (SELECT * FROM s2 WHERE coalesce(ck % 10 = 3, false)),
+    post AS (SELECT k, ck, p + 1e5 AS p FROM pre)
+    SELECT 'insert' AS change_type, count(*) AS n_rows,
+           {osum('p')} AS sum_p FROM ins HAVING count(*) > 0
+    UNION ALL
+    SELECT 'delete', count(*), {osum('p')} FROM del HAVING count(*) > 0
+    UNION ALL
+    SELECT 'update_preimage', count(*), {osum('p')} FROM pre
+    HAVING count(*) > 0
+    UNION ALL
+    SELECT 'update_postimage', count(*), {osum('p')} FROM post
+    HAVING count(*) > 0
+    """,
+)
+def scan_delta_cdf(spark, sf_dir):
+    """Delta CHANGE DATA FEED, driver-verified: a CDF-enabled table
+    takes two insert commits, a copy-on-write DELETE, and a
+    copy-on-write UPDATE; table_changes(0, end) then reconstructs the
+    full change history — inserts DERIVED from dataChange add actions,
+    delete and update_preimage/update_postimage rows read from the
+    commits' cdc files under _change_data/. The oracle replays every
+    change class relationally, so the hash pins the semantics that
+    make CDF correct for downstream CDC consumers: cdc-bearing
+    commits contribute ONLY their cdc rows (the COW add/remove pair
+    is ignored — else every survivor row of a rewritten file would
+    appear as a phantom delete+insert), and derived commits
+    contribute every row of their changed files. Reading the feed
+    costs O(changed files), never O(table) — the in-query assert pins
+    that cdc actions carry dataChange=false (they never alter the
+    snapshot) and that the post-update snapshot agrees with the
+    inserts-minus-deletes row count."""
+    import tempfile
+
+    from ..tables import Tables
+    from .acid import _detach_and_cleanup
+
+    t = Tables(spark, sf_dir)
+    orders = t.orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        F.col("o_totalprice").alias("p"),
+    )
+    root = tempfile.mkdtemp(prefix="thrive_delta_cdf_")
+    tbl = DeltaLiteTable(spark, root)
+    tbl.create(orders.filter("k % 13 = 0"), change_data_feed=True)
+    tbl.append(orders.filter("k % 13 = 2"))
+    v2 = tbl.delete_where_cdf("p > 150000")
+    v3 = tbl.update_where_cdf("ck % 10 = 3", {"p": "p + 1e5"})
+    # protocol shape: every cdc action is dataChange=false and lives
+    # under _change_data/
+    for v in range(2, v3 + 1):
+        for a in tbl._actions(v):
+            if "cdc" in a:
+                assert a["cdc"]["dataChange"] is False
+                assert a["cdc"]["path"].startswith("_change_data/")
+    ch = tbl.table_changes(0, v3)
+    agg = (
+        ch.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("p").alias("sum_p"),
         )
     )
     return _detach_and_cleanup(spark, agg, root)
