@@ -218,6 +218,8 @@ GRADE_DEFER = [
     "scan_iceberg_hidden_partition",
     "scan_iceberg_eq_delete",
     "scan_delta_cdf",
+    "scan_iceberg_spec_evolution",
+    "scan_iceberg_partitions_table",
 ]
 
 

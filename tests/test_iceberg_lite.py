@@ -508,7 +508,9 @@ def test_positional_delete_with_partitions_and_guards(spark, tmp_path):
         assert "position delete" in str(e)
     finally:
         q.stop()
-    # equality-delete entries refuse at plan time
+    # UNKNOWN delete-file content values refuse at plan time
+    # (equality deletes, content=2, are supported since r14 —
+    # covered in the equality-delete tests below)
     from thrive_spark.sources.avro_lite import read_container as rc
     from thrive_spark.sources.avro_lite import write_container as wc
 
@@ -518,9 +520,9 @@ def test_positional_delete_with_partitions_and_guards(spark, tmp_path):
     rows, sch, _ = rc(os.path.join(tbl.root, cur["manifest-list"]))
     dm = next(r for r in rows if r.get("content") == 1)
     entries, esch, _ = rc(os.path.join(tbl.root, dm["manifest_path"]))
-    entries[0]["data_file"]["content"] = 2  # pretend equality delete
+    entries[0]["data_file"]["content"] = 3  # not a spec content kind
     wc(os.path.join(tbl.root, dm["manifest_path"]), esch, entries)
-    with pytest.raises(NotImplementedError, match="equality"):
+    with pytest.raises(NotImplementedError, match="unknown delete"):
         tbl.snapshot()
 
 
@@ -832,3 +834,128 @@ def test_equality_delete_guards(spark, tmp_path):
     tbl.delete_rows_equality(["region"], [(1,)])
     with pytest.raises(NotImplementedError, match="identity partition"):
         tbl.snapshot().collect()
+
+
+# ---------- partition spec evolution (r14) ----------
+
+
+def test_spec_evolution_metadata_only_and_mixed_prune(spark, tmp_path):
+    import datetime
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + (i % 6), i % 24, 0), float(i))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, ts timestamp, v double")
+    tbl = IcebergLiteTable(spark, str(tmp_path / "t"))
+    tbl.create(df.filter("k < 30"), partition_spec=[("ts", "day")])
+    gen1 = {f["file_path"] for f in tbl.plan_files()[0]}
+    sp2 = tbl.evolve_spec([("ts", "month")])
+    tbl.append(df.filter("k >= 30"))
+    # metadata-only: no gen-1 file moved, both specs retained
+    files = tbl.plan_files()[0]
+    assert gen1 <= {f["file_path"] for f in files}
+    assert {f["_spec_id"] for f in files} == {0, sp2}
+    assert tbl.metadata()["default-spec-id"] == sp2
+    # one hidden scan prunes each generation through ITS spec
+    probe = datetime.datetime(2024, 1, 3, 12, 0)
+    fd, stats = tbl.plan_files(partition_filter={"ts": probe})
+    from thrive_spark.sources.iceberg_lite import _apply_transform_py
+
+    for f in fd:
+        if f["_spec_id"] == 0:
+            assert f["partition"]["ts_day"] == _apply_transform_py(
+                probe, "day", "timestamp"
+            )
+        else:
+            assert f["partition"]["ts_month"] == _apply_transform_py(
+                probe, "month", "timestamp"
+            )
+    assert stats["files_pruned"] >= 1
+    got = tbl.snapshot(partition_filter={"ts": probe}).filter(
+        "to_date(ts) = '2024-01-03'"
+    )
+    exp = [r for r in rows if r[1].date() == datetime.date(2024, 1, 3)]
+    assert got.count() == len(exp)
+    assert tbl.snapshot().count() == 60
+
+
+def test_spec_evolution_identity_to_transform_read(spark, tmp_path):
+    """Old files dropped their identity partition column to metadata;
+    new files (bucket spec) keep every column — the union must
+    re-materialize the old generation and come back whole."""
+    df = spark.createDataFrame(
+        [(i % 3, i, float(i)) for i in range(30)],
+        "region bigint, k bigint, p double",
+    )
+    tbl = IcebergLiteTable(spark, str(tmp_path / "t"))
+    tbl.create(df.filter("k < 15"), partition_columns=["region"])
+    tbl.evolve_spec([("k", "bucket[4]")])
+    tbl.append(df.filter("k >= 15"))
+    got = sorted(
+        (r["region"], r["k"]) for r in tbl.snapshot().collect()
+    )
+    assert got == sorted((i % 3, i) for i in range(30))
+
+
+def test_spec_evolution_field_id_reuse_and_guards(spark, tmp_path):
+    tbl = IcebergLiteTable(spark, str(tmp_path / "t"))
+    tbl.create(
+        spark.createDataFrame(
+            [(1, 1, 1.0)], "region bigint, k bigint, p double"
+        ),
+        partition_columns=["region"],
+    )
+    sp2 = tbl.evolve_spec([("k", "bucket[4]")])
+    sp3 = tbl.evolve_spec([("region", "identity"), ("k", "bucket[4]")])
+    md = tbl.metadata()
+    spec = {s["spec-id"]: s for s in md["partition-specs"]}
+    # same (source, transform) keeps its field id across specs
+    fid2 = next(
+        f["field-id"] for f in spec[sp2]["fields"]
+        if f["transform"] == "bucket[4]"
+    )
+    fid3 = next(
+        f["field-id"] for f in spec[sp3]["fields"]
+        if f["transform"] == "bucket[4]"
+    )
+    assert fid2 == fid3
+    assert next(
+        f["field-id"] for f in spec[sp3]["fields"]
+        if f["transform"] == "identity"
+    ) == 1000
+    with pytest.raises(ValueError, match="unknown partition source"):
+        tbl.evolve_spec([("zzz", "identity")])
+    # COW maintenance refuses rather than re-manifesting across specs
+    with pytest.raises(NotImplementedError, match="evolution"):
+        tbl.delete_where_file_contains("k = 1")
+
+
+def test_metadata_tables_partitions_and_snapshots(spark, tmp_path):
+    """partitions/snapshots metadata tables answer from the manifest
+    tree alone, and the counts are exact through create+append."""
+    import datetime
+
+    rows = [
+        (i, datetime.datetime(2024, 2, 1 + (i % 3), 0, 0), float(i))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, ts timestamp, v double")
+    tbl = IcebergLiteTable(spark, str(tmp_path / "t"))
+    tbl.create(df.filter("k < 18"), partition_spec=[("ts", "day")])
+    tbl.append(df.filter("k >= 18"))
+    pt = {
+        r["ts_day"]: r["record_count"]
+        for r in tbl.partitions_table().collect()
+    }
+    import collections
+
+    exp = collections.Counter(
+        (r[1].date() - datetime.date(1970, 1, 1)).days for r in rows
+    )
+    assert pt == dict(exp)
+    st = tbl.snapshots_table().collect()
+    assert [(r["snapshot_id"], r["sequence_number"]) for r in st] == [
+        (1, 1), (2, 2),
+    ]
+    assert st[0]["operation"] == "append"
