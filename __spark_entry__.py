@@ -220,6 +220,7 @@ GRADE_DEFER = [
     "scan_delta_cdf",
     "scan_iceberg_spec_evolution",
     "scan_iceberg_partitions_table",
+    "scan_delta_cdf_stream",
 ]
 
 

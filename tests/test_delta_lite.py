@@ -732,3 +732,72 @@ def test_cdf_missing_commit_and_vacuumed_remove_raise(spark, tmp_path):
     os.unlink(os.path.join(t.root, victims[0]))
     with pytest.raises(ValueError, match="no longer exist"):
         t.table_changes(v, v).count()
+
+
+def test_cdf_stream_emits_change_rows_and_resumes(spark, tmp_path):
+    from thrive_spark.streaming.delta_source import register
+
+    t = _mk_cdf(spark, tmp_path)
+    t.append(spark.createDataFrame([(100, 1.0)], "k bigint, p double"))
+    t.delete_where_cdf("k % 5 = 0")
+    register(spark)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        q = (
+            spark.readStream.format("thrive_delta")
+            .option("path", t.root)
+            .option("readchangefeed", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain()
+    import collections
+
+    got = spark.read.parquet(out).collect()
+    c = collections.Counter(
+        (r["_commit_version"], r["_change_type"]) for r in got
+    )
+    assert c[(0, "insert")] == 20 and c[(1, "insert")] == 1
+    assert c[(2, "delete")] == 5
+    # restart resumes at the committed version — no re-emission
+    t.update_where_cdf("k = 7", {"p": "p + 1e5"})
+    drain()
+    c2 = collections.Counter(
+        (r["_commit_version"], r["_change_type"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert c2[(0, "insert")] == 20  # unchanged: not re-emitted
+    assert c2[(3, "update_preimage")] == 1
+    assert c2[(3, "update_postimage")] == 1
+
+
+def test_cdf_stream_guards(spark, tmp_path):
+    from thrive_spark.streaming.delta_source import register
+
+    t = DeltaLiteTable(spark, str(tmp_path / "plain"))
+    t.create(spark.createDataFrame([(1, 1.0)], "k bigint, p double"))
+    register(spark)
+    q = (
+        spark.readStream.format("thrive_delta")
+        .option("path", t.root)
+        .option("readchangefeed", "true")
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        raise AssertionError("CDF stream over a non-CDF table must refuse")
+    except Exception as e:  # noqa: BLE001 — engine wraps the error
+        assert "enableChangeDataFeed" in str(e)
+    finally:
+        q.stop()

@@ -150,20 +150,42 @@ def _latest_meta(root: str) -> dict:
 class DeltaStreamDataSource(DataSource):
     """``readStream.format("thrive_delta")`` — options: ``path``
     (Delta table root, required), ``ignorechanges`` (accept rewrite
-    commits by emitting only their added files; default false)."""
+    commits by emitting only their added files; default false),
+    ``readchangefeed`` (emit CHANGE rows instead of table rows:
+    schema widens by _change_type/_commit_version and each commit's
+    delta streams per the CDF read rule; default false)."""
 
     @classmethod
     def name(cls) -> str:
         return "thrive_delta"
 
-    def schema(self) -> str:
-        from pyspark.sql.types import StructType
+    def _cdf(self) -> bool:
+        return str(
+            self.options.get("readchangefeed", "false")
+        ).lower() == "true"
 
-        return StructType.fromJson(
+    def schema(self) -> str:
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        base = StructType.fromJson(
             json.loads(_latest_meta(self.options["path"])["schemaString"])
+        )
+        if not self._cdf():
+            return base
+        return StructType(
+            list(base.fields)
+            + [StructField("_change_type", StringType()),
+               StructField("_commit_version", LongType())]
         )
 
     def streamReader(self, schema):
+        if self._cdf():
+            return DeltaCDFStreamReader(self.options, schema)
         return DeltaStreamReader(self.options, schema)
 
 
@@ -327,6 +349,130 @@ class DeltaStreamReader(DataSourceStreamReader):
             yield tuple(row)
 
 
+class DeltaCDFStreamReader(DataSourceStreamReader):
+    """CHANGE DATA FEED streaming (r14): versions are offsets exactly
+    as in the append reader, but each micro-batch carries the
+    commit's CHANGE rows — cdc files verbatim when the commit wrote
+    them (deletes, update_preimage/update_postimage), else derived
+    inserts from dataChange adds and deletes from dataChange removes.
+    This is the incremental-pipeline shape at 100 TB: a downstream
+    materialization consumes O(changed rows) per trigger instead of
+    re-diffing snapshots. Honest bounds: CDF must be enabled on the
+    table, per-version attribution is required (cleaned-up commits
+    raise — no initial-snapshot catch-up, it would mislabel history
+    as inserts at one version), unpartitioned tables, and DV-bearing
+    derived commits refuse."""
+
+    def __init__(self, options, schema):
+        self.root = options["path"]
+        self.schema = schema
+        meta = _latest_meta(self.root)
+        if (meta.get("configuration") or {}).get(
+            "delta.enableChangeDataFeed"
+        ) != "true":
+            raise ValueError(
+                "readchangefeed=true but delta.enableChangeDataFeed "
+                "is not set on the table"
+            )
+        if meta.get("partitionColumns"):
+            raise NotImplementedError(
+                "CDF streaming on partitioned tables"
+            )
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        jsons = _json_versions(self.root)
+        return {"version": jsons[-1] if jsons else -1}
+
+    def partitions(self, start: dict, end: dict):
+        sv, ev = int(start["version"]), int(end["version"])
+        jsons = set(_json_versions(self.root))
+        cols = [
+            f.name for f in self.schema.fields
+            if f.name not in ("_change_type", "_commit_version")
+        ]
+        types = [
+            f.dataType.simpleString() for f in self.schema.fields
+            if f.name not in ("_change_type", "_commit_version")
+        ]
+        parts: list[InputPartition] = []
+        for v in range(sv + 1, ev + 1):
+            if v not in jsons:
+                raise ValueError(
+                    f"cdf stream: commit {v} missing from the log "
+                    "(cleaned up?) — per-version change attribution "
+                    "cannot be reconstructed"
+                )
+            acts = _actions(self.root, v)
+            cdcs = [a["cdc"] for a in acts if "cdc" in a]
+            if cdcs:
+                for c in sorted(cdcs, key=lambda c: c["path"]):
+                    parts.append(InputPartition((
+                        os.path.join(self.root, c["path"]),
+                        cols, types, None, v,
+                    )))
+                continue
+            adds = [
+                a["add"] for a in acts
+                if "add" in a and a["add"].get("dataChange", True)
+            ]
+            if any(a.get("deletionVector") for a in adds):
+                raise NotImplementedError(
+                    f"cdf stream: version {v} adds deletion-vector "
+                    "files without cdc — row-level changes cannot be "
+                    "derived"
+                )
+            removes = [
+                a["remove"] for a in acts
+                if "remove" in a and a["remove"].get("dataChange", True)
+            ]
+            for a in sorted(adds, key=lambda a: a["path"]):
+                parts.append(InputPartition((
+                    os.path.join(self.root, a["path"]),
+                    cols, types, "insert", v,
+                )))
+            for r in sorted(removes, key=lambda r: r["path"]):
+                p = os.path.join(self.root, r["path"])
+                if not os.path.exists(p):
+                    raise ValueError(
+                        f"cdf stream: removed file {r['path']} no "
+                        "longer exists (vacuumed?) — delete changes "
+                        "cannot be derived"
+                    )
+                parts.append(InputPartition((
+                    p, cols, types, "delete", v,
+                )))
+        return parts or [InputPartition((None, [], [], None, -1))]
+
+    def commit(self, end: dict) -> None:
+        pass  # the engine's checkpoint WAL is the source of truth
+
+    def read(self, partition):
+        path, cols, types, ctype, v = partition.value
+        if path is None:
+            return
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(path)
+        names = set(tbl.column_names)
+        pdf = tbl.to_pandas()
+        for col in cols:
+            if col not in names:
+                pdf[col] = None  # schema-evolution NULL backfill
+        if ctype is None:
+            # cdc file: _change_type travels IN the file
+            ct = pdf["_change_type"]
+        else:
+            ct = [ctype] * len(pdf)
+        pdf = pdf[cols]
+        pdf["_change_type"] = ct
+        pdf["_commit_version"] = v
+        for row in pdf.itertuples(index=False, name=None):
+            yield tuple(row)
+
+
 def register(spark) -> None:
     try:
         spark.dataSource.register(DeltaStreamDataSource)
@@ -398,5 +544,90 @@ def scan_delta_stream(spark, sf_dir):
         spark.read.parquet(out)
         .groupBy((F.col("k") % 4).cast("bigint").alias("grp"))
         .agg(F.count(F.lit(1)).alias("n"), dsum("p").alias("sum_p"))
+    )
+    return _detach_and_cleanup(spark, agg, root)
+
+@query(
+    "scan_delta_cdf_stream",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_custkey AS ck, o_totalprice AS p
+        FROM orders WHERE o_orderkey % 17 = 0
+    ),
+    app AS (
+        SELECT o_orderkey AS k, o_custkey AS ck, o_totalprice AS p
+        FROM orders WHERE o_orderkey % 17 = 5
+    ),
+    ins AS (SELECT * FROM base UNION ALL SELECT * FROM app),
+    del AS (SELECT * FROM ins WHERE coalesce(p > 180000, false)),
+    s2 AS (SELECT * FROM ins WHERE NOT coalesce(p > 180000, false)),
+    pre AS (SELECT * FROM s2 WHERE coalesce(ck % 10 = 4, false)),
+    post AS (SELECT k, ck, p + 1e5 AS p FROM pre)
+    SELECT 'insert' AS change_type, count(*) AS n_rows,
+           {osum('p')} AS sum_p FROM ins HAVING count(*) > 0
+    UNION ALL
+    SELECT 'delete', count(*), {osum('p')} FROM del HAVING count(*) > 0
+    UNION ALL
+    SELECT 'update_preimage', count(*), {osum('p')} FROM pre
+    HAVING count(*) > 0
+    UNION ALL
+    SELECT 'update_postimage', count(*), {osum('p')} FROM post
+    HAVING count(*) > 0
+    """,
+)
+def scan_delta_cdf_stream(spark, sf_dir):
+    """Delta CHANGE DATA FEED as a STRUCTURED STREAMING source,
+    driver-verified — the incremental-pipeline shape: a CDF-enabled
+    table takes inserts, a COW delete, and a COW update; then
+    ``readStream.format("thrive_delta").option("readchangefeed",
+    "true")`` drains the feed with versions as offsets, each
+    micro-batch carrying that commit's TRUE delta (cdc files
+    verbatim; derived inserts for plain appends). The drained rows
+    aggregate per change class and hash-match the same relational
+    replay that grades the batch twin (scan_delta_cdf) — proving the
+    stream neither duplicates (COW survivors never appear) nor drops
+    (every class accounted) changes. At 100 TB this is what lets a
+    downstream materialized view consume O(changed rows) per trigger
+    instead of re-diffing snapshots."""
+    import tempfile
+
+    from ..sources.acid import _detach_and_cleanup
+    from ..sources.delta_lite import DeltaLiteTable
+    from ..tables import Tables
+
+    t = Tables(spark, sf_dir)
+    orders = t.orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        F.col("o_totalprice").alias("p"),
+    )
+    root = tempfile.mkdtemp(prefix="thrive_delta_cdfs_")
+    tdir = os.path.join(root, "table")
+    tbl = DeltaLiteTable(spark, tdir)
+    tbl.create(orders.filter("k % 17 = 0"), change_data_feed=True)
+    tbl.append(orders.filter("k % 17 = 5"))
+    tbl.delete_where_cdf("p > 180000")
+    tbl.update_where_cdf("ck % 10 = 4", {"p": "p + 1e5"})
+    register(spark)
+    out = os.path.join(root, "out")
+    q = (
+        spark.readStream.format("thrive_delta")
+        .option("path", tdir)
+        .option("readchangefeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    agg = (
+        spark.read.parquet(out)
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("p").alias("sum_p"),
+        )
     )
     return _detach_and_cleanup(spark, agg, root)
