@@ -221,6 +221,7 @@ GRADE_DEFER = [
     "scan_iceberg_spec_evolution",
     "scan_iceberg_partitions_table",
     "scan_delta_cdf_stream",
+    "scan_iceberg_wap_branch",
 ]
 
 

@@ -959,3 +959,58 @@ def test_metadata_tables_partitions_and_snapshots(spark, tmp_path):
         (1, 1), (2, 2),
     ]
     assert st[0]["operation"] == "append"
+
+
+# ---------- refs: branches, tags, WAP (r14) ----------
+
+
+def test_wap_branch_stage_publish_and_tag_pin(spark, tmp_path):
+    tbl = IcebergLiteTable(spark, str(tmp_path / "t"))
+    tbl.create(spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k bigint, p double"
+    ))
+    tbl.create_tag("v1")
+    tbl.create_branch("audit")
+    sid2 = tbl.append(
+        spark.createDataFrame(
+            [(100 + i, 1.0) for i in range(5)], "k bigint, p double"
+        ),
+        branch="audit",
+    )
+    # staging moves only the branch head
+    assert tbl.ref("main") == 1 and tbl.ref("audit") == sid2
+    assert tbl.snapshot(tbl.ref("main")).count() == 20
+    assert tbl.snapshot(tbl.ref("audit")).count() == 25
+    files = {f["file_path"] for f in tbl.plan_files(sid2)[0]}
+    assert tbl.publish("audit") == sid2
+    # publish is metadata-only
+    assert {f["file_path"] for f in tbl.plan_files()[0]} == files
+    assert tbl.snapshot().count() == 25
+    # the tag survives expiration and still reads the old state
+    tbl.expire_snapshots(keep_last=1)
+    assert tbl.snapshot(tbl.ref("v1")).count() == 20
+
+
+def test_ref_guards_and_divergence(spark, tmp_path):
+    tbl = IcebergLiteTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(1, 1.0)], "k bigint, p double")
+    tbl.create(df)
+    tbl.create_tag("v1")
+    with pytest.raises(ValueError, match="already exists"):
+        tbl.create_tag("v1")
+    with pytest.raises(ValueError, match="tag"):
+        tbl.append(df, branch="v1")
+    with pytest.raises(ValueError, match="unknown ref"):
+        tbl.ref("nope")
+    # a branch that does not descend from main cannot fast-forward
+    tbl.append(spark.createDataFrame([(2, 2.0)], "k bigint, p double"))
+    tbl.create_branch("b2", snapshot_id=1)
+    tbl.append(
+        spark.createDataFrame([(9, 9.0)], "k bigint, p double"),
+        branch="b2",
+    )
+    with pytest.raises(ValueError, match="ancestor"):
+        tbl.publish("b2")
+    tbl.drop_ref("b2")
+    with pytest.raises(ValueError, match="unknown ref"):
+        tbl.ref("b2")

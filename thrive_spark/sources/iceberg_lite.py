@@ -1102,6 +1102,7 @@ class IcebergLiteTable:
         manifest_rows: list[dict],
         sid: int,
         seq: int | None = None,
+        branch: str = "main",
     ) -> None:
         ml_path = f"metadata/snap-{sid}-1-{uuid.uuid4().hex[:8]}.avro"
         for r in manifest_rows:
@@ -1115,14 +1116,29 @@ class IcebergLiteTable:
         )
         if seq is not None:
             md["last-sequence-number"] = seq
+        parent = (
+            (md.get("refs") or {}).get(branch, {}).get("snapshot-id")
+            if branch != "main"
+            else md.get("current-snapshot-id")
+        )
         md["snapshots"] = md.get("snapshots", []) + [{
             "snapshot-id": sid,
             "timestamp-ms": 1700000000000 + sid,
             "manifest-list": ml_path,
             "summary": {"operation": "append"},
             **({"sequence-number": seq} if seq is not None else {}),
+            **({"parent-snapshot-id": parent}
+               if parent is not None else {}),
         }]
-        md["current-snapshot-id"] = sid
+        # refs (spec v2 §Refs): every commit moves its branch head;
+        # only main commits move current-snapshot-id — which is what
+        # makes a non-main branch a WAP staging area
+        md["refs"] = {
+            **(md.get("refs") or {}),
+            branch: {"snapshot-id": sid, "type": "branch"},
+        }
+        if branch == "main":
+            md["current-snapshot-id"] = sid
         self._write_metadata(md)
 
     def _write_metadata(self, md: dict) -> None:
@@ -1272,13 +1288,96 @@ class IcebergLiteTable:
         mrow = self._write_manifest(entries, spec_fields, sid, seq=1)
         self._commit_snapshot(md, [mrow], sid, seq=1)
 
-    def append(self, df) -> int:
+    def ref(self, name: str) -> int:
+        """Snapshot id a branch or tag points at ('main' = the
+        current snapshot). Pass the result to snapshot()/plan_files()
+        to read a ref."""
+        md = self.metadata()
+        if name == "main":
+            return md.get("current-snapshot-id")
+        r = (md.get("refs") or {}).get(name)
+        if r is None:
+            raise ValueError(f"unknown ref {name!r}")
+        return r["snapshot-id"]
+
+    def create_tag(self, name: str, snapshot_id: int | None = None):
+        """TAG (spec v2 §Refs): an immutable named pointer — the
+        audit/retention primitive that keeps a snapshot readable by
+        name and protected from expiration."""
+        self._create_ref(name, snapshot_id, "tag")
+
+    def create_branch(self, name: str, snapshot_id: int | None = None):
+        """BRANCH: a movable head commits can advance independently
+        of main — the WAP (write-audit-publish) staging primitive."""
+        self._create_ref(name, snapshot_id, "branch")
+
+    def _create_ref(self, name, snapshot_id, kind):
+        md = self.metadata()
+        sid = (
+            snapshot_id if snapshot_id is not None
+            else md.get("current-snapshot-id")
+        )
+        if not any(
+            s["snapshot-id"] == sid for s in md.get("snapshots", [])
+        ):
+            raise ValueError(f"snapshot {sid} not found")
+        refs = md.get("refs") or {}
+        if name in refs:
+            raise ValueError(f"ref {name!r} already exists")
+        refs[name] = {"snapshot-id": sid, "type": kind}
+        md["refs"] = refs
+        self._write_metadata(md)
+
+    def drop_ref(self, name: str):
+        md = self.metadata()
+        refs = md.get("refs") or {}
+        if name not in refs:
+            raise ValueError(f"unknown ref {name!r}")
+        del refs[name]
+        md["refs"] = refs
+        self._write_metadata(md)
+
+    def publish(self, branch: str) -> int:
+        """FAST-FORWARD main to a branch head (the WAP publish step):
+        metadata-only, and legal only when main is an ANCESTOR of the
+        branch head — a diverged branch needs a merge, and silently
+        swapping main would drop its commits. Returns the published
+        snapshot id."""
+        md = self.metadata()
+        refs = md.get("refs") or {}
+        if branch not in refs or refs[branch]["type"] != "branch":
+            raise ValueError(f"unknown branch {branch!r}")
+        head = refs[branch]["snapshot-id"]
+        by_id = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+        cur = md.get("current-snapshot-id")
+        walk = head
+        while walk is not None and walk != cur:
+            walk = by_id.get(walk, {}).get("parent-snapshot-id")
+        if walk != cur:
+            raise ValueError(
+                f"cannot fast-forward: main ({cur}) is not an "
+                f"ancestor of {branch!r} ({head})"
+            )
+        md["current-snapshot-id"] = head
+        refs["main"] = {"snapshot-id": head, "type": "branch"}
+        md["refs"] = refs
+        self._write_metadata(md)
+        return head
+
+    def append(self, df, branch: str = "main") -> int:
         md = self.metadata()
         part_fields = self._spec_fields(md)
         sid = max(s["snapshot-id"] for s in md["snapshots"]) + 1
+        refs = md.get("refs") or {}
+        if branch != "main" and refs.get(branch, {}).get("type") == "tag":
+            raise ValueError(f"cannot commit to tag {branch!r}")
+        head = (
+            refs[branch]["snapshot-id"]
+            if branch != "main" and branch in refs
+            else md["current-snapshot-id"]
+        )
         cur = next(
-            s for s in md["snapshots"]
-            if s["snapshot-id"] == md["current-snapshot-id"]
+            s for s in md["snapshots"] if s["snapshot-id"] == head
         )
         prior, _, _ = read_container(
             os.path.join(self.root, cur["manifest-list"])
@@ -1295,7 +1394,8 @@ class IcebergLiteTable:
         )
         # spec: unchanged manifests carry into the new manifest list
         # BY REFERENCE — planning stays O(new files) per commit
-        self._commit_snapshot(md, prior + [mrow], sid, seq=seq)
+        self._commit_snapshot(md, prior + [mrow], sid, seq=seq,
+                              branch=branch)
         return sid
 
     def partitions_table(self):
@@ -1416,7 +1516,17 @@ class IcebergLiteTable:
         snaps = sorted(md["snapshots"], key=lambda s: s["snapshot-id"])
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+        # ref-pinned snapshots (tags, branch heads) are NEVER expired
+        # — that is the point of a tag: named history survives GC
+        pinned = {
+            r["snapshot-id"] for r in (md.get("refs") or {}).values()
+        }
+        keep = [
+            s for i, s in enumerate(snaps)
+            if i >= len(snaps) - keep_last
+            or s["snapshot-id"] in pinned
+        ]
+        drop = [s for s in snaps if s not in keep]
         if not drop:
             return {"snapshots": 0, "manifests": 0, "data_files": 0}
 
@@ -2414,4 +2524,82 @@ def scan_iceberg_partitions_table(spark, sf_dir):
     assert [r["snapshot_id"] for r in snaps] == [1, 2]
     assert [r["sequence_number"] for r in snaps] == [1, 2]
     out = pt.select("ts_day", "record_count")
+    return _detach_and_cleanup(spark, out, root)
+
+@query(
+    "scan_iceberg_wap_branch",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        WHERE o_orderkey % 29 = 0
+    ),
+    staged AS (
+        SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        WHERE o_orderkey % 29 = 4
+    ),
+    merged AS (SELECT * FROM base UNION ALL SELECT * FROM staged)
+    SELECT CAST(1 AS BIGINT) AS part, count(*) AS n_rows,
+           {osum('p')} AS sum_price FROM base
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), count(*), {osum('p')} FROM merged
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), count(*), {osum('p')} FROM merged
+    UNION ALL
+    SELECT CAST(4 AS BIGINT), count(*), {osum('p')} FROM base
+    """,
+)
+def scan_iceberg_wap_branch(spark, sf_dir):
+    """Iceberg BRANCHES AND TAGS (spec v2 §Refs) — the
+    write-audit-publish pattern, driver-verified: new data stages on
+    an `audit` branch (its commit moves ONLY the branch head; main
+    readers are untouched — part 1 proves main still serves the base
+    rows while part 2 audits the staged state), then `publish`
+    fast-forwards main as a METADATA-ONLY step (part 3; the in-query
+    assert pins the identical file set before and after — zero data
+    moved at publish time, the property that makes WAP free at
+    100 TB). A `v1` tag pins the pre-staging snapshot: after
+    expire_snapshots would have GC'd it, the tag keeps it readable
+    (part 4) — named history survives retention. Fast-forward is
+    ancestor-checked: publishing a diverged branch refuses rather
+    than dropping main's commits."""
+    import tempfile
+
+    from ..tables import Tables
+    from .acid import _detach_and_cleanup
+
+    t = Tables(spark, sf_dir)
+    orders = t.orders.select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    root = tempfile.mkdtemp(prefix="thrive_ice_wap_")
+    tbl = IcebergLiteTable(spark, root)
+    tbl.create(orders.filter("k % 29 = 0"))
+    tbl.create_tag("v1")
+    tbl.create_branch("audit")
+    tbl.append(orders.filter("k % 29 = 4"), branch="audit")
+
+    def agg(sid, label):
+        return tbl.snapshot(sid).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("p").alias("sum_price"),
+        ).select(
+            F.lit(label).cast("bigint").alias("part"),
+            "n_rows", "sum_price",
+        )
+
+    # 1: main is untouched by the staged commit; 2: the audit read
+    assert tbl.ref("main") == 1
+    part1 = agg(tbl.ref("main"), 1)
+    part2 = agg(tbl.ref("audit"), 2)
+    files_audit = {
+        f["file_path"] for f in tbl.plan_files(tbl.ref("audit"))[0]
+    }
+    tbl.publish("audit")
+    # publish is metadata-only: main now plans the SAME file set
+    assert {f["file_path"] for f in tbl.plan_files()[0]} == files_audit
+    part3 = agg(tbl.ref("main"), 3)
+    # the tag survives expiration (ref-pinned), keeping history
+    tbl.expire_snapshots(keep_last=1)
+    part4 = agg(tbl.ref("v1"), 4)
+    out = part1.union(part2).union(part3).union(part4)
     return _detach_and_cleanup(spark, out, root)
