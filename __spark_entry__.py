@@ -222,6 +222,8 @@ GRADE_DEFER = [
     "scan_iceberg_partitions_table",
     "scan_delta_cdf_stream",
     "scan_iceberg_wap_branch",
+    "scan_delta_vacuum",
+    "scan_iceberg_compaction",
 ]
 
 

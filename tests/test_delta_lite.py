@@ -801,3 +801,24 @@ def test_cdf_stream_guards(spark, tmp_path):
         assert "enableChangeDataFeed" in str(e)
     finally:
         q.stop()
+
+
+def test_vacuum_collects_unreferenced_keeps_live_and_dvs(spark, tmp_path):
+    t = DeltaLiteTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k bigint, p double"
+    ))
+    # COW delete leaves the original file unreferenced
+    t.remove_where_file_contains("k >= 10")
+    # a DV delete: sidecar must SURVIVE vacuum (it is referenced)
+    v, n = t.delete_rows_dv("k = 1")
+    assert n == 1
+    removed = t.vacuum()
+    assert removed >= 1
+    live = sorted(r.k for r in t.snapshot().collect())
+    assert live == [k for k in range(10) if k != 1]
+    # time travel to the pre-delete version is broken by design
+    with pytest.raises(Exception):
+        t.snapshot(0).collect()
+    # idempotent
+    assert t.vacuum() == 0

@@ -1014,3 +1014,35 @@ def test_ref_guards_and_divergence(spark, tmp_path):
     tbl.drop_ref("b2")
     with pytest.raises(ValueError, match="unknown ref"):
         tbl.ref("b2")
+
+
+def test_rewrite_data_files_binpacks_and_guards(spark, tmp_path):
+    tbl = IcebergLiteTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, i % 2, float(i)) for i in range(40)],
+        "k bigint, grp bigint, p double",
+    )
+    tbl.create(df.filter("k < 20").repartition(4),
+               partition_columns=["grp"])
+    tbl.append(df.filter("k >= 20").repartition(3))
+    before = tbl.plan_files()[0]
+    sid, n = tbl.rewrite_data_files()
+    assert n >= 2
+    after = tbl.plan_files()[0]
+    assert len(after) < len(before)
+    per_pv: dict = {}
+    for f in after:
+        per_pv[f["partition"]["grp"]] = per_pv.get(
+            f["partition"]["grp"], 0
+        ) + 1
+    assert all(c == 1 for c in per_pv.values())
+    assert sorted(r.k for r in tbl.snapshot().collect()) == list(range(40))
+    # time travel to the pre-compaction snapshot still works (olds
+    # stay on disk until expire_snapshots GC)
+    assert tbl.snapshot(2).count() == 40
+    # idempotent
+    assert tbl.rewrite_data_files() == (sid, 0)
+    # pending row-level deletes refuse
+    tbl.delete_rows_equality(["k"], [(1,)])
+    with pytest.raises(ValueError, match="purge_deletes"):
+        tbl.rewrite_data_files()

@@ -754,6 +754,46 @@ class DeltaLiteTable:
         self._commit(v, actions)
         return v
 
+    def vacuum(self) -> int:
+        """VACUUM (the protocol's physical GC): delete every data
+        file under the table root that the CURRENT snapshot does not
+        reference — the counterpart of cleanup_log, which trims the
+        METADATA. Kept: live adds, their deletion-vector sidecars,
+        and the log directory itself. Like the real command this
+        breaks time travel to versions whose files are collected and
+        breaks CDF derivation for removed files (table_changes
+        raises on both rather than mis-reads — 'vacuumed?' paths).
+        This models retention-0 vacuum; a retention window only
+        changes WHICH unreferenced files are old enough to collect,
+        not the reachability walk. Cost is O(listing + live set),
+        never O(data). Returns the number of files deleted."""
+        st = self.state()
+        keep = {
+            os.path.normpath(os.path.join(self.root, a["path"]))
+            for a in st["adds"]
+        }
+        for a in st["adds"]:
+            dv = a.get("deletionVector")
+            if dv and dv.get("storageType") == "u":
+                from .deletion_vectors import _dv_file_path
+
+                keep.add(os.path.normpath(
+                    _dv_file_path(self.root, dv["pathOrInlineDv"])
+                ))
+        n = 0
+        for dirpath, _dirs, fnames in os.walk(self.root):
+            if os.path.normpath(dirpath).startswith(
+                os.path.normpath(self.log)
+            ):
+                continue
+            for f in fnames:
+                p = os.path.normpath(os.path.join(dirpath, f))
+                if p in keep or f.startswith("_") or f.startswith("."):
+                    continue
+                os.unlink(p)
+                n += 1
+        return n
+
     # -- change data feed (spec §Add CDC File, r14) --
 
     def _cdf_enabled(self, st: dict) -> bool:
@@ -1409,5 +1449,64 @@ def scan_delta_cdf(spark, sf_dir):
             F.count(F.lit(1)).alias("n_rows"),
             dsum("p").alias("sum_p"),
         )
+    )
+    return _detach_and_cleanup(spark, agg, root)
+
+@query(
+    "scan_delta_vacuum",
+    oracle=f"""
+    WITH ins AS (
+        SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        WHERE o_orderkey % 31 IN (0, 7)
+    ),
+    live AS (SELECT * FROM ins WHERE NOT coalesce(p > 170000, false))
+    SELECT count(*) AS n_rows, {osum('p')} AS sum_p,
+           CAST(min(k) AS BIGINT) AS min_k
+    FROM live
+    """,
+)
+def scan_delta_vacuum(spark, sf_dir):
+    """Delta VACUUM, driver-verified — the physical half of table
+    maintenance (cleanup_log trims metadata; vacuum collects the
+    DATA files no current add references): after a copy-on-write
+    delete leaves the victims' originals unreferenced, vacuum removes
+    them via a reachability walk over the live add set — O(listing),
+    never O(data) — and the in-query asserts pin the contract: at
+    least one formerly-referenced file is physically gone, time
+    travel to the pre-delete version now raises on read (the
+    documented retention trade: vacuum trades history for space),
+    and the CURRENT snapshot still hash-matches the relational
+    replay — GC removed garbage, not data."""
+    import tempfile
+
+    from ..tables import Tables
+    from .acid import _detach_and_cleanup
+
+    t = Tables(spark, sf_dir)
+    orders = t.orders.select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    root = tempfile.mkdtemp(prefix="thrive_delta_vac_")
+    tbl = DeltaLiteTable(spark, root)
+    tbl.create(orders.filter("k % 31 = 0").repartition(2))
+    tbl.append(orders.filter("k % 31 = 7").repartition(2))
+    v1_paths = {a["path"] for a in tbl.state()["adds"]}
+    v = tbl.remove_where_file_contains("p > 170000")
+    n = tbl.vacuum()
+    live_paths = {a["path"] for a in tbl.state()["adds"]}
+    gone = v1_paths - live_paths
+    if v > 1:  # the COW delete rewrote at least one file
+        assert n >= 1 and gone, (n, v)
+        assert any(
+            not os.path.exists(os.path.join(root, p)) for p in gone
+        ), "vacuum must physically remove unreferenced files"
+    # live files all survive GC
+    assert all(
+        os.path.exists(os.path.join(root, p)) for p in live_paths
+    )
+    agg = tbl.snapshot().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("p").alias("sum_p"),
+        F.min("k").cast("bigint").alias("min_k"),
     )
     return _detach_and_cleanup(spark, agg, root)

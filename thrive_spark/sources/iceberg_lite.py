@@ -1861,6 +1861,83 @@ class IcebergLiteTable:
                 os.unlink(p)
         return sid, n_rewritten
 
+    def rewrite_data_files(self, min_files_per_group: int = 2) -> tuple[int, int]:
+        """BIN-PACKING COMPACTION (Iceberg's rewrite_data_files — the
+        small-files maintenance job): within each partition tuple,
+        coalesce every group of >= ``min_files_per_group`` data files
+        into one, commit the swap as status-2 olds + status-1 news,
+        and carry untouched files by reference. Row-for-row identical
+        by construction (the rewrite is a plain concat scan — no
+        predicate, no delete application), so readers see the same
+        table with fewer, larger files — the fix for the streaming-
+        ingest small-file problem that otherwise makes planning and
+        scan task counts O(commits) instead of O(data). Refuses when
+        row-level deletes are pending (purge_deletes first: compaction
+        must not silently materialize or drop them) or after partition
+        evolution (same re-manifest hazard as the COW paths). Returns
+        (snapshot_id, files_compacted); no-op when nothing qualifies."""
+        md = self.metadata()
+        if len(md["partition-specs"]) > 1:
+            raise NotImplementedError(
+                "rewrite_data_files after partition evolution"
+            )
+        part_fields = self._spec_fields(md)
+        part_names = [f["name"] for f in part_fields]
+        files, deletes, _ = self._plan()
+        if deletes:
+            raise ValueError(
+                "row-level deletes pending — run purge_deletes before "
+                "compaction (a rewrite that ignored them would "
+                "resurrect rows)"
+            )
+        by_pv: dict[tuple, list] = {}
+        for f in files:
+            by_pv.setdefault(
+                tuple(f["partition"].get(c) for c in part_names), []
+            ).append(f)
+        groups = {
+            pv: fs for pv, fs in by_pv.items()
+            if len(fs) >= min_files_per_group
+        }
+        if not groups:
+            return md["current-snapshot-id"], 0
+        sid = max(s["snapshot-id"] for s in md["snapshots"]) + 1
+        compacted = set()
+        entries = []
+        n = 0
+        for pv, fs in sorted(
+            groups.items(), key=lambda kv: tuple(map(str, kv[0]))
+        ):
+            merged = self.spark.read.parquet(*sorted(
+                os.path.join(self.root, f["file_path"]) for f in fs
+            )).coalesce(1)
+            for a in self._write_data_files(
+                merged, [], md["schema"]["fields"]
+            ):
+                a["partition"] = dict(zip(part_names, pv))
+                entries.append(
+                    {"status": 1, "snapshot_id": sid, "data_file": a}
+                )
+            for f in fs:
+                compacted.add(f["file_path"])
+                n += 1
+                entries.append(
+                    {"status": 2, "snapshot_id": sid,
+                     "sequence_number": f.get("_seq", 0),
+                     "data_file": f}
+                )
+        for f in files:
+            if f["file_path"] not in compacted:
+                entries.append(
+                    {"status": 0, "snapshot_id": sid,
+                     "sequence_number": f.get("_seq", 0),
+                     "data_file": f}
+                )
+        seq = md.get("last-sequence-number", 0) + 1
+        mrow = self._write_manifest(entries, part_fields, sid, seq=seq)
+        self._commit_snapshot(md, [mrow], sid, seq=seq)
+        return sid, n
+
     def delete_where_file_contains(self, pred_sql: str) -> int:
         """File-grain copy-on-write delete (the v1 shape; row-level
         v2 deletes live in delete_rows_positional/_equality): victim
@@ -2603,3 +2680,63 @@ def scan_iceberg_wap_branch(spark, sf_dir):
     part4 = agg(tbl.ref("v1"), 4)
     out = part1.union(part2).union(part3).union(part4)
     return _detach_and_cleanup(spark, out, root)
+
+@query(
+    "scan_iceberg_compaction",
+    oracle=f"""
+    WITH t AS (
+        SELECT o_orderkey AS k, CAST(o_orderkey % 3 AS BIGINT) AS grp,
+               o_totalprice AS p
+        FROM orders WHERE o_orderkey % 37 IN (0, 9)
+    )
+    SELECT grp, count(*) AS n_rows, {osum('p')} AS sum_p
+    FROM t GROUP BY grp
+    """,
+)
+def scan_iceberg_compaction(spark, sf_dir):
+    """Iceberg BIN-PACKING COMPACTION (rewrite_data_files),
+    driver-verified — the fix for streaming-ingest small files: two
+    multi-file commits leave each identity partition holding several
+    small data files; compaction coalesces every partition to one
+    file in a single swap commit and the in-query asserts pin the
+    economics — the planned file count strictly drops, every
+    partition ends at one file, and an immediate re-run is a no-op
+    (idempotent maintenance). The post-compaction aggregate
+    hash-matches the same relational rollup as before, proving the
+    rewrite is row-for-row lossless. At 100 TB this is what keeps
+    scan task counts O(data) instead of O(ingest commits)."""
+    import tempfile
+
+    from ..tables import Tables
+    from .acid import _detach_and_cleanup
+
+    t = Tables(spark, sf_dir)
+    orders = t.orders.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 3).cast("bigint").alias("grp"),
+        F.col("o_totalprice").alias("p"),
+    )
+    root = tempfile.mkdtemp(prefix="thrive_ice_compact_")
+    tbl = IcebergLiteTable(spark, root)
+    tbl.create(
+        orders.filter("k % 37 = 0").repartition(4),
+        partition_columns=["grp"],
+    )
+    tbl.append(orders.filter("k % 37 = 9").repartition(3))
+    before = tbl.plan_files()[0]
+    sid, n = tbl.rewrite_data_files()
+    after = tbl.plan_files()[0]
+    if n:
+        assert len(after) < len(before), (len(before), len(after))
+        per_pv: dict = {}
+        for f in after:
+            pv = f["partition"]["grp"]
+            per_pv[pv] = per_pv.get(pv, 0) + 1
+        assert all(c == 1 for c in per_pv.values()), per_pv
+        # idempotent: a second pass finds nothing to pack
+        assert tbl.rewrite_data_files() == (sid, 0)
+    agg = tbl.snapshot().groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("p").alias("sum_p"),
+    )
+    return _detach_and_cleanup(spark, agg, root)
