@@ -224,6 +224,7 @@ GRADE_DEFER = [
     "scan_iceberg_wap_branch",
     "scan_delta_vacuum",
     "scan_iceberg_compaction",
+    "scan_hudi_cow_table",
 ]
 
 

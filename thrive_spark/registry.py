@@ -71,6 +71,7 @@ def load_all() -> None:
         acid,
         delta_lite,
         formats,
+        hudi_lite,
         iceberg_lite,
         maintenance,
         pipeline,

@@ -1,0 +1,389 @@
+"""Apache-Hudi-format (Copy-on-Write) reader WITHOUT the connector
+jar (r14 third pass) — the third lakehouse format next to
+delta_lite.py and iceberg_lite.py, built from the public Hudi
+technical spec (hudi.apache.org/tech-specs):
+
+  .hoodie/hoodie.properties         table name / type / key field
+  .hoodie/<instant>.commit.requested, .inflight, .commit
+                                    the TIMELINE: each write is an
+                                    instant moving through requested →
+                                    inflight → completed; only
+                                    completed commits are readable
+  <fileId>_<writeToken>_<instant>.parquet
+                                    data files; all files sharing a
+                                    fileId form a FILE GROUP, each
+                                    write to the group adds a FILE
+                                    SLICE stamped with its instant
+
+The snapshot at instant T is the newest file slice per file group
+with instant <= T — which is why COW reads need no merge: a slice is
+a full self-contained rewrite of its group. Rows carry
+``_hoodie_commit_time`` / ``_hoodie_record_key`` meta columns like
+the real format, and an UPSERT preserves the original commit time on
+rows it merely carries — that per-row bookkeeping is what makes
+Hudi's signature INCREMENTAL PULL exact: `incremental(begin)` reads
+only file slices written after ``begin`` and filters to rows whose
+commit time is newer, returning the latest value of every record
+that changed — O(changed slices), never O(table), the property that
+makes downstream incremental ETL viable at 100 TB.
+
+Scope honestly bounded: COPY_ON_WRITE tables only (MERGE_ON_READ log
+blocks are an Avro block format this module does not implement —
+table type is checked and refuses), single (unpartitioned) Hudi
+partition path, unique record keys per batch. The writer emits
+timeline/file-naming/meta-column shapes per the public spec so tests
+and the graded exhibits read back genuine Hudi-shaped trees.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import functions as F
+
+from ..operators._util import dsum, osum
+from ..registry import query
+
+META_COLS = ["_hoodie_commit_time", "_hoodie_record_key"]
+
+
+class HudiLiteTable:
+    """Reader (and minimal spec-shaped writer) for a Hudi COW table."""
+
+    def __init__(self, spark, root: str, key_field: str = "k"):
+        self.spark = spark
+        self.root = root
+        self.meta_dir = os.path.join(root, ".hoodie")
+        self.key_field = key_field
+
+    # ---------- timeline ----------
+
+    def _props_path(self) -> str:
+        return os.path.join(self.meta_dir, "hoodie.properties")
+
+    def properties(self) -> dict:
+        out = {}
+        with open(self._props_path()) as fh:
+            for line in fh:
+                line = line.strip()
+                if line and not line.startswith("#") and "=" in line:
+                    k, v = line.split("=", 1)
+                    out[k] = v
+        return out
+
+    def _check_type(self) -> None:
+        t = self.properties().get("hoodie.table.type")
+        if t != "COPY_ON_WRITE":
+            raise NotImplementedError(
+                f"hudi_lite reads COPY_ON_WRITE tables only (got {t!r}"
+                " — MERGE_ON_READ log blocks are not implemented)"
+            )
+
+    def timeline(self) -> list[str]:
+        """COMPLETED instants, ascending. Requested/inflight markers
+        exist on disk (the spec's transition states) but are invisible
+        to readers — an interrupted write never half-appears."""
+        if not os.path.isdir(self.meta_dir):
+            raise ValueError(f"no Hudi timeline under {self.meta_dir}")
+        return sorted(
+            f[: -len(".commit")]
+            for f in os.listdir(self.meta_dir)
+            if f.endswith(".commit")
+        )
+
+    def commit_meta(self, instant: str) -> dict:
+        with open(
+            os.path.join(self.meta_dir, f"{instant}.commit")
+        ) as fh:
+            return json.load(fh)
+
+    def _next_instant(self) -> str:
+        done = self.timeline() if os.path.isdir(self.meta_dir) else []
+        return f"{len(done) + 1:014d}"
+
+    def _begin_instant(self, instant: str) -> None:
+        os.makedirs(self.meta_dir, exist_ok=True)
+        for suffix in (".commit.requested", ".inflight"):
+            with open(
+                os.path.join(self.meta_dir, instant + suffix), "w"
+            ) as fh:
+                fh.write("{}")
+
+    def _complete_instant(
+        self, instant: str, op: str, stats: list[dict]
+    ) -> None:
+        meta = {
+            "operationType": op,
+            "partitionToWriteStats": {"": stats},
+        }
+        tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh, indent=1)
+        # completion is one atomic rename — the timeline's commit rule
+        os.replace(
+            tmp, os.path.join(self.meta_dir, f"{instant}.commit")
+        )
+
+    # ---------- file groups / slices ----------
+
+    def file_slices(self, instant: str | None = None) -> dict:
+        """{fileId: (slice_instant, filename)} — the newest slice per
+        file group at ``instant`` (latest when None). Pure listing +
+        name parse: `<fileId>_<writeToken>_<instant>.parquet`."""
+        self._check_type()
+        done = set(self.timeline())
+        if instant is not None and instant not in done:
+            raise ValueError(f"instant {instant!r} not in timeline")
+        best: dict[str, tuple[str, str]] = {}
+        for f in sorted(os.listdir(self.root)):
+            if not f.endswith(".parquet"):
+                continue
+            stem = f[: -len(".parquet")]
+            parts = stem.split("_")
+            if len(parts) != 3:
+                continue
+            fid, _token, ins = parts
+            if ins not in done:
+                continue  # orphan of an uncommitted write
+            if instant is not None and ins > instant:
+                continue
+            if fid not in best or ins > best[fid][0]:
+                best[fid] = (ins, f)
+        return best
+
+    def _read_slices(self, files: list[str]):
+        schema = None  # self-describing: all slices share the schema
+        return self.spark.read.parquet(
+            *[os.path.join(self.root, f) for f in sorted(files)]
+        ) if files else None
+
+    def snapshot(self, instant: str | None = None, meta: bool = False):
+        """Table state AS OF ``instant``: the newest slice per file
+        group, unioned. ``meta=True`` keeps the _hoodie meta columns
+        (incremental pull and tests use them)."""
+        slices = self.file_slices(instant)
+        df = self._read_slices([f for _, f in slices.values()])
+        if df is None:
+            raise ValueError("empty table: no completed commits")
+        return df if meta else df.drop(*META_COLS)
+
+    def incremental(self, begin_exclusive: str):
+        """Hudi's INCREMENTAL QUERY: the latest value of every record
+        whose newest write is AFTER ``begin_exclusive``. Planning
+        opens only file slices stamped after the begin instant (the
+        carried rows inside them are filtered out by their preserved
+        per-row commit time), so cost tracks the CHANGE volume."""
+        slices = self.file_slices()
+        changed = [
+            f for ins, f in slices.values() if ins > begin_exclusive
+        ]
+        base = self.snapshot(meta=True).limit(0)
+        df = self._read_slices(changed)
+        if df is None:
+            return base
+        return df.filter(
+            F.col("_hoodie_commit_time") > F.lit(begin_exclusive)
+        )
+
+    # ---------- writer (exhibit/test construction) ----------
+
+    def _write_group(self, df, file_id: str, instant: str) -> dict:
+        """One file group slice = one parquet file (COW: a slice is a
+        complete rewrite of its group)."""
+        tmp = os.path.join(self.root, f".tmp-{uuid.uuid4().hex[:8]}")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        name = f"{file_id}_0-0-0_{instant}.parquet"
+        os.replace(os.path.join(tmp, part), os.path.join(self.root, name))
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        return {
+            "fileId": file_id,
+            "path": name,
+            "numWrites": df.count(),
+        }
+
+    def _with_meta(self, df, instant: str):
+        return df.select(
+            F.lit(instant).alias("_hoodie_commit_time"),
+            F.col(self.key_field).cast("string")
+            .alias("_hoodie_record_key"),
+            "*",
+        )
+
+    def bulk_insert(self, df, groups: int = 2) -> str:
+        """Create the table: rows hash-split into ``groups`` file
+        groups (the real writer sizes groups by target file size —
+        group COUNT is layout, not semantics)."""
+        os.makedirs(self.root, exist_ok=True)
+        os.makedirs(self.meta_dir, exist_ok=True)
+        with open(self._props_path(), "w") as fh:
+            fh.write(
+                "hoodie.table.name=thrive_hudi\n"
+                "hoodie.table.type=COPY_ON_WRITE\n"
+                f"hoodie.table.recordkey.fields={self.key_field}\n"
+                "hoodie.timeline.layout.version=1\n"
+            )
+        instant = self._next_instant()
+        self._begin_instant(instant)
+        tagged = self._with_meta(df, instant).withColumn(
+            "__g", F.pmod(F.xxhash64(self.key_field), F.lit(groups))
+        )
+        stats = []
+        for g in range(groups):
+            sdf = tagged.filter(F.col("__g") == g).drop("__g")
+            stats.append(
+                self._write_group(sdf, uuid.uuid4().hex[:12], instant)
+            )
+        self._complete_instant(instant, "bulk_insert", stats)
+        return instant
+
+    def upsert(self, df) -> str:
+        """COW upsert: batch rows whose key lives in an existing file
+        group REWRITE that group (replacing matching rows, carrying
+        the rest with their ORIGINAL commit times); rows with unseen
+        keys open a new file group. Untouched groups are untouched —
+        the write cost is O(affected groups), which is the COW
+        trade: cheap reads, write amplification bounded by group
+        size."""
+        self._check_type()
+        instant = self._next_instant()
+        self._begin_instant(instant)
+        batch = self._with_meta(df, instant)
+        slices = self.file_slices()
+        stats: list[dict] = []
+        matched_keys: set = set()
+        for fid, (_ins, fname) in sorted(slices.items()):
+            old = self.spark.read.parquet(
+                os.path.join(self.root, fname)
+            )
+            # bounded driver hop: per-group KEY OVERLAP, not data —
+            # the real writer answers this with its bloom index
+            hit = [
+                r[0]
+                for r in old.join(
+                    batch,
+                    old["_hoodie_record_key"]
+                    == batch["_hoodie_record_key"],
+                    "left_semi",
+                ).select("_hoodie_record_key").distinct().collect()
+            ]
+            if not hit:
+                continue  # group untouched: its slice carries as-is
+            matched_keys.update(hit)
+            merged = old.filter(
+                ~F.col("_hoodie_record_key").isin(hit)
+            ).unionByName(
+                batch.filter(F.col("_hoodie_record_key").isin(hit))
+            )
+            stats.append(self._write_group(merged, fid, instant))
+        fresh = batch.filter(
+            ~F.col("_hoodie_record_key").isin(sorted(matched_keys))
+            if matched_keys else F.lit(True)
+        )
+        if fresh.count():
+            stats.append(
+                self._write_group(fresh, uuid.uuid4().hex[:12], instant)
+            )
+        self._complete_instant(instant, "upsert", stats)
+        return instant
+
+
+@query(
+    "scan_hudi_cow_table",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        WHERE o_orderkey % 41 = 0
+    ),
+    upd AS (
+        SELECT k, p + 1e5 AS p FROM base WHERE k % 3 = 0
+    ),
+    ins AS (
+        SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        WHERE o_orderkey % 41 = 8
+    ),
+    merged AS (
+        SELECT * FROM base WHERE (k % 3 = 0) IS NOT TRUE
+        UNION ALL SELECT * FROM upd
+        UNION ALL SELECT * FROM ins
+    ),
+    changed AS (
+        SELECT * FROM upd UNION ALL SELECT * FROM ins
+    )
+    SELECT CAST(1 AS BIGINT) AS part, count(*) AS n_rows,
+           {osum('p')} AS sum_p FROM base
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), count(*), {osum('p')} FROM merged
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), count(*), {osum('p')} FROM changed
+    """,
+)
+def scan_hudi_cow_table(spark, sf_dir):
+    """FOREIGN-format interop #3 — Apache Hudi COPY_ON_WRITE,
+    driver-verified, completing the three-format lakehouse read story
+    (Delta log fold, Iceberg metadata tree, and now Hudi's
+    timeline + file-group model): a bulk insert lands two file
+    groups, an UPSERT updates every third key and inserts a fresh
+    slice of orders, and three reads replay through real timeline
+    planning — (1) snapshot AS OF the first instant (time travel via
+    file-slice selection: the upsert's rewrites are invisible), (2)
+    the current snapshot (newest slice per group — updates visible
+    exactly once, no merge needed: the COW property), and (3) Hudi's
+    signature INCREMENTAL PULL since the first instant, which must
+    return precisely the updated+inserted records and NOT the rows
+    the rewrite merely carried — provable only because carried rows
+    keep their original per-row _hoodie_commit_time, which is the
+    bookkeeping the oracle's `changed` branch hash-checks. In-query
+    asserts pin the COW economics: the untouched file group's slice
+    survives the upsert verbatim, and incremental planning opened
+    only post-begin slices."""
+    import tempfile
+
+    from ..tables import Tables
+    from .acid import _detach_and_cleanup
+
+    t = Tables(spark, sf_dir)
+    orders = t.orders.select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    base = orders.filter("k % 41 = 0")
+    root = tempfile.mkdtemp(prefix="thrive_hudi_")
+    tbl = HudiLiteTable(spark, root, key_field="k")
+    i1 = tbl.bulk_insert(base, groups=2)
+    slices1 = tbl.file_slices()
+    upd = base.filter("k % 3 = 0").select(
+        "k", (F.col("p") + F.lit(1e5)).alias("p")
+    )
+    ins = orders.filter("k % 41 = 8")
+    i2 = tbl.upsert(upd.unionByName(ins))
+    # COW economics: any group the upsert did not touch keeps its
+    # exact slice file; touched groups advanced to instant i2
+    slices2 = tbl.file_slices()
+    for fid, (ins_t, fname) in slices1.items():
+        assert slices2[fid] in ((ins_t, fname), (i2, f"{fid}_0-0-0_{i2}.parquet")), slices2[fid]
+    # incremental planning opens only post-begin slices
+    changed_files = [
+        f for ins_t, f in slices2.values() if ins_t > i1
+    ]
+    assert all(f.endswith(f"_{i2}.parquet") for f in changed_files)
+
+    def agg(df, label):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("p").alias("sum_p"),
+        ).select(
+            F.lit(label).cast("bigint").alias("part"),
+            "n_rows", "sum_p",
+        )
+
+    part1 = agg(tbl.snapshot(i1), 1)
+    part2 = agg(tbl.snapshot(), 2)
+    part3 = agg(tbl.incremental(i1).select("k", "p"), 3)
+    out = part1.union(part2).union(part3)
+    return _detach_and_cleanup(spark, out, root)
