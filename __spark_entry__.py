@@ -225,6 +225,7 @@ GRADE_DEFER = [
     "scan_delta_vacuum",
     "scan_iceberg_compaction",
     "scan_hudi_cow_table",
+    "scan_hudi_stream",
 ]
 
 

@@ -105,3 +105,48 @@ def test_mor_refusal_and_unknown_instant(spark, tmp_path):
         fh.write(body)
     with pytest.raises(ValueError, match="not in timeline"):
         t.snapshot("00000000000099")
+
+
+def test_hudi_stream_batches_and_resume(spark, tmp_path):
+    from thrive_spark.streaming.hudi_source import register
+
+    t, i1 = _mk(spark, tmp_path)
+    i2 = t.upsert(spark.createDataFrame(
+        [(3, 999.0), (100, 1.0)], "k bigint, p double"
+    ))
+    register(spark)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        q = (
+            spark.readStream.format("thrive_hudi")
+            .option("path", t.root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain()
+    got = spark.read.parquet(out).collect()
+    by_ins = {}
+    for r in got:
+        by_ins.setdefault(r["_hoodie_commit_time"], []).append(r["k"])
+    assert sorted(by_ins[i1]) == list(range(20))
+    # batch 2: exactly the changed rows, not the carried ones
+    assert sorted(by_ins[i2]) == [3, 100]
+    # restart resumes past the committed instant
+    i3 = t.upsert(spark.createDataFrame(
+        [(5, 5.5)], "k bigint, p double"
+    ))
+    drain()
+    got2 = spark.read.parquet(out).collect()
+    c1 = sum(1 for r in got2 if r["_hoodie_commit_time"] == i1)
+    assert c1 == 20  # not re-emitted
+    assert sorted(
+        r.k for r in got2 if r["_hoodie_commit_time"] == i3
+    ) == [5]

@@ -83,6 +83,7 @@ def load_all() -> None:
     from .streaming import (  # noqa: F401
         broker,
         delta_source,
+        hudi_source,
         iceberg_source,
         table_source,
     )
