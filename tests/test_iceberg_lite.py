@@ -1046,3 +1046,18 @@ def test_rewrite_data_files_binpacks_and_guards(spark, tmp_path):
     tbl.delete_rows_equality(["k"], [(1,)])
     with pytest.raises(ValueError, match="purge_deletes"):
         tbl.rewrite_data_files()
+
+
+def test_implicit_branch_first_commit_publishes(spark, tmp_path):
+    """A branch born by its first commit (no create_branch) forks
+    from the current snapshot — publish's ancestor walk must still
+    reach main."""
+    tbl = IcebergLiteTable(spark, str(tmp_path / "t"))
+    tbl.create(spark.createDataFrame([(1, 1.0)], "k bigint, p double"))
+    sid = tbl.append(
+        spark.createDataFrame([(2, 2.0)], "k bigint, p double"),
+        branch="stage",
+    )
+    assert tbl.ref("main") == 1 and tbl.ref("stage") == sid
+    assert tbl.publish("stage") == sid
+    assert sorted(r.k for r in tbl.snapshot().collect()) == [1, 2]

@@ -1117,7 +1117,12 @@ class IcebergLiteTable:
         if seq is not None:
             md["last-sequence-number"] = seq
         parent = (
-            (md.get("refs") or {}).get(branch, {}).get("snapshot-id")
+            # a branch implicitly born by its first commit forks from
+            # the current snapshot — without this the later publish()
+            # ancestor walk could not reach main
+            (md.get("refs") or {}).get(branch, {}).get(
+                "snapshot-id", md.get("current-snapshot-id")
+            )
             if branch != "main"
             else md.get("current-snapshot-id")
         )

@@ -466,7 +466,7 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
             ct = pdf["_change_type"]
         else:
             ct = [ctype] * len(pdf)
-        pdf = pdf[cols]
+        pdf = pdf[cols].copy()  # slice → copy: no chained-assign warn
         pdf["_change_type"] = ct
         pdf["_commit_version"] = v
         for row in pdf.itertuples(index=False, name=None):
