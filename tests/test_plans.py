@@ -465,3 +465,53 @@ def test_neyman_allocation_broadcasts(spark, sf_dir):
     plan = physical_plan(QUERIES["sample_stratified_neyman"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_iceberg_mor_deletes_are_broadcast_anti_joins(spark, tmp_path):
+    """Merge-on-read row drops must not change the scan's shape: both
+    delete kinds plan as a BroadcastHashJoin LeftAnti over the
+    parquet scan — delete keys broadcast, scan parallelism untouched,
+    and never a CartesianProduct."""
+    from thrive_spark.sources.iceberg_lite import IcebergLiteTable
+
+    tbl = IcebergLiteTable(spark, str(tmp_path / "t"))
+    tbl.create(spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "k bigint, p double"
+    ))
+    tbl.delete_rows_positional("k = 3")
+    plan = physical_plan(tbl.snapshot())
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    tbl.delete_rows_equality(["k"], [(5,)])
+    plan = physical_plan(tbl.snapshot())
+    assert plan.count("LeftAnti") >= 2  # position + equality layers
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_delta_dv_snapshot_is_broadcast_anti_join(spark, tmp_path):
+    from thrive_spark.sources.delta_lite import DeltaLiteTable
+
+    t = DeltaLiteTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "k bigint, p double"
+    ))
+    t.delete_rows_dv("k = 3")
+    plan = physical_plan(t.snapshot())
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lakehouse_scan_keeps_pushdown(spark, tmp_path):
+    """Row predicates on a lakehouse snapshot still reach the parquet
+    scan as PushedFilters — the MoR wrapper must not break Catalyst's
+    pushdown."""
+    from thrive_spark.sources.iceberg_lite import IcebergLiteTable
+
+    tbl = IcebergLiteTable(spark, str(tmp_path / "t"))
+    tbl.create(spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "k bigint, p double"
+    ))
+    tbl.delete_rows_positional("k = 3")
+    plan = physical_plan(tbl.snapshot().filter("p > 40.0"))
+    assert "PushedFilters: [IsNotNull(p), GreaterThan(p,40.0)]" in plan
