@@ -226,6 +226,7 @@ GRADE_DEFER = [
     "scan_iceberg_compaction",
     "scan_hudi_cow_table",
     "scan_hudi_stream",
+    "lakehouse_format_migrate",
 ]
 
 

@@ -387,3 +387,65 @@ def scan_hudi_cow_table(spark, sf_dir):
     part3 = agg(tbl.incremental(i1).select("k", "p"), 3)
     out = part1.union(part2).union(part3)
     return _detach_and_cleanup(spark, out, root)
+
+@query(
+    "lakehouse_format_migrate",
+    oracle=f"""
+    WITH t AS (
+        SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        WHERE o_orderkey % 47 = 0
+    )
+    SELECT fmt, count(*) AS n_rows, {osum('p')} AS sum_p,
+           CAST(min(k) AS BIGINT) AS min_k
+    FROM t, (VALUES ('delta'), ('hudi'), ('iceberg')) AS f(fmt)
+    GROUP BY fmt
+    """,
+)
+def lakehouse_format_migrate(spark, sf_dir):
+    """CROSS-FORMAT MIGRATION, driver-verified — the capstone over
+    the three jar-free lakehouse modules: one orders slice lands as
+    an Iceberg table, its snapshot() output is written straight into
+    a Delta table, and THAT snapshot into a Hudi COW table — each hop
+    reading through one format's real planning (metadata tree / log
+    fold / timeline) and writing through the next format's
+    spec-shaped writer. All three per-format aggregates must equal
+    the same relational oracle row, proving no format's round trip
+    gained, lost, or altered a row. This is the practical 100 TB
+    interop story: an engine that reads and writes all three open
+    table formats can migrate or mirror tables without a connector
+    jar in the path."""
+    import tempfile
+
+    from ..tables import Tables
+    from .acid import _detach_and_cleanup
+    from .delta_lite import DeltaLiteTable
+    from .iceberg_lite import IcebergLiteTable
+
+    t = Tables(spark, sf_dir)
+    rows = t.orders.select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    ).filter("k % 47 = 0")
+    root = tempfile.mkdtemp(prefix="thrive_lh_migrate_")
+    ice = IcebergLiteTable(spark, os.path.join(root, "ice"))
+    ice.create(rows)
+    ice_df = ice.snapshot()
+    dl = DeltaLiteTable(spark, os.path.join(root, "delta"))
+    dl.create(ice_df)
+    dl_df = dl.snapshot()
+    hu = HudiLiteTable(spark, os.path.join(root, "hudi"), key_field="k")
+    hu.bulk_insert(dl_df, groups=2)
+    hu_df = hu.snapshot()
+
+    def agg(df, fmt):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("p").alias("sum_p"),
+            F.min("k").cast("bigint").alias("min_k"),
+        ).select(F.lit(fmt).alias("fmt"), "n_rows", "sum_p", "min_k")
+
+    out = (
+        agg(ice_df, "iceberg")
+        .union(agg(dl_df, "delta"))
+        .union(agg(hu_df, "hudi"))
+    )
+    return _detach_and_cleanup(spark, out, root)
