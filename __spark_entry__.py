@@ -227,6 +227,7 @@ GRADE_DEFER = [
     "scan_hudi_cow_table",
     "scan_hudi_stream",
     "lakehouse_format_migrate",
+    "scan_delta_cdf_partitioned",
 ]
 
 

@@ -822,3 +822,37 @@ def test_vacuum_collects_unreferenced_keeps_live_and_dvs(spark, tmp_path):
         t.snapshot(0).collect()
     # idempotent
     assert t.vacuum() == 0
+
+
+def test_cdf_partitioned_writers_and_feed(spark, tmp_path):
+    t = DeltaLiteTable(spark, str(tmp_path / "p"))
+    df = spark.createDataFrame(
+        [(i, str(i % 3), float(i) * 10) for i in range(30)],
+        "k bigint, region string, p double",
+    )
+    t.create(df, partition_columns=["region"], change_data_feed=True)
+    # the writer actually partitions: data files omit the column,
+    # the log carries partitionValues
+    st = t.state()
+    assert all(
+        a["partitionValues"].get("region") is not None
+        for a in st["adds"]
+    )
+    v2 = t.delete_where_cdf("region = '1' AND k < 10")
+    v3 = t.update_where_cdf("region = '2' AND k = 5", {"p": "p + 1e5"})
+    rows = t.table_changes(0, v3).collect()
+    dels = [r for r in rows if r["_change_type"] == "delete"]
+    assert sorted(r.k for r in dels) == [1, 4, 7]
+    assert {r.region for r in dels} == {"1"}
+    post = [r for r in rows if r["_change_type"] == "update_postimage"]
+    assert [(post[0].k, post[0].region, post[0].p)] == [(5, "2", 50.0 + 1e5)]
+    # derived delete resolves partition values from the pre-state
+    v4 = t.remove_where_file_contains("k = 20")
+    ch4 = t.table_changes(v4, v4).collect()
+    assert any(
+        r["_change_type"] == "delete" and r.region == "2" for r in ch4
+    )
+    # snapshot + log pruning still agree after the CDF commits
+    assert t.snapshot(partition_filter={"region": "0"}).count() == 10
+    with pytest.raises(NotImplementedError, match="partition"):
+        t.update_where_cdf("k = 2", {"region": "'9'"})

@@ -498,6 +498,47 @@ class DeltaLiteTable:
             if f.endswith(".parquet")
         ]
 
+    def _write_files_partitioned(
+        self, df, part_cols: list[str]
+    ) -> list[dict]:
+        """Partition-aware write: one partitionBy job, partition
+        values harvested from the hive layout into the adds'
+        partitionValues (stringly, per the protocol), partition
+        columns dropped from the data files — the real writer's
+        layout."""
+        if not part_cols:
+            return self._write_files(df, f"part-{uuid.uuid4().hex[:8]}")
+        import urllib.parse
+
+        sub = f"part-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self.root, sub)
+        df.write.partitionBy(*part_cols).parquet(out)
+        adds: list[dict] = []
+        for dirpath, _dirs, fnames in sorted(os.walk(out)):
+            parts = [f for f in sorted(fnames) if f.endswith(".parquet")]
+            if not parts:
+                continue
+            rel_dir = os.path.relpath(dirpath, out)
+            segs = [] if rel_dir == "." else rel_dir.split(os.sep)
+            pv = {}
+            for seg, c in zip(segs, part_cols):
+                raw = urllib.parse.unquote(seg.split("=", 1)[1])
+                pv[c] = (
+                    None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+                )
+            for fname in parts:
+                fpath = os.path.join(dirpath, fname)
+                adds.append({
+                    "path": os.path.join(
+                        sub, os.path.relpath(fpath, out)
+                    ),
+                    "size": os.path.getsize(fpath),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "partitionValues": pv,
+                })
+        return adds
+
     def create(
         self,
         df,
@@ -547,7 +588,9 @@ class DeltaLiteTable:
                 **configuration,
                 "delta.enableChangeDataFeed": "true",
             }
-        adds = self._write_files(write_df, f"part-{uuid.uuid4().hex[:8]}")
+        adds = self._write_files_partitioned(
+            write_df, partition_columns or []
+        )
         self._commit(
             0,
             [
@@ -568,7 +611,8 @@ class DeltaLiteTable:
     def append(self, df) -> int:
         vs, cps = self.versions(), self.checkpoints()
         v = max(vs[-1] if vs else -1, cps[-1] if cps else -1) + 1
-        adds = self._write_files(df, f"part-{uuid.uuid4().hex[:8]}")
+        part_cols = self.state()["meta"].get("partitionColumns", [])
+        adds = self._write_files_partitioned(df, part_cols)
         self._commit(v, [{"add": a} for a in adds])
         return v
 
@@ -815,11 +859,13 @@ class DeltaLiteTable:
         self._commit(v, [{"metaData": meta}])
         return v
 
-    def _write_cdc_files(self, df) -> list[dict]:
+    def _write_cdc_files(self, df, pv: dict | None = None) -> list[dict]:
         """Write change rows (table columns + _change_type) under
         _change_data/, returning `cdc` action payloads. dataChange is
         false by definition — cdc files never alter the snapshot, they
-        only describe the delta."""
+        only describe the delta. Like data files, cdc files of a
+        partitioned table omit the partition columns and carry
+        ``partitionValues`` in the action."""
         sub = f"_change_data/cdc-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.root, sub)
         df.write.parquet(out)
@@ -828,61 +874,120 @@ class DeltaLiteTable:
                 "path": f"{sub}/{f}",
                 "size": os.path.getsize(os.path.join(out, f)),
                 "dataChange": False,
-                "partitionValues": {},
+                "partitionValues": dict(pv or {}),
             }
             for f in sorted(os.listdir(out))
             if f.endswith(".parquet")
         ]
 
+    def _tagged_snapshot(self, st: dict):
+        """Live rows with partition literals re-materialized AND a
+        ``_f`` file-attribution column — the CDF writers' working
+        view (snapshot() loses file identity; raw reads lose the
+        partition columns)."""
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(
+            _json.loads(st["meta"]["schemaString"])
+        )
+        part_cols = st["meta"].get("partitionColumns", [])
+        typ = {f.name: f.dataType for f in schema.fields}
+        by_pv: dict[tuple, list] = {}
+        for a in st["adds"]:
+            pv = tuple(
+                a.get("partitionValues", {}).get(c) for c in part_cols
+            )
+            by_pv.setdefault(pv, []).append(a)
+        out = None
+        for pv, adds in sorted(by_pv.items()):
+            df = self.spark.read.parquet(
+                *[os.path.join(self.root, a["path"]) for a in adds]
+            ).withColumn("_f", F.input_file_name())
+            for c, val in zip(part_cols, pv):
+                df = df.withColumn(c, F.lit(val).cast(typ[c]))
+            df = df.select(
+                *[f.name for f in schema.fields], "_f"
+            )
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    def _guard_cdf_writer(self, st: dict) -> None:
+        if not self._cdf_enabled(st):
+            raise ValueError("change data feed is not enabled")
+        mode = (st["meta"].get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if mode != "none":
+            raise NotImplementedError(
+                "CDF writers on column-mapped tables"
+            )
+
     def delete_where_cdf(self, pred_sql: str) -> int:
         """Copy-on-write DELETE that also emits the commit's CHANGE
-        DATA: the deleted rows land in a cdc file with
+        DATA: the deleted rows land in cdc files with
         _change_type='delete'. Without cdc files a CDF reader deriving
         changes from this commit's add/remove pair would wrongly
         report every SURVIVOR row as delete+insert — recording only
-        the true delta is the point of the cdc action. Returns the new
-        version (no commit when nothing matches)."""
+        the true delta is the point of the cdc action. Partitioned
+        tables work: predicates see partition columns (re-materialized
+        per group), rewrites and cdc files stay partition-grained with
+        their partitionValues in the actions. Returns the new version
+        (no commit when nothing matches)."""
         st = self.state()
-        if not self._cdf_enabled(st):
-            raise ValueError("change data feed is not enabled")
-        paths = [os.path.join(self.root, a["path"]) for a in st["adds"]]
-        tagged = self.spark.read.parquet(*paths).withColumn(
-            "_f", F.input_file_name()
-        )
+        self._guard_cdf_writer(st)
+        part_cols = st["meta"].get("partitionColumns", [])
+        tagged = self._tagged_snapshot(st)
+        if tagged is None:
+            return st["version"]
         from urllib.parse import urlparse
 
-        hit_uris = [
-            r[0]
+        hits = {
+            urlparse(r[0]).path
             for r in tagged.filter(pred_sql).select("_f")
             .distinct().collect()
-        ]
-        hits = {urlparse(u).path for u in hit_uris}
+        }
         victims = [
             a for a in st["adds"]
             if os.path.join(self.root, a["path"]) in hits
         ]
         if not victims:
             return st["version"]
-        hit_df = self.spark.read.parquet(*sorted(hits))
-        kept = hit_df.filter(f"NOT coalesce(({pred_sql}), false)")
-        gone = hit_df.filter(f"coalesce(({pred_sql}), false)")
         actions = [
             {"remove": {"path": a["path"], "dataChange": True}}
             for a in victims
         ]
-        if kept.count():
-            actions += [
-                {"add": a}
-                for a in self._write_files(
+        by_pv: dict[tuple, list] = {}
+        for a in victims:
+            pv = tuple(
+                a.get("partitionValues", {}).get(c) for c in part_cols
+            )
+            by_pv.setdefault(pv, []).append(a)
+        for pv, adds in sorted(by_pv.items()):
+            pv_map = dict(zip(part_cols, pv))
+            group = self._tagged_snapshot(
+                {**st, "adds": adds}
+            ).drop("_f")
+            kept = group.filter(
+                f"NOT coalesce(({pred_sql}), false)"
+            ).drop(*part_cols)
+            gone = group.filter(
+                f"coalesce(({pred_sql}), false)"
+            ).drop(*part_cols)
+            if kept.count():
+                for add in self._write_files(
                     kept, f"part-{uuid.uuid4().hex[:8]}"
+                ):
+                    add["partitionValues"] = dict(pv_map)
+                    actions.append({"add": add})
+            actions += [
+                {"cdc": c}
+                for c in self._write_cdc_files(
+                    gone.withColumn("_change_type", F.lit("delete")),
+                    pv_map,
                 )
             ]
-        actions += [
-            {"cdc": c}
-            for c in self._write_cdc_files(
-                gone.withColumn("_change_type", F.lit("delete"))
-            )
-        ]
         v = st["version"] + 1
         self._commit(v, actions)
         return v
@@ -892,11 +997,15 @@ class DeltaLiteTable:
         update_preimage/update_postimage row pairs — the shape CDC
         consumers (materialized views, downstream merges) need to
         apply the delta without diffing snapshots. ``set_map`` maps
-        column -> SQL expression over the pre-update row. Returns the
-        new version (no commit when nothing matches)."""
+        column -> SQL expression over the pre-update row. Partitioned
+        tables work (predicates see the partition columns); updating
+        a PARTITION column refuses — rows would migrate between
+        partitions, which is a rewrite-shaped MERGE, not an in-place
+        update. Returns the new version (no commit when nothing
+        matches)."""
         st = self.state()
-        if not self._cdf_enabled(st):
-            raise ValueError("change data feed is not enabled")
+        self._guard_cdf_writer(st)
+        part_cols = st["meta"].get("partitionColumns", [])
         cols = [
             f["name"]
             for f in json.loads(st["meta"]["schemaString"])["fields"]
@@ -904,47 +1013,65 @@ class DeltaLiteTable:
         unknown = set(set_map) - set(cols)
         if unknown:
             raise ValueError(f"unknown update column(s) {sorted(unknown)}")
-        paths = [os.path.join(self.root, a["path"]) for a in st["adds"]]
-        tagged = self.spark.read.parquet(*paths).withColumn(
-            "_f", F.input_file_name()
-        )
+        moved = set(set_map) & set(part_cols)
+        if moved:
+            raise NotImplementedError(
+                f"updating partition column(s) {sorted(moved)} would "
+                "migrate rows between partitions"
+            )
+        tagged = self._tagged_snapshot(st)
+        if tagged is None:
+            return st["version"]
         from urllib.parse import urlparse
 
-        hit_uris = [
-            r[0]
+        hits = {
+            urlparse(r[0]).path
             for r in tagged.filter(pred_sql).select("_f")
             .distinct().collect()
-        ]
-        hits = {urlparse(u).path for u in hit_uris}
+        }
         victims = [
             a for a in st["adds"]
             if os.path.join(self.root, a["path"]) in hits
         ]
         if not victims:
             return st["version"]
-        hit_df = self.spark.read.parquet(*sorted(hits))
-        pre = hit_df.filter(f"coalesce(({pred_sql}), false)")
-        post = pre.selectExpr(
-            *[f"({set_map[c]}) AS {c}" if c in set_map else c
-              for c in cols]
-        )
-        untouched = hit_df.filter(f"NOT coalesce(({pred_sql}), false)")
         actions = [
             {"remove": {"path": a["path"], "dataChange": True}}
             for a in victims
-        ] + [
-            {"add": a}
-            for a in self._write_files(
-                untouched.unionByName(post),
-                f"part-{uuid.uuid4().hex[:8]}",
-            )
         ]
-        cdc = pre.withColumn(
-            "_change_type", F.lit("update_preimage")
-        ).unionByName(
-            post.withColumn("_change_type", F.lit("update_postimage"))
-        )
-        actions += [{"cdc": c} for c in self._write_cdc_files(cdc)]
+        by_pv: dict[tuple, list] = {}
+        for a in victims:
+            pv = tuple(
+                a.get("partitionValues", {}).get(c) for c in part_cols
+            )
+            by_pv.setdefault(pv, []).append(a)
+        for pv, adds in sorted(by_pv.items()):
+            pv_map = dict(zip(part_cols, pv))
+            group = self._tagged_snapshot(
+                {**st, "adds": adds}
+            ).drop("_f")
+            pre = group.filter(f"coalesce(({pred_sql}), false)")
+            post = pre.selectExpr(
+                *[f"({set_map[c]}) AS {c}" if c in set_map else c
+                  for c in cols]
+            )
+            untouched = group.filter(
+                f"NOT coalesce(({pred_sql}), false)"
+            )
+            for add in self._write_files(
+                untouched.unionByName(post).drop(*part_cols),
+                f"part-{uuid.uuid4().hex[:8]}",
+            ):
+                add["partitionValues"] = dict(pv_map)
+                actions.append({"add": add})
+            cdc = pre.withColumn(
+                "_change_type", F.lit("update_preimage")
+            ).unionByName(
+                post.withColumn("_change_type", F.lit("update_postimage"))
+            ).drop(*part_cols)
+            actions += [
+                {"cdc": c} for c in self._write_cdc_files(cdc, pv_map)
+            ]
         v = st["version"] + 1
         self._commit(v, actions)
         return v
@@ -960,28 +1087,38 @@ class DeltaLiteTable:
         O(changed files), never O(table) — the property that makes
         incremental downstream pipelines viable at 100 TB. Returns
         table columns + _change_type + _commit_version (ordering
-        metadata, not data). Honest bounds: requires the JSON commits
-        (cleaned-up ranges raise), unpartitioned tables, and refuses
-        DV-bearing commits without cdc files (deriving row-level
-        changes from a bitmap delta needs the pre-state)."""
+        metadata, not data). Partitioned tables work (r14 second CDF
+        pass): cdc files and derived adds re-materialize partition
+        literals from their actions' partitionValues; derived REMOVES
+        resolve theirs from the pre-commit state (remove actions
+        carry only the path). Honest bounds: requires the JSON
+        commits (cleaned-up ranges raise) and refuses DV-bearing
+        commits without cdc files (deriving row-level changes from a
+        bitmap delta needs the pre-state)."""
         st_end = self.state(end)
         end = st_end["version"]
         if not self._cdf_enabled(st_end):
             raise ValueError("change data feed is not enabled")
-        if st_end["meta"].get("partitionColumns"):
-            raise NotImplementedError(
-                "table_changes on partitioned tables"
-            )
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import StringType, StructField, StructType
 
         schema = StructType.fromJson(
             json.loads(st_end["meta"]["schemaString"])
         )
+        part_cols = st_end["meta"].get("partitionColumns", [])
+        typ = {f.name: f.dataType for f in schema.fields}
         cols = [f.name for f in schema.fields]
+        data_fields = [
+            f for f in schema.fields if f.name not in part_cols
+        ]
+        data_schema = StructType(data_fields)
         vs = set(self.versions())
         out = None
 
-        def emit(df, ctype, v):
+        def emit(df, ctype, v, pv_map):
+            for c in part_cols:
+                df = df.withColumn(
+                    c, F.lit(pv_map.get(c)).cast(typ[c])
+                )
             d = df.select(
                 *cols,
                 (F.col("_change_type") if ctype is None
@@ -990,6 +1127,16 @@ class DeltaLiteTable:
             )
             nonlocal out
             out = d if out is None else out.unionByName(d)
+
+        def by_pv(actions):
+            groups: dict[tuple, list] = {}
+            for a in actions:
+                pv = tuple(
+                    (a.get("partitionValues") or {}).get(c)
+                    for c in part_cols
+                )
+                groups.setdefault(pv, []).append(a)
+            return sorted(groups.items())
 
         for v in range(start, end + 1):
             if v not in vs:
@@ -1000,16 +1147,16 @@ class DeltaLiteTable:
             acts = self._actions(v)
             cdcs = [a["cdc"] for a in acts if "cdc" in a]
             if cdcs:
-                from pyspark.sql.types import StringType, StructField
-
                 cdc_schema = StructType(
-                    list(schema.fields)
+                    list(data_fields)
                     + [StructField("_change_type", StringType())]
                 )
-                df = self.spark.read.schema(cdc_schema).parquet(*[
-                    os.path.join(self.root, c["path"]) for c in cdcs
-                ])
-                emit(df, None, v)
+                for pv, group in by_pv(cdcs):
+                    df = self.spark.read.schema(cdc_schema).parquet(*[
+                        os.path.join(self.root, c["path"])
+                        for c in group
+                    ])
+                    emit(df, None, v, dict(zip(part_cols, pv)))
                 continue
             adds = [
                 a["add"] for a in acts
@@ -1023,12 +1170,13 @@ class DeltaLiteTable:
                 a["remove"] for a in acts
                 if "remove" in a and a["remove"].get("dataChange", True)
             ]
-            if adds:
+            for pv, group in by_pv(adds):
                 emit(
-                    self.spark.read.schema(schema).parquet(*[
-                        os.path.join(self.root, a["path"]) for a in adds
+                    self.spark.read.schema(data_schema).parquet(*[
+                        os.path.join(self.root, a["path"])
+                        for a in group
                     ]),
-                    "insert", v,
+                    "insert", v, dict(zip(part_cols, pv)),
                 )
             if removes:
                 missing = [
@@ -1042,13 +1190,24 @@ class DeltaLiteTable:
                         f"removed files {missing} no longer exist "
                         "(vacuumed?) — delete changes cannot be derived"
                     )
-                emit(
-                    self.spark.read.schema(schema).parquet(*[
-                        os.path.join(self.root, r["path"])
-                        for r in removes
-                    ]),
-                    "delete", v,
-                )
+                # remove actions carry only the path: partition
+                # values resolve from the PRE-commit state's adds
+                prev = {
+                    a["path"]: a for a in self.state(v - 1)["adds"]
+                } if part_cols else {}
+                resolved = [
+                    {**r, "partitionValues": prev.get(r["path"], {})
+                        .get("partitionValues", {})}
+                    for r in removes
+                ]
+                for pv, group in by_pv(resolved):
+                    emit(
+                        self.spark.read.schema(data_schema).parquet(*[
+                            os.path.join(self.root, r["path"])
+                            for r in group
+                        ]),
+                        "delete", v, dict(zip(part_cols, pv)),
+                    )
         if out is None:
             from pyspark.sql.types import (
                 LongType,
@@ -1508,5 +1667,86 @@ def scan_delta_vacuum(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         dsum("p").alias("sum_p"),
         F.min("k").cast("bigint").alias("min_k"),
+    )
+    return _detach_and_cleanup(spark, agg, root)
+
+@query(
+    "scan_delta_cdf_partitioned",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(o_orderkey % 4 AS VARCHAR) AS region,
+               o_totalprice AS p
+        FROM orders WHERE o_orderkey % 11 = 0
+    ),
+    del AS (
+        SELECT * FROM base
+        WHERE region = '1' AND coalesce(p > 120000, false)
+    ),
+    s2 AS (
+        SELECT * FROM base
+        WHERE NOT (region = '1' AND coalesce(p > 120000, false))
+    ),
+    pre AS (
+        SELECT * FROM s2 WHERE region = '2' AND coalesce(k % 5 = 0, false)
+    ),
+    post AS (SELECT k, region, p + 1e5 AS p FROM pre)
+    SELECT 'insert' AS change_type, count(*) AS n_rows,
+           {osum('p')} AS sum_p,
+           count(DISTINCT region) AS n_regions
+    FROM base HAVING count(*) > 0
+    UNION ALL
+    SELECT 'delete', count(*), {osum('p')}, count(DISTINCT region)
+    FROM del HAVING count(*) > 0
+    UNION ALL
+    SELECT 'update_preimage', count(*), {osum('p')},
+           count(DISTINCT region)
+    FROM pre HAVING count(*) > 0
+    UNION ALL
+    SELECT 'update_postimage', count(*), {osum('p')},
+           count(DISTINCT region)
+    FROM post HAVING count(*) > 0
+    """,
+)
+def scan_delta_cdf_partitioned(spark, sf_dir):
+    """Delta CDF on a PARTITIONED table, driver-verified — the shape
+    real CDC tables actually have: the table partitions by region
+    (data files omit the column; the log carries partitionValues),
+    the COW delete and update predicates mix partition and data
+    columns (the writers re-materialize partition literals per group
+    before filtering), rewrites and cdc files stay partition-grained,
+    and table_changes() restores the partition column onto every
+    change row from the ACTIONS' partitionValues — which the oracle
+    pins by counting distinct regions per change class alongside the
+    row aggregates. A reader that lost or mislabeled partition
+    attribution on the feed would hash-mismatch."""
+    import tempfile
+
+    from ..tables import Tables
+    from .acid import _detach_and_cleanup
+
+    t = Tables(spark, sf_dir)
+    base = t.orders.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 4).cast("string").alias("region"),
+        F.col("o_totalprice").alias("p"),
+    ).filter("k % 11 = 0")
+    root = tempfile.mkdtemp(prefix="thrive_delta_pcdf_")
+    tbl = DeltaLiteTable(spark, root)
+    tbl.create(
+        base, partition_columns=["region"], change_data_feed=True
+    )
+    tbl.delete_where_cdf("region = '1' AND p > 120000")
+    v = tbl.update_where_cdf(
+        "region = '2' AND k % 5 = 0", {"p": "p + 1e5"}
+    )
+    ch = tbl.table_changes(0, v)
+    agg = (
+        ch.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("p").alias("sum_p"),
+            F.countDistinct("region").alias("n_regions"),
+        )
     )
     return _detach_and_cleanup(spark, agg, root)
