@@ -856,3 +856,34 @@ def test_cdf_partitioned_writers_and_feed(spark, tmp_path):
     assert t.snapshot(partition_filter={"region": "0"}).count() == 10
     with pytest.raises(NotImplementedError, match="partition"):
         t.update_where_cdf("k = 2", {"region": "'9'"})
+
+
+def test_cdf_stream_partitioned(spark, tmp_path):
+    from thrive_spark.streaming.delta_source import register
+
+    t = DeltaLiteTable(spark, str(tmp_path / "p"))
+    df = spark.createDataFrame(
+        [(i, str(i % 3), float(i) * 10) for i in range(30)],
+        "k bigint, region string, p double",
+    )
+    t.create(df, partition_columns=["region"], change_data_feed=True)
+    t.delete_where_cdf("region = '1' AND k < 10")
+    register(spark)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("thrive_delta")
+        .option("path", t.root)
+        .option("readchangefeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.read.parquet(out).collect()
+    dels = [r for r in rows if r["_change_type"] == "delete"]
+    assert sorted(r.k for r in dels) == [1, 4, 7]
+    assert {r.region for r in dels} == {"1"}
+    assert all(r.region is not None for r in rows)

@@ -128,6 +128,25 @@ def _fold_live(root: str, v: int) -> dict:
     return live
 
 
+def _cast_pv(raw: str | None, typ: str):
+    """partitionValues are stringly in the protocol; cast to the
+    schema's type on the executor."""
+    if raw is None:
+        return None
+    if typ in ("int", "smallint", "tinyint", "bigint"):
+        return int(raw)
+    if typ in ("double", "float"):
+        return float(raw)
+    if typ == "boolean":
+        return raw.lower() == "true"
+    if typ == "string":
+        return raw
+    raise NotImplementedError(
+        f"partition column type {typ} not supported by the "
+        "jar-free delta stream reader"
+    )
+
+
 def _latest_meta(root: str) -> dict:
     jsons = _json_versions(root)
     meta = None
@@ -324,25 +343,9 @@ class DeltaStreamReader(DataSourceStreamReader):
         names = set(tbl.column_names)
         pdf = tbl.to_pandas()
 
-        def cast_pv(raw: str | None, typ: str):
-            if raw is None:
-                return None
-            if typ in ("int", "smallint", "tinyint", "bigint"):
-                return int(raw)
-            if typ in ("double", "float"):
-                return float(raw)
-            if typ == "boolean":
-                return raw.lower() == "true"
-            if typ == "string":
-                return raw
-            raise NotImplementedError(
-                f"partition column type {typ} not supported by the "
-                "jar-free delta stream reader"
-            )
-
         for col, typ in zip(cols, types):
             if col in pvs:
-                pdf[col] = cast_pv(pvs[col], typ)
+                pdf[col] = _cast_pv(pvs[col], typ)
             elif col not in names:
                 pdf[col] = None  # schema-evolution NULL backfill
         for row in pdf[cols].itertuples(index=False, name=None):
@@ -374,10 +377,7 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
                 "readchangefeed=true but delta.enableChangeDataFeed "
                 "is not set on the table"
             )
-        if meta.get("partitionColumns"):
-            raise NotImplementedError(
-                "CDF streaming on partitioned tables"
-            )
+        self.part_cols = meta.get("partitionColumns", [])
 
     def initialOffset(self) -> dict:
         return {"version": -1}
@@ -398,6 +398,17 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
             if f.name not in ("_change_type", "_commit_version")
         ]
         parts: list[InputPartition] = []
+
+        def emit(action, ctype, v):
+            pvs = {
+                c: (action.get("partitionValues") or {}).get(c)
+                for c in self.part_cols
+            }
+            parts.append(InputPartition((
+                os.path.join(self.root, action["path"]),
+                cols, types, pvs, ctype, v,
+            )))
+
         for v in range(sv + 1, ev + 1):
             if v not in jsons:
                 raise ValueError(
@@ -409,10 +420,7 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
             cdcs = [a["cdc"] for a in acts if "cdc" in a]
             if cdcs:
                 for c in sorted(cdcs, key=lambda c: c["path"]):
-                    parts.append(InputPartition((
-                        os.path.join(self.root, c["path"]),
-                        cols, types, None, v,
-                    )))
+                    emit(c, None, v)
                 continue
             adds = [
                 a["add"] for a in acts
@@ -429,10 +437,13 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
                 if "remove" in a and a["remove"].get("dataChange", True)
             ]
             for a in sorted(adds, key=lambda a: a["path"]):
-                parts.append(InputPartition((
-                    os.path.join(self.root, a["path"]),
-                    cols, types, "insert", v,
-                )))
+                emit(a, "insert", v)
+            if removes and self.part_cols:
+                # remove actions carry only the path — partition
+                # values come from the PRE-commit state's adds
+                prev = _fold_live(self.root, v - 1)
+            else:
+                prev = {}
             for r in sorted(removes, key=lambda r: r["path"]):
                 p = os.path.join(self.root, r["path"])
                 if not os.path.exists(p):
@@ -441,16 +452,18 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
                         "longer exists (vacuumed?) — delete changes "
                         "cannot be derived"
                     )
-                parts.append(InputPartition((
-                    p, cols, types, "delete", v,
-                )))
-        return parts or [InputPartition((None, [], [], None, -1))]
+                emit(
+                    {**r, "partitionValues": prev.get(r["path"], {})
+                        .get("partitionValues", {})},
+                    "delete", v,
+                )
+        return parts or [InputPartition((None, [], [], {}, None, -1))]
 
     def commit(self, end: dict) -> None:
         pass  # the engine's checkpoint WAL is the source of truth
 
     def read(self, partition):
-        path, cols, types, ctype, v = partition.value
+        path, cols, types, pvs, ctype, v = partition.value
         if path is None:
             return
         import pyarrow.parquet as pq
@@ -458,8 +471,10 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
         tbl = pq.read_table(path)
         names = set(tbl.column_names)
         pdf = tbl.to_pandas()
-        for col in cols:
-            if col not in names:
+        for col, typ in zip(cols, types):
+            if col in pvs:
+                pdf[col] = _cast_pv(pvs[col], typ)
+            elif col not in names:
                 pdf[col] = None  # schema-evolution NULL backfill
         if ctype is None:
             # cdc file: _change_type travels IN the file
