@@ -1281,10 +1281,19 @@ def scan_delta_log_table(spark, sf_dir):
     )
     v = tbl.remove_where_file_contains("p > 180000")
     assert v == 2, v
-    # protocol invariant: untouched files carry across commits
+    # protocol invariant, LAYOUT-INDEPENDENT (r14: the old form
+    # required >=1 survivor, but range-boundary sampling can land a
+    # victim row in every file at some SFs/run orders): the files
+    # surviving into v2 are EXACTLY v1's files minus the commit's
+    # remove actions — untouched files carry, removed ones vanish
     adds1 = {a["path"] for a in tbl.state(1)["adds"]}
     adds2 = {a["path"] for a in tbl.state(2)["adds"]}
-    assert adds1 & adds2, "survivor files must ride by reference"
+    removed = {
+        a["remove"]["path"] for a in tbl._actions(2) if "remove" in a
+    }
+    assert adds1 & adds2 == adds1 - removed, (
+        "survivors must carry by reference"
+    )
 
     snaps = []
     for ver in tbl.versions():

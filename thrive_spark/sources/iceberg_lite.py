@@ -2063,8 +2063,27 @@ def scan_iceberg_log_table(spark, sf_dir):
     assert mls[1] <= mls[2], "append must carry prior manifests by ref"
     f1, _ = tbl.plan_files(1)
     f3, _ = tbl.plan_files(3)
-    assert {f["file_path"] for f in f1} & {f["file_path"] for f in f3}, (
-        "COW delete must leave survivor files shared"
+    # LAYOUT-INDEPENDENT COW invariant (r14: the old form required
+    # >=1 surviving file, but range-boundary sampling can land a
+    # victim row in every file): v3 shares with v1 exactly v1's
+    # files minus the delete commit's status-2 entries
+    f1p = {f["file_path"] for f in f1}
+    f3p = {f["file_path"] for f in f3}
+    ml3 = next(
+        s for s in md["snapshots"] if s["snapshot-id"] == 3
+    )["manifest-list"]
+    rows3, _, _ = read_container(os.path.join(root, ml3))
+    victims = set()
+    for mf in rows3:
+        entries, _, _ = read_container(
+            os.path.join(root, mf["manifest_path"])
+        )
+        victims |= {
+            e["data_file"]["file_path"]
+            for e in entries if e["status"] == 2
+        }
+    assert f1p & f3p == f1p - victims, (
+        "COW delete must rewrite only victim files"
     )
 
     snaps = []
