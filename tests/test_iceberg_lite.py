@@ -830,10 +830,15 @@ def test_equality_delete_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown equality"):
         tbl.delete_rows_equality(["nope"], [(1,)])
     # identity partition columns live in metadata, not data files —
-    # an equality delete on one must refuse, not silently no-op
+    # the read path attaches their literals BEFORE applying deletes,
+    # so an equality delete keyed on one works (r14 fourth pass)
+    tbl.append(spark.createDataFrame(
+        [(2, 2, 2.0)], "k bigint, region bigint, p double"
+    ))
     tbl.delete_rows_equality(["region"], [(1,)])
-    with pytest.raises(NotImplementedError, match="identity partition"):
-        tbl.snapshot().collect()
+    assert sorted(
+        (r.k, r.region) for r in tbl.snapshot().collect()
+    ) == [(2, 2)]
 
 
 # ---------- partition spec evolution (r14) ----------

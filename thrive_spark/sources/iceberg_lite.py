@@ -695,7 +695,7 @@ class IcebergLiteTable:
         }
         col_types = dict(spark_fields)
 
-        def read_group(fs, part_names):
+        def read_group(fs, part_names, pv):
             data_ddl = ", ".join(
                 f"{n} {t}" for n, t in spark_fields
                 if n not in part_names
@@ -704,7 +704,13 @@ class IcebergLiteTable:
                 *sorted(os.path.join(self.root, f["file_path"])
                         for f in fs)
             )
-            return self._apply_deletes(df, deletes, file_seq)
+            # identity literals attach BEFORE delete application so
+            # equality deletes can match on partition columns too
+            # (_metadata stays resolvable through withColumn)
+            for c, val in zip(part_names, pv):
+                df = df.withColumn(c, F.lit(val).cast(col_types[c]))
+            df = self._apply_deletes(df, deletes, file_seq)
+            return df.select(*[n for n, _ in spark_fields])
 
         by_group: dict[tuple, list] = {}
         for f in files:
@@ -718,11 +724,7 @@ class IcebergLiteTable:
             by_group.items(),
             key=lambda kv: (kv[0][0], tuple(map(str, kv[0][1]))),
         ):
-            part_names = id_names_by_spec[sp]
-            df = read_group(fs, part_names)
-            for c, val in zip(part_names, pv):
-                df = df.withColumn(c, F.lit(val).cast(col_types[c]))
-            df = df.select(*[n for n, _ in spark_fields])
+            df = read_group(fs, id_names_by_spec[sp], pv)
             out = df if out is None else out.unionByName(df)
         return out
 
@@ -802,10 +804,12 @@ class IcebergLiteTable:
             cols = [id2name[i] for i in ids]
             missing = [c for c in cols if c not in df.columns]
             if missing:
+                # identity partition literals attach before this runs
+                # (snapshot.read_group), so a miss means a column this
+                # read path cannot see — refuse, never no-op
                 raise NotImplementedError(
-                    f"equality delete on column(s) {missing} absent "
-                    "from the data files (identity partition columns "
-                    "live in metadata)"
+                    f"equality delete on column(s) {missing} not "
+                    "visible to this read"
                 )
             ddl = ", ".join(f"{c} {sp_type[c]}" for c in cols)
             dd = None
