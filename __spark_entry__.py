@@ -228,6 +228,13 @@ GRADE_DEFER = [
     "scan_hudi_stream",
     "lakehouse_format_migrate",
     "scan_delta_cdf_partitioned",
+    # r15 registrations
+    "scan_hudi_mor_table",
+    "scan_hudi_partitioned",
+    "scan_hudi_mor_stream",
+    "scan_delta_cdf_after_vacuum",
+    "scan_iceberg_v3_dv",
+    "lakehouse_migrate_deletes",
 ]
 
 

@@ -92,15 +92,17 @@ def test_uncommitted_and_orphan_files_invisible(spark, tmp_path):
     assert f"{i1}.inflight" in names
 
 
-def test_mor_refusal_and_unknown_instant(spark, tmp_path):
+def test_unknown_type_refusal_and_unknown_instant(spark, tmp_path):
     t, i1 = _mk(spark, tmp_path)
     props = t._props_path()
-    body = open(props).read().replace("COPY_ON_WRITE", "MERGE_ON_READ")
+    body = open(props).read().replace(
+        "COPY_ON_WRITE", "SOMETHING_ELSE"
+    )
     with open(props, "w") as fh:
         fh.write(body)
-    with pytest.raises(NotImplementedError, match="COPY_ON_WRITE"):
+    with pytest.raises(NotImplementedError, match="unknown"):
         t.snapshot()
-    body = body.replace("MERGE_ON_READ", "COPY_ON_WRITE")
+    body = body.replace("SOMETHING_ELSE", "COPY_ON_WRITE")
     with open(props, "w") as fh:
         fh.write(body)
     with pytest.raises(ValueError, match="not in timeline"):
@@ -150,3 +152,257 @@ def test_hudi_stream_batches_and_resume(spark, tmp_path):
     assert sorted(
         r.k for r in got2 if r["_hoodie_commit_time"] == i3
     ) == [5]
+
+
+# ---------------- r15: MERGE_ON_READ ----------------
+
+
+def _mk_mor(spark, tmp_path, rows=20):
+    t = HudiLiteTable(spark, str(tmp_path / "m"), key_field="k")
+    df = spark.createDataFrame(
+        [(i, float(i) * 10) for i in range(rows)], "k bigint, p double"
+    )
+    i1 = t.bulk_insert(df, groups=2, table_type="MERGE_ON_READ")
+    return t, i1
+
+
+def test_log_block_roundtrip_and_torn_tail():
+    """The spec-shaped binary block layout round-trips, and a torn
+    final block (crash mid-append) is invisible, not an error."""
+    from thrive_spark.sources.hudi_lite import (
+        decode_log_records,
+        encode_data_block,
+        encode_delete_block,
+        iter_log_blocks,
+    )
+
+    sch = {
+        "type": "record", "name": "R",
+        "fields": [
+            {"name": "k", "type": ["null", "long"]},
+            {"name": "p", "type": ["null", "double"]},
+        ],
+    }
+    blk = encode_data_block("00000000000002", sch, [
+        {"k": 1, "p": 1.5}, {"k": 2, "p": None},
+    ]) + encode_delete_block("00000000000003", ["7", "9"])
+    got = list(decode_log_records(
+        blk, frozenset(["00000000000002", "00000000000003"]), None
+    ))
+    assert got == [
+        (False, "00000000000002", {"k": 1, "p": 1.5}),
+        (False, "00000000000002", {"k": 2, "p": None}),
+        (True, "00000000000003",
+         {"recordKey": "7", "partitionPath": None}),
+        (True, "00000000000003",
+         {"recordKey": "9", "partitionPath": None}),
+    ]
+    # as-of cuts by the header instant; uncommitted blocks invisible
+    assert [i for _, i, _ in decode_log_records(
+        blk, frozenset(["00000000000002"]), None
+    )] == ["00000000000002"] * 2
+    assert list(decode_log_records(
+        blk, frozenset(["00000000000002", "00000000000003"]),
+        "00000000000002",
+    )) == got[:2]
+    # torn tail: truncate the second block mid-body
+    torn = blk[: len(blk) - 10]
+    assert [t for t, _, _ in iter_log_blocks(torn)] == [3]  # data blk
+
+
+def test_mor_upsert_appends_log_no_rewrite(spark, tmp_path):
+    t, i1 = _mk_mor(spark, tmp_path)
+    slices1 = t.file_slices()
+    i2 = t.upsert(spark.createDataFrame(
+        [(3, 999.0)], "k bigint, p double"
+    ))
+    # no base file rewritten; the change lives in a log file
+    assert t.file_slices() == slices1
+    logged = [s for s in t.plan_slices() if s["logs"]]
+    assert len(logged) == 1
+    cur = {r.k: r.p for r in t.snapshot().collect()}
+    assert cur[3] == 999.0 and len(cur) == 20
+    # read-optimized view serves base freshness
+    ro = {r.k: r.p for r in t.snapshot(read_optimized=True).collect()}
+    assert ro[3] == 30.0
+    # as-of the insert: the log block's header instant excludes it
+    old = {r.k: r.p for r in t.snapshot(i1).collect()}
+    assert old[3] == 30.0
+
+
+def test_mor_delete_block_masks_and_compaction_folds(spark, tmp_path):
+    t, i1 = _mk_mor(spark, tmp_path)
+    i2 = t.upsert(spark.createDataFrame(
+        [(3, 999.0), (100, 1.0)], "k bigint, p double"
+    ))
+    i3 = t.delete(spark.createDataFrame([(3,), (4,)], "k bigint"))
+    cur = {r.k: r.p for r in t.snapshot().collect()}
+    assert 3 not in cur and 4 not in cur and cur[100] == 1.0
+    assert len(cur) == 19
+    # incremental: upserted key 100 only (3 deleted, vanishes)
+    inc = sorted(r.k for r in t.incremental(i1).collect())
+    assert inc == [100]
+    i4 = t.compact()
+    assert all(not s["logs"] for s in t.plan_slices())
+    cur2 = {r.k: r.p for r in t.snapshot().collect()}
+    assert cur2 == cur
+    # time travel BEFORE compaction still exact (old slices remain)
+    asof = {r.k: r.p for r in t.snapshot(i2).collect()}
+    assert asof[3] == 999.0 and len(asof) == 21
+    # incremental across compaction: carried rows stay invisible
+    assert sorted(r.k for r in t.incremental(i1).collect()) == [100]
+    assert t.incremental(i4).count() == 0
+
+
+def test_mor_uncommitted_log_block_invisible(spark, tmp_path):
+    """A log file appended WITHOUT a completed deltacommit (crash
+    between append and rename) must not change the snapshot."""
+    from thrive_spark.sources.hudi_lite import encode_data_block
+
+    t, i1 = _mk_mor(spark, tmp_path)
+    t.upsert(spark.createDataFrame([(3, 999.0)], "k bigint, p double"))
+    s = next(s for s in t.plan_slices() if s["logs"])
+    base = t.snapshot(meta=True)
+    sch = t._avro_schema(base)
+    orphan = encode_data_block("00000000000099", sch, [{
+        "_hoodie_commit_time": "00000000000099",
+        "_hoodie_record_key": "5", "k": 5, "p": -1.0,
+    }])
+    t._append_log_file(
+        s["partition"], s["file_id"], s["base_instant"], orphan
+    )
+    cur = {r.k: r.p for r in t.snapshot().collect()}
+    assert cur[5] == 50.0 and cur[3] == 999.0  # orphan invisible
+
+
+def test_crashed_instant_id_never_reused(spark, tmp_path):
+    """r15 advice fix: a retry after a crash between data write and
+    commit rename allocates a FRESH instant id, so the orphan files
+    stay invisible forever."""
+    t, i1 = _mk(spark, tmp_path)
+    crashed = t._next_instant()
+    t._begin_instant(crashed)  # markers only; no .commit rename
+    src = os.path.join(t.root, t.file_slices()[
+        sorted(t.file_slices())[0]
+    ][1])
+    import shutil
+
+    orphan = os.path.join(
+        t.root, f"deadbeefdead_0-0-0_{crashed}.parquet"
+    )
+    shutil.copyfile(src, orphan)
+    retry = t._next_instant()
+    assert retry > crashed  # never reuses the crashed id
+    i2 = t.upsert(spark.createDataFrame(
+        [(3, 999.0)], "k bigint, p double"
+    ))
+    assert i2 == retry
+    assert t.snapshot().count() == 20  # orphan still not planned
+
+
+# ---------------- r15: partitioned tables ----------------
+
+
+def test_partitioned_layout_pruning_and_upsert(spark, tmp_path):
+    t = HudiLiteTable(spark, str(tmp_path / "p"), key_field="k")
+    df = spark.createDataFrame(
+        [(i, "AB"[i % 2], float(i) * 10) for i in range(20)],
+        "k bigint, s string, p double",
+    )
+    i1 = t.bulk_insert(df, groups=2, partition_field="s")
+    assert t.partition_field() == "s"
+    # partition-path layout on disk
+    assert sorted(
+        d for d in os.listdir(t.root) if not d.startswith(".")
+    ) == ["A", "B"]
+    # pruned planning lists only the matching directory
+    plan = t.plan_slices(partition_filter={"s": "A"})
+    assert plan and all(
+        sl["partition"] == "A" and sl["base_path"].startswith("A/")
+        for sl in plan
+    )
+    pr = {r.k for r in t.snapshot(
+        partition_filter={"s": "A"}
+    ).collect()}
+    assert pr == {i for i in range(20) if i % 2 == 0}
+    # an upsert into one partition touches only that partition
+    i2 = t.upsert(spark.createDataFrame(
+        [(2, "A", 999.0)], "k bigint, s string, p double"
+    ))
+    meta = t.commit_meta(i2)
+    assert set(meta["partitionToWriteStats"]) == {"A"}
+    cur = {r.k: r.p for r in t.snapshot().collect()}
+    assert cur[2] == 999.0 and len(cur) == 20
+    # meta: partitioned rows carry _hoodie_partition_path
+    m = t.snapshot(meta=True).filter("k = 2").collect()[0]
+    assert m["_hoodie_partition_path"] == "A"
+    # wrong filter key refuses
+    with pytest.raises(ValueError, match="partition field"):
+        t.plan_slices(partition_filter={"nope": 1})
+
+
+def test_partitioned_mor_end_to_end(spark, tmp_path):
+    t = HudiLiteTable(spark, str(tmp_path / "pm"), key_field="k")
+    df = spark.createDataFrame(
+        [(i, "AB"[i % 2], float(i) * 10) for i in range(20)],
+        "k bigint, s string, p double",
+    )
+    i1 = t.bulk_insert(
+        df, groups=2, table_type="MERGE_ON_READ", partition_field="s"
+    )
+    t.upsert(spark.createDataFrame(
+        [(2, "A", 999.0), (100, "B", 1.0)],
+        "k bigint, s string, p double",
+    ))
+    t.delete(spark.createDataFrame([(4,)], "k bigint"))
+    cur = {r.k: r.p for r in t.snapshot().collect()}
+    assert cur[2] == 999.0 and cur[100] == 1.0 and 4 not in cur
+    assert len(cur) == 20
+    # log files live under their partition path
+    logged = [s for s in t.plan_slices() if s["logs"]]
+    assert logged and all(
+        log.startswith(s["partition"] + "/")
+        for s in logged for log in s["logs"]
+    )
+    t.compact()
+    cur2 = {r.k: r.p for r in t.snapshot().collect()}
+    assert cur2 == cur
+    inc = sorted(r.k for r in t.incremental(i1).collect())
+    assert inc == [2, 100]
+
+
+def test_mor_stream_emits_log_and_base_changes(spark, tmp_path):
+    from thrive_spark.streaming.hudi_source import register
+
+    t, i1 = _mk_mor(spark, tmp_path)
+    i2 = t.upsert(spark.createDataFrame(
+        [(3, 999.0), (100, 1.0)], "k bigint, p double"
+    ))
+    i3 = t.compact()
+    register(spark)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("thrive_hudi")
+        .option("path", t.root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(out).collect()
+    by_ins = {}
+    for r in got:
+        by_ins.setdefault(r["_hoodie_commit_time"], []).append(
+            (r["k"], r["p"])
+        )
+    assert sorted(by_ins[i1]) == [
+        (i, float(i) * 10) for i in range(20)
+    ]
+    # batch 2: update decoded from the log block + insert's base file
+    assert sorted(by_ins[i2]) == [(3, 999.0), (100, 1.0)]
+    # compaction re-emits nothing
+    assert i3 not in by_ins

@@ -623,6 +623,11 @@ def test_transform_py_spark_parity(spark):
          f"key-{i:03d}",
          datetime.datetime(2023, 1 + (i % 12), 1 + (i % 27), i % 24, 30))
         for i in range(40)
+    ] + [
+        # pre-1970: hour/day/month/year must FLOOR (negative ordinals),
+        # not truncate toward zero — the r15 advice fix
+        (-7, "neg", datetime.datetime(1969, 12, 31, 22, 30)),
+        (-1, "neg2", datetime.datetime(1968, 3, 5, 1, 15)),
     ]
     df = spark.createDataFrame(rows, "k bigint, s string, ts timestamp")
     cases = [

