@@ -73,6 +73,11 @@ HEADLINE = [
     # r14 addition (verdict #9): lakehouse interop gets a tracked warm
     # number — suite total not comparable to BENCH_r13 (29 -> 30).
     "scan_delta_log_table",    # Delta log fold + 3-version time travel
+    # r15 addition (r14 verdict #8): the approximate-retrieval path
+    # gets a tracked warm number so candidate-fraction regressions
+    # show up as wall-time — suite total not comparable to BENCH_r14
+    # (30 -> 31).
+    "sim_knn_ivfpq",           # PQ-with-rerank ANN top-k
 ]
 
 

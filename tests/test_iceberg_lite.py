@@ -191,8 +191,9 @@ def test_v2_and_nonidentity_guards(spark, tmp_path):
     mpath = tbl._current_metadata_path()
     with open(mpath) as f:
         md = json.load(f)
-    # v2 is in scope since r14 (position deletes); v3 still refuses
-    md["format-version"] = 3
+    # v2 in scope since r14 (position deletes), v3 since r15
+    # (deletion vectors); an unknown FUTURE version must refuse
+    md["format-version"] = 4
     with open(mpath, "w") as f:
         json.dump(md, f)
     with pytest.raises(NotImplementedError, match="format-version"):
@@ -1071,3 +1072,77 @@ def test_implicit_branch_first_commit_publishes(spark, tmp_path):
     assert tbl.ref("main") == 1 and tbl.ref("stage") == sid
     assert tbl.publish("stage") == sid
     assert sorted(r.k for r in tbl.snapshot().collect()) == [1, 2]
+
+
+# ---------------- r15: format-v3 deletion vectors ----------------
+
+
+def test_puffin_roundtrip_and_dv_blob():
+    import pytest as _pytest
+
+    from thrive_spark.sources.puffin_lite import (
+        dv_blob_decode,
+        dv_blob_segment,
+        read_puffin_blob,
+        read_puffin_footer,
+        write_puffin,
+    )
+
+    import tempfile, os as _os
+
+    d = tempfile.mkdtemp(prefix="puffin_")
+    path = _os.path.join(d, "t.puffin")
+    seg1 = dv_blob_segment([0, 5, 7, 2**33 + 1])
+    seg2 = dv_blob_segment(range(10000))  # bitmap container path
+    entries = write_puffin(path, [
+        {"type": "deletion-vector-v1", "data": seg1,
+         "properties": {"referenced-data-file": "a.parquet",
+                        "cardinality": "4"}},
+        {"type": "deletion-vector-v1", "data": seg2,
+         "properties": {"referenced-data-file": "b.parquet",
+                        "cardinality": "10000"}},
+    ])
+    foot = read_puffin_footer(path)
+    assert [b["type"] for b in foot["blobs"]] == [
+        "deletion-vector-v1"] * 2
+    for e, want in zip(foot["blobs"], ([0, 5, 7, 2**33 + 1],
+                                       list(range(10000)))):
+        seg = read_puffin_blob(path, e["offset"], e["length"])
+        assert dv_blob_decode(seg) == want
+    # checksum failure is loud
+    bad = bytearray(seg1)
+    bad[10] ^= 0xFF
+    with _pytest.raises(ValueError, match="checksum"):
+        dv_blob_decode(bytes(bad))
+
+
+def test_v3_dv_absorbs_pos_deletes_and_merges(spark, tmp_path):
+    """The two v3 invariants: a DV absorbs the file's older parquet
+    position-delete rows, and a second DV merges into one vector
+    (newest by sequence number wins)."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(30)], "k bigint, p double"
+    )
+    tbl = IcebergLiteTable(spark, str(tmp_path / "t"))
+    tbl.create(df.repartitionByRange(2, "k").sortWithinPartitions("k"))
+    s2, n2 = tbl.delete_rows_positional("k < 4")
+    assert n2 == 4
+    s3, n3 = tbl.delete_rows_vector("k >= 26")
+    assert n3 == 4
+    got = sorted(r.k for r in tbl.snapshot().collect())
+    assert got == list(range(4, 26))  # absorb: k<4 stays deleted
+    s4, n4 = tbl.delete_rows_vector("k % 10 = 5")
+    assert n4 == 3  # 5, 15, 25 all still live
+    got = sorted(r.k for r in tbl.snapshot().collect())
+    assert got == [k for k in range(4, 26) if k % 10 != 5]
+    # re-deleting is a no-op
+    s5, n5 = tbl.delete_rows_vector("k % 10 = 5")
+    assert n5 == 0
+    # time travel through every state
+    assert sorted(r.k for r in tbl.snapshot(s2).collect()) == list(
+        range(4, 30)
+    )
+    assert sorted(r.k for r in tbl.snapshot(s3).collect()) == list(
+        range(4, 26)
+    )
+    assert tbl.metadata()["format-version"] == 3

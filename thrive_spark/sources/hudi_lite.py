@@ -46,11 +46,12 @@ path, and planning prunes to the requested partitions WITHOUT
 listing the others — partition pruning at the planning step, the
 same O(touched partitions) story as delta/iceberg.
 
-Log blocks are decoded EXECUTOR-SIDE: planning hands Spark the log
-file paths via the binaryFile source and an Arrow-batched
-mapInPandas runs the pure-Python block parser per file — the merge
-itself is ordinary DataFrame ops (union + row_number), so the MOR
-read distributes like any other scan.
+Log blocks are decoded EXECUTOR-SIDE: planning fans the log file
+paths out one-per-task (Spark's binaryFile source hides the spec's
+dot-prefixed names, so each task opens its path itself) and an
+Arrow-batched mapInPandas runs the pure-Python block parser — the
+merge itself is ordinary DataFrame ops (union + row_number), so the
+MOR read distributes like any other scan.
 
 Scope honestly bounded: unique record keys per write batch, a single
 identity partition field, and log-record schemas limited to the
@@ -1237,6 +1238,94 @@ def lakehouse_format_migrate(spark, sf_dir):
     dl_df = dl.snapshot()
     hu = HudiLiteTable(spark, os.path.join(root, "hudi"), key_field="k")
     hu.bulk_insert(dl_df, groups=2)
+    hu_df = hu.snapshot()
+
+    def agg(df, fmt):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("p").alias("sum_p"),
+            F.min("k").cast("bigint").alias("min_k"),
+        ).select(F.lit(fmt).alias("fmt"), "n_rows", "sum_p", "min_k")
+
+    out = (
+        agg(ice_df, "iceberg")
+        .union(agg(dl_df, "delta"))
+        .union(agg(hu_df, "hudi"))
+    )
+    return _detach_and_cleanup(spark, out, root)
+
+@query(
+    "lakehouse_migrate_deletes",
+    oracle=f"""
+    WITH t AS (
+        SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        WHERE o_orderkey % 59 = 0
+    ),
+    ice AS (SELECT * FROM t WHERE (p > 180000) IS NOT TRUE),
+    del AS (SELECT * FROM ice WHERE (k % 4 = 0) IS NOT TRUE),
+    hud AS (SELECT * FROM del WHERE (k % 9 = 1) IS NOT TRUE)
+    SELECT 'iceberg' AS fmt, count(*) AS n_rows, {osum('p')} AS sum_p,
+           CAST(min(k) AS BIGINT) AS min_k FROM ice
+    UNION ALL
+    SELECT 'delta', count(*), {osum('p')}, CAST(min(k) AS BIGINT)
+    FROM del
+    UNION ALL
+    SELECT 'hudi', count(*), {osum('p')}, CAST(min(k) AS BIGINT)
+    FROM hud
+    """,
+)
+def lakehouse_migrate_deletes(spark, sf_dir):
+    """CROSS-FORMAT MIGRATION CARRYING ROW-LEVEL DELETES (r14 verdict
+    #7) — the capstone proof that the three delete representations
+    are semantically interchangeable: an orders slice lands as an
+    ICEBERG table and takes a v2 POSITION DELETE (parquet of
+    (file_path, pos)); its merged snapshot migrates into a DELTA
+    table that takes a DELETION VECTOR delete (roaring-bitmap
+    sidecar, zero rewrite); THAT merged snapshot migrates into a
+    Hudi MERGE_ON_READ table that takes a DELETE BLOCK (Avro log
+    block) and then COMPACTS it into a rewritten base file. Each hop
+    reads through the previous format's real merge-on-read scan, so
+    a resurrected row at ANY hop (a delete lost in translation)
+    breaks the relational oracle chain the hash pins. In-query
+    asserts pin the mechanics: the Iceberg and Delta deletes rewrote
+    no data file, and the Hudi delete lived in a log block until
+    compaction. This is the 100 TB interop story the migrate exhibit
+    started, extended to the hard part — deletes."""
+    import tempfile
+
+    from ..tables import Tables
+    from .acid import _detach_and_cleanup
+    from .delta_lite import DeltaLiteTable
+    from .iceberg_lite import IcebergLiteTable
+
+    t = Tables(spark, sf_dir)
+    rows = t.orders.select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    ).filter("k % 59 = 0")
+    root = tempfile.mkdtemp(prefix="thrive_lh_migdel_")
+
+    ice = IcebergLiteTable(spark, os.path.join(root, "ice"))
+    ice.create(rows.repartitionByRange(2, "k").sortWithinPartitions("k"))
+    files_before = {f["file_path"] for f in ice._plan()[0]}
+    _, n_ice = ice.delete_rows_positional("p > 180000")
+    assert n_ice > 0
+    assert {f["file_path"] for f in ice._plan()[0]} == files_before
+    ice_df = ice.snapshot()
+
+    dl = DeltaLiteTable(spark, os.path.join(root, "delta"))
+    dl.create(ice_df)
+    adds_before = {a["path"] for a in dl.state()["adds"]}
+    _, n_dl = dl.delete_rows_dv("k % 4 = 0")
+    assert n_dl > 0
+    assert {a["path"] for a in dl.state()["adds"]} == adds_before
+    dl_df = dl.snapshot()
+
+    hu = HudiLiteTable(spark, os.path.join(root, "hudi"), key_field="k")
+    hu.bulk_insert(dl_df, groups=2, table_type="MERGE_ON_READ")
+    hu.delete(dl_df.filter("k % 9 = 1").select("k"))
+    assert any(s["logs"] for s in hu.plan_slices())
+    hu.compact()
+    assert all(not s["logs"] for s in hu.plan_slices())
     hu_df = hu.snapshot()
 
     def agg(df, fmt):

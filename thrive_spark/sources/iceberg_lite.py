@@ -193,6 +193,15 @@ def _manifest_entry_schema(part_fields: list[dict]) -> dict:
                     {"name": "equality_ids", "field-id": 135,
                      "type": ["null", {"type": "array", "items": "int"}],
                      "default": None},
+                    # v3 deletion vectors (spec §Position Delete
+                    # Vectors): the DV's target data file and its
+                    # blob location inside the puffin file
+                    {"name": "referenced_data_file", "field-id": 143,
+                     "type": ["null", "string"], "default": None},
+                    {"name": "content_offset", "field-id": 144,
+                     "type": ["null", "long"], "default": None},
+                    {"name": "content_size_in_bytes", "field-id": 145,
+                     "type": ["null", "long"], "default": None},
                 ],
             }},
         ],
@@ -429,13 +438,16 @@ class IcebergLiteTable:
     def metadata(self) -> dict:
         with open(self._current_metadata_path()) as fh:
             md = json.load(fh)
-        if md.get("format-version", 1) not in (1, 2):
+        if md.get("format-version", 1) not in (1, 2, 3):
             # v2 is in scope since r14: delete manifests (content=1)
             # are planned and POSITION deletes applied in snapshot();
             # equality deletes raise at plan time (_plan below), so a
-            # v2 table can never silently mis-read
+            # v2 table can never silently mis-read. v3 is in scope
+            # since r15 for its DELETION VECTORS (puffin-carried,
+            # manifest fields 143-145) — the third delete
+            # representation next to position/equality delete files
             raise NotImplementedError(
-                "iceberg_lite reads format v1/v2 tables only "
+                "iceberg_lite reads format v1/v2/v3 tables only "
                 f"(got format-version {md.get('format-version')})"
             )
         return md
@@ -757,22 +769,64 @@ class IcebergLiteTable:
         """(__fp, __ri) keys of every position-deleted row, with
         file_path widened to the _metadata.file_path URI form.
         Equality-delete records are ignored here — their files carry
-        value tuples, not positions."""
+        value tuples, not positions.
+
+        v3 DELETION VECTORS (r15): entries with referenced_data_file
+        point into a puffin file; the NEWEST DV per data file (by
+        data sequence number) wins, and per the v3 spec a file
+        covered by a DV ignores its older position-delete-FILE rows —
+        the writer merged them into the vector. DV decode is
+        per-file metadata (cardinality-bounded); the keys still feed
+        the same broadcast anti-join."""
         pos = [d for d in deletes if d.get("content", 1) == 1]
+        dvs = [d for d in pos if d.get("referenced_data_file")]
+        pq_files = [d for d in pos if not d.get("referenced_data_file")]
         if not pos:
             return self.spark.createDataFrame(
                 [], "__fp string, __ri bigint"
             )
-        del_df = self.spark.read.schema(
-            "file_path string, pos bigint"
-        ).parquet(
-            *sorted(os.path.join(self.root, d["file_path"]) for d in pos)
-        )
         prefix = "file:" + os.path.abspath(self.root) + "/"
-        return del_df.select(
-            F.concat(F.lit(prefix), F.col("file_path")).alias("__fp"),
-            F.col("pos").alias("__ri"),
-        )
+        out = None
+        if dvs:
+            from .puffin_lite import dv_blob_decode, read_puffin_blob
+
+            best: dict[str, dict] = {}
+            for d in dvs:
+                r = d["referenced_data_file"]
+                if r not in best or d.get("_seq", 0) > best[r].get(
+                    "_seq", 0
+                ):
+                    best[r] = d
+            rows = []
+            for r, d in sorted(best.items()):
+                seg = read_puffin_blob(
+                    os.path.join(self.root, d["file_path"]),
+                    int(d["content_offset"]),
+                    int(d["content_size_in_bytes"]),
+                )
+                rows += [(prefix + r, p) for p in dv_blob_decode(seg)]
+            out = self.spark.createDataFrame(
+                rows, "__fp string, __ri bigint"
+            )
+        if pq_files:
+            del_df = self.spark.read.schema(
+                "file_path string, pos bigint"
+            ).parquet(*sorted(
+                os.path.join(self.root, d["file_path"])
+                for d in pq_files
+            ))
+            if dvs:
+                covered = sorted(best)
+                del_df = del_df.filter(
+                    ~F.col("file_path").isin(covered)
+                )
+            pq_keys = del_df.select(
+                F.concat(F.lit(prefix), F.col("file_path"))
+                .alias("__fp"),
+                F.col("pos").alias("__ri"),
+            )
+            out = pq_keys if out is None else out.unionByName(pq_keys)
+        return out
 
     def _apply_eq_deletes(self, df, deletes: list[dict], file_seq: dict):
         """v2 EQUALITY deletes, sequence-aware (spec §Scan Planning):
@@ -1711,6 +1765,160 @@ class IcebergLiteTable:
         md["format-version"] = 2
         self._commit_snapshot(md, prior + [mrow], sid, seq=seq)
         return sid, len(victims)
+
+    def delete_rows_vector(self, pred_sql: str) -> tuple[int, int]:
+        """FORMAT-V3 DELETION VECTORS (spec §Position Delete Vectors;
+        r14 verdict #6): matching row positions land as
+        deletion-vector-v1 blobs in ONE Puffin file — one roaring
+        bitmap per touched data file — tracked by a content=1 delete
+        manifest whose entries point into the blob via
+        referenced_data_file/content_offset/content_size_in_bytes
+        (manifest fields 143-145). The v3 invariants this writer
+        keeps: AT MOST ONE live DV per data file (a new DV for an
+        already-covered file MERGES the old vector — readers take the
+        newest by sequence number), and a DV ABSORBS the file's older
+        v2 position-delete-file rows (readers ignore them once a DV
+        exists), so v2→v3 migration never resurrects a row. Zero
+        data-file rewrite; the read side stays the broadcast
+        row-index anti-join. Upgrades the table to format-version 3.
+        Returns (snapshot_id, rows_newly_marked)."""
+        from .puffin_lite import (
+            dv_blob_decode,
+            dv_blob_segment,
+            read_puffin_blob,
+            write_puffin,
+        )
+
+        md = self.metadata()
+        part_fields = self._spec_fields(md)
+        files, deletes, _ = self._plan()
+        # existing deleted positions per data file (DV beats parquet
+        # rows per the read rule — decode exactly what a reader sees)
+        existing: dict[str, set[int]] = {}
+        dv_by_file: dict[str, dict] = {}
+        for d in deletes:
+            if d.get("content", 1) != 1:
+                continue
+            r = d.get("referenced_data_file")
+            if r:
+                if r not in dv_by_file or d.get("_seq", 0) > \
+                        dv_by_file[r].get("_seq", 0):
+                    dv_by_file[r] = d
+        for r, d in dv_by_file.items():
+            seg = read_puffin_blob(
+                os.path.join(self.root, d["file_path"]),
+                int(d["content_offset"]),
+                int(d["content_size_in_bytes"]),
+            )
+            existing[r] = set(dv_blob_decode(seg))
+        import pyarrow.parquet as _pq
+
+        for d in deletes:
+            if d.get("content", 1) != 1 or d.get("referenced_data_file"):
+                continue
+            t = _pq.read_table(
+                os.path.join(self.root, d["file_path"]),
+                columns=["file_path", "pos"],
+            )
+            for fp, p in zip(
+                t["file_path"].to_pylist(), t["pos"].to_pylist()
+            ):
+                if fp not in dv_by_file:
+                    existing.setdefault(fp, set()).add(p)
+        # new victims: LIVE rows matching the predicate
+        victims: dict[str, set[int]] = {}
+        n_new = 0
+        for f in files:
+            abs_p = os.path.join(self.root, f["file_path"])
+            df = self.spark.read.parquet(abs_p).select(
+                "*", F.col("_metadata.row_index").alias("__ri"),
+            )
+            seen = existing.get(f["file_path"], set())
+            pos = [
+                r["__ri"]
+                for r in df.filter(pred_sql).select("__ri").collect()
+                if r["__ri"] not in seen
+            ]
+            if pos:
+                victims[f["file_path"]] = set(pos)
+                n_new += len(pos)
+        if not victims:
+            return md["current-snapshot-id"], 0
+        sid = max(s["snapshot-id"] for s in md["snapshots"]) + 1
+        seq = md.get("last-sequence-number", 0) + 1
+        rel = f"data/dv-{uuid.uuid4().hex[:8]}.puffin"
+        blobs = []
+        for fp in sorted(victims):
+            # the merge rule: new positions ∪ everything the file's
+            # current delete state already masks
+            merged = victims[fp] | existing.get(fp, set())
+            blobs.append({
+                "type": "deletion-vector-v1",
+                "data": dv_blob_segment(merged),
+                "snapshot-id": sid,
+                "sequence-number": seq,
+                "properties": {
+                    "referenced-data-file": fp,
+                    "cardinality": str(len(merged)),
+                },
+            })
+        entries = write_puffin(os.path.join(self.root, rel), blobs)
+        del_recs = []
+        for e in entries:
+            del_recs.append({
+                "content": 1,
+                "file_path": rel,
+                "file_format": "PUFFIN",
+                "partition": {f["name"]: None for f in part_fields},
+                "record_count": int(e["properties"]["cardinality"]),
+                "file_size_in_bytes": os.path.getsize(
+                    os.path.join(self.root, rel)
+                ),
+                "block_size_in_bytes": 67108864,
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "referenced_data_file":
+                    e["properties"]["referenced-data-file"],
+                "content_offset": e["offset"],
+                "content_size_in_bytes": e["length"],
+            })
+        mpath = f"metadata/{uuid.uuid4().hex}-m0.avro"
+        write_container(
+            os.path.join(self.root, mpath),
+            _manifest_entry_schema(part_fields),
+            [{"status": 1, "snapshot_id": sid,
+              "sequence_number": seq, "data_file": r}
+             for r in del_recs],
+            metadata={"format-version": b"2", "content": b"deletes"},
+        )
+        mrow = {
+            "manifest_path": mpath,
+            "manifest_length": os.path.getsize(
+                os.path.join(self.root, mpath)
+            ),
+            "partition_spec_id": 0,
+            "added_snapshot_id": sid,
+            "added_data_files_count": len(del_recs),
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "partitions": None,
+            "added_rows_count": sum(
+                r["record_count"] for r in del_recs
+            ),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "content": 1,
+        }
+        cur = next(
+            s for s in md["snapshots"]
+            if s["snapshot-id"] == md["current-snapshot-id"]
+        )
+        prior, _, _ = read_container(
+            os.path.join(self.root, cur["manifest-list"])
+        )
+        md["format-version"] = 3
+        self._commit_snapshot(md, prior + [mrow], sid, seq=seq)
+        return sid, n_new
 
     def delete_rows_equality(
         self, eq_cols: list[str], values: list[tuple]
@@ -2784,3 +2992,98 @@ def scan_iceberg_compaction(spark, sf_dir):
         dsum("p").alias("sum_p"),
     )
     return _detach_and_cleanup(spark, agg, root)
+
+@query(
+    "scan_iceberg_v3_dv",
+    oracle=f"""
+    WITH s1 AS (
+        SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        WHERE o_orderkey % 19 = 0
+    ),
+    s2 AS (SELECT * FROM s1 WHERE (p > 150000) IS NOT TRUE),
+    s3 AS (SELECT * FROM s2 WHERE (k % 3 = 0) IS NOT TRUE),
+    s4 AS (SELECT * FROM s3 WHERE (k % 7 = 1) IS NOT TRUE)
+    SELECT CAST(1 AS BIGINT) AS snap, count(*) AS n_rows,
+           {osum('p')} AS sum_price FROM s1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), count(*), {osum('p')} FROM s2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), count(*), {osum('p')} FROM s3
+    UNION ALL
+    SELECT CAST(4 AS BIGINT), count(*), {osum('p')} FROM s4
+    """,
+)
+def scan_iceberg_v3_dv(spark, sf_dir):
+    """Iceberg FORMAT-V3 DELETION VECTORS, driver-verified (r14
+    verdict #6) — the format's third delete representation next to
+    v2 position/equality delete files, and the Iceberg twin of
+    scan_delta_deletion_vectors down to the shared roaring codec: a
+    v2 PARQUET position delete lands first, then two DV commits write
+    deletion-vector-v1 blobs into Puffin files (BE-framed +
+    crc-checked roaring bitmaps, manifest fields 143-145 pointing at
+    the blob) and every snapshot time-travels through the same
+    broadcast row-index anti-join. The hash pins the two v3
+    invariants that make migration and repeated deletes safe: the
+    FIRST DV commit ABSORBS the file's older parquet position-delete
+    rows (readers ignore them once a DV exists — s3 must still
+    exclude s2's victims or rows resurrect), and the SECOND DV commit
+    MERGES into one vector per file (newest-by-sequence wins — s4
+    must still exclude s3's victims). In-query asserts pin the zero-
+    rewrite economics (identical data file set across all four
+    snapshots), the one-live-DV-per-file rule, and the v3 format
+    stamp."""
+    import tempfile
+
+    from ..tables import Tables
+    from .acid import _detach_and_cleanup
+
+    t = Tables(spark, sf_dir)
+    orders = t.orders.select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    root = tempfile.mkdtemp(prefix="thrive_iceberg_dv_")
+    tbl = IcebergLiteTable(spark, root)
+    tbl.create(
+        orders.filter("k % 19 = 0")
+        .repartitionByRange(3, "p")
+        .sortWithinPartitions("p")
+    )
+    md = tbl.metadata()
+    s1 = md["current-snapshot-id"]
+    files1 = {f["file_path"] for f in tbl._plan()[0]}
+    s2, n2 = tbl.delete_rows_positional("p > 150000")
+    s3, n3 = tbl.delete_rows_vector("k % 3 = 0")
+    s4, n4 = tbl.delete_rows_vector("k % 7 = 1")
+    assert n3 > 0 and n4 > 0, (n3, n4)
+    # zero rewrite: the data file set never changed
+    files4, deletes4, _ = tbl._plan()
+    assert {f["file_path"] for f in files4} == files1
+    # v3 stamp + one LIVE DV per data file (newest by sequence)
+    assert tbl.metadata()["format-version"] == 3
+    dv_entries = [
+        d for d in deletes4
+        if d.get("content", 1) == 1 and d.get("referenced_data_file")
+    ]
+    assert dv_entries and all(
+        d["file_path"].endswith(".puffin") for d in dv_entries
+    )
+    by_ref: dict = {}
+    for d in dv_entries:
+        by_ref.setdefault(d["referenced_data_file"], []).append(d)
+    for ds in by_ref.values():
+        seqs = [d["_seq"] for d in ds]
+        assert len(set(seqs)) == len(seqs)  # newest is well-defined
+
+    def agg(snap_label, sid):
+        return tbl.snapshot(sid).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("p").alias("sum_price"),
+        ).select(
+            F.lit(snap_label).cast("bigint").alias("snap"),
+            "n_rows", "sum_price",
+        )
+
+    out = agg(1, s1).union(agg(2, s2)).union(agg(3, s3)).union(
+        agg(4, s4)
+    )
+    return _detach_and_cleanup(spark, out, root)
