@@ -235,6 +235,7 @@ GRADE_DEFER = [
     "scan_delta_cdf_after_vacuum",
     "scan_iceberg_v3_dv",
     "lakehouse_migrate_deletes",
+    "scan_iceberg_evolved_maintenance",
 ]
 
 

@@ -937,9 +937,6 @@ def test_spec_evolution_field_id_reuse_and_guards(spark, tmp_path):
     ) == 1000
     with pytest.raises(ValueError, match="unknown partition source"):
         tbl.evolve_spec([("zzz", "identity")])
-    # COW maintenance refuses rather than re-manifesting across specs
-    with pytest.raises(NotImplementedError, match="evolution"):
-        tbl.delete_where_file_contains("k = 1")
 
 
 def test_metadata_tables_partitions_and_snapshots(spark, tmp_path):
@@ -1146,3 +1143,77 @@ def test_v3_dv_absorbs_pos_deletes_and_merges(spark, tmp_path):
         range(4, 26)
     )
     assert tbl.metadata()["format-version"] == 3
+
+
+# ------------- r15: maintenance after partition evolution -------------
+
+
+def _mk_evolved(spark, tmp_path):
+    """region-identity table → evolve to bucket(k) → append under the
+    new spec: files now live under TWO specs."""
+    tbl = IcebergLiteTable(spark, str(tmp_path / "ev"))
+    df = spark.createDataFrame(
+        [(i % 3, i, float(i) * 10) for i in range(24)],
+        "region bigint, k bigint, p double",
+    )
+    tbl.create(df.filter("k < 12"), partition_columns=["region"])
+    tbl.evolve_spec([("k", "bucket[4]")])
+    tbl.append(df.filter("k >= 12"))
+    return tbl, df
+
+
+def test_cow_delete_after_spec_evolution(spark, tmp_path):
+    """delete_where_file_contains works across specs: the predicate
+    sees the old spec's identity column (re-materialized from its
+    manifests), survivors rewrite into the CURRENT spec, and carried
+    entries keep their own spec id."""
+    tbl, df = _mk_evolved(spark, tmp_path)
+    tbl.delete_where_file_contains("region = 1 AND k < 12")
+    got = sorted(r.k for r in tbl.snapshot().collect())
+    assert got == [k for k in range(24) if not (k % 3 == 1 and k < 12)]
+    # the rewrite landed under the default (bucket) spec
+    md = tbl.metadata()
+    files, _, _ = tbl._plan()
+    sps = {f.get("_spec_id", md["default-spec-id"]) for f in files}
+    assert md["default-spec-id"] in sps
+
+
+def test_compaction_migrates_old_spec_files(spark, tmp_path):
+    """rewrite_data_files after evolution: old-spec groups always
+    qualify and migrate into the default spec; the table's visible
+    rows are untouched."""
+    tbl, df = _mk_evolved(spark, tmp_path)
+    before = sorted((r.region, r.k, r.p)
+                    for r in tbl.snapshot().collect())
+    sid, n = tbl.rewrite_data_files(min_files_per_group=2)
+    assert n >= 1
+    after = sorted((r.region, r.k, r.p)
+                   for r in tbl.snapshot().collect())
+    assert after == before
+    # every live file now sits under ONE spec: the default
+    md = tbl.metadata()
+    files, _, _ = tbl._plan()
+    assert {
+        f.get("_spec_id", md["default-spec-id"]) for f in files
+    } == {md["default-spec-id"]}
+    # partitions_table reflects the unified layout (no all-NULL rows)
+    pt = tbl.partitions_table().collect()
+    assert all(r["spec_id"] == md["default-spec-id"] for r in pt)
+
+
+def test_purge_deletes_after_spec_evolution(spark, tmp_path):
+    """Position deletes over a two-spec table purge correctly: the
+    touched old-spec file rewrites into the default spec with its
+    identity literal preserved as a data column."""
+    tbl, df = _mk_evolved(spark, tmp_path)
+    sid, n = tbl.delete_rows_positional("k IN (2, 14)")
+    assert n == 2
+    sid2, rewritten = tbl.purge_deletes()
+    assert rewritten >= 1
+    got = sorted((r.region, r.k) for r in tbl.snapshot().collect())
+    assert got == sorted(
+        (k % 3, k) for k in range(24) if k not in (2, 14)
+    )
+    # no delete files remain; snapshot is pure parquet scans
+    _, deletes, _ = tbl._plan()
+    assert deletes == []
