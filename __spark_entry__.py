@@ -236,6 +236,8 @@ GRADE_DEFER = [
     "scan_iceberg_v3_dv",
     "lakehouse_migrate_deletes",
     "scan_iceberg_evolved_maintenance",
+    "scan_delta_cdf_dv",
+    "scan_hudi_clean",
 ]
 
 

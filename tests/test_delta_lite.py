@@ -887,3 +887,56 @@ def test_cdf_stream_partitioned(spark, tmp_path):
     assert sorted(r.k for r in dels) == [1, 4, 7]
     assert {r.region for r in dels} == {"1"}
     assert all(r.region is not None for r in rows)
+
+
+def test_cdf_derives_dv_commits_batch_and_stream(spark, tmp_path):
+    """r15: DV commits derive change data from the bitmap diff —
+    overlap-safe (already-deleted rows never re-emit), and the paired
+    remove is bookkeeping, not a full-file delete."""
+    from thrive_spark.streaming.delta_source import register
+
+    t = DeltaLiteTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(20)], "k bigint, p double"
+        ),
+        change_data_feed=True,
+    )
+    v1, n1 = t.delete_rows_dv("k < 5")
+    v2, n2 = t.delete_rows_dv("k % 2 = 0")  # overlaps 0,2,4
+    assert (n1, n2) == (5, 7)
+    ch = t.table_changes(v1, v2).collect()
+    d1 = sorted(r.k for r in ch if r["_commit_version"] == v1)
+    d2 = sorted(r.k for r in ch if r["_commit_version"] == v2)
+    assert all(r["_change_type"] == "delete" for r in ch)
+    assert d1 == [0, 1, 2, 3, 4]
+    assert d2 == [6, 8, 10, 12, 14, 16, 18]  # diff: no 0/2/4 re-emit
+    # streaming twin derives the same rows
+    register(spark)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("thrive_delta")
+        .option("path", t.root)
+        .option("readchangefeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(out).collect()
+    sd1 = sorted(
+        r.k for r in got
+        if r["_commit_version"] == v1 and r["_change_type"] == "delete"
+    )
+    sd2 = sorted(
+        r.k for r in got
+        if r["_commit_version"] == v2 and r["_change_type"] == "delete"
+    )
+    assert sd1 == d1 and sd2 == d2
+    # inserts of version 0 stream as usual
+    assert sorted(
+        r.k for r in got if r["_change_type"] == "insert"
+    ) == list(range(20))

@@ -406,3 +406,65 @@ def test_mor_stream_emits_log_and_base_changes(spark, tmp_path):
     assert sorted(by_ins[i2]) == [(3, 999.0), (100, 1.0)]
     # compaction re-emits nothing
     assert i3 not in by_ins
+
+
+# ---------------- r15: the cleaner ----------------
+
+
+def test_clean_removes_superseded_slices_and_guards(spark, tmp_path):
+    t, i1 = _mk(spark, tmp_path)  # COW
+    i2 = t.upsert(spark.createDataFrame(
+        [(3, 999.0)], "k bigint, p double"
+    ))
+    # the rewritten group now has two slices; keep_last=1 drops one
+    before = {r.k: r.p for r in t.snapshot().collect()}
+    res = t.clean(keep_last=1)
+    assert res["deleted_files"] == 1
+    assert res["earliest_retained"] == i2
+    after = {r.k: r.p for r in t.snapshot().collect()}
+    assert after == before
+    # time travel below the boundary raises the guarded error
+    with pytest.raises(ValueError, match="cleaned"):
+        t.snapshot(i1)
+    # idempotent: nothing left to clean, no new .clean marker
+    assert t.clean(keep_last=1)["deleted_files"] == 0
+    assert len([
+        f for f in os.listdir(t.meta_dir)
+        if f.endswith(".clean") and f.count(".") == 1
+    ]) == 1
+
+
+def test_clean_keep2_retains_one_level_of_history(spark, tmp_path):
+    t, i1 = _mk(spark, tmp_path)
+    i2 = t.upsert(spark.createDataFrame(
+        [(3, 90.0)], "k bigint, p double"
+    ))
+    i3 = t.upsert(spark.createDataFrame(
+        [(3, 91.0)], "k bigint, p double"
+    ))
+    res = t.clean(keep_last=2)
+    assert res["deleted_files"] == 1  # only the i1 slice of the group
+    # i2 still serves (retained), i1 does not
+    assert {r.p for r in t.snapshot(i2).filter("k=3").collect()} \
+        == {90.0}
+    with pytest.raises(ValueError, match="cleaned"):
+        t.snapshot(i1)
+
+
+def test_clean_mor_drops_compacted_logs(spark, tmp_path):
+    t, i1 = _mk_mor(spark, tmp_path)
+    t.upsert(spark.createDataFrame(
+        [(3, 999.0), (100, 1.0)], "k bigint, p double"
+    ))
+    t.delete(spark.createDataFrame([(5,)], "k bigint"))
+    t.compact()
+    before = {r.k: r.p for r in t.snapshot().collect()}
+    res = t.clean(keep_last=1)
+    assert res["deleted_files"] >= 3  # old bases + their log files
+    # no log file survives anywhere
+    leftovers = [
+        f for f in os.listdir(t.root)
+        if f.startswith(".") and ".log." in f
+    ]
+    assert leftovers == []
+    assert {r.k: r.p for r in t.snapshot().collect()} == before

@@ -1106,10 +1106,13 @@ class DeltaLiteTable:
         pass): cdc files and derived adds re-materialize partition
         literals from their actions' partitionValues; derived REMOVES
         resolve theirs from the pre-commit state (remove actions
-        carry only the path). Honest bounds: requires the JSON
-        commits (cleaned-up ranges raise) and refuses DV-bearing
-        commits without cdc files (deriving row-level changes from a
-        bitmap delta needs the pre-state). After VACUUM, commits with
+        carry only the path). DELETION-VECTOR commits derive too
+        (r15): the bitmap diff between the add's new DV and the
+        pre-commit DV names exactly the newly deleted row indices,
+        and the data file itself supplies those rows — emitted as
+        deletes, with the paired remove recognized as bookkeeping
+        rather than a full-file delete. Honest bounds: requires the
+        JSON commits (cleaned-up ranges raise). After VACUUM, commits with
         cdc files still replay (vacuum retains them); versions whose
         DERIVATION inputs were collected raise the guarded
         'vacuumed?' error per-version — a range touching only intact
@@ -1193,14 +1196,69 @@ class DeltaLiteTable:
                 a["add"] for a in acts
                 if "add" in a and a["add"].get("dataChange", True)
             ]
-            if any(a.get("deletionVector") for a in adds):
-                raise NotImplementedError(
-                    "deriving change data from deletion-vector commits"
-                )
             removes = [
                 a["remove"] for a in acts
                 if "remove" in a and a["remove"].get("dataChange", True)
             ]
+            dv_adds = [a for a in adds if a.get("deletionVector")]
+            if dv_adds:
+                # DV commit (r15 — the former NotImplementedError):
+                # the writer's shape is remove(path) + add(path, DV'),
+                # and the BITMAP DIFF (DV' \ DV_prev) names exactly
+                # the newly deleted row indices — no pre-state rows
+                # needed, the file itself is the pre-state. Emit those
+                # rows as deletes; the paired remove is bookkeeping,
+                # not a full-file delete.
+                from .deletion_vectors import read_dv
+
+                remove_paths = {r["path"] for r in removes}
+                prev = {
+                    a["path"]: a for a in self.state(v - 1)["adds"]
+                }
+                for a in sorted(dv_adds, key=lambda a: a["path"]):
+                    if (
+                        a["path"] not in remove_paths
+                        or a["path"] not in prev
+                    ):
+                        raise NotImplementedError(
+                            f"commit {v}: deletion-vector add without "
+                            "its paired remove — not a DV-delete "
+                            "commit shape"
+                        )
+                    old_desc = prev[a["path"]].get("deletionVector")
+                    old = set(
+                        read_dv(self.root, old_desc)
+                    ) if old_desc else set()
+                    diff = sorted(
+                        set(read_dv(self.root, a["deletionVector"]))
+                        - old
+                    )
+                    if not diff:
+                        continue
+                    df = self.spark.read.schema(data_schema).parquet(
+                        os.path.join(self.root, a["path"])
+                    ).select(
+                        F.col("_metadata.row_index").alias("__ri"),
+                        "*",
+                    )
+                    idx = self.spark.createDataFrame(
+                        [(int(i),) for i in diff], "__ri bigint"
+                    )
+                    rows = df.join(
+                        F.broadcast(idx), "__ri"
+                    ).drop("__ri")
+                    emit(
+                        rows, "delete", v,
+                        {
+                            c: (a.get("partitionValues") or {}).get(c)
+                            for c in part_cols
+                        },
+                    )
+                adds = [a for a in adds if not a.get("deletionVector")]
+                removes = [
+                    r for r in removes
+                    if r["path"] not in {a["path"] for a in dv_adds}
+                ]
             gone_adds = [
                 a["path"] for a in adds
                 if not os.path.exists(os.path.join(self.root, a["path"]))
@@ -1878,6 +1936,80 @@ def scan_delta_cdf_after_vacuum(spark, sf_dir):
         assert "vacuumed" in str(e) and "commit 0" in str(e), e
     agg = (
         ch.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("p").alias("sum_p"),
+        )
+    )
+    return _detach_and_cleanup(spark, agg, root)
+
+@query(
+    "scan_delta_cdf_dv",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        WHERE o_orderkey % 21 = 0
+    ),
+    del1 AS (SELECT * FROM base WHERE coalesce(p > 160000, false)),
+    del2 AS (
+        SELECT * FROM base
+        WHERE coalesce(k % 3 = 0, false)
+          AND NOT coalesce(p > 160000, false)
+    )
+    SELECT 'insert' AS change_type, CAST(1 AS BIGINT) AS v,
+           count(*) AS n_rows, {osum('p')} AS sum_p FROM base
+    UNION ALL
+    SELECT 'delete', CAST(2 AS BIGINT), count(*), {osum('p')}
+    FROM del1 HAVING count(*) > 0
+    UNION ALL
+    SELECT 'delete', CAST(3 AS BIGINT), count(*), {osum('p')}
+    FROM del2 HAVING count(*) > 0
+    """,
+)
+def scan_delta_cdf_dv(spark, sf_dir):
+    """CHANGE DATA FEED FROM DELETION-VECTOR COMMITS, driver-verified
+    (the last Delta CDF honest bound, retired in r15): two DV deletes
+    land on a CDF-enabled table — zero parquet rewrite, no cdc files
+    — and table_changes derives their row-level deltas from the
+    BITMAP DIFF alone: the add's new DV minus the pre-commit DV names
+    exactly the newly deleted row indices, and the unchanged data
+    file supplies those rows. The second delete OVERLAPS the first
+    (every already-deleted row matching it must NOT re-emit — that
+    diff semantics is what the per-version hash pins), and the
+    paired remove action is recognized as DV bookkeeping, not a
+    full-file delete (else every survivor row would emit as a
+    phantom delete). Derivation reads O(marked rows) via a broadcast
+    row-index join — the 100 TB CDC shape even for tables maintained
+    with merge-on-read deletes."""
+    import tempfile
+
+    from ..tables import Tables
+    from .acid import _detach_and_cleanup
+
+    t = Tables(spark, sf_dir)
+    orders = t.orders.select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    root = tempfile.mkdtemp(prefix="thrive_delta_cdfdv_")
+    tbl = DeltaLiteTable(spark, root)
+    tbl.create(
+        orders.filter("k % 21 = 0").repartition(2),
+        change_data_feed=True,
+    )
+    adds0 = {a["path"] for a in tbl.state()["adds"]}
+    v1, n1 = tbl.delete_rows_dv("p > 160000")
+    v2, n2 = tbl.delete_rows_dv("k % 3 = 0")
+    assert n1 > 0 and n2 > 0
+    # zero rewrite: the data file set never changed, no cdc files
+    assert {a["path"] for a in tbl.state()["adds"]} == adds0
+    for v in (v1, v2):
+        assert not any("cdc" in a for a in tbl._actions(v))
+    ch = tbl.table_changes(0, v2)
+    agg = (
+        ch.groupBy(
+            F.col("_change_type").alias("change_type"),
+            (F.col("_commit_version") + F.lit(1)).alias("v"),
+        )
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             dsum("p").alias("sum_p"),

@@ -404,6 +404,20 @@ class HudiLiteTable:
 
     # ---------- file groups / slices ----------
 
+    def _earliest_retained(self) -> str:
+        """Max earliestInstantRetained across all completed .clean
+        actions ('' when never cleaned) — time travel below it would
+        silently miss cleaned slices, so planning raises instead."""
+        out = ""
+        if not os.path.isdir(self.meta_dir):
+            return out
+        for f in os.listdir(self.meta_dir):
+            if f.endswith(".clean") and f.count(".") == 1:
+                with open(os.path.join(self.meta_dir, f)) as fh:
+                    meta = json.load(fh)
+                out = max(out, meta.get("earliestInstantRetained", ""))
+        return out
+
     def _partition_paths(self) -> list[str]:
         """Partition paths present on disk ("" = unpartitioned root)."""
         if self.partition_field() is None:
@@ -428,6 +442,14 @@ class HudiLiteTable:
         done = self._completed()
         if instant is not None and instant not in done:
             raise ValueError(f"instant {instant!r} not in timeline")
+        if instant is not None and instant < self._earliest_retained():
+            raise ValueError(
+                f"instant {instant!r} precedes "
+                f"earliestInstantRetained "
+                f"{self._earliest_retained()!r} — its file slices "
+                "were cleaned (the retention trade, as in any "
+                "format's vacuum)"
+            )
         parts = self._partition_paths()
         pf = self.partition_field()
         if partition_filter:
@@ -913,6 +935,78 @@ class HudiLiteTable:
         self._complete_instant(instant, "compact", stats, "commit")
         return instant
 
+    def clean(self, keep_last: int = 1) -> dict:
+        """The Hudi CLEANER (KEEP_LATEST_FILE_VERSIONS policy) — the
+        physical-GC twin of Delta's vacuum and Iceberg's
+        expire_snapshots, completing the maintenance loop for the
+        third format: per (partition, file group), keep the newest
+        ``keep_last`` file slices and DELETE older base files plus
+        the log files attached to them (a compacted-away log is
+        garbage the moment its slice is superseded). The clean lands
+        on the TIMELINE as a ``.clean`` action recording
+        earliestInstantRetained; time travel below that boundary
+        raises rather than silently serving a table with holes (the
+        retention trade every format makes). Cost is O(listing +
+        deleted files), never O(data). Returns
+        {"deleted_files": n, "earliest_retained": instant}."""
+        self.table_type()
+        done = self._completed()
+        instant = self._next_instant()
+        self._begin_instant(instant, "clean")
+        deleted: list[str] = []
+        earliest = ""
+        for part in self._partition_paths():
+            pdir = os.path.join(self.root, part) if part else self.root
+            slices: dict[str, list[str]] = {}
+            logs: dict[tuple[str, str], list[str]] = {}
+            for f in sorted(os.listdir(pdir)):
+                if f.endswith(".parquet") and not f.startswith("."):
+                    parts3 = f[: -len(".parquet")].split("_")
+                    if len(parts3) == 3 and parts3[2] in done:
+                        slices.setdefault(parts3[0], []).append(f)
+                elif f.startswith(".") and ".log." in f:
+                    stem, _, _tail = f[1:].partition(".log.")
+                    fid, _, base_ins = stem.rpartition("_")
+                    logs.setdefault((fid, base_ins), []).append(f)
+            for fid, fs in sorted(slices.items()):
+                # newest keep_last slices stay; instant is the 3rd
+                # name component, so lexicographic sort = time order
+                fs.sort(key=lambda n: n.split("_")[2])
+                drop, keep = fs[:-keep_last], fs[-keep_last:]
+                if drop:
+                    earliest = max(
+                        earliest, keep[0].split("_")[2].split(".")[0]
+                    )
+                for f in drop:
+                    ins = f[: -len(".parquet")].split("_")[2]
+                    for lf in logs.get((fid, ins), []):
+                        os.unlink(os.path.join(pdir, lf))
+                        deleted.append(f"{part}/{lf}" if part else lf)
+                    os.unlink(os.path.join(pdir, f))
+                    deleted.append(f"{part}/{f}" if part else f)
+        if not deleted:
+            # nothing to clean: leave no completed .clean marker
+            for suffix in (".clean.requested", ".clean.inflight"):
+                p = os.path.join(self.meta_dir, instant + suffix)
+                if os.path.exists(p):
+                    os.unlink(p)
+            return {"deleted_files": 0, "earliest_retained": ""}
+        meta = {
+            "operationType": "clean",
+            "earliestInstantRetained": earliest,
+            "deleted": deleted,
+        }
+        tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh, indent=1)
+        os.replace(
+            tmp, os.path.join(self.meta_dir, f"{instant}.clean")
+        )
+        return {
+            "deleted_files": len(deleted),
+            "earliest_retained": earliest,
+        }
+
 
 @query(
     "scan_hudi_cow_table",
@@ -1340,4 +1434,93 @@ def lakehouse_migrate_deletes(spark, sf_dir):
         .union(agg(dl_df, "delta"))
         .union(agg(hu_df, "hudi"))
     )
+    return _detach_and_cleanup(spark, out, root)
+
+@query(
+    "scan_hudi_clean",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        WHERE o_orderkey % 49 = 0
+    ),
+    upd AS (
+        SELECT k, p + 1e5 AS p FROM base WHERE k % 2 = 0
+    ),
+    merged AS (
+        SELECT * FROM base WHERE (k % 2 = 0) IS NOT TRUE
+        UNION ALL SELECT * FROM upd
+    )
+    SELECT CAST(1 AS BIGINT) AS part, count(*) AS n_rows,
+           {osum('p')} AS sum_p FROM merged
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), count(*), {osum('p')} FROM merged
+    """,
+)
+def scan_hudi_clean(spark, sf_dir):
+    """The Hudi CLEANER, driver-verified — the physical-GC leg that
+    completes the maintenance loop across all three lakehouse
+    formats (Delta vacuum and Iceberg expire_snapshots are already
+    graded): a MOR table takes an upsert (log blocks), COMPACTION
+    folds the logs into new base slices, and clean(keep_last=1)
+    deletes the superseded base files AND their attached log files —
+    the debris a streaming-ingest table accumulates forever without
+    a cleaner. The hash pins that GC removed garbage, not data: the
+    snapshot before (1) and after (2) cleaning must both equal the
+    relational merge. In-query asserts pin the physical contract:
+    every superseded base file and log file is gone from disk, the
+    retained slices still serve, the clean landed on the timeline
+    with earliestInstantRetained, and time travel BELOW that boundary
+    raises the guarded 'cleaned' error instead of silently serving a
+    table with holes."""
+    import tempfile
+
+    from ..tables import Tables
+    from .acid import _detach_and_cleanup
+
+    t = Tables(spark, sf_dir)
+    orders = t.orders.select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    base = orders.filter("k % 49 = 0")
+    root = tempfile.mkdtemp(prefix="thrive_hudi_clean_")
+    tbl = HudiLiteTable(spark, root, key_field="k")
+    i1 = tbl.bulk_insert(base, groups=2, table_type="MERGE_ON_READ")
+    upd = base.filter("k % 2 = 0").select(
+        "k", (F.col("p") + F.lit(1e5)).alias("p")
+    )
+    i2 = tbl.upsert(upd)
+    old_slices = tbl.plan_slices()
+    old_files = [
+        (s["base_path"], list(s["logs"])) for s in old_slices
+        if s["logs"]
+    ]
+    assert old_files, "the upsert must have logged slices to clean"
+    i3 = tbl.compact()
+    agg1 = tbl.snapshot().agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("p").alias("sum_p"),
+    ).select(
+        F.lit(1).cast("bigint").alias("part"), "n_rows", "sum_p",
+    ).localCheckpoint()  # materialize BEFORE the GC below
+    res = tbl.clean(keep_last=1)
+    assert res["deleted_files"] >= sum(
+        1 + len(logs) for _, logs in old_files
+    ), res
+    # superseded bases + their logs are physically gone
+    for bp, logs in old_files:
+        assert not os.path.exists(os.path.join(root, bp)), bp
+        for lf in logs:
+            assert not os.path.exists(os.path.join(root, lf)), lf
+    # retained slices still serve; earliest boundary is the compaction
+    assert res["earliest_retained"] == i3, res
+    try:
+        tbl.snapshot(i1)
+        raise AssertionError("time travel below the clean must raise")
+    except ValueError as e:
+        assert "cleaned" in str(e), e
+    agg2 = tbl.snapshot().agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("p").alias("sum_p"),
+    ).select(
+        F.lit(2).cast("bigint").alias("part"), "n_rows", "sum_p",
+    )
+    out = agg1.union(agg2)
     return _detach_and_cleanup(spark, out, root)

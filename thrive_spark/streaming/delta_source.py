@@ -363,11 +363,12 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
     re-diffing snapshots. Honest bounds: CDF must be enabled on the
     table, per-version attribution is required (cleaned-up commits
     raise — no initial-snapshot catch-up, it would mislabel history
-    as inserts at one version), and DV-bearing derived commits
-    refuse. Partitioned tables are fully supported (partition
-    literals re-materialize from the actions' partitionValues —
-    test_cdf_stream_partitioned + the graded
-    scan_delta_cdf_partitioned batch twin)."""
+    as inserts at one version). DELETION-VECTOR commits derive (r15):
+    the bitmap diff vs the pre-commit DV names the newly deleted row
+    indices and the data file supplies the rows. Partitioned tables
+    are fully supported (partition literals re-materialize from the
+    actions' partitionValues — test_cdf_stream_partitioned + the
+    graded scan_delta_cdf_partitioned batch twin)."""
 
     def __init__(self, options, schema):
         self.root = options["path"]
@@ -402,14 +403,14 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
         ]
         parts: list[InputPartition] = []
 
-        def emit(action, ctype, v):
+        def emit(action, ctype, v, positions=None):
             pvs = {
                 c: (action.get("partitionValues") or {}).get(c)
                 for c in self.part_cols
             }
             parts.append(InputPartition((
                 os.path.join(self.root, action["path"]),
-                cols, types, pvs, ctype, v,
+                cols, types, pvs, ctype, v, positions,
             )))
 
         for v in range(sv + 1, ev + 1):
@@ -429,16 +430,47 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
                 a["add"] for a in acts
                 if "add" in a and a["add"].get("dataChange", True)
             ]
-            if any(a.get("deletionVector") for a in adds):
-                raise NotImplementedError(
-                    f"cdf stream: version {v} adds deletion-vector "
-                    "files without cdc — row-level changes cannot be "
-                    "derived"
-                )
             removes = [
                 a["remove"] for a in acts
                 if "remove" in a and a["remove"].get("dataChange", True)
             ]
+            dv_adds = [a for a in adds if a.get("deletionVector")]
+            if dv_adds:
+                # DV commit (r15): the bitmap diff vs the pre-commit
+                # DV names the newly deleted row indices — the data
+                # file itself is the pre-state (same rule as the
+                # batch table_changes derivation)
+                from ..sources.deletion_vectors import read_dv
+
+                remove_paths = {r["path"] for r in removes}
+                prev_all = _fold_live(self.root, v - 1)
+                for a in sorted(dv_adds, key=lambda a: a["path"]):
+                    if (
+                        a["path"] not in remove_paths
+                        or a["path"] not in prev_all
+                    ):
+                        raise NotImplementedError(
+                            f"cdf stream: version {v} deletion-vector "
+                            "add without its paired remove — not a "
+                            "DV-delete commit shape"
+                        )
+                    old_desc = prev_all[a["path"]].get(
+                        "deletionVector"
+                    )
+                    old = set(
+                        read_dv(self.root, old_desc)
+                    ) if old_desc else set()
+                    diff = sorted(
+                        set(read_dv(self.root, a["deletionVector"]))
+                        - old
+                    )
+                    if diff:
+                        emit(a, "delete", v, positions=diff)
+                adds = [a for a in adds if not a.get("deletionVector")]
+                removes = [
+                    r for r in removes
+                    if r["path"] not in {a["path"] for a in dv_adds}
+                ]
             for a in sorted(adds, key=lambda a: a["path"]):
                 emit(a, "insert", v)
             if removes and self.part_cols:
@@ -466,7 +498,8 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
         pass  # the engine's checkpoint WAL is the source of truth
 
     def read(self, partition):
-        path, cols, types, pvs, ctype, v = partition.value
+        path, cols, types, pvs, ctype, v, *rest = partition.value
+        positions = rest[0] if rest else None
         if path is None:
             return
         import pyarrow.parquet as pq
@@ -474,6 +507,10 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
         tbl = pq.read_table(path)
         names = set(tbl.column_names)
         pdf = tbl.to_pandas()
+        if positions is not None:
+            # DV-derived delete: only the bitmap-diff row indices
+            # (pyarrow preserves file row order, so iloc == row index)
+            pdf = pdf.iloc[list(positions)].copy()
         for col, typ in zip(cols, types):
             if col in pvs:
                 pdf[col] = _cast_pv(pvs[col], typ)
