@@ -238,6 +238,7 @@ GRADE_DEFER = [
     "scan_iceberg_evolved_maintenance",
     "scan_delta_cdf_dv",
     "scan_hudi_clean",
+    "scan_hudi_mor_events",
 ]
 
 

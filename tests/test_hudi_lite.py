@@ -468,3 +468,27 @@ def test_clean_mor_drops_compacted_logs(spark, tmp_path):
     ]
     assert leftovers == []
     assert {r.k: r.p for r in t.snapshot().collect()} == before
+
+
+def test_mor_timestamp_logical_type_roundtrip(spark, tmp_path):
+    """Timestamp columns travel through log blocks as exact
+    timestamp-micros longs and come back as equal timestamps."""
+    import datetime
+
+    t = HudiLiteTable(spark, str(tmp_path / "ts"), key_field="k")
+    base = spark.createDataFrame(
+        [(i, datetime.datetime(2024, 1, 1, 0, 0, i, 123456), float(i))
+         for i in range(10)],
+        "k bigint, ts timestamp, v double",
+    )
+    t.bulk_insert(base, groups=1, table_type="MERGE_ON_READ")
+    t.upsert(spark.createDataFrame(
+        [(3, datetime.datetime(2024, 6, 1, 12, 30, 59, 654321), 9.0),
+         (11, None, 1.0)],
+        "k bigint, ts timestamp, v double",
+    ))
+    got = {r.k: r.ts for r in t.snapshot().collect()}
+    assert got[3] == datetime.datetime(2024, 6, 1, 12, 30, 59, 654321)
+    assert got[11] is None  # null timestamp survives the union
+    assert got[0] == datetime.datetime(2024, 1, 1, 0, 0, 0, 123456)
+    assert len(got) == 11

@@ -53,10 +53,10 @@ Arrow-batched mapInPandas runs the pure-Python block parser — the
 merge itself is ordinary DataFrame ops (union + row_number), so the
 MOR read distributes like any other scan.
 
-Scope honestly bounded: unique record keys per write batch, a single
-identity partition field, and log-record schemas limited to the
-Avro-primitive column types (long/int/double/float/string/boolean —
-timestamps would need Avro logical types, not implemented).  The
+Scope honestly bounded: unique record keys per write batch and a
+single identity partition field. Log-record schemas cover the
+Avro-primitive column types (long/int/double/float/string/boolean)
+plus TIMESTAMP via the timestamp-micros logical type (r15).  The
 writer emits timeline/file-naming/meta-column/log-block shapes per
 the public spec so tests and the graded exhibits read back genuine
 Hudi-shaped trees.
@@ -185,17 +185,35 @@ _SP2AVRO = {
 
 def _avro_schema_for(fields: list[tuple[str, str]]) -> dict:
     """Avro record schema for the table row shape (meta cols
-    included). Column types outside the Avro-primitive subset refuse
-    honestly — log records would need Avro logical types."""
+    included). Timestamps use the Avro logical type
+    timestamp-micros over long (r15 — retires the primitive-only
+    bound); other non-primitive column types refuse honestly."""
     out = []
     for name, sp in fields:
+        if sp == "timestamp":
+            out.append({"name": name, "type": ["null", {
+                "type": "long", "logicalType": "timestamp-micros",
+            }]})
+            continue
         if sp not in _SP2AVRO:
             raise NotImplementedError(
                 f"MOR log records over {sp!r} columns (column "
-                f"{name!r}) need Avro logical types — not implemented"
+                f"{name!r}) have no Avro mapping here"
             )
         out.append({"name": name, "type": ["null", _SP2AVRO[sp]]})
     return {"type": "record", "name": "HoodieRecord", "fields": out}
+
+
+def _ts_to_micros(v) -> int | None:
+    """Naive session-UTC datetime → unix micros (exact integer
+    arithmetic — float .timestamp() loses sub-ms precision)."""
+    import calendar
+
+    if v is None:
+        return None
+    return (
+        calendar.timegm(v.timetuple()) * 1_000_000 + v.microsecond
+    )
 
 
 def encode_data_block(
@@ -539,6 +557,13 @@ class HudiLiteTable:
             list(template.schema.fields) + []
         ).add("_del", BooleanType())
 
+        from pyspark.sql.types import TimestampType
+
+        ts_cols = [
+            f.name for f in template.schema.fields
+            if isinstance(f.dataType, TimestampType)
+        ]
+
         def gen(it):
             for pdf in it:
                 rows = []
@@ -557,11 +582,15 @@ class HudiLiteTable:
                             row = {c: rec.get(c) for c in cols}
                             row["_del"] = False
                         rows.append(row)
-                yield pd.DataFrame(
+                out = pd.DataFrame(
                     rows, columns=[*cols, "_del"]
                 ) if rows else pd.DataFrame(
                     {c: [] for c in [*cols, "_del"]}
                 )
+                for c in ts_cols:
+                    # timestamp-micros logical type: long → datetime64
+                    out[c] = pd.to_datetime(out[c], unit="us")
+                yield out
 
         paths = [os.path.join(self.root, p) for p in sorted(log_paths)]
         paths_df = self.spark.createDataFrame(
@@ -832,7 +861,14 @@ class HudiLiteTable:
                 F.col("_hoodie_record_key").isin(keys)
             )
             if mor:
+                ts_cols = [
+                    f.name for f in sub.schema.fields
+                    if f.dataType.simpleString() == "timestamp"
+                ]
                 rows = [r.asDict() for r in sub.collect()]
+                for row in rows:
+                    for c in ts_cols:
+                        row[c] = _ts_to_micros(row[c])
                 block = encode_data_block(
                     instant, self._avro_schema(batch), rows
                 )
@@ -1523,4 +1559,79 @@ def scan_hudi_clean(spark, sf_dir):
         F.lit(2).cast("bigint").alias("part"), "n_rows", "sum_p",
     )
     out = agg1.union(agg2)
+    return _detach_and_cleanup(spark, out, root)
+
+@query(
+    "scan_hudi_mor_events",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_id, ts, user_id, event_type, value
+        FROM events WHERE event_id % 97 = 0
+    ),
+    upd AS (
+        SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id,
+               event_type, value + 1e3 AS value
+        FROM base WHERE event_id % 3 = 0
+    ),
+    merged AS (
+        SELECT * FROM base WHERE (event_id % 3 = 0) IS NOT TRUE
+        UNION ALL SELECT * FROM upd
+    )
+    SELECT CAST(1 AS BIGINT) AS part, count(*) AS n_rows,
+           {osum('value')} AS sum_value,
+           CAST(SUM(epoch_us(ts)) AS BIGINT) AS sum_ts_us FROM merged
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), count(*), {osum('value')},
+           CAST(SUM(epoch_us(ts)) AS BIGINT) FROM upd
+    """,
+)
+def scan_hudi_mor_events(spark, sf_dir):
+    """MOR log records over a TIMESTAMP-bearing table (retires the
+    r15 first-pass primitive-only bound): the events slice — bigint
+    keys, a microsecond timestamp, strings, doubles — takes a MOR
+    upsert that SHIFTS the timestamp by an hour, so the changed rows
+    travel through a genuine Avro data block using the
+    timestamp-micros LOGICAL TYPE (exact integer micros on encode,
+    datetime64 on the executor-side decode — no float in the path,
+    which is what SUM(epoch_us) hash-checks to the microsecond).
+    Part 1 is the merged snapshot (log records beat base rows per
+    key), part 2 the incremental pull since the insert — exactly the
+    upserted rows with their shifted timestamps."""
+    import tempfile
+
+    from ..tables import Tables
+    from .acid import _detach_and_cleanup
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).filter("event_id % 97 = 0")
+    root = tempfile.mkdtemp(prefix="thrive_hudi_mor_ev_")
+    tbl = HudiLiteTable(spark, root, key_field="event_id")
+    i1 = tbl.bulk_insert(ev, groups=2, table_type="MERGE_ON_READ")
+    upd = ev.filter("event_id % 3 = 0").select(
+        "event_id",
+        F.expr("ts + INTERVAL 1 HOUR").alias("ts"),
+        "user_id", "event_type",
+        (F.col("value") + F.lit(1e3)).alias("value"),
+    )
+    i2 = tbl.upsert(upd)
+    # the change went through a log block, not a base rewrite
+    assert any(s["logs"] for s in tbl.plan_slices())
+
+    def agg(df, label):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("value").alias("sum_value"),
+            F.sum(F.unix_micros("ts")).alias("sum_ts_us"),
+        ).select(
+            F.lit(label).cast("bigint").alias("part"),
+            "n_rows", "sum_value", "sum_ts_us",
+        )
+
+    out = agg(tbl.snapshot(), 1).union(
+        agg(tbl.incremental(i1).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        ), 2)
+    )
     return _detach_and_cleanup(spark, out, root)
