@@ -492,3 +492,40 @@ def test_mor_timestamp_logical_type_roundtrip(spark, tmp_path):
     assert got[11] is None  # null timestamp survives the union
     assert got[0] == datetime.datetime(2024, 1, 1, 0, 0, 0, 123456)
     assert len(got) == 11
+
+
+def test_partitioned_stream_emits_all_partitions(spark, tmp_path):
+    """The stream source iterates every partition key in the commit
+    stats (the r14 reader hardcoded the unpartitioned '' key)."""
+    from thrive_spark.streaming.hudi_source import register
+
+    t = HudiLiteTable(spark, str(tmp_path / "ps"), key_field="k")
+    df = spark.createDataFrame(
+        [(i, "AB"[i % 2], float(i)) for i in range(12)],
+        "k bigint, s string, p double",
+    )
+    i1 = t.bulk_insert(df, groups=1, partition_field="s")
+    i2 = t.upsert(spark.createDataFrame(
+        [(0, "A", 100.0), (1, "B", 101.0)],
+        "k bigint, s string, p double",
+    ))
+    register(spark)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("thrive_hudi")
+        .option("path", t.root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(out).collect()
+    b1 = sorted(r.k for r in got if r["_hoodie_commit_time"] == i1)
+    b2 = sorted(
+        (r.k, r.s, r.p) for r in got if r["_hoodie_commit_time"] == i2
+    )
+    assert b1 == list(range(12))
+    assert b2 == [(0, "A", 100.0), (1, "B", 101.0)]

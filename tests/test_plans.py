@@ -515,3 +515,49 @@ def test_lakehouse_scan_keeps_pushdown(spark, tmp_path):
     tbl.delete_rows_positional("k = 3")
     plan = physical_plan(tbl.snapshot().filter("p > 40.0"))
     assert "PushedFilters: [IsNotNull(p), GreaterThan(p,40.0)]" in plan
+
+
+def test_hudi_mor_merge_is_single_window_shuffle(spark, tmp_path):
+    """The MOR merge must stay one record-key shuffle feeding one
+    row_number window over the base∪log union — no join at all in
+    the merge (newest-wins resolves inside the window), no
+    CartesianProduct, and the log decode confined to an
+    Arrow-batched mapInPandas (one task per log file)."""
+    from thrive_spark.sources.hudi_lite import HudiLiteTable
+
+    t = HudiLiteTable(spark, str(tmp_path / "t"), key_field="k")
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(50)], "k bigint, p double"
+        ),
+        groups=2,
+        table_type="MERGE_ON_READ",
+    )
+    t.upsert(spark.createDataFrame([(3, 9.0)], "k bigint, p double"))
+    plan = physical_plan(t.snapshot())
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly one hash exchange on the record key merges the sides
+    assert plan.count("hashpartitioning(_hoodie_record_key") == 1
+    assert "MapInPandas" in plan  # the distributed log decode
+
+
+def test_hudi_read_optimized_is_pure_scan(spark, tmp_path):
+    """The read-optimized view must cost a parquet scan — no window,
+    no python stage."""
+    from thrive_spark.sources.hudi_lite import HudiLiteTable
+
+    t = HudiLiteTable(spark, str(tmp_path / "t"), key_field="k")
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(50)], "k bigint, p double"
+        ),
+        groups=2,
+        table_type="MERGE_ON_READ",
+    )
+    t.upsert(spark.createDataFrame([(3, 9.0)], "k bigint, p double"))
+    plan = physical_plan(t.snapshot(read_optimized=True))
+    assert "Window" not in plan
+    assert "MapInPandas" not in plan
+    assert "Scan parquet" in plan
