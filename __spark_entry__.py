@@ -239,6 +239,7 @@ GRADE_DEFER = [
     "scan_delta_cdf_dv",
     "scan_hudi_clean",
     "scan_hudi_mor_events",
+    "sink_delta_stream_txn",
 ]
 
 

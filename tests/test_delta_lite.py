@@ -940,3 +940,36 @@ def test_cdf_derives_dv_commits_batch_and_stream(spark, tmp_path):
     assert sorted(
         r.k for r in got if r["_change_type"] == "insert"
     ) == list(range(20))
+
+
+def test_txn_action_idempotence_and_checkpoint_carry(spark, tmp_path):
+    """SetTransaction (spec §Transaction Identifiers): append_txn
+    with a spent (appId, version) is a no-op; the high-water mark
+    folds from JSON commits AND survives checkpoint + log cleanup."""
+    t = DeltaLiteTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(0, 0.0)], "k bigint, p double"))
+    one = spark.createDataFrame([(1, 1.0)], "k bigint, p double")
+    v1 = t.append_txn(one, "app", 0)
+    assert t.append_txn(one, "app", 0) == v1  # replay no-op
+    assert t.snapshot().count() == 2
+    t.append_txn(
+        spark.createDataFrame([(2, 2.0)], "k bigint, p double"),
+        "app", 1,
+    )
+    # independent appIds keep independent marks
+    t.append_txn(
+        spark.createDataFrame([(3, 3.0)], "k bigint, p double"),
+        "other", 0,
+    )
+    assert t.state()["txns"] == {"app": 1, "other": 0}
+    t.checkpoint()
+    t.cleanup_log()
+    assert t.state()["txns"] == {"app": 1, "other": 0}
+    t.append_txn(one, "app", 1)  # still gated post-cleanup
+    assert t.snapshot().count() == 4
+    # a NEWER version passes
+    t.append_txn(
+        spark.createDataFrame([(4, 4.0)], "k bigint, p double"),
+        "app", 2,
+    )
+    assert t.snapshot().count() == 5

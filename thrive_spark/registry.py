@@ -85,5 +85,6 @@ def load_all() -> None:
         delta_source,
         hudi_source,
         iceberg_source,
+        sinks as stream_sinks,
         table_source,
     )

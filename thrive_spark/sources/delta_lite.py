@@ -97,6 +97,7 @@ class DeltaLiteTable:
         live: dict[str, dict] = {}
         meta = None
         protocol = None
+        txns: dict[str, int] = {}
         for r in df.collect():
             d = r.asDict(recursive=True)
             if d.get("metaData") and d["metaData"].get("id"):
@@ -109,7 +110,10 @@ class DeltaLiteTable:
                 a = d["add"]
                 a["partitionValues"] = a.get("partitionValues") or {}
                 live[a["path"]] = a
-        return live, meta, protocol
+            if "txn" in d and d.get("txn") and d["txn"].get("appId"):
+                # spec: a checkpoint carries the newest txn per appId
+                txns[d["txn"]["appId"]] = int(d["txn"]["version"])
+        return live, meta, protocol, txns
 
     def state(self, version: int | None = None) -> dict:
         """Fold add/remove actions into the live file set + latest
@@ -148,8 +152,11 @@ class DeltaLiteTable:
         live: dict[str, dict] = {}
         meta: dict | None = None
         protocol: dict | None = None
+        txns: dict[str, int] = {}
         if start_cp is not None:
-            live, meta, protocol = self._checkpoint_state(start_cp)
+            live, meta, protocol, txns = self._checkpoint_state(
+                start_cp
+            )
         for ver in vs:
             if ver > v or (start_cp is not None and ver <= start_cp):
                 continue
@@ -162,6 +169,12 @@ class DeltaLiteTable:
                     live[a["add"]["path"]] = a["add"]
                 elif "remove" in a:
                     live.pop(a["remove"]["path"], None)
+                elif "txn" in a:
+                    # SetTransaction (spec §Transaction Identifiers):
+                    # newest version per application id
+                    txns[a["txn"]["appId"]] = int(
+                        a["txn"]["version"]
+                    )
         if protocol and protocol.get("minReaderVersion", 1) > 1:
             # in scope (r14): v2 (column mapping — the only v2
             # capability; snapshot() resolves physical names) and v3
@@ -188,6 +201,7 @@ class DeltaLiteTable:
             "version": v,
             "meta": meta,
             "adds": list(live.values()),
+            "txns": txns,
             "protocol": protocol
             or {"minReaderVersion": 1, "minWriterVersion": 2},
         }
@@ -616,6 +630,32 @@ class DeltaLiteTable:
         self._commit(v, [{"add": a} for a in adds])
         return v
 
+    def append_txn(self, df, app_id: str, txn_version: int) -> int:
+        """IDEMPOTENT append (spec §Transaction Identifiers): the
+        commit carries a ``txn`` action {appId, version}, and a retry
+        with a version <= the table's newest txn for that appId is a
+        NO-OP — the exactly-once primitive streaming writers need:
+        foreachBatch passes its epoch id as txn_version, so a batch
+        replayed after a checkpoint/commit race lands zero duplicate
+        rows. The txn high-water mark survives checkpoints + log
+        cleanup (the checkpoint writer persists the newest txn per
+        appId, as the spec requires). Returns the table version that
+        holds (or already held) this transaction."""
+        st = self.state()
+        seen = st["txns"].get(app_id, -1)
+        if txn_version <= seen:
+            return st["version"]  # replay: already applied
+        vs, cps = self.versions(), self.checkpoints()
+        v = max(vs[-1] if vs else -1, cps[-1] if cps else -1) + 1
+        part_cols = st["meta"].get("partitionColumns", [])
+        adds = self._write_files_partitioned(df, part_cols)
+        self._commit(
+            v,
+            [{"txn": {"appId": app_id, "version": int(txn_version)}}]
+            + [{"add": a} for a in adds],
+        )
+        return v
+
     def checkpoint(self, version: int | None = None) -> int:
         """Write <v>.checkpoint.parquet consolidating the snapshot
         state (the spec's log compaction: one action per row, struct
@@ -674,8 +714,10 @@ class DeltaLiteTable:
             }
 
         rows = [
-            {"add": None, "metaData": meta_row, "protocol": None},
-            {"add": None, "metaData": None, "protocol": proto_row},
+            {"add": None, "metaData": meta_row, "protocol": None,
+             "txn": None},
+            {"add": None, "metaData": None, "protocol": proto_row,
+             "txn": None},
         ] + [
             {
                 "add": {
@@ -688,8 +730,15 @@ class DeltaLiteTable:
                 },
                 "metaData": None,
                 "protocol": None,
+                "txn": None,
             }
             for a in st["adds"]
+        ] + [
+            # spec: checkpoints carry the newest txn per appId, so
+            # exactly-once writers stay idempotent after log cleanup
+            {"add": None, "metaData": None, "protocol": None,
+             "txn": {"appId": app, "version": int(ver)}}
+            for app, ver in sorted(st["txns"].items())
         ]
         schema = pa.schema(
             [
@@ -726,6 +775,10 @@ class DeltaLiteTable:
                     pa.field("minWriterVersion", pa.int32()),
                     pa.field("readerFeatures", pa.list_(pa.string())),
                     pa.field("writerFeatures", pa.list_(pa.string())),
+                ])),
+                pa.field("txn", pa.struct([
+                    pa.field("appId", pa.string()),
+                    pa.field("version", pa.int64()),
                 ])),
             ]
         )
