@@ -240,6 +240,8 @@ GRADE_DEFER = [
     "scan_hudi_clean",
     "scan_hudi_mor_events",
     "sink_delta_stream_txn",
+    "sink_iceberg_stream_ckpt",
+    "sink_hudi_stream_ckpt",
 ]
 
 

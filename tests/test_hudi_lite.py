@@ -529,3 +529,25 @@ def test_partitioned_stream_emits_all_partitions(spark, tmp_path):
     )
     assert b1 == list(range(12))
     assert b2 == [(0, "A", 100.0), (1, "B", 101.0)]
+
+
+def test_upsert_checkpointed_gates_replays(spark, tmp_path):
+    t = HudiLiteTable(spark, str(tmp_path / "ck"), key_field="k")
+    t.bulk_insert(spark.createDataFrame(
+        [(0, 0.0)], "k bigint, p double"
+    ), groups=1)
+    one = spark.createDataFrame([(1, 1.0)], "k bigint, p double")
+    t.upsert_checkpointed(one, "s1", 0)
+    tl = t.timeline()
+    # replay: no instant, no rows
+    assert t.upsert_checkpointed(one, "s1", 0) == tl[-1]
+    assert t.timeline() == tl
+    assert t.snapshot().count() == 2
+    assert t.latest_checkpoint("s1") == 0
+    assert t.latest_checkpoint("other") == -1
+    # newer checkpoint lands
+    t.upsert_checkpointed(
+        spark.createDataFrame([(2, 2.0)], "k bigint, p double"),
+        "s1", 1,
+    )
+    assert t.snapshot().count() == 3

@@ -1247,3 +1247,24 @@ def test_expire_snapshots_keeps_referenced_puffin(spark, tmp_path):
     assert sorted(r.k for r in tbl.snapshot().collect()) == [
         k for k in range(3, 20) if k != 10
     ]
+
+
+def test_append_checkpointed_gates_per_sink(spark, tmp_path):
+    df1 = spark.createDataFrame([(1, 1.0)], "k bigint, p double")
+    df2 = spark.createDataFrame([(2, 2.0)], "k bigint, p double")
+    tbl = IcebergLiteTable(spark, str(tmp_path / "t"))
+    tbl.create(df1.limit(0))
+    tbl.append_checkpointed(df1, "s1", 0)
+    sid = tbl.metadata()["current-snapshot-id"]
+    # replay and stale ids are no-ops
+    assert tbl.append_checkpointed(df1, "s1", 0) == sid
+    assert tbl.append_checkpointed(df1, "s1", -5) == sid
+    assert tbl.snapshot().count() == 1
+    # newer id lands; other sink-ids are independent
+    tbl.append_checkpointed(df2, "s1", 1)
+    assert tbl.snapshot().count() == 2
+    tbl.append_checkpointed(df2, "s2", 0)
+    assert tbl.snapshot().count() == 3
+    assert tbl.max_committed_checkpoint("s1") == 1
+    assert tbl.max_committed_checkpoint("s2") == 0
+    assert tbl.max_committed_checkpoint("nope") == -1

@@ -407,11 +407,16 @@ class HudiLiteTable:
         op: str,
         stats: dict[str, list[dict]],
         action: str = "commit",
+        extra: dict | None = None,
     ) -> None:
         meta = {
             "operationType": op,
             "partitionToWriteStats": stats,
         }
+        if extra:
+            # the public Hudi Streamer pattern: resume state rides in
+            # the commit's extraMetadata (checkpoint key/value)
+            meta["extraMetadata"] = dict(extra)
         tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
             json.dump(meta, fh, indent=1)
@@ -835,7 +840,7 @@ class HudiLiteTable:
             "path": f"{part}/{name}" if part else name,
         }
 
-    def upsert(self, df) -> str:
+    def upsert(self, df, extra: dict | None = None) -> str:
         """COW: batch rows whose key lives in an existing file group
         REWRITE that group (replacing matching rows, carrying the
         rest with their ORIGINAL commit times); unseen keys open a
@@ -910,8 +915,37 @@ class HudiLiteTable:
                         sub, uuid.uuid4().hex[:12], instant, part
                     )
                 )
-        self._complete_instant(instant, "upsert", stats, action)
+        self._complete_instant(instant, "upsert", stats, action,
+                               extra=extra)
         return instant
+
+    def latest_checkpoint(self, sink_id: str) -> int:
+        """Largest checkpoint id a streaming sink committed into this
+        table — read from the commits' extraMetadata (the public
+        Hudi Streamer pattern: resume offsets ride in the commit
+        metadata, consulted on restart). O(timeline), metadata only.
+        -1 when the sink has never committed."""
+        best = -1
+        for ins in self.timeline():
+            em = self.commit_meta(ins).get("extraMetadata") or {}
+            if em.get("sink-id") == sink_id:
+                best = max(best, int(em.get("checkpoint-id", -1)))
+        return best
+
+    def upsert_checkpointed(
+        self, df, sink_id: str, checkpoint_id: int
+    ) -> str:
+        """IDEMPOTENT upsert for streaming sinks: a replayed epoch
+        (checkpoint_id <= the max already committed for this sink_id)
+        writes NOTHING — no instant, no files — which is how the
+        Hudi Streamer achieves exactly-once ingest across restarts.
+        Returns the latest instant either way."""
+        if checkpoint_id <= self.latest_checkpoint(sink_id):
+            return self.timeline()[-1]
+        return self.upsert(df, extra={
+            "sink-id": sink_id,
+            "checkpoint-id": str(int(checkpoint_id)),
+        })
 
     def delete(self, keys_df) -> str:
         """MOR row-level delete: a DELETE BLOCK appended to each

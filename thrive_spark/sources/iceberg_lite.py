@@ -1165,6 +1165,7 @@ class IcebergLiteTable:
         sid: int,
         seq: int | None = None,
         branch: str = "main",
+        summary_extra: dict | None = None,
     ) -> None:
         ml_path = f"metadata/snap-{sid}-1-{uuid.uuid4().hex[:8]}.avro"
         for r in manifest_rows:
@@ -1192,7 +1193,8 @@ class IcebergLiteTable:
             "snapshot-id": sid,
             "timestamp-ms": 1700000000000 + sid,
             "manifest-list": ml_path,
-            "summary": {"operation": "append"},
+            "summary": {"operation": "append",
+                        **(summary_extra or {})},
             **({"sequence-number": seq} if seq is not None else {}),
             **({"parent-snapshot-id": parent}
                if parent is not None else {}),
@@ -1431,7 +1433,12 @@ class IcebergLiteTable:
         self._write_metadata(md)
         return head
 
-    def append(self, df, branch: str = "main") -> int:
+    def append(
+        self,
+        df,
+        branch: str = "main",
+        summary_extra: dict | None = None,
+    ) -> int:
         md = self.metadata()
         part_fields = self._spec_fields(md)
         sid = max(s["snapshot-id"] for s in md["snapshots"]) + 1
@@ -1462,8 +1469,41 @@ class IcebergLiteTable:
         # spec: unchanged manifests carry into the new manifest list
         # BY REFERENCE — planning stays O(new files) per commit
         self._commit_snapshot(md, prior + [mrow], sid, seq=seq,
-                              branch=branch)
+                              branch=branch,
+                              summary_extra=summary_extra)
         return sid
+
+    def max_committed_checkpoint(self, sink_id: str) -> int:
+        """Largest checkpoint id a streaming sink has committed into
+        this table — read from the SNAPSHOT SUMMARIES (the public
+        Flink-sink pattern: the sink stamps
+        max-committed-checkpoint-id into each commit's summary and
+        consults it on restart, because Iceberg has no Delta-style
+        txn action). O(snapshots), metadata only. -1 when the sink
+        has never committed."""
+        best = -1
+        for sn in self.metadata().get("snapshots", []):
+            sm = sn.get("summary") or {}
+            if sm.get("sink-id") == sink_id:
+                best = max(
+                    best, int(sm.get("max-committed-checkpoint-id", -1))
+                )
+        return best
+
+    def append_checkpointed(
+        self, df, sink_id: str, checkpoint_id: int
+    ) -> int:
+        """IDEMPOTENT append for streaming sinks: a replayed epoch
+        (checkpoint_id <= the max already committed for this
+        sink_id) is a no-op. This is exactly how the public
+        Flink→Iceberg sink achieves end-to-end exactly-once across
+        restarts. Returns the current snapshot id either way."""
+        if checkpoint_id <= self.max_committed_checkpoint(sink_id):
+            return self.metadata()["current-snapshot-id"]
+        return self.append(df, summary_extra={
+            "sink-id": sink_id,
+            "max-committed-checkpoint-id": str(int(checkpoint_id)),
+        })
 
     def partitions_table(self):
         """Iceberg's ``partitions`` METADATA TABLE: per-partition

@@ -159,3 +159,195 @@ def sink_delta_stream_txn(spark, sf_dir):
         .orderBy("status")
     )
     return _detach_and_cleanup(spark, agg, root)
+
+
+def iceberg_ckpt_sink(root: str, sink_id: str):
+    """foreachBatch function: exactly-once delivery INTO an Iceberg
+    table via the Flink-sink pattern — the batch id is stamped as
+    max-committed-checkpoint-id in the snapshot SUMMARY (Iceberg has
+    no Delta-style txn action; the summary is the public mechanism),
+    and a replayed epoch commits nothing."""
+    from ..sources.iceberg_lite import IcebergLiteTable
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        IcebergLiteTable(
+            batch_df.sparkSession, root
+        ).append_checkpointed(batch_df, sink_id, batch_id)
+
+    return write_batch
+
+
+def hudi_ckpt_sink(root: str, sink_id: str, key_field: str):
+    """foreachBatch function: exactly-once UPSERT ingest into a Hudi
+    table via the Hudi Streamer pattern — the batch id rides in the
+    commit's extraMetadata and a replayed epoch writes no instant."""
+    from ..sources.hudi_lite import HudiLiteTable
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        HudiLiteTable(
+            batch_df.sparkSession, root, key_field=key_field
+        ).upsert_checkpointed(batch_df, sink_id, batch_id)
+
+    return write_batch
+
+
+@query(
+    "sink_iceberg_stream_ckpt",
+    oracle=f"""
+    WITH feed AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               o_totalprice AS p
+        FROM orders WHERE o_orderkey % 67 = 0
+    )
+    SELECT status, count(*) AS n_rows, {osum('p')} AS sum_p,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM feed GROUP BY status ORDER BY status
+    """,
+)
+def sink_iceberg_stream_ckpt(spark, sf_dir):
+    """STREAM → ICEBERG TABLE with exactly-once checkpoint-id gating
+    (the public Flink-sink design), driver-verified: a 3-epoch file
+    stream lands through foreachBatch, each commit stamping its
+    batch id into the snapshot summary as
+    max-committed-checkpoint-id; a FORCED REPLAY of the last epoch
+    must commit nothing (snapshot id and row count unchanged), and
+    the gate is per-sink (a second sink-id with the same checkpoint
+    number still lands — the summaries are namespaced). The final
+    snapshot hash-matches the relational feed: zero duplicates, zero
+    losses. With sink_delta_stream_txn and sink_hudi_stream_ckpt this
+    closes the exactly-once streaming-SINK story across all three
+    open table formats, each using its format's own public
+    mechanism."""
+    import tempfile
+
+    from ..sources.acid import _detach_and_cleanup
+    from ..sources.iceberg_lite import IcebergLiteTable
+    from ..tables import Tables
+
+    t = Tables(spark, sf_dir)
+    feed = t.orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("p"),
+    ).filter("k % 67 = 0")
+    root = tempfile.mkdtemp(prefix="thrive_ice_ckpt_sink_")
+    src = os.path.join(root, "src")
+    chunks = [
+        feed.filter(f"k % 3 = {i}").localCheckpoint() for i in range(3)
+    ]
+    for i, c in enumerate(chunks):
+        c.coalesce(1).write.parquet(os.path.join(src, f"f{i}"))
+    tbl_root = os.path.join(root, "table")
+    tbl = IcebergLiteTable(spark, tbl_root)
+    tbl.create(feed.limit(0))
+    q = (
+        spark.readStream.schema("k bigint, status string, p double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+        .writeStream.foreachBatch(
+            iceberg_ckpt_sink(tbl_root, "orders_feed")
+        )
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    last = tbl.max_committed_checkpoint("orders_feed")
+    sid_before = tbl.metadata()["current-snapshot-id"]
+    n_before = tbl.snapshot().count()
+    # forced replay: spent checkpoint id commits nothing
+    iceberg_ckpt_sink(tbl_root, "orders_feed")(chunks[-1], last)
+    assert tbl.metadata()["current-snapshot-id"] == sid_before
+    assert tbl.snapshot().count() == n_before
+    # the gate is per-sink: another sink-id still lands, then is
+    # itself gated on replay
+    probe = chunks[-1].limit(0)
+    iceberg_ckpt_sink(tbl_root, "audit")(probe, 0)
+    assert tbl.max_committed_checkpoint("audit") == 0
+    assert tbl.max_committed_checkpoint("orders_feed") == last
+    agg = (
+        tbl.snapshot()
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("p").alias("sum_p"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("status")
+    )
+    return _detach_and_cleanup(spark, agg, root)
+
+
+@query(
+    "sink_hudi_stream_ckpt",
+    oracle=f"""
+    WITH feed AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               o_totalprice AS p
+        FROM orders WHERE o_orderkey % 71 = 0
+    )
+    SELECT status, count(*) AS n_rows, {osum('p')} AS sum_p,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM feed GROUP BY status ORDER BY status
+    """,
+)
+def sink_hudi_stream_ckpt(spark, sf_dir):
+    """STREAM → HUDI TABLE with exactly-once checkpoint metadata (the
+    public Hudi Streamer design), driver-verified: epochs UPSERT
+    through foreachBatch, each commit carrying its batch id in
+    extraMetadata; a FORCED REPLAY of the last epoch writes no
+    instant and no files (timeline length and row count unchanged).
+    The final snapshot hash-matches the relational feed. Third leg of
+    the all-formats exactly-once sink story."""
+    import tempfile
+
+    from ..sources.acid import _detach_and_cleanup
+    from ..sources.hudi_lite import HudiLiteTable
+    from ..tables import Tables
+
+    t = Tables(spark, sf_dir)
+    feed = t.orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("p"),
+    ).filter("k % 71 = 0")
+    root = tempfile.mkdtemp(prefix="thrive_hudi_ckpt_sink_")
+    src = os.path.join(root, "src")
+    chunks = [
+        feed.filter(f"k % 3 = {i}").localCheckpoint() for i in range(3)
+    ]
+    for i, c in enumerate(chunks):
+        c.coalesce(1).write.parquet(os.path.join(src, f"f{i}"))
+    tbl_root = os.path.join(root, "table")
+    tbl = HudiLiteTable(spark, tbl_root, key_field="k")
+    tbl.bulk_insert(feed.limit(0), groups=1)
+    q = (
+        spark.readStream.schema("k bigint, status string, p double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+        .writeStream.foreachBatch(
+            hudi_ckpt_sink(tbl_root, "orders_feed", "k")
+        )
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    tl_before = tbl.timeline()
+    n_before = tbl.snapshot().count()
+    last = tbl.latest_checkpoint("orders_feed")
+    # forced replay: no new instant, no duplicate rows
+    hudi_ckpt_sink(tbl_root, "orders_feed", "k")(chunks[-1], last)
+    assert tbl.timeline() == tl_before
+    assert tbl.snapshot().count() == n_before
+    agg = (
+        tbl.snapshot()
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("p").alias("sum_p"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("status")
+    )
+    return _detach_and_cleanup(spark, agg, root)
