@@ -973,3 +973,32 @@ def test_txn_action_idempotence_and_checkpoint_carry(spark, tmp_path):
         "app", 2,
     )
     assert t.snapshot().count() == 5
+
+
+def test_restore_moves_history_forward(spark, tmp_path):
+    t = DeltaLiteTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k bigint, p double"
+    ))
+    t.append(spark.createDataFrame([(100, 1.0)], "k bigint, p double"))
+    v1_rows = sorted(r.k for r in t.snapshot(1).collect())
+    t.delete_rows_dv("k < 3")
+    assert t.snapshot().count() == 8
+    v = t.restore(1)
+    assert v == 3  # history moved FORWARD, bad commit auditable
+    assert sorted(r.k for r in t.snapshot().collect()) == v1_rows
+    # restore to the pre-append version drops the appended file
+    t.restore(0)
+    assert sorted(r.k for r in t.snapshot().collect()) == list(
+        range(10)
+    )
+    # a vacuumed target refuses
+    t.restore(4)  # back to latest state first (v1 content)
+    t.vacuum()  # collects files only version-0-reachable? none here
+    # make a file disappear to prove the guard
+    import os as _os
+
+    victim = t.state(0)["adds"][0]["path"]
+    _os.unlink(_os.path.join(t.root, victim))
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.restore(0)

@@ -1268,3 +1268,23 @@ def test_append_checkpointed_gates_per_sink(spark, tmp_path):
     assert tbl.max_committed_checkpoint("s1") == 1
     assert tbl.max_committed_checkpoint("s2") == 0
     assert tbl.max_committed_checkpoint("nope") == -1
+
+
+def test_rollback_to_snapshot(spark, tmp_path):
+    tbl = IcebergLiteTable(spark, str(tmp_path / "t"))
+    tbl.create(spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "k bigint, p double"
+    ))
+    s1 = tbl.metadata()["current-snapshot-id"]
+    tbl.append(spark.createDataFrame([(3, 3.0)], "k bigint, p double"))
+    assert tbl.snapshot().count() == 3
+    tbl.rollback_to(s1)
+    assert sorted(r.k for r in tbl.snapshot().collect()) == [1, 2]
+    # the rolled-back commit stays in the snapshot list (auditable)
+    assert len(tbl.metadata()["snapshots"]) == 2
+    # roll forward again
+    s2 = max(s["snapshot-id"] for s in tbl.metadata()["snapshots"])
+    tbl.rollback_to(s2)
+    assert tbl.snapshot().count() == 3
+    with pytest.raises(ValueError, match="not in table metadata"):
+        tbl.rollback_to(999)

@@ -630,6 +630,54 @@ class DeltaLiteTable:
         self._commit(v, [{"add": a} for a in adds])
         return v
 
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION AS OF (the real command): a
+        NEW commit whose actions remove every currently-live file
+        not in the target version and re-add the target's files —
+        history moves FORWARD (the bad commits stay auditable), and
+        the restored files must still exist (vacuumed targets raise
+        the guarded error rather than committing a broken snapshot).
+        Cost is O(live-set diff), zero data copied. Returns the new
+        version."""
+        target = self.state(version)
+        cur = self.state()
+        missing = [
+            a["path"] for a in target["adds"]
+            if not os.path.exists(os.path.join(self.root, a["path"]))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot restore to version {version}: files "
+                f"{missing} no longer exist (vacuumed?)"
+            )
+        tgt_paths = {a["path"] for a in target["adds"]}
+        cur_paths = {a["path"] for a in cur["adds"]}
+        actions: list[dict] = [
+            {"remove": {"path": p, "dataChange": True}}
+            for p in sorted(cur_paths - tgt_paths)
+        ] + [
+            {"add": a} for a in sorted(
+                target["adds"], key=lambda a: a["path"]
+            ) if a["path"] not in cur_paths
+        ]
+        # files present in both but with a DIFFERENT deletion vector
+        # must swap descriptors too (remove+add in one commit)
+        cur_by = {a["path"]: a for a in cur["adds"]}
+        for a in sorted(target["adds"], key=lambda a: a["path"]):
+            if a["path"] in cur_paths and (
+                a.get("deletionVector")
+                != cur_by[a["path"]].get("deletionVector")
+            ):
+                actions.append(
+                    {"remove": {"path": a["path"], "dataChange": True}}
+                )
+                actions.append({"add": a})
+        if cur["meta"] != target["meta"]:
+            actions.append({"metaData": target["meta"]})
+        v = cur["version"] + 1
+        self._commit(v, actions)
+        return v
+
     def append_txn(self, df, app_id: str, txn_version: int) -> int:
         """IDEMPOTENT append (spec §Transaction Identifiers): the
         commit carries a ``txn`` action {appId, version}, and a retry

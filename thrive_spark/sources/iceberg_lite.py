@@ -1473,6 +1473,28 @@ class IcebergLiteTable:
                               summary_extra=summary_extra)
         return sid
 
+    def rollback_to(self, snapshot_id: int) -> int:
+        """ROLLBACK (Iceberg's rollback_to_snapshot): a NEW metadata
+        version whose current-snapshot-id points at the target —
+        the bad commits stay in the snapshot list (auditable,
+        re-rollback-able) until expire_snapshots collects them. Data
+        and manifests are untouched: rollback is an O(1) metadata
+        write, the point of snapshot isolation. Refuses unknown
+        snapshot ids."""
+        md = self.metadata()
+        if not any(
+            s["snapshot-id"] == snapshot_id for s in md["snapshots"]
+        ):
+            raise ValueError(
+                f"snapshot {snapshot_id} not in table metadata"
+            )
+        md["current-snapshot-id"] = snapshot_id
+        refs = md.get("refs") or {}
+        if "main" in refs:
+            refs["main"]["snapshot-id"] = snapshot_id
+        self._write_metadata(md)
+        return snapshot_id
+
     def max_committed_checkpoint(self, sink_id: str) -> int:
         """Largest checkpoint id a streaming sink has committed into
         this table — read from the SNAPSHOT SUMMARIES (the public
