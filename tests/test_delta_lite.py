@@ -1002,3 +1002,24 @@ def test_restore_moves_history_forward(spark, tmp_path):
     _os.unlink(_os.path.join(t.root, victim))
     with pytest.raises(ValueError, match="vacuumed"):
         t.restore(0)
+
+
+def test_cdf_refuses_column_mapped_tables(spark, tmp_path):
+    """Derived CDF reads use logical-name schemas; a mapped table's
+    physical-name files would read as all-NULL — both the batch and
+    streaming readers must refuse, never mis-read."""
+    t = DeltaLiteTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame([(1, 1.0)], "k bigint, p double"),
+        column_mapping=True,
+        change_data_feed=True,
+    )
+    with pytest.raises(NotImplementedError, match="column-mapped"):
+        t.table_changes(0)
+    from thrive_spark.streaming.delta_source import (
+        DeltaCDFStreamReader,
+        _latest_meta,
+    )
+
+    with pytest.raises(NotImplementedError, match="column-mapped"):
+        DeltaCDFStreamReader({"path": t.root}, None)

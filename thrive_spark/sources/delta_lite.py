@@ -1222,6 +1222,16 @@ class DeltaLiteTable:
         end = st_end["version"]
         if not self._cdf_enabled(st_end):
             raise ValueError("change data feed is not enabled")
+        if (st_end["meta"].get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        ) != "none":
+            # derived reads use LOGICAL-name schemas; a mapped
+            # table's files store physical names and would read as
+            # all-NULL — refuse, never mis-read (the CDF writers
+            # refuse mapped tables too)
+            raise NotImplementedError(
+                "table_changes on column-mapped tables"
+            )
         from pyspark.sql.types import StringType, StructField, StructType
 
         schema = StructType.fromJson(

@@ -219,6 +219,14 @@ class DeltaStreamReader(DataSourceStreamReader):
         )
         self.schema = schema
         meta = _latest_meta(self.root)
+        if (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        ) != "none":
+            raise NotImplementedError(
+                "cdf stream on column-mapped tables (derived reads "
+                "use logical-name schemas; physical-name files would "
+                "read as all-NULL)"
+            )
         self.part_cols = meta.get("partitionColumns", [])
 
     def initialOffset(self) -> dict:
@@ -380,6 +388,14 @@ class DeltaCDFStreamReader(DataSourceStreamReader):
             raise ValueError(
                 "readchangefeed=true but delta.enableChangeDataFeed "
                 "is not set on the table"
+            )
+        if (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        ) != "none":
+            raise NotImplementedError(
+                "cdf stream on column-mapped tables (derived reads "
+                "use logical-name schemas; physical-name files would "
+                "read as all-NULL)"
             )
         self.part_cols = meta.get("partitionColumns", [])
 
