@@ -242,6 +242,7 @@ GRADE_DEFER = [
     "sink_delta_stream_txn",
     "sink_iceberg_stream_ckpt",
     "sink_hudi_stream_ckpt",
+    "lakehouse_cdc_mirror",
 ]
 
 

@@ -351,3 +351,144 @@ def sink_hudi_stream_ckpt(spark, sf_dir):
         .orderBy("status")
     )
     return _detach_and_cleanup(spark, agg, root)
+
+
+@query(
+    "lakehouse_cdc_mirror",
+    oracle=f"""
+    WITH feed AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               o_totalprice AS p
+        FROM orders WHERE o_orderkey % 73 = 0
+    ),
+    final AS (
+        SELECT * FROM feed WHERE NOT coalesce(p > 200000, false)
+    )
+    SELECT 'delta' AS side, count(*) AS n_rows, {osum('p')} AS sum_p,
+           CAST(max(k) AS BIGINT) AS max_k FROM final
+    UNION ALL
+    SELECT 'iceberg', count(*), {osum('p')}, CAST(max(k) AS BIGINT)
+    FROM final
+    """,
+)
+def lakehouse_cdc_mirror(spark, sf_dir):
+    """CROSS-FORMAT CDC REPLICATION, driver-verified — the composed
+    capstone over this round's sources and sinks: an orders feed
+    lands in a CDF-enabled DELTA table (txn-gated exactly-once
+    epochs), a copy-on-write DELETE writes its true row-level delta,
+    and then the table's CHANGE DATA FEED is streamed
+    (readchangefeed=true, versions as offsets) into an ICEBERG
+    MIRROR — inserts applied as checkpoint-gated appends, deletes as
+    EQUALITY DELETE files keyed on the primary key (the write path
+    that needs no victim positions, exactly why equality deletes
+    exist). A forced replay of the last CDF batch must leave the
+    mirror untouched (the snapshot-summary gate), and the mirror's
+    final content must hash-equal BOTH the source table and the
+    relational oracle — deletes propagated, zero duplicates. This is
+    the production story the round's pieces compose into: a Delta
+    table mirrored into Iceberg through nothing but public format
+    mechanics, no connector jars anywhere."""
+    import tempfile
+
+    from ..sources.acid import _detach_and_cleanup
+    from ..sources.delta_lite import DeltaLiteTable
+    from ..sources.iceberg_lite import IcebergLiteTable
+    from ..tables import Tables
+    from .delta_source import register as register_delta
+
+    t = Tables(spark, sf_dir)
+    feed = t.orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("p"),
+    ).filter("k % 73 = 0")
+    root = tempfile.mkdtemp(prefix="thrive_cdc_mirror_")
+    src_root = os.path.join(root, "delta")
+    dl = DeltaLiteTable(spark, src_root)
+    dl.create(feed.limit(0), change_data_feed=True)
+    for i in range(2):
+        dl.append_txn(
+            feed.filter(f"k % 2 = {i}"), "ingest", i
+        )
+    dl.delete_where_cdf("p > 200000")
+
+    mirror_root = os.path.join(root, "iceberg")
+    mirror = IcebergLiteTable(spark, mirror_root)
+    mirror.create(feed.limit(0))
+
+    def apply_changes(batch_df, batch_id):
+        """One CDF micro-batch may bundle SEVERAL source versions;
+        changes must apply in version order or the mirror's
+        sequence-number semantics invert them (an equality delete at
+        sequence s only kills rows from files with sequence < s, so
+        a later-applied insert would resurrect the key). Deletes of
+        a version land before its inserts — which also makes updates
+        (preimage key delete + postimage insert) correct. The
+        checkpoint gate protects whole-batch replays (the engine's
+        recovery unit); a crash INSIDE a batch would need all
+        versions folded into one multi-manifest commit — documented
+        bound, not attempted here."""
+        m = IcebergLiteTable(batch_df.sparkSession, mirror_root)
+        if batch_id <= m.max_committed_checkpoint("cdc"):
+            return  # replayed batch: the mirror already has it
+        rows = batch_df.collect()  # bounded: one batch's delta
+        by_v: dict = {}
+        for r in rows:
+            by_v.setdefault(r["_commit_version"], []).append(r)
+        sess = batch_df.sparkSession
+        for v in sorted(by_v):
+            grp = by_v[v]
+            dels = sorted({
+                (r["k"],) for r in grp
+                if r["_change_type"] in ("delete", "update_preimage")
+            })
+            ins = sorted(
+                (r["k"], r["status"], r["p"]) for r in grp
+                if r["_change_type"] in ("insert", "update_postimage")
+            )
+            if dels:
+                # idempotent in effect: a replayed equality delete
+                # of the same keys changes nothing visible
+                m.delete_rows_equality(["k"], dels)
+            if ins:
+                m.append(sess.createDataFrame(
+                    ins, "k bigint, status string, p double"
+                ))
+        # stamp the gate once per batch (zero-row commit)
+        m.append_checkpointed(
+            sess.createDataFrame(
+                [], "k bigint, status string, p double"
+            ),
+            "cdc", batch_id,
+        )
+
+    register_delta(spark)
+    q = (
+        spark.readStream.format("thrive_delta")
+        .option("path", src_root)
+        .option("readchangefeed", "true")
+        .load()
+        .writeStream.foreachBatch(apply_changes)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # forced replay of the newest CDF version: the mirror is gated
+    last = mirror.max_committed_checkpoint("cdc")
+    sid = mirror.metadata()["current-snapshot-id"]
+    ch = dl.table_changes(dl.state()["version"], None)
+    apply_changes(ch, last)
+    assert mirror.metadata()["current-snapshot-id"] == sid
+    # mirror content == source content (deletes propagated)
+    def agg(df, side):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("p").alias("sum_p"),
+            F.max("k").cast("bigint").alias("max_k"),
+        ).select(F.lit(side).alias("side"), "n_rows", "sum_p", "max_k")
+
+    out = agg(dl.snapshot(), "delta").union(
+        agg(mirror.snapshot().select("k", "status", "p"), "iceberg")
+    )
+    return _detach_and_cleanup(spark, out, root)
