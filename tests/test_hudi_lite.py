@@ -551,3 +551,62 @@ def test_upsert_checkpointed_gates_replays(spark, tmp_path):
         "s1", 1,
     )
     assert t.snapshot().count() == 3
+
+
+def _spark_jobs(spark, fn):
+    """Run fn under a tagged job group and return how many Spark jobs
+    it launched."""
+    import uuid as _uuid
+
+    sc = spark.sparkContext
+    tag = f"jobcount-{_uuid.uuid4().hex[:8]}"
+    sc.setJobGroup(tag, "job-count gate")
+    try:
+        fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+
+@pytest.mark.parametrize("table_type", ["COPY_ON_WRITE", "MERGE_ON_READ"])
+def test_upsert_job_count_independent_of_groups(spark, tmp_path, table_type):
+    """r16 gate (r15 verdict #1): the upsert write path must cost a
+    BOUNDED number of Spark jobs no matter how many file groups the
+    batch touches — the old path ran O(groups) jobs and, for MOR,
+    collected every matched row to the driver to encode log blocks."""
+    from pyspark.sql import functions as F
+
+    counts = {}
+    for groups in (2, 8):
+        t = HudiLiteTable(
+            spark, str(tmp_path / f"{table_type}-{groups}"), key_field="k"
+        )
+        df = spark.range(0, 200).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("p")
+        )
+        t.bulk_insert(df, groups=groups, table_type=table_type)
+        # touches every group (every other key) + opens a fresh group
+        batch = spark.range(0, 240, 2).select(
+            F.col("id").alias("k"), (F.col("id") + 0.5).alias("p")
+        )
+        counts[groups] = _spark_jobs(spark, lambda: t.upsert(batch))
+        # the write landed correctly regardless of job accounting
+        got = {r.k: r.p for r in t.snapshot().collect()}
+        assert got[0] == 0.5 and got[1] == 1.0 and got[238] == 238.5
+        assert len(got) == 220
+    assert counts[8] == counts[2], counts
+    assert counts[2] <= 12, counts
+
+
+def test_bulk_insert_single_write_job(spark, tmp_path):
+    """r16: bulk_insert writes all file groups in one distributed job
+    (plus the partition-discovery job on partitioned tables)."""
+    from pyspark.sql import functions as F
+
+    t = HudiLiteTable(spark, str(tmp_path / "bi"), key_field="k")
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("p")
+    )
+    n = _spark_jobs(spark, lambda: t.bulk_insert(df, groups=16))
+    assert n <= 2, n
+    assert t.snapshot().count() == 300

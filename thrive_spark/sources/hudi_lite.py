@@ -77,6 +77,10 @@ from ..registry import query
 
 META_COLS = ["_hoodie_commit_time", "_hoodie_record_key"]
 
+#: fileId from a base-file name `<fileId>_<writeToken>_<instant>.parquet`
+#: (fileIds are hex, so `[^/_]+` can never eat into the write token)
+_FID_RE = r"([^/_]+)_[^_/]+_[0-9]+\.parquet$"
+
 # ---------------------------------------------------------------
 # log-block binary codec (public spec §Log File Format)
 # ---------------------------------------------------------------
@@ -698,28 +702,69 @@ class HudiLiteTable:
 
     # ---------- writer (exhibit/test construction) ----------
 
-    def _write_group(
-        self, df, file_id: str, instant: str, part: str = ""
-    ) -> dict:
-        """One file group slice = one parquet file (a slice is a
-        complete rewrite of its group)."""
-        pdir = os.path.join(self.root, part) if part else self.root
-        os.makedirs(pdir, exist_ok=True)
-        tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex[:8]}")
-        df.coalesce(1).write.parquet(tmp)
-        pfile = next(
-            f for f in os.listdir(tmp) if f.endswith(".parquet")
+    def _fid_index(self, slices: list[dict]):
+        """(record_key, owning fileId) for every live BASE row — ONE
+        key-projected distributed scan over all base files, the fid
+        recovered from ``_metadata.file_path`` (r15 verdict #1: this
+        replaces a per-slice Spark-job loop). The real writer answers
+        key→group with its bloom/record index; a key-projected scan
+        is the honest jar-free equivalent and shuffles only the key
+        column, never data."""
+        return (
+            self.spark.read.parquet(*[
+                os.path.join(self.root, s["base_path"]) for s in slices
+            ])
+            .select(
+                "_hoodie_record_key",
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), _FID_RE, 1
+                ).alias("__fid"),
+            )
         )
-        name = f"{file_id}_0-0-0_{instant}.parquet"
-        os.replace(os.path.join(tmp, pfile), os.path.join(pdir, name))
-        import shutil
 
-        shutil.rmtree(tmp, ignore_errors=True)
-        return {
-            "fileId": file_id,
-            "path": f"{part}/{name}" if part else name,
-            "numWrites": df.count(),
-        }
+    def _write_base_groups(
+        self, df, instant: str, fid_part: dict[str, str]
+    ) -> list[dict]:
+        """Write ONE base parquet per ``__fid`` group in a SINGLE
+        ``applyInArrow`` job: each task writes its own
+        ``{fid}_0-0-0_{instant}.parquet`` (tmp file + atomic rename,
+        the same discipline as the driver-side writer it replaces)
+        and returns one stats row — the driver sees O(groups)
+        metadata, never rows (r15 verdict #2). Arrow keeps parquet
+        types exact task-side: int64-with-nulls stays int64 and
+        timestamps stay micros, where a pandas hop would widen
+        them."""
+        root = self.root
+        data_cols = [c for c in df.columns if c != "__fid"]
+
+        def write_group(tbl):
+            import os as _os
+            import uuid as _uuid
+
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            fid = tbl.column("__fid")[0].as_py()
+            part = fid_part[fid]
+            body = tbl.select(data_cols)
+            pdir = _os.path.join(root, part) if part else root
+            _os.makedirs(pdir, exist_ok=True)
+            name = f"{fid}_0-0-0_{instant}.parquet"
+            tmp = _os.path.join(pdir, f".tmp-{_uuid.uuid4().hex[:8]}")
+            _pq.write_table(body, tmp)
+            _os.replace(tmp, _os.path.join(pdir, name))
+            return _pa.table({
+                "part": [part],
+                "fileId": [fid],
+                "path": [f"{part}/{name}" if part else name],
+                "numWrites": [body.num_rows],
+            })
+
+        out = df.groupBy("__fid").applyInArrow(
+            write_group,
+            "part string, fileId string, path string, numWrites long",
+        ).collect()
+        return [r.asDict() for r in out]
 
     def _with_meta(self, df, instant: str, part_field: str | None = None):
         cols = [
@@ -767,51 +812,69 @@ class HudiLiteTable:
         tagged = self._with_meta(df, instant, partition_field).withColumn(
             "__g", F.pmod(F.xxhash64(self.key_field), F.lit(groups))
         )
-        parts = (
+        parts = sorted(
             [""] if not partition_field
             else [
                 str(r[0]) for r in
                 df.select(partition_field).distinct().collect()
             ]
         )
+        # fid per (partition, group) assigned up front so the whole
+        # insert is ONE distributed write job (no per-group driver
+        # loop — r15 verdict #1); empty hash buckets simply write no
+        # file, which planning treats like any absent group
+        fids = {
+            (part, g): uuid.uuid4().hex[:12]
+            for part in parts for g in range(groups)
+        }
+        mapping = F.create_map(*[
+            x for (part, g), fid in sorted(fids.items())
+            for x in (
+                F.concat_ws("\x00", F.lit(part), F.lit(str(g))),
+                F.lit(fid),
+            )
+        ])
+        partcol = (
+            F.col("_hoodie_partition_path") if partition_field
+            else F.lit("")
+        )
+        keyed = tagged.withColumn(
+            "__fid",
+            F.element_at(mapping, F.concat_ws(
+                "\x00", partcol, F.col("__g").cast("string")
+            )),
+        ).drop("__g")
         stats: dict[str, list[dict]] = {}
-        for part in sorted(parts):
-            pdf = tagged
-            if partition_field:
-                pdf = tagged.filter(
-                    F.col("_hoodie_partition_path") == part
-                )
-            for g in range(groups):
-                sdf = pdf.filter(F.col("__g") == g).drop("__g")
-                stats.setdefault(part, []).append(
-                    self._write_group(
-                        sdf, uuid.uuid4().hex[:12], instant, part
-                    )
-                )
+        fid_part = {fid: part for (part, _g), fid in fids.items()}
+        for r in self._write_base_groups(keyed, instant, fid_part):
+            stats.setdefault(r["part"], []).append({
+                "fileId": r["fileId"], "path": r["path"],
+                "numWrites": r["numWrites"],
+            })
         self._complete_instant(instant, "bulk_insert", stats, action)
         return instant
 
     def _group_hits(self, batch) -> dict[tuple[str, str], list[str]]:
         """Per (partition, fileId): the batch keys already living in
-        that group — bounded driver hop (key overlap only, never
-        data; the real writer answers this with its bloom index)."""
+        that group — ONE join against the base-file key index instead
+        of a per-slice job loop (r15 verdict #1); only keys cross to
+        the driver, bounded because the delete-block payload IS the
+        key list."""
+        slices = self.plan_slices()
+        if not slices:
+            return {}
+        fid_part = {s["file_id"]: s["partition"] for s in slices}
+        rows = (
+            batch.select("_hoodie_record_key").distinct()
+            .join(self._fid_index(slices), "_hoodie_record_key")
+            .collect()
+        )
         out: dict[tuple[str, str], list[str]] = {}
-        for s in self.plan_slices():
-            old = self.spark.read.parquet(
-                os.path.join(self.root, s["base_path"])
-            )
-            hit = [
-                r[0]
-                for r in old.join(
-                    batch,
-                    old["_hoodie_record_key"]
-                    == batch["_hoodie_record_key"],
-                    "left_semi",
-                ).select("_hoodie_record_key").distinct().collect()
-            ]
-            if hit:
-                out[(s["partition"], s["file_id"])] = hit
-        return out
+        for r in rows:
+            out.setdefault(
+                (fid_part[r["__fid"]], r["__fid"]), []
+            ).append(r["_hoodie_record_key"])
+        return {k: sorted(v) for k, v in out.items()}
 
     def _avro_schema(self, df) -> dict:
         return _avro_schema_for([
@@ -840,6 +903,60 @@ class HudiLiteTable:
             "path": f"{part}/{name}" if part else name,
         }
 
+    def _write_log_groups(
+        self, matched, fields: list[tuple[str, str]], instant: str,
+        log_meta: dict[str, tuple[str, str, int]],
+    ) -> list[dict]:
+        """Encode + write one Avro data-block log file per owning
+        slice in a SINGLE ``applyInArrow`` job — rows never land on
+        the driver (r15 verdict #1; the old path collected every
+        matched row to encode the block driver-side). Arrow→pylist
+        keeps the exact value shapes the driver-side ``collect()``
+        produced (None for null, tz-aware datetimes for timestamps),
+        so ``_ts_to_micros`` stays the one integer-exact timestamp
+        path (CLAUDE.md r15)."""
+        avro_schema = _avro_schema_for(fields)
+        ts_cols = [name for name, sp in fields if sp == "timestamp"]
+        data_cols = [c for c in matched.columns if c != "__fid"]
+        root = self.root
+
+        def write_group(tbl):
+            import os as _os
+            import uuid as _uuid
+
+            import pyarrow as _pa
+
+            fid = tbl.column("__fid")[0].as_py()
+            part, base_instant, ver = log_meta[fid]
+            recs = tbl.select(data_cols).to_pylist()
+            # block content order is not load-bearing (the merge is
+            # newest-per-key), but sorted keys keep file bytes
+            # deterministic across runs
+            recs.sort(key=lambda r: r["_hoodie_record_key"])
+            for rec in recs:
+                for c in ts_cols:
+                    rec[c] = _ts_to_micros(rec[c])
+            block = encode_data_block(instant, avro_schema, recs)
+            name = f".{fid}_{base_instant}.log.{ver}_0-0-0"
+            pdir = _os.path.join(root, part) if part else root
+            _os.makedirs(pdir, exist_ok=True)
+            tmp = _os.path.join(pdir, f".tmp-{_uuid.uuid4().hex[:8]}")
+            with open(tmp, "wb") as fh:
+                fh.write(block)
+            _os.replace(tmp, _os.path.join(pdir, name))
+            return _pa.table({
+                "part": [part],
+                "fileId": [fid],
+                "path": [f"{part}/{name}" if part else name],
+                "numWrites": [len(recs)],
+            })
+
+        out = matched.groupBy("__fid").applyInArrow(
+            write_group,
+            "part string, fileId string, path string, numWrites long",
+        ).collect()
+        return [r.asDict() for r in out]
+
     def upsert(self, df, extra: dict | None = None) -> str:
         """COW: batch rows whose key lives in an existing file group
         REWRITE that group (replacing matching rows, carrying the
@@ -847,74 +964,122 @@ class HudiLiteTable:
         new file group — write cost O(affected groups).  MOR: matched
         rows APPEND an Avro data block to the owning slice's log
         (write cost O(changed rows)); unseen keys still open base
-        file groups. Untouched groups are untouched either way."""
+        file groups. Untouched groups are untouched either way.
+
+        The write path is DISTRIBUTED (r16, retiring the r15 verdict's
+        per-file-group driver loop): key→owning-group assignment is
+        one join against a key-projected scan of the base files, and
+        matched/fresh rows stream through one ``applyInArrow`` job per
+        write kind — MOR log blocks and base parquet files are encoded
+        and written task-side. The driver handles only
+        O(groups + partitions) stats rows, never data, so a 100 TB
+        batch upsert costs a bounded number of Spark jobs."""
         mor = self.table_type() == "MERGE_ON_READ"
         action = "deltacommit" if mor else "commit"
         pf = self.partition_field()
         instant = self._next_instant()
         self._begin_instant(instant, action)
         batch = self._with_meta(df, instant, pf)
-        hits = self._group_hits(batch)
-        slices = {
-            (s["partition"], s["file_id"]): s for s in self.plan_slices()
-        }
-        stats: dict[str, list[dict]] = {}
-        matched: set[str] = set()
-        for (part, fid), keys in sorted(hits.items()):
-            matched.update(keys)
-            sub = batch.filter(
-                F.col("_hoodie_record_key").isin(keys)
+        slices = self.plan_slices()
+        sl_map = {(s["partition"], s["file_id"]): s for s in slices}
+        fid_part = {s["file_id"]: s["partition"] for s in slices}
+        partcol = (
+            F.col("_hoodie_partition_path") if pf else F.lit("")
+        ).alias("__part")
+        if slices:
+            assigned = batch.join(
+                self._fid_index(slices), "_hoodie_record_key", "left"
+            ).select(*batch.columns, "__fid", partcol)
+        else:
+            assigned = batch.select(
+                *batch.columns,
+                F.lit(None).cast("string").alias("__fid"),
+                partcol,
             )
-            if mor:
-                ts_cols = [
-                    f.name for f in sub.schema.fields
-                    if f.dataType.simpleString() == "timestamp"
-                ]
-                rows = [r.asDict() for r in sub.collect()]
-                for row in rows:
-                    for c in ts_cols:
-                        row[c] = _ts_to_micros(row[c])
-                block = encode_data_block(
-                    instant, self._avro_schema(batch), rows
-                )
-                st = self._append_log_file(
-                    part, fid, slices[(part, fid)]["base_instant"], block
-                )
-                st["numWrites"] = len(rows)
-                stats.setdefault(part, []).append(st)
-            else:
-                old = self.spark.read.parquet(os.path.join(
-                    self.root, slices[(part, fid)]["base_path"]
-                ))
-                merged = old.filter(
-                    ~F.col("_hoodie_record_key").isin(keys)
-                ).unionByName(sub)
-                stats.setdefault(part, []).append(
-                    self._write_group(merged, fid, instant, part)
-                )
-        fresh = batch.filter(
-            ~F.col("_hoodie_record_key").isin(sorted(matched))
-            if matched else F.lit(True)
+        # materialize once: the assignment join feeds the group
+        # summary plus 1-2 write jobs below
+        assigned = assigned.localCheckpoint()
+        summary = assigned.groupBy("__fid", "__part").count().collect()
+        affected = sorted(
+            {r["__fid"] for r in summary if r["__fid"] is not None}
         )
-        if fresh.count():
-            fresh_parts = (
-                [""] if not pf else [
-                    str(r[0]) for r in fresh.select(
-                        "_hoodie_partition_path"
-                    ).distinct().collect()
+        fresh_parts = sorted(
+            {r["__part"] for r in summary if r["__fid"] is None}
+        )
+        stats: dict[str, list[dict]] = {}
+
+        def put(rows: list[dict]) -> None:
+            for r in rows:
+                stats.setdefault(r["part"], []).append({
+                    "fileId": r["fileId"], "path": r["path"],
+                    "numWrites": r["numWrites"],
+                })
+
+        matched = assigned.filter(
+            F.col("__fid").isNotNull()
+        ).drop("__part")
+        new_fids = {p: uuid.uuid4().hex[:12] for p in fresh_parts}
+        fresh = None
+        if fresh_parts:
+            mapping = F.create_map(*[
+                x for p in fresh_parts
+                for x in (F.lit(p), F.lit(new_fids[p]))
+            ])
+            fresh = assigned.filter(F.col("__fid").isNull()).withColumn(
+                "__fid", F.element_at(mapping, F.col("__part"))
+            ).drop("__part")
+        if mor:
+            if affected:
+                log_meta = {
+                    fid: (
+                        fid_part[fid],
+                        sl_map[(fid_part[fid], fid)]["base_instant"],
+                        len(sl_map[(fid_part[fid], fid)]["logs"]) + 1,
+                    )
+                    for fid in affected
+                }
+                fields = [
+                    (f.name, f.dataType.simpleString())
+                    for f in batch.schema.fields
                 ]
-            )
-            for part in sorted(fresh_parts):
-                sub = fresh
-                if pf:
-                    sub = fresh.filter(
-                        F.col("_hoodie_partition_path") == part
+                put(self._write_log_groups(
+                    matched, fields, instant, log_meta
+                ))
+            if fresh is not None:
+                put(self._write_base_groups(
+                    fresh, instant,
+                    {v: k for k, v in new_fids.items()},
+                ))
+        else:
+            to_write = fresh
+            if affected:
+                old = self.spark.read.parquet(*[
+                    os.path.join(
+                        self.root,
+                        sl_map[(fid_part[f], f)]["base_path"],
                     )
-                stats.setdefault(part, []).append(
-                    self._write_group(
-                        sub, uuid.uuid4().hex[:12], instant, part
-                    )
+                    for f in affected
+                ]).select(
+                    "*",
+                    F.regexp_extract(
+                        F.col("_metadata.file_path"), _FID_RE, 1
+                    ).alias("__fid"),
                 )
+                carried = old.join(
+                    batch.select("_hoodie_record_key"),
+                    "_hoodie_record_key", "left_anti",
+                ).select(*batch.columns, "__fid")
+                merged = carried.unionByName(matched)
+                to_write = (
+                    merged.unionByName(fresh)
+                    if fresh is not None else merged
+                )
+            if to_write is not None:
+                all_parts = dict(fid_part)
+                all_parts.update({v: k for k, v in new_fids.items()})
+                put(self._write_base_groups(
+                    to_write, instant, all_parts
+                ))
         self._complete_instant(instant, "upsert", stats, action,
                                extra=extra)
         return instant
@@ -985,23 +1150,31 @@ class HudiLiteTable:
         carry through unchanged, so time travel before the compaction
         instant and incremental pulls across it stay exact; log files
         of the old slice are superseded (they reference the old base
-        instant) and never re-read. Each group folds as its own Spark
-        job — the same per-file-group task shape real compaction
-        schedules."""
+        instant) and never re-read. The fold runs as ONE distributed
+        pass over every logged slice (r16, retiring the per-group
+        driver loop): record keys are unique table-wide, so the
+        newest-per-key merge never crosses groups, survivors rejoin
+        their owning group via the base-file key index (every log
+        record's key lives in its group's base — the writer only logs
+        matched keys), and a single ``applyInArrow`` job writes all
+        compacted base files task-side."""
         if self.table_type() != "MERGE_ON_READ":
             raise NotImplementedError("compaction is a MOR operation")
         instant = self._next_instant()
         self._begin_instant(instant, "commit")
         stats: dict[str, list[dict]] = {}
-        for s in self.plan_slices():
-            if not s["logs"]:
-                continue  # nothing to fold; slice carries as-is
-            merged = self._merged([s], None)
-            stats.setdefault(s["partition"], []).append(
-                self._write_group(
-                    merged, s["file_id"], instant, s["partition"]
-                )
-            )
+        logged = [s for s in self.plan_slices() if s["logs"]]
+        if logged:
+            merged = self._merged(logged, None)
+            keyed = merged.join(
+                self._fid_index(logged), "_hoodie_record_key"
+            ).select(*merged.columns, "__fid")
+            fid_part = {s["file_id"]: s["partition"] for s in logged}
+            for r in self._write_base_groups(keyed, instant, fid_part):
+                stats.setdefault(r["part"], []).append({
+                    "fileId": r["fileId"], "path": r["path"],
+                    "numWrites": r["numWrites"],
+                })
         self._complete_instant(instant, "compact", stats, "commit")
         return instant
 
