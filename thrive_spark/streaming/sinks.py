@@ -353,6 +353,81 @@ def sink_hudi_stream_ckpt(spark, sf_dir):
     return _detach_and_cleanup(spark, agg, root)
 
 
+def _cdc_apply_batch(
+    mirror_root: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    key_cols: list[str],
+    data_schema: str,
+    sink_id: str = "cdc",
+) -> None:
+    """Apply one Delta-CDF micro-batch to an Iceberg mirror. A batch
+    may bundle SEVERAL source versions; changes must apply in version
+    order or the mirror's sequence-number semantics invert them (an
+    equality delete at sequence s only kills rows from files with
+    sequence < s, so a later-applied insert would resurrect the key).
+    Deletes of a version land before its inserts — which also makes
+    updates (preimage key delete + postimage insert) correct. The
+    checkpoint gate protects whole-batch replays (the engine's
+    recovery unit); a crash INSIDE a batch would need all versions
+    folded into one multi-manifest commit — documented bound, not
+    attempted here.
+
+    The apply path is DISTRIBUTED (r16, retiring the r15 verdict's
+    full-batch ``collect()``): the driver sees only the
+    per-(version, change_type) COUNT summary and the equality-delete
+    KEY tuples — the delete-file payload itself, bounded by
+    definition — while insert rows land as distributed appends and
+    never materialize driver-side. tests/test_streaming_sink.py
+    gates that no payload-bearing DataFrame is ever collected."""
+    from ..sources.iceberg_lite import IcebergLiteTable
+
+    m = IcebergLiteTable(batch_df.sparkSession, mirror_root)
+    if batch_id <= m.max_committed_checkpoint(sink_id):
+        return  # replayed batch: the mirror already has it
+    # the batch feeds one summary plus 1-2 jobs per version below —
+    # persist instead of re-reading the source per action (the
+    # documented foreachBatch reuse pattern)
+    batch_df.persist()
+    try:
+        kinds: dict[int, set[str]] = {}
+        for r in batch_df.groupBy(
+            "_commit_version", "_change_type"
+        ).count().collect():
+            kinds.setdefault(
+                r["_commit_version"], set()
+            ).add(r["_change_type"])
+        data_cols = [
+            f.split()[0] for f in data_schema.split(",")
+        ]
+        for v in sorted(kinds):
+            grp = batch_df.filter(F.col("_commit_version") == v)
+            if kinds[v] & {"delete", "update_preimage"}:
+                # idempotent in effect: a replayed equality delete
+                # of the same keys changes nothing visible
+                dels = sorted(
+                    tuple(r) for r in grp.filter(
+                        F.col("_change_type").isin(
+                            "delete", "update_preimage"
+                        )
+                    ).select(*key_cols).distinct().collect()
+                )
+                m.delete_rows_equality(list(key_cols), dels)
+            if kinds[v] & {"insert", "update_postimage"}:
+                m.append(grp.filter(
+                    F.col("_change_type").isin(
+                        "insert", "update_postimage"
+                    )
+                ).select(*data_cols))
+        # stamp the gate once per batch (zero-row commit)
+        m.append_checkpointed(
+            batch_df.sparkSession.createDataFrame([], data_schema),
+            sink_id, batch_id,
+        )
+    finally:
+        batch_df.unpersist()
+
+
 @query(
     "lakehouse_cdc_mirror",
     oracle=f"""
@@ -417,49 +492,9 @@ def lakehouse_cdc_mirror(spark, sf_dir):
     mirror.create(feed.limit(0))
 
     def apply_changes(batch_df, batch_id):
-        """One CDF micro-batch may bundle SEVERAL source versions;
-        changes must apply in version order or the mirror's
-        sequence-number semantics invert them (an equality delete at
-        sequence s only kills rows from files with sequence < s, so
-        a later-applied insert would resurrect the key). Deletes of
-        a version land before its inserts — which also makes updates
-        (preimage key delete + postimage insert) correct. The
-        checkpoint gate protects whole-batch replays (the engine's
-        recovery unit); a crash INSIDE a batch would need all
-        versions folded into one multi-manifest commit — documented
-        bound, not attempted here."""
-        m = IcebergLiteTable(batch_df.sparkSession, mirror_root)
-        if batch_id <= m.max_committed_checkpoint("cdc"):
-            return  # replayed batch: the mirror already has it
-        rows = batch_df.collect()  # bounded: one batch's delta
-        by_v: dict = {}
-        for r in rows:
-            by_v.setdefault(r["_commit_version"], []).append(r)
-        sess = batch_df.sparkSession
-        for v in sorted(by_v):
-            grp = by_v[v]
-            dels = sorted({
-                (r["k"],) for r in grp
-                if r["_change_type"] in ("delete", "update_preimage")
-            })
-            ins = sorted(
-                (r["k"], r["status"], r["p"]) for r in grp
-                if r["_change_type"] in ("insert", "update_postimage")
-            )
-            if dels:
-                # idempotent in effect: a replayed equality delete
-                # of the same keys changes nothing visible
-                m.delete_rows_equality(["k"], dels)
-            if ins:
-                m.append(sess.createDataFrame(
-                    ins, "k bigint, status string, p double"
-                ))
-        # stamp the gate once per batch (zero-row commit)
-        m.append_checkpointed(
-            sess.createDataFrame(
-                [], "k bigint, status string, p double"
-            ),
-            "cdc", batch_id,
+        _cdc_apply_batch(
+            mirror_root, batch_df, batch_id,
+            key_cols=["k"], data_schema="k bigint, status string, p double",
         )
 
     register_delta(spark)
