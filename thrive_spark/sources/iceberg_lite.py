@@ -1740,51 +1740,73 @@ class IcebergLiteTable:
         repeated deletes accumulate delete files (compaction of those
         is the maintenance job, as in any MoR design). Upgrades the
         table to format-version 2 on first use. Returns (snapshot_id,
-        rows_marked)."""
-        import pyarrow as pa
+        rows_marked).
+
+        The write is DISTRIBUTED (r16, retiring the r15 verdict's
+        per-file job loop): ONE scan over every live data file
+        (``_metadata.file_path``/``row_index``) anti-joins the
+        existing delete keys, and the delete parquet is written
+        straight from the victims DataFrame — victim rows never land
+        on the driver. coalesce(1) is the spec's sort requirement
+        (one delete file ordered by file_path, pos), acting on
+        delete-payload-sized data, not the table."""
+        import shutil
+
         import pyarrow.parquet as pq
 
         md = self.metadata()
         part_fields = self._spec_fields(md)
         files, deletes, _ = self._plan()
-        victims: list[tuple[str, int]] = []
-        for f in files:
-            abs_p = os.path.join(self.root, f["file_path"])
-            # only LIVE rows are victims: capture the row index, then
-            # anti-join existing deletes (so re-deleting is a no-op)
-            df = self.spark.read.parquet(abs_p).select(
-                "*",
-                F.col("_metadata.file_path").alias("__fp"),
-                F.col("_metadata.row_index").alias("__ri"),
-            )
-            if deletes:
-                df = df.join(
-                    F.broadcast(self._delete_keys_df(deletes)),
-                    ["__fp", "__ri"],
-                    "left_anti",
-                )
-            # bounded: matching positions within one exhibit-sized
-            # file; a production writer keeps this distributed
-            pos = [
-                r["__ri"]
-                for r in df.filter(pred_sql).select("__ri").collect()
-            ]
-            victims.extend((f["file_path"], p) for p in sorted(pos))
-        if not victims:
+        if not files:
             return md["current-snapshot-id"], 0
-        sid = max(s["snapshot-id"] for s in md["snapshots"]) + 1
+        prefix = "file:" + os.path.abspath(self.root) + "/"
+        # only LIVE rows are victims: capture the row index, then
+        # anti-join existing deletes (so re-deleting is a no-op)
+        scan = self.spark.read.parquet(*[
+            os.path.join(self.root, f["file_path"]) for f in files
+        ]).select(
+            "*",
+            F.col("_metadata.file_path").alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+        if deletes:
+            scan = scan.join(
+                F.broadcast(self._delete_keys_df(deletes)),
+                ["__fp", "__ri"],
+                "left_anti",
+            )
+        victims_df = scan.filter(pred_sql).select(
+            F.expr(f"substring(__fp, {len(prefix) + 1})")
+            .alias("file_path"),
+            F.col("__ri").alias("pos"),
+        )
         rel = f"data/delete-{uuid.uuid4().hex[:8]}.parquet"
-        tbl_pa = pa.table({
-            "file_path": pa.array([v[0] for v in victims], pa.string()),
-            "pos": pa.array([v[1] for v in victims], pa.int64()),
-        })
-        pq.write_table(tbl_pa, os.path.join(self.root, rel))
+        tmp = os.path.join(
+            self.root, f"data/.tmp-del-{uuid.uuid4().hex[:8]}"
+        )
+        (
+            victims_df.coalesce(1)
+            .sortWithinPartitions("file_path", "pos")
+            .write.parquet(tmp)
+        )
+        part = next(
+            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+        )
+        n_victims = pq.ParquetFile(
+            os.path.join(tmp, part)
+        ).metadata.num_rows
+        if n_victims == 0:
+            shutil.rmtree(tmp, ignore_errors=True)
+            return md["current-snapshot-id"], 0
+        os.replace(os.path.join(tmp, part), os.path.join(self.root, rel))
+        shutil.rmtree(tmp, ignore_errors=True)
+        sid = max(s["snapshot-id"] for s in md["snapshots"]) + 1
         del_rec = {
             "content": 1,
             "file_path": rel,
             "file_format": "PARQUET",
             "partition": {f["name"]: None for f in part_fields},
-            "record_count": len(victims),
+            "record_count": n_victims,
             "file_size_in_bytes": os.path.getsize(
                 os.path.join(self.root, rel)
             ),
@@ -1812,7 +1834,7 @@ class IcebergLiteTable:
             "existing_data_files_count": 0,
             "deleted_data_files_count": 0,
             "partitions": None,
-            "added_rows_count": len(victims),
+            "added_rows_count": n_victims,
             "existing_rows_count": 0,
             "deleted_rows_count": 0,
             "content": 1,
@@ -1826,7 +1848,7 @@ class IcebergLiteTable:
         )
         md["format-version"] = 2
         self._commit_snapshot(md, prior + [mrow], sid, seq=seq)
-        return sid, len(victims)
+        return sid, n_victims
 
     def delete_rows_vector(self, pred_sql: str) -> tuple[int, int]:
         """FORMAT-V3 DELETION VECTORS (spec §Position Delete Vectors;
@@ -1887,23 +1909,32 @@ class IcebergLiteTable:
             ):
                 if fp not in dv_by_file:
                     existing.setdefault(fp, set()).add(p)
-        # new victims: LIVE rows matching the predicate
+        # new victims: LIVE rows matching the predicate — ONE scan
+        # over every live file (r16, retiring the per-file job loop);
+        # only (file, position) pairs cross to the driver, which is
+        # the DV payload itself (cardinality-bounded: the roaring
+        # bitmaps are built driver-side regardless)
         victims: dict[str, set[int]] = {}
         n_new = 0
-        for f in files:
-            abs_p = os.path.join(self.root, f["file_path"])
-            df = self.spark.read.parquet(abs_p).select(
-                "*", F.col("_metadata.row_index").alias("__ri"),
-            )
-            seen = existing.get(f["file_path"], set())
-            pos = [
-                r["__ri"]
-                for r in df.filter(pred_sql).select("__ri").collect()
-                if r["__ri"] not in seen
-            ]
-            if pos:
-                victims[f["file_path"]] = set(pos)
-                n_new += len(pos)
+        if files:
+            prefix = "file:" + os.path.abspath(self.root) + "/"
+            pairs = self.spark.read.parquet(*[
+                os.path.join(self.root, f["file_path"]) for f in files
+            ]).select(
+                "*",
+                F.col("_metadata.file_path").alias("__fp"),
+                F.col("_metadata.row_index").alias("__ri"),
+            ).filter(pred_sql).select(
+                F.expr(f"substring(__fp, {len(prefix) + 1})")
+                .alias("fp"),
+                "__ri",
+            ).collect()
+            for r in pairs:
+                fp, p = r["fp"], r["__ri"]
+                if p in existing.get(fp, set()):
+                    continue
+                victims.setdefault(fp, set()).add(p)
+                n_new += 1
         if not victims:
             return md["current-snapshot-id"], 0
         sid = max(s["snapshot-id"] for s in md["snapshots"]) + 1
