@@ -888,13 +888,27 @@ class DeltaLiteTable:
             {"remove": {"path": a["path"], "dataChange": True}}
             for a in victims
         ]
-        if kept.count():
-            actions += [
-                {"add": a}
-                for a in self._write_files(
-                    kept, f"part-{uuid.uuid4().hex[:8]}"
-                )
-            ]
+        # write first, count from the parquet footers — one scan of
+        # the hit files instead of two (r16: count() + write cost a
+        # measurable slice of this exhibit's wall)
+        import pyarrow.parquet as _pq
+
+        sub = f"part-{uuid.uuid4().hex[:8]}"
+        adds = self._write_files(kept, sub)
+        n_kept = sum(
+            _pq.ParquetFile(
+                os.path.join(self.root, a["path"])
+            ).metadata.num_rows
+            for a in adds
+        )
+        if n_kept:
+            actions += [{"add": a} for a in adds]
+        else:
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(self.root, sub), ignore_errors=True
+            )
         v = self.versions()[-1] + 1
         self._commit(v, actions)
         return v
