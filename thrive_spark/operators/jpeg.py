@@ -156,57 +156,87 @@ class _BitWriter:
         return bytes(self.buf)
 
 
-class _BitReader:
-    """Entropy-coded-segment reader: unstuffs FF00, surfaces RSTn."""
+def _split_ecs(data: bytes, pos: int) -> list[bytes]:
+    """Entropy-coded segments from ``pos``: FF00-unstuffed, split at
+    RSTn markers, ended by the first other marker (EOI / next
+    segment). One O(n) pass touching only the FF bytes — the per-bit
+    reader never has to think about stuffing or markers again (r16:
+    this plus the canonical decode below replaced a bit-at-a-time
+    reader that dominated the whole codec's profile)."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i, n = pos, len(data)
+    while i < n:
+        j = data.find(b"\xff", i)
+        if j < 0:
+            cur += data[i:]
+            break
+        cur += data[i:j]
+        nxt = data[j + 1] if j + 1 < n else 0xD9
+        if nxt == 0x00:  # stuffed FF
+            cur.append(0xFF)
+            i = j + 2
+        elif 0xD0 <= nxt <= 0xD7:  # restart marker: segment boundary
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i = j + 2
+        else:  # EOI or next segment header
+            break
+    segs.append(bytes(cur))
+    return segs
 
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
+
+class _SegReader:
+    """MSB-first bit reader over one unstuffed entropy segment; bits
+    past the end read as 0 (spec behavior for a truncated scan)."""
+
+    __slots__ = ("seg", "n", "pos", "acc", "nbits")
+
+    def __init__(self, seg: bytes):
+        self.seg = seg
+        self.n = len(seg)
+        self.pos = 0
         self.acc = 0
         self.nbits = 0
-        self.marker = None  # set when a non-RST marker ends the scan
 
-    def _fill(self) -> bool:
-        d, p = self.data, self.pos
-        if p >= len(d):
-            return False
-        b = d[p]
-        if b == 0xFF:
-            nxt = d[p + 1] if p + 1 < len(d) else 0xD9
-            if nxt == 0x00:  # stuffed FF
-                self.pos = p + 2
-            elif 0xD0 <= nxt <= 0xD7:  # restart marker: caller resyncs
-                return False
-            else:  # EOI or next segment
-                self.marker = nxt
-                return False
-        else:
-            self.pos = p + 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
-        return True
+    def _need(self, k: int) -> None:
+        while self.nbits < k:
+            if self.pos < self.n:
+                self.acc = (self.acc << 8) | self.seg[self.pos]
+                self.pos += 1
+            else:
+                self.acc <<= 8  # zero-pad past the segment
+            self.nbits += 8
 
-    def read_bit(self) -> int:
-        if self.nbits == 0 and not self._fill():
-            return 0  # spec: missing bits read as 0 past the segment
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+    def peek16(self) -> int:
+        self._need(16)
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
 
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+    def skip(self, k: int) -> None:
+        self.nbits -= k
+        self.acc &= (1 << self.nbits) - 1
+
+    def read_bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        self._need(k)
+        v = (self.acc >> (self.nbits - k)) & ((1 << k) - 1)
+        self.nbits -= k
+        self.acc &= (1 << self.nbits) - 1
         return v
 
-    def resync_restart(self) -> None:
-        """Byte-align and consume one RSTn marker."""
-        self.acc, self.nbits = 0, 0
-        d = self.data
-        while self.pos + 1 < len(d):
-            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
-                self.pos += 2
-                return
-            self.pos += 1
+
+def _maxcodes(table: dict) -> list[int]:
+    """Per code length 1..16, the largest canonical code (or -1 when
+    the length is unused) — the T.81 F.16 DECODE fast path: the
+    smallest L whose left-aligned 16-bit peek, truncated to L bits,
+    is <= maxcode[L] names the symbol's length in one compare per
+    length instead of one dict probe per BIT."""
+    mm = [-1] * 17
+    for (length, code) in table:
+        if code > mm[length]:
+            mm[length] = code
+    return mm
 
 
 def _extend(value: int, size: int) -> int:
@@ -444,38 +474,61 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     raise ValueError("no scan data found")
 
 
-def _decode_huff(br: _BitReader, table: dict) -> int:
-    code, length = 0, 0
-    while length < 16:
-        code = (code << 1) | br.read_bit()
-        length += 1
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code")
-
-
 def _decode_scan(data, pos, frame, scan, qt, restart_interval):
     h, w = frame["h"], frame["w"]
     h8, w8 = (h + 7) & ~7, (w + 7) & ~7
     n_mcu = (h8 // 8) * (w8 // 8)
     n_comp = len(scan)
     coef = np.zeros((n_comp, n_mcu, 64), dtype=np.int64)
-    br = _BitReader(data, pos)
+    segs = _split_ecs(data, pos)
+    seg_idx = 0
+    br = _SegReader(segs[0])
+    # canonical maxcode arrays, one per distinct table
+    mm: dict[int, list[int]] = {}
+    for _comp, dc_tbl, ac_tbl in scan:
+        for t in (dc_tbl, ac_tbl):
+            if id(t) not in mm:
+                mm[id(t)] = _maxcodes(t)
     pred = [0] * n_comp
     for mcu in range(n_mcu):
         if restart_interval and mcu and mcu % restart_interval == 0:
-            br.resync_restart()
+            # restart: next entropy segment, predictors reset
+            seg_idx += 1
+            br = _SegReader(
+                segs[seg_idx] if seg_idx < len(segs) else b""
+            )
             pred = [0] * n_comp
         for ci, (_comp, dc_tbl, ac_tbl) in enumerate(scan):
-            size = _decode_huff(br, dc_tbl)
+            dc_mm = mm[id(dc_tbl)]
+            ac_mm = mm[id(ac_tbl)]
+            v16 = br.peek16()
+            for length in range(1, 17):
+                code = v16 >> (16 - length)
+                if code <= dc_mm[length]:
+                    size = dc_tbl.get((length, code))
+                    if size is None:  # corrupt stream: gap below min
+                        raise ValueError("invalid Huffman code")
+                    br.skip(length)
+                    break
+            else:
+                raise ValueError("invalid Huffman code")
             diff = _extend(br.read_bits(size), size)
             pred[ci] += diff
-            zz = coef[ci, mcu]
+            zz = [0] * 64
             zz[0] = pred[ci]
             k = 1
             while k < 64:
-                rs = _decode_huff(br, ac_tbl)
+                v16 = br.peek16()
+                for length in range(1, 17):
+                    code = v16 >> (16 - length)
+                    if code <= ac_mm[length]:
+                        rs = ac_tbl.get((length, code))
+                        if rs is None:
+                            raise ValueError("invalid Huffman code")
+                        br.skip(length)
+                        break
+                else:
+                    raise ValueError("invalid Huffman code")
                 if rs == 0x00:  # EOB
                     break
                 run, size = rs >> 4, rs & 0xF
@@ -489,6 +542,7 @@ def _decode_scan(data, pos, frame, scan, qt, restart_interval):
                     raise ValueError("coefficient index overflow")
                 zz[k] = _extend(br.read_bits(size), size)
                 k += 1
+            coef[ci, mcu] = zz
     planes = np.empty((h8, w8, n_comp), dtype=np.float64)
     for ci, (comp, _dc, _ac) in enumerate(scan):
         q = qt[comp["tq"]].astype(np.float64)

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import Tables
+from ._util import fan_out
 
 
 def encode_ppm(payload: bytes) -> bytes:
@@ -690,6 +691,11 @@ def multimodal_image_jpeg(spark, sf_dir):
         "octet_length(encode(text, 'UTF-8')) = length(text) "
         "AND length(text) > 0"
     ).select("doc_id", F.encode("text", "UTF-8").alias("img"))
+    # r16: a single-split documents scan serializes the whole codec
+    # through one core (r13 gotcha); DCT+Huffman per-row compute
+    # dwarfs the one-column shuffle, so fan_out is a clear win here
+    # (measured ~5x at sf0.1), unlike the cheap tokenize ops
+    src = fan_out(src, cache_key=(sf_dir, "documents-jpeg"))
     return src.mapInPandas(
         run,
         "doc_id long, width long, height long, mcu_cols long, "
