@@ -812,13 +812,22 @@ class HudiLiteTable:
         tagged = self._with_meta(df, instant, partition_field).withColumn(
             "__g", F.pmod(F.xxhash64(self.key_field), F.lit(groups))
         )
-        parts = sorted(
+        raw_parts = (
             [""] if not partition_field
             else [
-                str(r[0]) for r in
+                r[0] for r in
                 df.select(partition_field).distinct().collect()
             ]
         )
+        if any(p is None for p in raw_parts):
+            # refuse honestly: a null partition value has no partition
+            # path in this writer's layout (the pre-r16 writer dropped
+            # such rows SILENTLY — strictly worse)
+            raise NotImplementedError(
+                "null partition values are out of hudi_lite's "
+                "writer scope"
+            )
+        parts = sorted(str(p) for p in raw_parts)
         # fid per (partition, group) assigned up front so the whole
         # insert is ONE distributed write job (no per-group driver
         # loop — r15 verdict #1); empty hash buckets simply write no
@@ -1003,9 +1012,15 @@ class HudiLiteTable:
         affected = sorted(
             {r["__fid"] for r in summary if r["__fid"] is not None}
         )
-        fresh_parts = sorted(
-            {r["__part"] for r in summary if r["__fid"] is None}
-        )
+        fresh_parts_raw = {
+            r["__part"] for r in summary if r["__fid"] is None
+        }
+        if None in fresh_parts_raw:
+            raise NotImplementedError(
+                "null partition values are out of hudi_lite's "
+                "writer scope"
+            )
+        fresh_parts = sorted(fresh_parts_raw)
         stats: dict[str, list[dict]] = {}
 
         def put(rows: list[dict]) -> None:
