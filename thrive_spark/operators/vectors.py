@@ -440,7 +440,9 @@ def _kmx_assignments(spark, sf_dir):
     return lloyd_exact_assign(emb, cent, KMX_ROUNDS, 1000000, 100)
 
 
-def lloyd_exact_assign(emb, cent, rounds, dist_scale, pack_mod):
+def lloyd_exact_assign(
+    emb, cent, rounds, dist_scale, pack_mod, return_cent=False
+):
     """The exact-Lloyd loop, parameterized (r11: factored out of
     _kmx_assignments so dedup_semantic_cluster can run it with a
     data-dependent cell count): ``rounds`` alternations of E-step
@@ -452,7 +454,10 @@ def lloyd_exact_assign(emb, cent, rounds, dist_scale, pack_mod):
     (cl, cent) centroids. Returns the final (vec_id, packed)
     assignment. Per round: one broadcast of the centroid table, one
     codegen scan of K distances per row, one (cl, dim)-keyed
-    partial-combined aggregate; localCheckpoint cuts lineage."""
+    partial-combined aggregate; localCheckpoint cuts lineage.
+    ``return_cent=True`` additionally returns the FINAL centroid
+    table (the one the last assignment ran against) — the coarse
+    quantizer an IVF probe needs (r16, sim_knn_ivf's hash upgrade)."""
     assign = None
     for r in range(rounds):
         dist = F.aggregate(
@@ -498,6 +503,8 @@ def lloyd_exact_assign(emb, cent, rounds, dist_scale, pack_mod):
                 )
                 .localCheckpoint()
             )
+    if return_cent:
+        return assign, cent
     return assign
 
 
