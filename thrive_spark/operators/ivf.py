@@ -89,15 +89,12 @@ _IVF_DIST_SCALE = 1000000
 _IVF_PACK = 100
 
 
-def _ivf_oracle() -> str:
-    """Unrolled DuckDB twin of the whole IVF pipeline (r15 verdict #8
-    → r16): the exact-Lloyd coarse quantizer (same CTE discipline as
-    vectors._kmx_oracle — 64-term left-assoc distance chains,
-    packed-argmin assignment, fixed-point means), the probe (the 4
-    nearest cells per query by the SAME packed metric), and the
-    exact cosine rerank (sim_knn_cosine_topk's r4 discipline). Every
-    step is fixed-order arithmetic, so the approximate operator's
-    CANDIDATE SET — not just its rerank — is engine-replayable."""
+def _ivf_cte_prefix() -> str:
+    """The WITH-chain through ``cells``/``probe`` — the portable IVF
+    index and probe shared by the sim_knn_ivf oracle and the composed
+    sim_knn_ivfpq oracle (same CTE discipline as vectors._kmx_oracle:
+    64-term left-assoc distance chains, packed-argmin assignment,
+    fixed-point means)."""
     chain = " + ".join(
         f"((CAST(e.embedding[{k}] AS DOUBLE) - c.cent[{k}])"
         f" * (CAST(e.embedding[{k}] AS DOUBLE) - c.cent[{k}]))"
@@ -155,7 +152,20 @@ def _ivf_oracle() -> str:
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY packed) AS prn
         FROM qp
-    ),
+    )""")
+    return "".join(parts)
+
+
+def _ivf_oracle() -> str:
+    """Unrolled DuckDB twin of the whole IVF pipeline (r15 verdict #8
+    → r16): the exact-Lloyd coarse quantizer, the probe (the 4
+    nearest cells per query by the SAME packed metric), and the
+    exact cosine rerank (sim_knn_cosine_topk's r4 discipline). Every
+    step is fixed-order arithmetic, so the approximate operator's
+    CANDIDATE SET — not just its rerank — is engine-replayable."""
+    from ..functions.vectors import NONZERO_EMB_SQL as NZ
+
+    return _ivf_cte_prefix() + f""",
     pairs AS (
         SELECT p.query_id, n.vec_id AS neighbor_id,
                round(list_cosine_similarity(
@@ -173,8 +183,64 @@ def _ivf_oracle() -> str:
         FROM pairs
     )
     SELECT query_id, neighbor_id, sim, rn FROM ranked WHERE rn <= {TOP_K}
-    """)
-    return "".join(parts)
+    """
+
+
+def _ivf_exact_index(t):
+    """(cells, cent): each vector's owning cell and the FINAL
+    centroid table, via the portable exact-Lloyd quantizer — shared
+    by sim_knn_ivf and the composed sim_knn_ivfpq."""
+    from .vectors import lloyd_exact_assign
+
+    emb = t.embeddings.select(
+        "vec_id", to_double(F.col("embedding")).alias("x")
+    )
+    cent0 = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cl"), F.col("x").alias("cent")
+    )
+    assign, cent = lloyd_exact_assign(
+        emb, cent0, IVF_ROUNDS, _IVF_DIST_SCALE, _IVF_PACK,
+        return_cent=True,
+    )
+    cells = assign.select(
+        "vec_id", (F.col("packed") % _IVF_PACK).alias("cell")
+    )
+    return cells, cent
+
+
+def _ivf_probe(t, cent):
+    """(query_id, qe, cell): each nonzero query's N_PROBE nearest
+    cells by the SAME packed metric the quantizer assigns with."""
+    nz = t.embeddings.filter(sq_norm(to_double("embedding")) > 0)
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("qe"), F.col("cent"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wp = Window.partitionBy("query_id").orderBy("packed")
+    return (
+        nz.filter(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            to_double("embedding").alias("qe"),
+        )
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "query_id", "qe",
+            (
+                F.floor(dist * _IVF_DIST_SCALE + 0.5).cast("long")
+                * _IVF_PACK + F.col("cl")
+            ).alias("packed"),
+        )
+        .withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= N_PROBE)
+        .select(
+            "query_id", "qe",
+            (F.col("packed") % _IVF_PACK).alias("cell"),
+        )
+    )
 
 
 @query("sim_knn_ivf", oracle=_ivf_oracle())
@@ -197,52 +263,10 @@ def sim_knn_ivf(spark, sf_dir):
     (broadcast centroids, no vector shuffle), the probe set is tiny
     and broadcast, and candidate volume is probe-bounded
     (N_PROBE/N_CELLS of the corpus) independent of corpus size."""
-    from .vectors import lloyd_exact_assign
-
     t = Tables(spark, sf_dir)
-    emb = t.embeddings.select(
-        "vec_id", to_double(F.col("embedding")).alias("x")
-    )
-    cent0 = emb.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cl"), F.col("x").alias("cent")
-    )
-    assign, cent = lloyd_exact_assign(
-        emb, cent0, IVF_ROUNDS, _IVF_DIST_SCALE, _IVF_PACK,
-        return_cent=True,
-    )
-    cells = assign.select(
-        "vec_id", (F.col("packed") % _IVF_PACK).alias("cell")
-    )
+    cells, cent = _ivf_exact_index(t)
+    probe = _ivf_probe(t, cent)
     nz = t.embeddings.filter(sq_norm(to_double("embedding")) > 0)
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("qe"), F.col("cent"), lambda a, b: (a - b) * (a - b)
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    wp = Window.partitionBy("query_id").orderBy("packed")
-    probe = (
-        nz.filter(F.col("vec_id") < 20)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            to_double("embedding").alias("qe"),
-        )
-        .crossJoin(F.broadcast(cent))
-        .select(
-            "query_id", "qe",
-            (
-                F.floor(dist * _IVF_DIST_SCALE + 0.5).cast("long")
-                * _IVF_PACK + F.col("cl")
-            ).alias("packed"),
-        )
-        .withColumn("prn", F.row_number().over(wp))
-        .filter(F.col("prn") <= N_PROBE)
-        .select(
-            "query_id", "qe",
-            (F.col("packed") % _IVF_PACK).alias("cell"),
-        )
-    )
     cand = nz.select(
         F.col("vec_id").alias("neighbor_id"),
         to_double("embedding").alias("ce"),
