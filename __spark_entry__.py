@@ -243,6 +243,8 @@ GRADE_DEFER = [
     "sink_iceberg_stream_ckpt",
     "sink_hudi_stream_ckpt",
     "lakehouse_cdc_mirror",
+    # r16 registrations
+    "scan_hudi_clustering",
 ]
 
 

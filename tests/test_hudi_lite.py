@@ -610,3 +610,84 @@ def test_bulk_insert_single_write_job(spark, tmp_path):
     n = _spark_jobs(spark, lambda: t.bulk_insert(df, groups=16))
     assert n <= 2, n
     assert t.snapshot().count() == 300
+
+
+def test_clustering_replacecommit_semantics(spark, tmp_path):
+    """r16: cluster() rewrites live groups into one sorted group per
+    partition under a replacecommit; replaced groups vanish from
+    reads at/after the instant, survive time travel below it, stay on
+    disk, and incremental pulls across the clustering see nothing."""
+    from pyspark.sql import functions as F
+
+    t = HudiLiteTable(spark, str(tmp_path / "c"), key_field="k")
+    df = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(40)], "k bigint, p double"
+    )
+    i1 = t.bulk_insert(df, groups=4)
+    i2 = t.upsert(spark.createDataFrame(
+        [(3, 999.0), (100, 1.0)], "k bigint, p double"
+    ))
+    pre = t.plan_slices()
+    assert len(pre) >= 4
+    i3 = t.cluster("k")
+    post = t.plan_slices()
+    assert len(post) == 1 and post[0]["base_instant"] == i3
+    meta = t.commit_meta(i3)
+    assert set(meta["partitionToReplaceFileIds"][""]) == {
+        s["file_id"] for s in pre
+    }
+    # replace is metadata-only: old files still on disk
+    for s in pre:
+        assert os.path.exists(os.path.join(t.root, s["base_path"]))
+    # time travel below the replace serves the old layout
+    assert {s["file_id"] for s in t.plan_slices(i2)} == {
+        s["file_id"] for s in pre
+    }
+    # content identical before/after; new file physically SORTED
+    got = {r.k: r.p for r in t.snapshot().collect()}
+    assert len(got) == 41 and got[3] == 999.0 and got[100] == 1.0
+    ks = [
+        r.k for r in spark.read.parquet(
+            os.path.join(t.root, post[0]["base_path"])
+        ).select("k").collect()
+    ]
+    assert ks == sorted(ks)
+    # clustering is invisible to incremental pulls
+    assert t.incremental(i2).count() == 0
+    assert sorted(
+        r.k for r in t.incremental(i1).select("k").collect()
+    ) == [3, 100]
+    # writes continue normally on the clustered layout
+    t.upsert(spark.createDataFrame([(3, 1.5), (200, 2.5)],
+                                   "k bigint, p double"))
+    got2 = {r.k: r.p for r in t.snapshot().collect()}
+    assert got2[3] == 1.5 and got2[200] == 2.5 and len(got2) == 42
+
+
+def test_clustering_partitioned_and_mor_refusal(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = HudiLiteTable(spark, str(tmp_path / "cp"), key_field="k")
+    df = spark.createDataFrame(
+        [(i, "AB"[i % 2], float(i)) for i in range(30)],
+        "k bigint, g string, p double",
+    )
+    t.bulk_insert(df, groups=3, partition_field="g")
+    i2 = t.cluster("p")
+    post = t.plan_slices()
+    assert sorted(s["partition"] for s in post) == ["A", "B"]
+    assert all(s["base_instant"] == i2 for s in post)
+    assert t.snapshot().count() == 30
+    meta = t.commit_meta(i2)
+    assert set(meta["partitionToReplaceFileIds"]) == {"A", "B"}
+    # pruned planning still works on the clustered layout
+    pruned = t.plan_slices(partition_filter={"g": "A"})
+    assert len(pruned) == 1 and pruned[0]["partition"] == "A"
+
+    m = HudiLiteTable(spark, str(tmp_path / "cm"), key_field="k")
+    m.bulk_insert(
+        spark.createDataFrame([(1, 1.0)], "k bigint, p double"),
+        groups=1, table_type="MERGE_ON_READ",
+    )
+    with pytest.raises(NotImplementedError, match="COPY_ON_WRITE"):
+        m.cluster("k")

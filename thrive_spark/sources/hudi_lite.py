@@ -355,7 +355,7 @@ class HudiLiteTable:
             raise ValueError(f"no Hudi timeline under {self.meta_dir}")
         out: dict[str, str] = {}
         for f in os.listdir(self.meta_dir):
-            for act in ("deltacommit", "commit"):
+            for act in ("replacecommit", "deltacommit", "commit"):
                 if f.endswith("." + act) and f.count(".") == 1:
                     out[f[: -(len(act) + 1)]] = act
                     break
@@ -412,11 +412,16 @@ class HudiLiteTable:
         stats: dict[str, list[dict]],
         action: str = "commit",
         extra: dict | None = None,
+        replace: dict[str, list[str]] | None = None,
     ) -> None:
         meta = {
             "operationType": op,
             "partitionToWriteStats": stats,
         }
+        if replace is not None:
+            # replacecommit (clustering): the groups this commit
+            # supersedes, keyed by partition path per the spec
+            meta["partitionToReplaceFileIds"] = replace
         if extra:
             # the public Hudi Streamer pattern: resume state rides in
             # the commit's extraMetadata (checkpoint key/value)
@@ -443,6 +448,26 @@ class HudiLiteTable:
                 with open(os.path.join(self.meta_dir, f)) as fh:
                     meta = json.load(fh)
                 out = max(out, meta.get("earliestInstantRetained", ""))
+        return out
+
+    def _replaced_groups(self) -> dict[tuple[str, str], str]:
+        """{(partition, fileId): replace instant} from every completed
+        REPLACECOMMIT — the spec's clustering action: a replaced file
+        group is invisible to reads at or after the replace instant,
+        while time travel below it still serves the old layout (the
+        files stay on disk; a replace-aware cleaner GCs them later)."""
+        out: dict[tuple[str, str], str] = {}
+        for ins, act in self._completed().items():
+            if act != "replacecommit":
+                continue
+            meta = self.commit_meta(ins)
+            for part, fids in (
+                meta.get("partitionToReplaceFileIds") or {}
+            ).items():
+                for fid in fids:
+                    key = (part, fid)
+                    if key not in out or ins < out[key]:
+                        out[key] = ins
         return out
 
     def _partition_paths(self) -> list[str]:
@@ -488,6 +513,7 @@ class HudiLiteTable:
             want = str(partition_filter[pf])
             parts = [p for p in parts if p == want]
         out: list[dict] = []
+        replaced = self._replaced_groups()
         for part in parts:
             pdir = os.path.join(self.root, part) if part else self.root
             best: dict[str, tuple[str, str]] = {}
@@ -514,6 +540,11 @@ class HudiLiteTable:
                         (ver, rel)
                     )
             for fid, (ins, rel) in sorted(best.items()):
+                ri = replaced.get((part, fid))
+                if ri is not None and (instant is None or ri <= instant):
+                    # clustered away: invisible at/after the
+                    # replacecommit, still served below it
+                    continue
                 out.append({
                     "partition": part,
                     "file_id": fid,
@@ -723,7 +754,8 @@ class HudiLiteTable:
         )
 
     def _write_base_groups(
-        self, df, instant: str, fid_part: dict[str, str]
+        self, df, instant: str, fid_part: dict[str, str],
+        sort_col: str | None = None,
     ) -> list[dict]:
         """Write ONE base parquet per ``__fid`` group in a SINGLE
         ``applyInArrow`` job: each task writes its own
@@ -747,6 +779,10 @@ class HudiLiteTable:
             fid = tbl.column("__fid")[0].as_py()
             part = fid_part[fid]
             body = tbl.select(data_cols)
+            if sort_col is not None:
+                # clustering: the rewrite's whole point is the sorted
+                # layout (data skipping on the cluster key)
+                body = body.sort_by(sort_col)
             pdir = _os.path.join(root, part) if part else root
             _os.makedirs(pdir, exist_ok=True)
             name = f"{fid}_0-0-0_{instant}.parquet"
@@ -1191,6 +1227,70 @@ class HudiLiteTable:
                     "numWrites": r["numWrites"],
                 })
         self._complete_instant(instant, "compact", stats, "commit")
+        return instant
+
+    def cluster(self, sort_col: str) -> str:
+        """CLUSTERING (spec: the ``replacecommit`` action) — the last
+        of Hudi's three table services next to compaction and the
+        cleaner: rewrite each partition's live file slices into ONE
+        new file group SORTED by ``sort_col`` and commit a
+        replacecommit whose ``partitionToReplaceFileIds`` names every
+        superseded group. Readers at or after the replace instant see
+        only the clustered group; time travel below it still serves
+        the old layout (replace is a metadata-level supersede — old
+        files stay on disk for history until a replace-aware cleaner
+        collects them, which this exhibit scope leaves to clean()'s
+        documented bound). Incremental pulls across a clustering see
+        NOTHING: rewritten rows keep their original per-row commit
+        times, the same invisibility contract compaction honors.
+
+        COW scope — a MOR table must compact first (log blocks attach
+        to base instants the replace would orphan); refuses honestly.
+        The rewrite is ONE distributed applyInArrow job (tasks sort
+        and write their partition's file), never a per-group driver
+        loop."""
+        if self.table_type() != "COPY_ON_WRITE":
+            raise NotImplementedError(
+                "clustering here targets COPY_ON_WRITE tables — "
+                "compact a MERGE_ON_READ table first"
+            )
+        pf = self.partition_field()
+        slices = self.plan_slices()
+        if not slices:
+            raise ValueError("empty table: nothing to cluster")
+        instant = self._next_instant()
+        self._begin_instant(instant, "replacecommit")
+        by_part: dict[str, list[dict]] = {}
+        for s in slices:
+            by_part.setdefault(s["partition"], []).append(s)
+        new_fids = {part: uuid.uuid4().hex[:12] for part in by_part}
+        df = self._read_slices([s["base_path"] for s in slices])
+        partcol = (
+            F.col("_hoodie_partition_path") if pf else F.lit("")
+        )
+        mapping = F.create_map(*[
+            x for part in sorted(by_part)
+            for x in (F.lit(part), F.lit(new_fids[part]))
+        ])
+        keyed = df.select(
+            "*", F.element_at(mapping, partcol).alias("__fid")
+        )
+        stats: dict[str, list[dict]] = {}
+        for r in self._write_base_groups(
+            keyed, instant, {v: k for k, v in new_fids.items()},
+            sort_col=sort_col,
+        ):
+            stats.setdefault(r["part"], []).append({
+                "fileId": r["fileId"], "path": r["path"],
+                "numWrites": r["numWrites"],
+            })
+        replace = {
+            part: sorted(s["file_id"] for s in ss)
+            for part, ss in by_part.items()
+        }
+        self._complete_instant(
+            instant, "cluster", stats, "replacecommit", replace=replace
+        )
         return instant
 
     def clean(self, keep_last: int = 1) -> dict:
@@ -1782,6 +1882,98 @@ def scan_hudi_clean(spark, sf_dir):
     )
     out = agg1.union(agg2)
     return _detach_and_cleanup(spark, out, root)
+
+@query(
+    "scan_hudi_clustering",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        WHERE o_orderkey % 43 = 0
+    ),
+    upd AS (
+        SELECT k, p + 1e5 AS p FROM base WHERE k % 4 = 0
+    ),
+    merged AS (
+        SELECT * FROM base WHERE (k % 4 = 0) IS NOT TRUE
+        UNION ALL SELECT * FROM upd
+    )
+    SELECT CAST(1 AS BIGINT) AS part, count(*) AS n_rows,
+           {osum('p')} AS sum_p FROM merged
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), count(*), {osum('p')} FROM merged
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)
+    """,
+)
+def scan_hudi_clustering(spark, sf_dir):
+    """Hudi CLUSTERING (r16) — the third table service next to
+    compaction and the cleaner, completing the maintenance story: a
+    COW table fragmented by a bulk insert (4 groups) plus an upsert
+    is rewritten by cluster("k") into ONE file group sorted by key
+    under a REPLACECOMMIT whose partitionToReplaceFileIds supersedes
+    every old group. The hash pins the replace semantics three ways:
+    (1) the pre-clustering snapshot and (2) the post-clustering
+    snapshot must both equal the relational merge (a replace loses or
+    duplicates nothing), and (3) an incremental pull from the
+    pre-clustering instant must be EMPTY — rewritten rows keep their
+    original per-row commit times, the same invisibility contract
+    compaction honors, which is what lets downstream incremental ETL
+    survive table maintenance untouched. In-query asserts pin the
+    mechanics: one live group afterward, old files still on disk
+    (replace is metadata-level), time travel below the replace serves
+    the old layout, and the new file is physically key-sorted (the
+    data-skipping payoff that motivates clustering at 100 TB)."""
+    import tempfile
+
+    from ..tables import Tables
+    from .acid import _detach_and_cleanup
+
+    t = Tables(spark, sf_dir)
+    orders = t.orders.select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    base = orders.filter("k % 43 = 0")
+    root = tempfile.mkdtemp(prefix="thrive_hudi_cluster_")
+    tbl = HudiLiteTable(spark, root, key_field="k")
+    tbl.bulk_insert(base, groups=4)
+    upd = base.filter("k % 4 = 0").select(
+        "k", (F.col("p") + F.lit(1e5)).alias("p")
+    )
+    i2 = tbl.upsert(upd)
+    pre = tbl.plan_slices()
+
+    def agg(df, label):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("p").alias("sum_p"),
+        ).select(
+            F.lit(label).cast("bigint").alias("part"),
+            "n_rows", "sum_p",
+        )
+
+    part1 = agg(tbl.snapshot(i2), 1)
+    i3 = tbl.cluster("k")
+    post = tbl.plan_slices()
+    assert len(post) == 1 and post[0]["base_instant"] == i3, post
+    assert set(
+        tbl.commit_meta(i3)["partitionToReplaceFileIds"][""]
+    ) == {s["file_id"] for s in pre}
+    for s in pre:  # replace is metadata-only: history intact on disk
+        assert os.path.exists(os.path.join(root, s["base_path"]))
+    assert {s["file_id"] for s in tbl.plan_slices(i2)} == {
+        s["file_id"] for s in pre
+    }
+    ks = [
+        r[0] for r in spark.read.parquet(
+            os.path.join(root, post[0]["base_path"])
+        ).select("k").collect()
+    ]
+    assert ks == sorted(ks), "clustered file must be key-sorted"
+    part2 = agg(tbl.snapshot(), 2)
+    part3 = agg(tbl.incremental(i2).select("k", "p"), 3)
+    out = part1.union(part2).union(part3)
+    return _detach_and_cleanup(spark, out, root)
+
 
 @query(
     "scan_hudi_mor_events",
