@@ -935,17 +935,33 @@ class IcebergLiteTable:
         out_root = os.path.join(self.root, sub)
         recs: list[dict] = []
         if part_names:
+            pvs = [
+                tuple(x) for x in
+                df.select(*part_names).distinct().collect()
+            ]
+            if all(
+                isinstance(v, (str, int)) and v != ""
+                and not isinstance(v, bool)
+                for pv in pvs for v in pv
+            ):
+                # r16: ONE partitionBy job (the r14 "one job + walk
+                # the hive dirs" rule, previously only on transformed
+                # specs) — the per-group loop below rescans the input
+                # once per partition
+                return self._write_identity_partitioned(
+                    df, part_names, pvs, sub, schema_fields
+                )
+            # fallback for exotic partition-value domains (None,
+            # empty string, non-str/int types): hive dir names can't
+            # round-trip them exactly, the bounded per-group loop can
             groups = [
-                (tuple(r), df.filter(
+                (pv, df.filter(
                     " AND ".join(
                         f"{c} = {v!r}" if isinstance(v, str) else f"{c} = {v}"
-                        for c, v in zip(part_names, r)
+                        for c, v in zip(part_names, pv)
                     )
                 ).drop(*part_names))
-                for r in (
-                    tuple(x) for x in
-                    df.select(*part_names).distinct().collect()
-                )
+                for pv in pvs
             ]
         else:
             groups = [((), df)]
@@ -961,6 +977,55 @@ class IcebergLiteTable:
                 lower, upper = self._footer_bounds(meta, schema_fields)
                 recs.append({
                     "file_path": f"{sub}/pv-{tag}/{fname}",
+                    "file_format": "PARQUET",
+                    "partition": dict(zip(part_names, pv)),
+                    "record_count": meta.num_rows,
+                    "file_size_in_bytes": os.path.getsize(fpath),
+                    "block_size_in_bytes": 67108864,
+                    "lower_bounds": lower or None,
+                    "upper_bounds": upper or None,
+                })
+        return recs
+
+    def _write_identity_partitioned(
+        self, df, part_names, pvs, sub, schema_fields
+    ) -> list[dict]:
+        """Identity-spec writer: ONE ``partitionBy`` job, hive dirs
+        walked back into data_file records. Typed partition values are
+        recovered by matching each dir segment to the collected
+        distinct tuples (callers gate to str/int, non-empty domains),
+        so the manifest keeps exact values while the input is scanned
+        once regardless of partition count. Identity partition columns
+        are dropped from the data files (re-materialized from
+        metadata at read), same as the per-group writer."""
+        import urllib.parse
+
+        import pyarrow.parquet as pq
+
+        out_root = os.path.join(self.root, sub)
+        df.write.partitionBy(*part_names).parquet(out_root)
+        by_str = {tuple(str(v) for v in pv): pv for pv in pvs}
+        recs: list[dict] = []
+        for dirpath, _dirs, fnames in sorted(os.walk(out_root)):
+            parts = [
+                f for f in sorted(fnames) if f.endswith(".parquet")
+            ]
+            if not parts:
+                continue
+            rel_dir = os.path.relpath(dirpath, out_root)
+            svals = tuple(
+                urllib.parse.unquote(s.split("=", 1)[1])
+                for s in rel_dir.split(os.sep)
+            )
+            pv = by_str[svals]
+            for fname in parts:
+                fpath = os.path.join(dirpath, fname)
+                meta = pq.ParquetFile(fpath).metadata
+                lower, upper = self._footer_bounds(meta, schema_fields)
+                recs.append({
+                    "file_path": "/".join(
+                        [sub, *rel_dir.split(os.sep), fname]
+                    ),
                     "file_format": "PARQUET",
                     "partition": dict(zip(part_names, pv)),
                     "record_count": meta.num_rows,
