@@ -83,8 +83,14 @@ def _assigned(t, cents):
 
 
 #: exact-Lloyd quantizer geometry (r16 hash upgrade): 2 rounds of the
-#: portable fixed-point Lloyd recipe; packing per lloyd_exact_assign
+#: portable fixed-point Lloyd recipe; packing per lloyd_exact_assign.
+#: Training runs on the deterministic vec_id < IVF_SAMPLE sample —
+#: DRIVER-SIDE via lloyd_exact_py (bit-identical to the distributed
+#: loop on the same rows), which keeps the exhibit's fixed Spark-stage
+#: count at one assignment job instead of 2 rounds x 3 stages; 512 is
+#: the measured knee (recall@5 0.87/0.88 at sf0.01/0.1 vs 0.74 at 256)
 IVF_ROUNDS = 2
+IVF_SAMPLE = 512
 _IVF_DIST_SCALE = 1000000
 _IVF_PACK = 100
 
@@ -114,12 +120,18 @@ def _ivf_cte_prefix() -> str:
         FROM embeddings WHERE vec_id < {N_CELLS}
     )"""]
     for r in range(1, IVF_ROUNDS + 1):
+        # training rounds assign the SAMPLE; the final round is the
+        # cell assignment over the whole corpus
+        dom = (
+            f"(SELECT * FROM embeddings WHERE vec_id < {IVF_SAMPLE})"
+            if r < IVF_ROUNDS else "embeddings"
+        )
         parts.append(f""",
     a{r} AS (
         SELECT e.vec_id,
                min(CAST(floor(({chain}) * {_IVF_DIST_SCALE} + 0.5)
                         AS BIGINT) * {_IVF_PACK} + c.cl) AS packed
-        FROM embeddings e, c{r - 1} c
+        FROM {dom} e, c{r - 1} c
         GROUP BY e.vec_id
     )""")
         if r < IVF_ROUNDS:
@@ -186,24 +198,59 @@ def _ivf_oracle() -> str:
     """
 
 
-def _ivf_exact_index(t):
-    """(cells, cent): each vector's owning cell and the FINAL
-    centroid table, via the portable exact-Lloyd quantizer — shared
-    by sim_knn_ivf and the composed sim_knn_ivfpq."""
-    from .vectors import lloyd_exact_assign
+def _sample_rows(t):
+    """The deterministic training sample: (vec_id, [doubles]) for
+    vec_id < IVF_SAMPLE, ordered by id — bounded driver metadata (the
+    quantizer-training pattern every production ANN index uses)."""
+    return [
+        (r["vec_id"], r["x"])
+        for r in t.embeddings.filter(F.col("vec_id") < IVF_SAMPLE)
+        .orderBy("vec_id")
+        .select("vec_id", to_double(F.col("embedding")).alias("x"))
+        .collect()
+    ]
 
+
+def _packed_dist(cent_col="cent", x_col="x"):
+    dist = F.aggregate(
+        F.zip_with(
+            F.col(x_col), F.col(cent_col),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        F.floor(dist * _IVF_DIST_SCALE + 0.5).cast("long")
+        * _IVF_PACK + F.col("cl")
+    )
+
+
+def _ivf_exact_index(t, sample=None):
+    """(cells, cent): each vector's owning cell and the FINAL
+    centroid table — shared by sim_knn_ivf and the composed
+    sim_knn_ivfpq. Centroids train DRIVER-SIDE on the deterministic
+    sample via lloyd_exact_py (bit-identical to the distributed loop
+    on the same rows); only the corpus-wide cell ASSIGNMENT runs as a
+    Spark job (one broadcast + one shuffle-free scan + groupBy)."""
+    from .vectors import lloyd_exact_py
+
+    spark = t.embeddings.sparkSession
+    cents = lloyd_exact_py(
+        sample if sample is not None else _sample_rows(t),
+        N_CELLS, IVF_ROUNDS,
+    )
+    cent = spark.createDataFrame(cents, "cl bigint, cent array<double>")
     emb = t.embeddings.select(
         "vec_id", to_double(F.col("embedding")).alias("x")
     )
-    cent0 = emb.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cl"), F.col("x").alias("cent")
-    )
-    assign, cent = lloyd_exact_assign(
-        emb, cent0, IVF_ROUNDS, _IVF_DIST_SCALE, _IVF_PACK,
-        return_cent=True,
-    )
-    cells = assign.select(
-        "vec_id", (F.col("packed") % _IVF_PACK).alias("cell")
+    cells = (
+        emb.crossJoin(F.broadcast(cent))
+        .groupBy("vec_id")
+        .agg(F.min(_packed_dist()).alias("packed"))
+        .select(
+            "vec_id", (F.col("packed") % _IVF_PACK).alias("cell")
+        )
     )
     return cells, cent
 
@@ -247,22 +294,24 @@ def _ivf_probe(t, cent):
 def sim_knn_ivf(spark, sf_dir):
     """Approximate top-5 cosine neighbors (queries: vec_id < 20) via
     IVF — HASH-CHECKED end to end (r16, upgraded from rows-only):
-    the coarse quantizer is the portable exact-Lloyd recipe
-    (lloyd_exact_assign: packed fixed-point argmin over left-folded
-    L2 chains, 2 rounds, init = first {N_CELLS} vectors by id), the
-    probe ranks cells by the SAME packed metric, and candidates
+    the coarse quantizer is the portable exact-Lloyd recipe (packed
+    fixed-point argmin over left-folded L2 chains, 2 rounds, init =
+    vectors with id < N_CELLS), trained driver-side on the
+    deterministic vec_id < IVF_SAMPLE sample — bit-identical to the
+    distributed loop on those rows (lloyd_exact_py), which is also
+    the production pattern (quantizers train on bounded samples). The
+    probe ranks cells by the SAME packed metric and candidates
     exact-rerank under the r4 cosine discipline — so the DuckDB
     oracle replays the quantizer, the probe, the candidate set, and
     the ranking bit-for-bit. Measured recall@5 vs the exact operator:
-    0.87/0.94 at sf0.01/sf0.1 with a ~12-13% candidate fraction —
-    ABOVE the old float spherical quantizer (0.74-0.80), because
-    Lloyd on raw L2 separates this corpus's cells at least as well
-    while staying engine-exact.
+    0.87/0.88 at sf0.01/sf0.1 with a ~12.5% candidate fraction —
+    at-or-above the old float spherical quantizer (0.74-0.80) while
+    staying engine-exact.
 
-    Scale shape unchanged: index build is the distributed Lloyd
-    (broadcast centroids, no vector shuffle), the probe set is tiny
-    and broadcast, and candidate volume is probe-bounded
-    (N_PROBE/N_CELLS of the corpus) independent of corpus size."""
+    Scale shape: centroids broadcast, the corpus-wide cell assignment
+    is one shuffle-free scan + groupBy, the probe set is tiny, and
+    candidate volume is probe-bounded (N_PROBE/N_CELLS of the corpus)
+    independent of corpus size."""
     t = Tables(spark, sf_dir)
     cells, cent = _ivf_exact_index(t)
     probe = _ivf_probe(t, cent)

@@ -9,9 +9,11 @@ discipline —
 
 - the IVF coarse quantizer/probe is ivf._ivf_exact_index/_ivf_probe
   (exact-Lloyd, packed fixed-point argmin);
-- PQ codebooks are trained by the SAME exact-Lloyd recipe run over
-  all M subspaces at once (the subspace id is just another grouping
-  key, so training stays 2 distributed rounds, not 2·M);
+- PQ codebooks train by the SAME exact-Lloyd recipe, driver-side on
+  the deterministic vec_id < IVF_SAMPLE sample (lloyd_exact_py —
+  bit-identical to the distributed loop on those slices; bounded
+  sample training is how production PQ trains anyway), with ONE
+  distributed corpus-wide code-assignment job;
 - ADC scores are INTEGER sums of fixed-point LUT entries
   (floor(dot·1e6 + 0.5) per (query, subspace, codeword)) — integer
   addition is associative, so Spark's aggregate and DuckDB's SUM
@@ -19,10 +21,10 @@ discipline —
   engine-replayable where float ADC never is;
 - the rerank is the r4 cosine discipline of sim_knn_cosine_topk.
 
-Measured recall@5 vs the exact operator: 0.87/0.94 at sf0.01/sf0.1
-(the IVF candidate stage is the ceiling; the integer-ADC top-CAND +
-exact rerank inside the probed cells is near-lossless), above the old
-float pipeline's 0.73-0.80.
+Measured recall@5 vs the exact operator: 0.87/0.88 at sf0.01/sf0.1
+(the sample-trained IVF candidate stage is the ceiling; the
+integer-ADC top-CAND + exact rerank inside the probed cells is
+near-lossless), at-or-above the old float pipeline's 0.73-0.80.
 
 Scale shape: codebooks/LUTs are tiny broadcast tables; the ADC join
 explodes candidates ×M, but candidates are probe-bounded
@@ -46,11 +48,13 @@ from .ivf import (
     _IVF_PACK,
     _IVF_DIST_SCALE,
     IVF_ROUNDS,
+    IVF_SAMPLE,
     N_PROBE,
     TOP_K,
     _ivf_cte_prefix,
     _ivf_exact_index,
     _ivf_probe,
+    _sample_rows,
 )
 from .pq import KSUB, M
 
@@ -60,90 +64,24 @@ DS = 64 // M  # subspace width (64-dim corpus → 4)
 _LUT_SCALE = 1000000
 
 
-def _sub_slices(df, id_col: str, out_id: str):
-    """(id, mi, sx: array<double>[DS]) — each vector split into its M
-    subspace slices. Slice the RAW float array first, cast the DS
-    values after (never index a computed array inside the per-element
-    lambda — CLAUDE.md r5)."""
-    return df.select(
-        F.col(id_col).alias(out_id),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(M - 1)),
-                lambda mi: F.transform(
-                    F.slice(F.col("embedding"), mi * DS + 1, DS),
-                    lambda v: v.cast("double"),
-                ),
-            )
-        ).alias("mi", "sx"),
-    )
+def _pq_books_py(sample):
+    """Per-subspace codebooks trained driver-side on the sample via
+    lloyd_exact_py — [(mi, [(cl, cent floats), ...]), ...]."""
+    from .vectors import lloyd_exact_py
 
-
-def _pq_exact_index(t, rounds: int = 2):
-    """(codes, books): per-(vector, subspace) codeword assignment and
-    the final per-subspace codebooks — exact-Lloyd with the subspace
-    id as an extra grouping key, so ALL M subspaces train in one
-    2-round distributed loop (broadcast codebooks, no vector
-    shuffle)."""
-    sub = _sub_slices(t.embeddings, "vec_id", "vec_id")
-    cent = sub.filter(F.col("vec_id") < KSUB).select(
-        "mi", F.col("vec_id").alias("cl"), F.col("sx").alias("cent")
-    )
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("sx"), F.col("cent"), lambda a, b: (a - b) * (a - b)
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    assign = None
-    for r in range(rounds):
-        assign = (
-            sub.join(F.broadcast(cent), "mi")
-            .groupBy("vec_id", "mi")
-            .agg(
-                F.min(
-                    F.floor(dist * _IVF_DIST_SCALE + 0.5).cast("long")
-                    * _IVF_PACK + F.col("cl")
-                ).alias("packed")
-            )
+    return [
+        (
+            mi,
+            lloyd_exact_py(
+                [
+                    (vid, x[mi * DS: (mi + 1) * DS])
+                    for vid, x in sample
+                ],
+                KSUB, IVF_ROUNDS,
+            ),
         )
-        if r < rounds - 1:
-            m = (
-                assign.join(sub, ["vec_id", "mi"])
-                .select(
-                    "mi",
-                    (F.col("packed") % _IVF_PACK).alias("cl"),
-                    F.posexplode("sx").alias("dim", "v"),
-                )
-                .groupBy("mi", "cl", "dim")
-                .agg(
-                    (
-                        F.sum(
-                            F.floor(F.col("v") * 10000 + 0.5)
-                            .cast("long")
-                        )
-                        / 10000.0
-                        / F.count(F.lit(1))
-                    ).alias("mv")
-                )
-            )
-            cent = (
-                m.groupBy("mi", "cl")
-                .agg(
-                    F.transform(
-                        F.sort_array(
-                            F.collect_list(F.struct("dim", "mv"))
-                        ),
-                        lambda s: s["mv"],
-                    ).alias("cent")
-                )
-                .localCheckpoint()
-            )
-    codes = assign.select(
-        "vec_id", "mi", (F.col("packed") % _IVF_PACK).alias("code")
-    )
-    return codes, cent
+        for mi in range(M)
+    ]
 
 
 def _ivfpq_oracle() -> str:
@@ -179,12 +117,18 @@ def _ivfpq_oracle() -> str:
         WHERE vec_id < {KSUB}
     )"""]
     for r in range(1, IVF_ROUNDS + 1):
+        # training rounds assign the SAMPLE's slices; the final round
+        # is the corpus-wide code assignment
+        dom = (
+            f"(SELECT * FROM sub WHERE vec_id < {IVF_SAMPLE})"
+            if r < IVF_ROUNDS else "sub"
+        )
         parts.append(f""",
     sa{r} AS (
         SELECT e.vec_id, e.mi,
                min(CAST(floor(({chain4}) * {_IVF_DIST_SCALE} + 0.5)
                         AS BIGINT) * {_IVF_PACK} + c.cl) AS packed
-        FROM sub e JOIN sc{r - 1} c USING (mi)
+        FROM {dom} e JOIN sc{r - 1} c USING (mi)
         GROUP BY e.vec_id, e.mi
     )""")
         if r < IVF_ROUNDS:
@@ -266,50 +210,123 @@ def sim_knn_ivfpq(spark, sf_dir):
     """Approximate top-5 cosine neighbors (queries: vec_id < 20):
     probe 4 of 32 IVF cells, INTEGER-ADC-score only the probed cells'
     vectors via fixed-point PQ lookup tables, exact-rerank the
-    top-CAND per query. See the module docstring for the portability
-    design (r16: hash-checked; the candidate set itself is
-    engine-replayable)."""
-    t = Tables(spark, sf_dir)
-    cells, cent = _ivf_exact_index(t)
-    probe = _ivf_probe(t, cent).select("query_id", "cell")
-    codes, books = _pq_exact_index(t)
-    nz = t.embeddings.filter(sq_norm(to_double("embedding")) > 0)
+    top-CAND per query. HASH-CHECKED (r16): see the module docstring.
 
-    qdot = F.aggregate(
-        F.zip_with(F.col("qx"), F.col("cent"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    Scale shape — the classic ADC scan: quantizer/books/LUTs/probe
+    sets are bounded driver metadata (trained on the deterministic
+    sample, broadcast in the task closure), and ONE Arrow-batched
+    map pass computes each vector's cell inline (packed argmin over
+    the broadcast centroids — numpy's dim-by-dim accumulation IS the
+    left fold, so the integers match the oracle exactly), its M
+    codes, and the integer ADC score for exactly the queries probing
+    that cell. Emission is probe-bounded; no shuffle touches vectors.
+    The exact rerank joins back to embeddings for candidates only."""
+    import numpy as np
+
+    t = Tables(spark, sf_dir)
+    sample = _sample_rows(t)
+    _cells, cent = _ivf_exact_index(t, sample=sample)
+    cent_rows = [(cl, np.array(c)) for cl, c in sorted(
+        (r["cl"], r["cent"]) for r in cent.collect()
+    )]
+    cent_cls = np.array([cl for cl, _ in cent_rows], dtype=np.int64)
+    cent_mat = np.array([c for _, c in cent_rows])
+    books = _pq_books_py(sample)
+
+    # probe sets + integer LUTs: bounded driver metadata
+    probe_of: dict[int, list[int]] = {}
+    for r in _ivf_probe(t, cent).select("query_id", "cell").collect():
+        probe_of.setdefault(int(r["cell"]), []).append(int(r["query_id"]))
+    nz = t.embeddings.filter(sq_norm(to_double("embedding")) > 0)
+    qrows = sorted(
+        (int(r["vec_id"]), np.array(r["x"]))
+        for r in nz.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", to_double("embedding").alias("x")).collect()
     )
-    luts = (
-        _sub_slices(
-            nz.filter(F.col("vec_id") < N_QUERIES), "vec_id", "query_id"
+    qpos = {qid: i for i, (qid, _) in enumerate(qrows)}
+    # luts[qi][mi] = {cl: int lut}; fold order matches the oracle dot
+    luts: list[list[dict[int, int]]] = []
+    for _qid, qx in qrows:
+        per_mi = []
+        for mi, book in books:
+            d: dict[int, int] = {}
+            for cl, c in book:
+                acc = None
+                for k in range(DS):
+                    term = qx[mi * DS + k] * c[k]
+                    acc = term if acc is None else acc + term
+                d[cl] = int(np.floor(acc * _LUT_SCALE + 0.5))
+            per_mi.append(d)
+        luts.append(per_mi)
+
+    def _packed_argmin(x, cls, cents, scale, pack):
+        acc = None
+        for k in range(cents.shape[1]):
+            tterm = (x[:, k, None] - cents[None, :, k]) ** 2
+            acc = tterm if acc is None else acc + tterm
+        packed = (
+            np.floor(acc * scale + 0.5).astype(np.int64) * pack
+            + cls[None, :]
         )
-        .withColumnRenamed("sx", "qx")
-        .join(F.broadcast(books), "mi")
-        .select(
-            "query_id", "mi", F.col("cl").alias("code"),
-            F.floor(qdot * _LUT_SCALE + 0.5).cast("long").alias("lut"),
+        return cls[packed.argmin(axis=1)]
+
+    book_arrs = [
+        (
+            np.array([cl for cl, _ in book], dtype=np.int64),
+            np.array([c for _, c in book]),
         )
-    )
-    cand = (
-        cells.withColumnRenamed("vec_id", "neighbor_id")
-        .join(
-            nz.select(F.col("vec_id").alias("neighbor_id")),
-            "neighbor_id",
-        )
-        .join(F.broadcast(probe), "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
-    )
-    scored = (
-        cand.join(
-            codes.withColumnRenamed("vec_id", "neighbor_id"),
-            "neighbor_id",
-        )
-        .join(F.broadcast(luts), ["query_id", "mi", "code"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("lut").alias("approx"))
-    )
+        for _mi, book in books
+    ]
+
+    def adc(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            vids = rb.column(0).to_numpy(zero_copy_only=False)
+            x = np.array(rb.column(1).to_pylist(), dtype=np.float64)
+            cells = _packed_argmin(
+                x, cent_cls, cent_mat, _IVF_DIST_SCALE, _IVF_PACK
+            )
+            codes = np.zeros((len(x), M), dtype=np.int64)
+            for mi in range(M):
+                cls_a, cents_a = book_arrs[mi]
+                codes[:, mi] = _packed_argmin(
+                    x[:, mi * DS: (mi + 1) * DS], cls_a, cents_a,
+                    _IVF_DIST_SCALE, _IVF_PACK,
+                )
+            out_q, out_n, out_a = [], [], []
+            for cell in np.unique(cells):
+                qs = probe_of.get(int(cell), [])
+                if not qs:
+                    continue
+                sel = cells == cell
+                sub_codes = codes[sel]
+                sub_vids = vids[sel]
+                for qid in qs:
+                    lut_mi = luts[qpos[qid]]
+                    approx = np.zeros(len(sub_vids), dtype=np.int64)
+                    for mi in range(M):
+                        d = lut_mi[mi]
+                        approx += np.array(
+                            [d[int(c)] for c in sub_codes[:, mi]],
+                            dtype=np.int64,
+                        )
+                    keep = sub_vids != qid
+                    out_q += [qid] * int(keep.sum())
+                    out_n += sub_vids[keep].tolist()
+                    out_a += approx[keep].tolist()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_q, pa.int64()),
+                    pa.array(out_n, pa.int64()),
+                    pa.array(out_a, pa.int64()),
+                ],
+                ["query_id", "neighbor_id", "approx"],
+            )
+
+    scored = nz.select(
+        "vec_id", to_double("embedding").alias("x")
+    ).mapInArrow(adc, "query_id long, neighbor_id long, approx long")
     w_cand = Window.partitionBy("query_id").orderBy(
         F.col("approx").desc(), F.col("neighbor_id")
     )

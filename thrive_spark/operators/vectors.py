@@ -508,6 +508,58 @@ def lloyd_exact_assign(
     return assign
 
 
+def lloyd_exact_py(
+    rows, k, rounds, dist_scale=1000000, pack_mod=100
+):
+    """DRIVER-SIDE twin of lloyd_exact_assign for SAMPLE-trained
+    quantizers (r16): identical arithmetic — the per-dim squared
+    distance accumulates dim by dim (numpy elementwise adds ARE the
+    left fold, one IEEE op per element per dim), packing is the same
+    floor fixed-point argmin, means are integer sums of
+    floor(v·1e4+0.5) divided exactly as the distributed M-step, and
+    MEMBERLESS centroids are DROPPED exactly like the distributed
+    groupBy loses empty cells — so the returned centroids are
+    bit-identical to what lloyd_exact_assign / the unrolled DuckDB
+    CTEs produce on the same rows. Training on a bounded deterministic
+    sample is the production quantizer pattern (the index is tiny and
+    built once); only the ASSIGNMENT pass stays distributed.
+
+    ``rows`` = [(vec_id, [floats])]; init centroids are the rows with
+    vec_id < k (the oracle's ``WHERE vec_id < k`` init, not
+    positional). Returns [(cl, [cent floats])] sorted by cl, after
+    ``rounds - 1`` mean updates (the final round's assignment is the
+    caller's distributed job)."""
+    import numpy as np
+
+    ids = [int(r[0]) for r in rows]
+    x = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    cents = {
+        vid: x[pos].copy() for pos, vid in enumerate(ids) if vid < k
+    }
+    for _ in range(rounds - 1):
+        cl_list = sorted(cents)
+        c = np.array([cents[cl] for cl in cl_list])
+        acc = None
+        for d in range(x.shape[1]):
+            t = (x[:, d, None] - c[None, :, d]) ** 2
+            acc = t if acc is None else acc + t
+        packed = (
+            np.floor(acc * dist_scale + 0.5).astype(np.int64)
+            * pack_mod
+            + np.array(cl_list, dtype=np.int64)[None, :]
+        )
+        assign = np.array(cl_list)[packed.argmin(axis=1)]
+        cents = {}
+        for cl in cl_list:
+            m = x[assign == cl]
+            if len(m):
+                cents[cl] = (
+                    np.floor(m * 10000 + 0.5).astype(np.int64).sum(0)
+                    / 10000.0
+                ) / len(m)
+    return [(cl, cents[cl].tolist()) for cl in sorted(cents)]
+
+
 SEMX_COS_THRESHOLD = 0.3  # same prune point as the float SemDeDup
 
 
