@@ -798,6 +798,9 @@ def multimodal_image_png(spark, sf_dir):
         "octet_length(encode(text, 'UTF-8')) = length(text) "
         "AND length(text) > 0"
     ).select("doc_id", F.encode("text", "UTF-8").alias("img"))
+    # r16: same single-split story as the jpeg exhibit — filter/
+    # Paeth/zlib per-row compute dominates the one-column shuffle
+    src = fan_out(src, cache_key=(sf_dir, "documents-png"))
     return src.mapInPandas(
         run,
         "doc_id long, width long, height long, "
