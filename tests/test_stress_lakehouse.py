@@ -218,3 +218,44 @@ def test_delta_remove_all_rows(spark, tmp_path):
         for a in st["adds"]
     )
     assert t.snapshot(v).count() == 0
+
+
+def test_iceberg_delete_writers_job_count_independent_of_files(
+    spark, tmp_path
+):
+    """r16 gate (r15 verdict #3): the position-delete and DV writers
+    must cost a BOUNDED number of Spark jobs no matter how many data
+    files the table has — the old path ran one job per data file."""
+    import uuid as _uuid
+
+    from thrive_spark.sources.iceberg_lite import IcebergLiteTable
+
+    def jobs(fn):
+        sc = spark.sparkContext
+        tag = f"jc-{_uuid.uuid4().hex[:8]}"
+        sc.setJobGroup(tag, "gate")
+        try:
+            fn()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    counts = {}
+    for nfiles in (2, 8):
+        t = IcebergLiteTable(spark, str(tmp_path / f"ice{nfiles}"))
+        df = spark.range(400).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS p"
+        ).repartition(nfiles)
+        t.create(df)
+        assert len(t._plan()[0]) == nfiles
+        counts[(nfiles, "pos")] = jobs(
+            lambda: t.delete_rows_positional("k % 7 = 0")
+        )
+        counts[(nfiles, "dv")] = jobs(
+            lambda: t.delete_rows_vector("k % 5 = 0")
+        )
+        assert t.snapshot().count() == 400 - len(
+            {k for k in range(400) if k % 7 == 0 or k % 5 == 0}
+        )
+    assert counts[(8, "pos")] == counts[(2, "pos")], counts
+    assert counts[(8, "dv")] == counts[(2, "dv")], counts
