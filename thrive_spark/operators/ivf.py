@@ -13,9 +13,10 @@ independent of corpus size. Unlike LSH, cells adapt to the data
 distribution, so clustered real embeddings get much better recall at
 the same probe budget.
 
-The float spherical-kmeans helpers (_centroids/_assigned) remain for
-ivfpq.py's composed index, which stays rows-only (its ADC scan is
-float by construction).
+The composed IVF-PQ index (ivfpq.py) shares this module's quantizer
+and probe; the flat-PQ scan (pq.py) shares the sample/rounds
+constants — all three ANN quantizer exhibits are hash-checked since
+r16.
 """
 
 from __future__ import annotations
@@ -26,7 +27,7 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine, sq_norm, to_double
 from ..registry import query
 from ..tables import Tables
-from ._util import r4, unit_rows
+from ._util import r4
 
 #: r13 tuning (verdict #3): swept (cells, probes) in numpy against
 #: the exact operator — 32 cells / 4 probes measures recall@5 =
@@ -38,48 +39,6 @@ from ._util import r4, unit_rows
 N_CELLS = 32
 N_PROBE = 4
 TOP_K = 5
-
-
-def _centroids(t):
-    """k-means-lite on a deterministic sample (vec_id order)."""
-    import numpy as np
-
-    sample = (
-        t.embeddings.orderBy("vec_id").limit(256).toPandas()["embedding"]
-    )
-    x = np.array(sample.tolist(), dtype=np.float64)
-    n = np.linalg.norm(x, axis=1, keepdims=True)
-    x = x[n[:, 0] > 0] / n[n[:, 0] > 0]  # zero vectors can't seed
-    c = x[:N_CELLS].copy()  # deterministic init: first 16 unit vectors
-    for _ in range(5):  # Lloyd iterations on cosine (≈ spherical k-means)
-        assign = (x @ c.T).argmax(axis=1)
-        for j in range(N_CELLS):
-            members = x[assign == j]
-            if len(members):
-                m = members.sum(axis=0)
-                nm = np.linalg.norm(m)
-                if nm > 0:  # opposed members can cancel exactly
-                    c[j] = m / nm
-    return c
-
-
-def _assigned(t, cents):
-    """vec_id, embedding, cell — one vectorized assignment pass."""
-
-    def assign_batches(batches):
-        import numpy as np
-
-        for pdf in batches:
-            m = unit_rows(
-                np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            )
-            pdf = pdf[["vec_id", "embedding"]].copy()
-            pdf["cell"] = (m @ cents.T).argmax(axis=1).astype("int64")
-            yield pdf
-
-    return t.embeddings.select("vec_id", "embedding").mapInPandas(
-        assign_batches, "vec_id long, embedding array<float>, cell long"
-    )
 
 
 #: exact-Lloyd quantizer geometry (r16 hash upgrade): 2 rounds of the

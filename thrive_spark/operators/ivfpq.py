@@ -29,10 +29,11 @@ near-lossless), at-or-above the old float pipeline's 0.73-0.80.
 Scale shape: codebooks/LUTs are tiny broadcast tables; the ADC join
 explodes candidates ×M, but candidates are probe-bounded
 (N_PROBE/N_CELLS of the corpus × the query count), so the shuffle is
-corpus-size independent. A byte-packed mapInPandas ADC (pq.py's
-shape) would scan cheaper per candidate at extreme scale — pq.py
-keeps that exhibit; this one buys cross-engine verifiability for the
-composed index.
+corpus-size independent. pq.py keeps the flat full-scan ADC exhibit
+(highest recall per byte, no cell loss); this one composes the IVF
+probe on top so the scan itself is also probe-bounded. Both are
+hash-checked since r16 and share the codebook/LUT/argmin machinery
+(pq._pq_books_py / _int_luts / _packed_argmin / _pq_cte_block).
 """
 
 from __future__ import annotations
@@ -47,8 +48,6 @@ from ._util import r4
 from .ivf import (
     _IVF_PACK,
     _IVF_DIST_SCALE,
-    IVF_ROUNDS,
-    IVF_SAMPLE,
     N_PROBE,
     TOP_K,
     _ivf_cte_prefix,
@@ -56,32 +55,17 @@ from .ivf import (
     _ivf_probe,
     _sample_rows,
 )
-from .pq import KSUB, M
+from .pq import (
+    DS,
+    M,
+    _int_luts,
+    _packed_argmin,
+    _pq_books_py,
+    _pq_cte_block,
+)
 
 CAND = 100
 N_QUERIES = 20
-DS = 64 // M  # subspace width (64-dim corpus → 4)
-_LUT_SCALE = 1000000
-
-
-def _pq_books_py(sample):
-    """Per-subspace codebooks trained driver-side on the sample via
-    lloyd_exact_py — [(mi, [(cl, cent floats), ...]), ...]."""
-    from .vectors import lloyd_exact_py
-
-    return [
-        (
-            mi,
-            lloyd_exact_py(
-                [
-                    (vid, x[mi * DS: (mi + 1) * DS])
-                    for vid, x in sample
-                ],
-                KSUB, IVF_ROUNDS,
-            ),
-        )
-        for mi in range(M)
-    ]
 
 
 def _ivfpq_oracle() -> str:
@@ -91,74 +75,8 @@ def _ivfpq_oracle() -> str:
     ADC sum, the CAND cut, and the r4 cosine rerank."""
     from ..functions.vectors import NONZERO_EMB_SQL as NZ
 
-    chain4 = " + ".join(
-        f"((e.sx[{k}] - c.cent[{k}]) * (e.sx[{k}] - c.cent[{k}]))"
-        for k in range(1, DS + 1)
-    )
-    dot4 = " + ".join(
-        f"(q.qx[{k}] * c.cent[{k}])" for k in range(1, DS + 1)
-    )
-    parts = [_ivf_cte_prefix(), f""",
-    sub AS (
-        SELECT vec_id, ms.mi AS mi,
-               [{", ".join(
-                   f"CAST(embedding[ms.mi * {DS} + {k}] AS DOUBLE)"
-                   for k in range(1, DS + 1)
-               )}] AS sx
-        FROM embeddings, (SELECT unnest(range({M})) AS mi) ms
-    ),
-    sdmat AS (
-        SELECT vec_id, mi, generate_subscripts(sx, 1) AS dim,
-               unnest(sx) AS v
-        FROM sub
-    ),
-    sc0 AS (
-        SELECT mi, vec_id AS cl, sx AS cent FROM sub
-        WHERE vec_id < {KSUB}
-    )"""]
-    for r in range(1, IVF_ROUNDS + 1):
-        # training rounds assign the SAMPLE's slices; the final round
-        # is the corpus-wide code assignment
-        dom = (
-            f"(SELECT * FROM sub WHERE vec_id < {IVF_SAMPLE})"
-            if r < IVF_ROUNDS else "sub"
-        )
-        parts.append(f""",
-    sa{r} AS (
-        SELECT e.vec_id, e.mi,
-               min(CAST(floor(({chain4}) * {_IVF_DIST_SCALE} + 0.5)
-                        AS BIGINT) * {_IVF_PACK} + c.cl) AS packed
-        FROM {dom} e JOIN sc{r - 1} c USING (mi)
-        GROUP BY e.vec_id, e.mi
-    )""")
-        if r < IVF_ROUNDS:
-            parts.append(f""",
-    sm{r} AS (
-        SELECT d.mi, a.packed % {_IVF_PACK} AS cl, d.dim,
-               sum(CAST(floor(d.v * 10000 + 0.5) AS BIGINT))
-                   / 10000.0 / count(*) AS mv
-        FROM sa{r} a JOIN sdmat d
-          ON a.vec_id = d.vec_id AND a.mi = d.mi
-        GROUP BY 1, 2, 3
-    ),
-    sc{r} AS (SELECT mi, cl, list(mv ORDER BY dim) AS cent
-              FROM sm{r} GROUP BY mi, cl)""")
+    parts = [_ivf_cte_prefix(), ",", _pq_cte_block()]
     parts.append(f""",
-    codes AS (
-        SELECT vec_id, mi, packed % {_IVF_PACK} AS code
-        FROM sa{IVF_ROUNDS}
-    ),
-    luts AS (
-        SELECT q.query_id, c.mi, c.cl AS code,
-               CAST(floor(({dot4}) * {_LUT_SCALE} + 0.5)
-                    AS BIGINT) AS lut
-        FROM (SELECT s.vec_id AS query_id, s.mi, s.sx AS qx
-              FROM sub s
-              JOIN (SELECT vec_id FROM embeddings
-                    WHERE vec_id < {N_QUERIES} AND {NZ}) nzq
-                ON nzq.vec_id = s.vec_id) q
-        JOIN sc{IVF_ROUNDS - 1} c USING (mi)
-    ),
     pcand AS (
         SELECT p.query_id, m.vec_id AS neighbor_id
         FROM probe p
@@ -245,30 +163,7 @@ def sim_knn_ivfpq(spark, sf_dir):
     )
     qpos = {qid: i for i, (qid, _) in enumerate(qrows)}
     # luts[qi][mi] = {cl: int lut}; fold order matches the oracle dot
-    luts: list[list[dict[int, int]]] = []
-    for _qid, qx in qrows:
-        per_mi = []
-        for mi, book in books:
-            d: dict[int, int] = {}
-            for cl, c in book:
-                acc = None
-                for k in range(DS):
-                    term = qx[mi * DS + k] * c[k]
-                    acc = term if acc is None else acc + term
-                d[cl] = int(np.floor(acc * _LUT_SCALE + 0.5))
-            per_mi.append(d)
-        luts.append(per_mi)
-
-    def _packed_argmin(x, cls, cents, scale, pack):
-        acc = None
-        for k in range(cents.shape[1]):
-            tterm = (x[:, k, None] - cents[None, :, k]) ** 2
-            acc = tterm if acc is None else acc + tterm
-        packed = (
-            np.floor(acc * scale + 0.5).astype(np.int64) * pack
-            + cls[None, :]
-        )
-        return cls[packed.argmin(axis=1)]
+    luts = _int_luts(qrows, books)
 
     book_arrs = [
         (
