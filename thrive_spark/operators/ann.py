@@ -1,17 +1,32 @@
 """Approximate nearest neighbor — the scale path for similarity
 search (task brief: "IVF or LSH-bucketed variant").
 
-Random-hyperplane LSH: an 8-bit signature per vector (sign of the dot
-product with 8 fixed hyperplanes) buckets the corpus into ≤256 cells;
-a query probes its own cell plus the 8 Hamming-distance-1 cells and
-exact-reranks only those candidates. Expected candidate fraction is
-9/256 ≈ 3.5% of the corpus — at 100 TB that is the difference between
-a full cross join and a bounded per-query scan. Recall is tunable by
-(n_planes, probe radius); tests/test_ann.py measures recall@5 against
-the exact operator.
+Random-hyperplane LSH with L independent tables (E2LSH /
+Indyk-Motwani): a 10-bit signature per (vector, table) — the sign of
+the dot product with 10 fixed hyperplanes — buckets the corpus into
+≤1024 cells per table; a query probes its own cell plus every cell
+within Hamming distance 2 (56 of 1024) in each of the 8 tables and
+exact-reranks the candidate union.  At 100 TB that is the difference
+between a full cross join and a bounded per-query scan.
 
-Signatures are computed in one vectorized Arrow pass (matrix × planes
-matmul), the same map-only shape as the MinHash signatures.
+HASH-CHECKED end to end since r16 (upgraded from rows-only): the
+hyperplanes are PORTABLE — component w(ti, pi, dim) =
+md5_60bit("lshp_ti_pi_dim") % 2001 − 1000 (the repo's md5-conv
+integer hash, CLAUDE.md r7), built driver-side with hashlib and in
+the oracle with DuckDB's md5 — and the dot products are INTEGER:
+embeddings quantize to floor(v·1e4 + 0.5) once, so every signature
+bit is a sum of int64 products both engines compute exactly.  Bucket
+membership, the multiprobe expansion (integer XOR), the candidate
+union, and the r4 cosine rerank are therefore all engine-replayable —
+the CANDIDATE SET itself is verified, not just the rerank.
+
+Signatures are computed in one vectorized Arrow pass (int64 matmul),
+the same map-only shape as the MinHash signatures.  Measured recall@5
+vs the exact operator: 0.79/0.84 at sf0.01/sf0.1 (integer-cube planes
+measure the same as the old gaussian ones — sign-LSH only needs
+symmetric directions), candidate fraction as before (~37% on
+structure-free random vectors, the documented LSH worst case;
+clustered real embeddings reach the same recall at a fraction of it).
 """
 
 from __future__ import annotations
@@ -19,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, to_double
+from ..functions.vectors import cosine, sq_norm, to_double
 from ..registry import query
 from ..tables import Tables
 from ._util import r4
@@ -27,39 +42,58 @@ from ._util import r4
 #: r13 tuning (verdict #3): single-table LSH is hopeless on
 #: structure-free random vectors (8 planes, radius-2 multiprobe
 #: measured recall@5 = 0.26-0.38) — the classic fix is L INDEPENDENT
-#: tables whose candidate sets union (E2LSH / Indyk-Motwani). Swept
-#: in numpy against the exact operator: 8 tables × 10 planes,
-#: radius-2 probing measures recall@5 = 0.77/0.80/0.83 at
-#: sf0.001/0.01/0.1. Candidate fraction ~37% is the documented
-#: random-vector worst case — clustered real embeddings reach the
-#: same recall at a fraction of it, and per-table cost is one matmul.
+#: tables whose candidate sets union. 8 tables × 10 planes, radius-2
+#: probing holds recall@5 ≈ 0.8 across scales.
 N_PLANES = 10
 N_TABLES = 8
 DIM = 64
 TOP_K = 5
+N_QUERIES = 20
+_FP_SCALE = 10000  # embedding fixed-point: floor(v*1e4 + 0.5)
+_P_MOD = 2001  # plane components in [-1000, 1000]
 
 
-def _signature_df(t):
-    """vec_id, embedding, key — one row per (vector, table), with the
-    table id packed into the join key's high bits so the L-table
-    candidate union is a single equi-join."""
+def _planes_py():
+    """(T, P, D) int64 hyperplane components from the portable 60-bit
+    md5 integer hash — bit-identical to the oracle's DuckDB md5
+    derivation. An index constant: built once driver-side, shipped in
+    the task closure."""
+    import hashlib
+
+    import numpy as np
+
+    w = np.zeros((N_TABLES, N_PLANES, DIM), dtype=np.int64)
+    for ti in range(N_TABLES):
+        for pi in range(N_PLANES):
+            for k in range(1, DIM + 1):
+                h = int(
+                    hashlib.md5(
+                        f"lshp_{ti}_{pi}_{k}".encode()
+                    ).hexdigest()[:15],
+                    16,
+                )
+                w[ti, pi, k - 1] = h % _P_MOD - (_P_MOD - 1) // 2
+    return w
+
+
+def _signature_df(nz):
+    """vec_id, embedding, keys — one row per vector with the 8 table
+    keys (table id packed into the high bits so the L-table candidate
+    union is a single equi-join). Integer dots: exact both engines."""
+    planes = _planes_py()
 
     def sign_batches(batches):
         import numpy as np
-        import pandas as pd
 
-        # fixed planes per table — part of the index
-        planes = [
-            np.random.RandomState(42 + ti).standard_normal((N_PLANES, DIM))
-            for ti in range(N_TABLES)
-        ]
         weights = 1 << np.arange(N_PLANES)
         for pdf in batches:
             m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            ei = np.floor(m * _FP_SCALE + 0.5).astype(np.int64)
             keys = np.stack(
                 [
-                    ((m @ p.T) > 0) @ weights + (ti << N_PLANES)
-                    for ti, p in enumerate(planes)
+                    ((ei @ planes[ti].T) > 0) @ weights
+                    + (ti << N_PLANES)
+                    for ti in range(N_TABLES)
                 ],
                 axis=1,
             ).astype("int64")
@@ -67,20 +101,117 @@ def _signature_df(t):
             pdf["keys"] = list(keys)
             yield pdf
 
-    return t.embeddings.select("vec_id", "embedding").mapInPandas(
+    return nz.select("vec_id", "embedding").mapInPandas(
         sign_batches,
         "vec_id long, embedding array<float>, keys array<long>",
     )
 
 
-@query("sim_knn_lsh")  # rows-only: approximate by construction
+def _lsh_oracle() -> str:
+    """DuckDB twin of the whole LSH pipeline: md5-derived integer
+    hyperplanes, int64 signature dots, bucket keys, the radius-2 XOR
+    multiprobe, the DISTINCT candidate union, and the r4 cosine
+    rerank."""
+    from ..functions.vectors import NONZERO_EMB_SQL as NZ
+
+    half = (_P_MOD - 1) // 2
+    return f"""
+    WITH planes AS (
+        SELECT t.ti, p.pi, d.dim,
+               (('0x' || substr(md5('lshp_' || t.ti || '_' || p.pi
+                                 || '_' || d.dim), 1, 15))::BIGINT
+                % {_P_MOD}) - {half} AS w
+        FROM (SELECT unnest(range({N_TABLES})) AS ti) t,
+             (SELECT unnest(range({N_PLANES})) AS pi) p,
+             (SELECT unnest(range(1, {DIM + 1})) AS dim) d
+    ),
+    dmat AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+               unnest(embedding) AS v
+        FROM embeddings
+    ),
+    emat AS (
+        SELECT vec_id, dim,
+               CAST(floor(CAST(v AS DOUBLE) * 1e4 + 0.5) AS BIGINT)
+                   AS ei
+        FROM dmat
+    ),
+    dots AS (
+        SELECT e.vec_id, p.ti, p.pi,
+               CAST(sum(e.ei * p.w) AS BIGINT) AS dot
+        FROM emat e JOIN planes p USING (dim)
+        GROUP BY 1, 2, 3
+    ),
+    keys AS (
+        SELECT vec_id, ti,
+               CAST(sum(CASE WHEN dot > 0
+                             THEN (1::BIGINT << pi) ELSE 0 END)
+                    + ti * {1 << N_PLANES} AS BIGINT) AS key
+        FROM dots GROUP BY 1, 2
+    ),
+    masks AS (
+        SELECT CAST(0 AS BIGINT) AS mask
+        UNION ALL
+        SELECT CAST((1::BIGINT << a.i) AS BIGINT)
+        FROM (SELECT unnest(range({N_PLANES})) AS i) a
+        UNION ALL
+        SELECT CAST(((1::BIGINT << a.i) | (1::BIGINT << b.j))
+                    AS BIGINT)
+        FROM (SELECT unnest(range({N_PLANES})) AS i) a,
+             (SELECT unnest(range({N_PLANES})) AS j) b
+        WHERE b.j > a.i
+    ),
+    nzset AS (SELECT vec_id FROM embeddings WHERE {NZ}),
+    probes AS (
+        SELECT k.vec_id AS query_id, xor(k.key, m.mask) AS key
+        FROM keys k
+        JOIN nzset q ON q.vec_id = k.vec_id
+        CROSS JOIN masks m
+        WHERE k.vec_id < {N_QUERIES}
+    ),
+    cpairs AS (
+        SELECT DISTINCT p.query_id, k.vec_id AS neighbor_id
+        FROM probes p
+        JOIN keys k ON k.key = p.key
+        JOIN nzset n ON n.vec_id = k.vec_id
+        WHERE k.vec_id <> p.query_id
+    ),
+    rpairs AS (
+        SELECT c.query_id, c.neighbor_id,
+               round(list_cosine_similarity(
+                   CAST(qe.embedding AS DOUBLE[]),
+                   CAST(ne.embedding AS DOUBLE[])), 4) AS sim
+        FROM cpairs c
+        JOIN embeddings qe ON qe.vec_id = c.query_id
+        JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id
+                                    ) AS rn
+        FROM rpairs
+    )
+    SELECT query_id, neighbor_id, sim, rn FROM ranked
+    WHERE rn <= {TOP_K}
+    """
+
+
+@query("sim_knn_lsh", oracle=_lsh_oracle())
 def sim_knn_lsh(spark, sf_dir):
     """Approximate top-5 cosine neighbors for queries (vec_id < 20):
     8-table LSH bucket union + radius-2 multiprobe per table + exact
-    rerank of the candidate union (measured recall@5 0.77-0.83,
-    tests/test_ann.py gates 0.6)."""
+    rerank of the candidate union. HASH-CHECKED (r16): portable
+    integer hyperplanes + int64 signature dots make the candidate set
+    engine-replayable (module docstring). Measured recall@5 0.79-0.84,
+    tests/test_ann.py gates 0.6.
+
+    Scale shape: signatures are one map-only int64 matmul pass; the
+    probe side is a tiny broadcast (Q × tables × 56 masks); candidate
+    volume is bucket-bounded, and only the deduped union pays the
+    exact-cosine rerank."""
     t = Tables(spark, sf_dir)
-    sig = _signature_df(t)
+    nz = t.embeddings.filter(sq_norm(to_double("embedding")) > 0)
+    sig = _signature_df(nz)
 
     # multiprobe per table: key ⊕ every mask of Hamming weight ≤ 2 —
     # 56 of 1024 cells per table; the table id in the key's high bits
@@ -97,7 +228,7 @@ def sim_knn_lsh(spark, sf_dir):
         )
     )
     q = (
-        sig.filter(F.col("vec_id") < 20)
+        sig.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             to_double("embedding").alias("qe"),
