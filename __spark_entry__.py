@@ -245,6 +245,7 @@ GRADE_DEFER = [
     "lakehouse_cdc_mirror",
     # r16 registrations
     "scan_hudi_clustering",
+    "scan_hudi_metadata_table",
 ]
 
 

@@ -691,3 +691,96 @@ def test_clustering_partitioned_and_mor_refusal(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="COPY_ON_WRITE"):
         m.cluster("k")
+
+
+# ---------- metadata table (files index) ----------
+
+
+def test_metadata_index_matches_listing_across_lifecycle(
+    spark, tmp_path
+):
+    """MOR lifecycle — bulk insert, post-sync upsert (log block),
+    delete block, compaction, clean — the metadata-planned slices
+    must stay slice-for-slice identical to listing-planned ones,
+    through both a fresh sync and the stale-sync catch-up fold."""
+    t, _ = _mk_mor(spark, tmp_path)
+
+    def check():
+        assert t.plan_slices(use_metadata=True) == t.plan_slices(
+            use_metadata=False
+        )
+
+    t.metadata_sync()
+    check()
+    t.upsert(spark.createDataFrame(
+        [(3, 999.0), (55, 1.0)], "k bigint, p double"
+    ))  # after the sync: exercises the catch-up fold
+    check()
+    t.delete(spark.createDataFrame([(4,)], "k bigint"))
+    check()
+    t.compact()
+    check()
+    t.metadata_sync()  # fresh snapshot; the clean relies on catch-up
+    t.clean(keep_last=1)
+    check()
+    cur = {r.k: r.p for r in t.snapshot().collect()}
+    assert cur[3] == 999.0 and 4 not in cur and cur[55] == 1.0
+
+
+def test_metadata_plan_touches_no_data_directory(
+    spark, tmp_path, monkeypatch
+):
+    """The files index's reason to exist: with a sync in place,
+    planning lists NO data directory (only .hoodie metadata paths) —
+    at 100 TB the per-partition listing RPCs are the cost the
+    metadata table kills."""
+    import thrive_spark.sources.hudi_lite as hl
+
+    t = HudiLiteTable(spark, str(tmp_path / "p"), key_field="k")
+    df = spark.createDataFrame(
+        [(i, "AB"[i % 2], float(i) * 10) for i in range(20)],
+        "k bigint, s string, p double",
+    )
+    t.bulk_insert(df, groups=2, partition_field="s")
+    t.metadata_sync()
+    real_listdir = os.listdir
+    meta_root = t.meta_dir
+
+    def guarded(path="."):
+        p = os.fspath(path)
+        if p.startswith(t.root) and not p.startswith(meta_root):
+            raise AssertionError(
+                f"data-directory listing during metadata planning: {p}"
+            )
+        return real_listdir(path)
+
+    monkeypatch.setattr(hl.os, "listdir", guarded)
+    plan = t.plan_slices(use_metadata=True)
+    assert len(plan) == 4  # 2 partitions x 2 groups
+    assert {s["partition"] for s in plan} == {"A", "B"}
+    pruned = t.plan_slices(
+        partition_filter={"s": "A"}, use_metadata=True
+    )
+    assert pruned and all(s["partition"] == "A" for s in pruned)
+
+
+def test_metadata_requires_sync_and_prunes_old_snapshots(
+    spark, tmp_path
+):
+    t, _ = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="metadata_sync"):
+        t.plan_slices(use_metadata=True)
+    with pytest.raises(ValueError, match="metadata_sync"):
+        t.metadata_files_df()
+    s1 = t.metadata_sync()
+    t.upsert(spark.createDataFrame([(1, 5.0)], "k bigint, p double"))
+    s2 = t.metadata_sync()
+    assert s2 > s1
+    snaps = [
+        f for f in os.listdir(t._md_dir) if f.startswith("files-")
+    ]
+    assert snaps == [f"files-{s2}.parquet"]  # one snapshot, newest
+    names = {r.file_name for r in t.metadata_files_df().collect()}
+    assert {
+        s["base_path"].rpartition("/")[2] for s in t.plan_slices()
+    } <= names
