@@ -246,6 +246,7 @@ GRADE_DEFER = [
     # r16 registrations
     "scan_hudi_clustering",
     "scan_hudi_metadata_table",
+    "scan_hudi_col_stats_prune",
 ]
 
 

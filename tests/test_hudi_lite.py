@@ -784,3 +784,69 @@ def test_metadata_requires_sync_and_prunes_old_snapshots(
     assert {
         s["base_path"].rpartition("/")[2] for s in t.plan_slices()
     } <= names
+
+
+# ---------- metadata table (column stats) ----------
+
+
+def test_range_layout_and_col_stats_pruning(spark, tmp_path):
+    """Range-laid-out bulk insert + footer-synced column stats: a
+    range read must SKIP non-matching files and still return exactly
+    the matching rows."""
+    t = HudiLiteTable(spark, str(tmp_path / "cs"), key_field="k")
+    df = spark.createDataFrame(
+        [(i, float(i) * 10) for i in range(100)], "k bigint, p double"
+    )
+    t.bulk_insert(df, groups=4, sort_field="k")
+    t.col_stats_sync(["k", "p"])
+    alls = t.plan_slices()
+    assert len(alls) == 4
+    kept = t.prune_slices("k", 0, 24)
+    assert 1 <= len(kept) < len(alls)
+    got = {r.k for r in t.snapshot_range("k", 0, 24).collect()}
+    assert got == set(range(25))
+    # double-typed bounds prune too
+    keptp = t.prune_slices("p", 0.0, 240.0)
+    assert 1 <= len(keptp) < len(alls)
+    gp = {r.k for r in t.snapshot_range("p", 0.0, 240.0).collect()}
+    assert gp == set(range(25))
+    # a range that nothing matches: every file skipped, empty result
+    assert t.prune_slices("k", 5000, 6000) == []
+    assert t.snapshot_range("k", 5000, 6000).count() == 0
+
+
+def test_col_stats_conservative_on_stale_and_logged(spark, tmp_path):
+    # COW: a file written AFTER the sync has no stats row -> kept
+    t = HudiLiteTable(spark, str(tmp_path / "st"), key_field="k")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "k bigint, p double"
+    )
+    t.bulk_insert(df, groups=2, sort_field="k")
+    t.col_stats_sync(["k"])
+    t.upsert(spark.createDataFrame(
+        [(1000 + i, 1.0) for i in range(5)], "k bigint, p double"
+    ))
+    got = {r.k for r in t.snapshot_range("k", 1000, 1004).collect()}
+    assert got == {1000, 1001, 1002, 1003, 1004}
+    # MOR: a log block can move a VALUE column outside the base
+    # file's bounds — the logged slice must be kept regardless
+    m = HudiLiteTable(spark, str(tmp_path / "mo"), key_field="k")
+    m.bulk_insert(df, groups=2, table_type="MERGE_ON_READ",
+                  sort_field="k")
+    m.col_stats_sync(["k", "p"])
+    m.upsert(spark.createDataFrame(
+        [(3, 999.0)], "k bigint, p double"
+    ))
+    rows = m.snapshot_range("p", 999.0, 999.0).collect()
+    assert [(r.k, r.p) for r in rows] == [(3, 999.0)]
+
+
+def test_col_stats_string_refusal_and_sync_required(spark, tmp_path):
+    t = HudiLiteTable(spark, str(tmp_path / "sr"), key_field="k")
+    t.bulk_insert(spark.createDataFrame(
+        [(1, "x", 1.0)], "k bigint, s string, p double"
+    ), groups=1)
+    with pytest.raises(ValueError, match="col_stats_sync"):
+        t.prune_slices("k", 0, 10)
+    with pytest.raises(NotImplementedError, match="truncated"):
+        t.col_stats_sync(["s"])

@@ -623,6 +623,172 @@ class HudiLiteTable:
             rows or [], "partition string, file_name string"
         )
 
+    # ---------- metadata table (column stats) ----------
+
+    @property
+    def _cs_dir(self) -> str:
+        return os.path.join(self.meta_dir, "metadata", "col_stats")
+
+    def col_stats_sync(self, cols: list[str]) -> str:
+        """Build/refresh the COLUMN_STATS partition of the metadata
+        table (`.hoodie/metadata/col_stats/stats-<instant>.parquet`):
+        per live base file and requested column, the min/max/nulls
+        read from the file's parquet FOOTER — O(footer RPCs), never a
+        data scan (the real table service computes these from the
+        write handle's footer at commit time; footer backfill is its
+        bootstrap path). NUMERIC columns only: parquet string stats
+        may be truncated, and a truncated upper bound widened wrong
+        silently breaks pruning (same boundary iceberg_lite draws —
+        CLAUDE.md r14). Long and double bounds are stored in typed
+        columns, never squeezed through a lossy double. Returns the
+        synced instant."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = []
+        for s in self.plan_slices():
+            md = pq.ParquetFile(
+                os.path.join(self.root, s["base_path"])
+            ).metadata
+            names = {md.schema.column(i).name: i
+                     for i in range(md.num_columns)}
+            for col in cols:
+                if col not in names:
+                    continue
+                phys = md.schema.column(names[col]).physical_type
+                if phys not in ("INT32", "INT64", "FLOAT", "DOUBLE"):
+                    raise NotImplementedError(
+                        f"col_stats for {phys} columns is out of "
+                        "scope: parquet string bounds may be "
+                        "truncated and must not drive pruning"
+                    )
+                mn = mx = None
+                nulls = 0
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(names[col]).statistics
+                    if st is None or not st.has_min_max:
+                        mn = mx = None
+                        break
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+                    nulls += st.null_count or 0
+                if mn is None:
+                    continue  # no stats: the file stays unprunable
+                is_int = phys in ("INT32", "INT64")
+                rows.append((
+                    s["partition"],
+                    s["base_path"].rpartition("/")[2],
+                    col,
+                    int(mn) if is_int else None,
+                    int(mx) if is_int else None,
+                    None if is_int else float(mn),
+                    None if is_int else float(mx),
+                    int(nulls),
+                    bool(s["logs"]),
+                ))
+        done = self._all_actions()
+        if not done:
+            raise ValueError("empty timeline: nothing to sync")
+        last = done[-1][0]
+        os.makedirs(self._cs_dir, exist_ok=True)
+        cols_t = list(zip(*rows)) if rows else [[] for _ in range(9)]
+        tmp = os.path.join(self._cs_dir, f".tmp-{uuid.uuid4().hex[:8]}")
+        pq.write_table(
+            pa.table({
+                "partition": pa.array(cols_t[0], pa.string()),
+                "file_name": pa.array(cols_t[1], pa.string()),
+                "col": pa.array(cols_t[2], pa.string()),
+                "min_long": pa.array(cols_t[3], pa.int64()),
+                "max_long": pa.array(cols_t[4], pa.int64()),
+                "min_double": pa.array(cols_t[5], pa.float64()),
+                "max_double": pa.array(cols_t[6], pa.float64()),
+                "null_count": pa.array(cols_t[7], pa.int64()),
+                "logged": pa.array(cols_t[8], pa.bool_()),
+            }),
+            tmp,
+        )
+        os.replace(
+            tmp, os.path.join(self._cs_dir, f"stats-{last}.parquet")
+        )
+        for f in os.listdir(self._cs_dir):
+            if (
+                f.startswith("stats-") and f.endswith(".parquet")
+                and f != f"stats-{last}.parquet"
+            ):
+                os.unlink(os.path.join(self._cs_dir, f))
+        return last
+
+    def _col_stats(self) -> dict[tuple[str, str, str], dict] | None:
+        """{(partition, file_name, col): bounds row} from the newest
+        col_stats snapshot, or None when never synced."""
+        if not os.path.isdir(self._cs_dir):
+            return None
+        import pyarrow.parquet as pq
+
+        snaps = sorted(
+            f for f in os.listdir(self._cs_dir)
+            if f.startswith("stats-") and f.endswith(".parquet")
+        )
+        if not snaps:
+            return None
+        tbl = pq.read_table(os.path.join(self._cs_dir, snaps[-1]))
+        out: dict[tuple[str, str, str], dict] = {}
+        for r in tbl.to_pylist():
+            out[(r["partition"], r["file_name"], r["col"])] = r
+        return out
+
+    def prune_slices(self, col: str, lo, hi) -> list[dict]:
+        """Data skipping: the live file slices whose ``col`` range may
+        intersect [lo, hi], per the column-stats index. CONSERVATIVE
+        under every form of staleness — a slice with no stats row
+        (written after the sync), with logs attached at sync time, or
+        with logs attached NOW is kept unconditionally (log records
+        can move a value column outside the base file's bounds) — so
+        a pruned read is always a superset of the matching rows and a
+        residual filter keeps it exact. This is the planning shape
+        that turns a 100 TB range query into an O(matching files)
+        scan on a range-laid-out table (``bulk_insert(sort_field=)``,
+        ``cluster``)."""
+        stats = self._col_stats()
+        if stats is None:
+            raise ValueError(
+                "no column stats: call col_stats_sync() first"
+            )
+        kept = []
+        for s in self.plan_slices():
+            row = stats.get(
+                (s["partition"],
+                 s["base_path"].rpartition("/")[2], col)
+            )
+            if row is None or row["logged"] or s["logs"]:
+                kept.append(s)  # conservative: no/invalid stats
+                continue
+            if row["min_long"] is not None:
+                mn, mx = row["min_long"], row["max_long"]
+            else:
+                mn, mx = row["min_double"], row["max_double"]
+            if not (mx < lo or mn > hi):
+                kept.append(s)
+        return kept
+
+    def snapshot_range(self, col: str, lo, hi):
+        """``snapshot()`` restricted to ``col`` BETWEEN lo AND hi,
+        planned through ``prune_slices`` — only the possibly-matching
+        files are opened; the residual filter makes the result exact
+        regardless of how conservative the pruning was."""
+        kept = self.prune_slices(col, lo, hi)
+        if not kept:  # every file skipped: empty result, full schema
+            return self.snapshot().limit(0).filter(
+                F.col(col).between(lo, hi)
+            )
+        if self.table_type() == "COPY_ON_WRITE":
+            df = self._read_slices([s["base_path"] for s in kept])
+        else:
+            df = self._merged(kept, None)
+        return df.drop(*self._meta_cols()).filter(
+            F.col(col).between(lo, hi)
+        )
+
     def plan_slices(
         self,
         instant: str | None = None,
@@ -984,11 +1150,20 @@ class HudiLiteTable:
         groups: int = 2,
         table_type: str = "COPY_ON_WRITE",
         partition_field: str | None = None,
+        sort_field: str | None = None,
     ) -> str:
         """Create the table: rows hash-split into ``groups`` file
         groups per partition (the real writer sizes groups by target
         file size — group COUNT is layout, not semantics). MOR bulk
-        inserts also write base files, under a ``deltacommit``."""
+        inserts also write base files, under a ``deltacommit``.
+
+        ``sort_field``: RANGE layout instead of hash — groups are
+        assigned by sampled quantile bounds of the (numeric) sort
+        column, the same mechanism ``repartitionByRange`` uses, so
+        each file's [min, max] on that column is near-disjoint and
+        column-stats pruning (``prune_slices``) can skip files. No
+        global sort, no single-task window: the bounds are a tiny
+        driver sample and the assignment is a map-side expression."""
         os.makedirs(self.root, exist_ok=True)
         os.makedirs(self.meta_dir, exist_ok=True)
         props = (
@@ -1008,8 +1183,21 @@ class HudiLiteTable:
         )
         instant = self._next_instant()
         self._begin_instant(instant, action)
+        if sort_field is None:
+            gcol = F.pmod(F.xxhash64(self.key_field), F.lit(groups))
+        else:
+            # sampled quantile bounds (repartitionByRange's recipe);
+            # duplicate bounds just leave some buckets empty, which
+            # planning already treats like any absent group
+            probs = [i / groups for i in range(1, groups)]
+            bounds = df.stat.approxQuantile(sort_field, probs, 0.001)
+            gcol = F.lit(0)
+            for b in bounds:
+                gcol = gcol + F.when(
+                    F.col(sort_field) > F.lit(b), 1
+                ).otherwise(0)
         tagged = self._with_meta(df, instant, partition_field).withColumn(
-            "__g", F.pmod(F.xxhash64(self.key_field), F.lit(groups))
+            "__g", gcol
         )
         raw_parts = (
             [""] if not partition_field
@@ -2324,4 +2512,68 @@ def scan_hudi_metadata_table(spark, sf_dir):
         dsum("p").alias("sum_p"),
     ).select(F.lit("ALL").alias("status"), "n_rows", "sum_p")
     out = by_status.unionByName(allp).orderBy("status")
+    return _detach_and_cleanup(spark, out, root)
+
+
+@query(
+    "scan_hudi_col_stats_prune",
+    oracle=f"""
+    WITH t AS (
+        SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        WHERE o_orderkey % 13 = 0
+    )
+    SELECT CAST(1 AS BIGINT) AS part, count(*) AS n_rows,
+           {osum('p')} AS sum_p
+    FROM t WHERE k BETWEEN 1 AND 2000
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), count(*), {osum('p')} FROM t
+    """,
+)
+def scan_hudi_col_stats_prune(spark, sf_dir):
+    """Hudi COLUMN-STATS data skipping — completes the three-format
+    skipping story next to Delta (acid_data_skipping) and Iceberg
+    (scan_iceberg_stats_prune): a RANGE-laid-out bulk insert
+    (sampled quantile bounds, repartitionByRange's recipe — no
+    global sort, no single-task window) makes per-file [min, max] on
+    the sort column near-disjoint; ``col_stats_sync`` folds those
+    bounds from the parquet FOOTERS into the metadata table's
+    col_stats partition (O(footer RPCs), typed long/double bound
+    columns, numeric-only — truncated string stats must never drive
+    pruning); and a range read plans through ``prune_slices``, which
+    keeps only possibly-matching files plus a residual filter. The
+    pruning is CONSERVATIVE by construction (stale-sync files and
+    logged slices are kept unconditionally), so the pruned read is
+    provably exact — which is what the oracle checks. Part 1 is the
+    pruned range read, part 2 the full snapshot.
+    tests/test_hudi_lite.py proves files are actually skipped on a
+    range layout and that staleness/log conservatism holds."""
+    import tempfile
+
+    from ..tables import Tables
+    from .acid import _detach_and_cleanup
+
+    t = Tables(spark, sf_dir)
+    orders = t.orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("p"),
+    ).filter("k % 13 = 0")
+    root = tempfile.mkdtemp(prefix="thrive_hudi_cs_")
+    tbl = HudiLiteTable(spark, root, key_field="k")
+    tbl.bulk_insert(orders, groups=4, sort_field="k")
+    tbl.col_stats_sync(["k", "p"])
+    kept = tbl.prune_slices("k", 1, 2000)
+    assert len(kept) <= len(tbl.plan_slices())
+
+    def agg(df, label):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("p").alias("sum_p"),
+        ).select(
+            F.lit(label).cast("bigint").alias("part"),
+            "n_rows", "sum_p",
+        )
+
+    out = agg(tbl.snapshot_range("k", 1, 2000), 1).union(
+        agg(tbl.snapshot(), 2)
+    )
     return _detach_and_cleanup(spark, out, root)
