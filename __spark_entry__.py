@@ -247,6 +247,7 @@ GRADE_DEFER = [
     "scan_hudi_clustering",
     "scan_hudi_metadata_table",
     "scan_hudi_col_stats_prune",
+    "scan_hudi_bloom_index",
 ]
 
 

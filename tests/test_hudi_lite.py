@@ -850,3 +850,65 @@ def test_col_stats_string_refusal_and_sync_required(spark, tmp_path):
         t.prune_slices("k", 0, 10)
     with pytest.raises(NotImplementedError, match="truncated"):
         t.col_stats_sync(["s"])
+
+
+# ---------- bloom index (tagging candidate prune) ----------
+
+
+def test_bloom_index_prunes_tagging_to_owning_group(spark, tmp_path):
+    """A single-key upsert on a 4-group range-laid-out table must tag
+    against exactly ONE candidate file (exact key ranges prune the
+    rest before the bloom is even consulted) — the O(owning groups)
+    small-delta cost the bloom index exists for."""
+    t = HudiLiteTable(spark, str(tmp_path / "b"), key_field="k")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k bigint, p double"
+    )
+    t.bulk_insert(df, groups=4, sort_field="k")
+    t.upsert(spark.createDataFrame([(3, 999.0)], "k bigint, p double"))
+    assert t._last_tag_candidates == 1
+    cur = {r.k: r.p for r in t.snapshot().collect()}
+    assert cur[3] == 999.0 and len(cur) == 100
+    # MOR delete path prunes the same way
+    m = HudiLiteTable(spark, str(tmp_path / "bm"), key_field="k")
+    m.bulk_insert(df, groups=4, table_type="MERGE_ON_READ",
+                  sort_field="k")
+    m.delete(spark.createDataFrame([(7,)], "k bigint"))
+    assert m._last_tag_candidates == 1
+    assert 7 not in {r.k for r in m.snapshot().collect()}
+    # a batch blanketing every range degrades to all candidates
+    t.upsert(df.selectExpr("k", "p + 1 AS p"))
+    assert t._last_tag_candidates == len(t.plan_slices())
+
+
+def test_bloom_index_fallbacks(spark, tmp_path):
+    import json as _json
+
+    # single-slice table: nothing to prune, probe skipped
+    t1 = HudiLiteTable(spark, str(tmp_path / "one"), key_field="k")
+    t1.bulk_insert(spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k bigint, p double"
+    ), groups=1)
+    t1.upsert(spark.createDataFrame([(3, 9.0)], "k bigint, p double"))
+    assert t1._last_tag_candidates is None
+    assert {r.p for r in t1.snapshot().filter("k=3").collect()} == {9.0}
+    # legacy table (no bloom fields in commit stats): full-scan path
+    t2 = HudiLiteTable(spark, str(tmp_path / "leg"), key_field="k")
+    t2.bulk_insert(spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "k bigint, p double"
+    ), groups=4)
+    for f in os.listdir(t2.meta_dir):
+        if f.endswith(".commit"):
+            p = os.path.join(t2.meta_dir, f)
+            with open(p) as fh:
+                meta = _json.load(fh)
+            for sts in meta.get("partitionToWriteStats", {}).values():
+                for st in sts:
+                    for key in ("bloom", "minKey", "maxKey"):
+                        st.pop(key, None)
+            with open(p, "w") as fh:
+                _json.dump(meta, fh)
+    t2.upsert(spark.createDataFrame([(3, 9.0)], "k bigint, p double"))
+    assert t2._last_tag_candidates is None
+    cur = {r.k: r.p for r in t2.snapshot().collect()}
+    assert cur[3] == 9.0 and len(cur) == 40
