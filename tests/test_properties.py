@@ -59,12 +59,43 @@ def test_try_cast_bigint_parity(spark, vals):
 @given(vals=st.lists(TOKEN, min_size=1, max_size=6))
 @SETTINGS
 def test_try_cast_double_parity(spark, vals):
+    import re
+
+    from hypothesis import assume
+
+    # a leading '+' followed by ANOTHER sign is a PINNED divergence
+    # (see test_try_cast_double_known_divergence): DuckDB strips the
+    # '+' and re-parses the remainder as a fresh signed number
+    # ('+-0' -> -0.0, '+-1e2' -> -100.0) where Spark returns NULL
+    assume(not any(re.match(r"\s*\+\s*[-+]", v) for v in vals))
     got = _spark_rows(
         spark, vals, __import__("pyspark.sql.functions", fromlist=["col"]).col("v").try_cast("double")
     )
     want = _duck_rows(vals, "TRY_CAST(v AS DOUBLE)")
     norm = lambda x: None if x is None else repr(float(x))  # noqa: E731
     assert [norm(x) for x in got] == [norm(x) for x in want], (vals, got, want)
+
+
+def test_try_cast_double_known_divergence(spark):
+    """PINNED engine divergence (found by hypothesis, r16): DuckDB's
+    double parser accepts one leading '+' before a fully signed
+    number — TRY_CAST('+-0') = -0.0, ('+-1e2') = -100.0 — while
+    Spark's try_cast rejects the double sign (NULL). One level only:
+    '++1', '+--1', '+-+1' are NULL in both. No oracle pair feeds
+    sign-chained numerals through try_cast, so this stays a
+    documented boundary, excluded from the parity property the same
+    way the bigint '- ' quirk is."""
+    vals = ["+-0", "+-1e2", "++1", "+--1", "+-+1"]
+    got = _spark_rows(
+        spark, vals,
+        __import__(
+            "pyspark.sql.functions", fromlist=["col"]
+        ).col("v").try_cast("double"),
+    )
+    want = _duck_rows(vals, "TRY_CAST(v AS DOUBLE)")
+    assert got == [None] * 5
+    assert want[0] == 0.0 and str(want[0]) == "-0.0"
+    assert want[1] == -100.0 and want[2:] == [None, None, None]
 
 
 @given(
