@@ -595,7 +595,9 @@ def test_upsert_job_count_independent_of_groups(spark, tmp_path, table_type):
         assert got[0] == 0.5 and got[1] == 1.0 and got[238] == 238.5
         assert len(got) == 220
     assert counts[8] == counts[2], counts
-    assert counts[2] <= 12, counts
+    # absolute bound covers the r16 bloom-index tagging probe (one
+    # JVM-only job regardless of group count) on top of the write path
+    assert counts[2] <= 14, counts
 
 
 def test_bulk_insert_single_write_job(spark, tmp_path):
@@ -912,3 +914,25 @@ def test_bloom_index_fallbacks(spark, tmp_path):
     assert t2._last_tag_candidates is None
     cur = {r.k: r.p for r in t2.snapshot().collect()}
     assert cur[3] == 9.0 and len(cur) == 40
+
+
+def test_bloom_build_probe_parity():
+    """No false negatives, bounded false positives — and the Python
+    probe here matches the JVM expression probe by construction
+    (same md5 split-digest hashes, same little-endian bit layout),
+    which test_bloom_index_prunes_tagging_to_owning_group exercises
+    end-to-end."""
+    from thrive_spark.sources.hudi_lite import (
+        _bloom_build,
+        _bloom_may_contain,
+        _key_hashes,
+    )
+
+    keys = [str(i) for i in range(50)]
+    bl = _bloom_build(keys)
+    assert all(_bloom_may_contain(bl, *_key_hashes(k)) for k in keys)
+    fp = sum(
+        _bloom_may_contain(bl, *_key_hashes(str(i)))
+        for i in range(1000, 2000)
+    )
+    assert fp < 60  # k=2, m>=16n: per-key FP ~1.6%

@@ -1189,30 +1189,51 @@ class HudiLiteTable:
             # bounded-job-count gate: the probe is 1 job regardless)
             self._last_tag_candidates = None
             return slices
-        items = sorted(blooms.items())
-
-        def probe(pdfs):
-            import pandas as pd
-
-            hit: set[str] = set()
-            for pdf in pdfs:
-                for key in pdf["_hoodie_record_key"]:
-                    if len(hit) == len(items):
-                        break
-                    h1 = None
-                    for fid, (mn, mx, bl) in items:
-                        if fid in hit or key < mn or key > mx:
-                            continue
-                        if h1 is None:
-                            h1, h2 = _key_hashes(key)
-                        if _bloom_may_contain(bl, h1, h2):
-                            hit.add(fid)
-            yield pd.DataFrame({"fid": sorted(hit)})
-
+        # pure-JVM probe: the bloom tables broadcast as 64-bit words
+        # and the k=2 probes are md5/conv/element_at/shiftleft
+        # expressions — whole-stage-codegen'd, no Python worker in
+        # the tagging path (the word packing below matches
+        # _bloom_build's bit layout: little-endian from_bytes makes
+        # byte j of the filter carry word bits 8j..8j+7)
+        bdf = self.spark.createDataFrame(
+            [
+                (
+                    fid, mn, mx, len(bl) * 8,
+                    [
+                        # signed: the JVM long carries the same
+                        # two's-complement bit pattern
+                        int.from_bytes(
+                            bl[i: i + 8], "little", signed=True
+                        )
+                        for i in range(0, len(bl), 8)
+                    ],
+                )
+                for fid, (mn, mx, bl) in sorted(blooms.items())
+            ],
+            "fid string, mn string, mx string, m bigint,"
+            " bloom array<bigint>",
+        )
+        hashes = (
+            "cast(conv(substr(md5(_hoodie_record_key), 1, 15),"
+            " 16, 10) as bigint)",
+            "cast(conv(substr(md5(_hoodie_record_key), 16, 15),"
+            " 16, 10) as bigint)",
+        )
+        cond = (
+            "_hoodie_record_key >= mn AND _hoodie_record_key <= mx"
+            + "".join(
+                f" AND (element_at(bloom,"
+                f" cast(pmod({h}, m) div 64 as int) + 1)"
+                f" & shiftleft(cast(1 as bigint),"
+                f" cast(pmod(pmod({h}, m), 64) as int))) != 0"
+                for h in hashes
+            )
+        )
         fids = {
             r["fid"]
             for r in keys_df.select("_hoodie_record_key").distinct()
-            .mapInPandas(probe, "fid string").collect()
+            .join(F.broadcast(bdf), on=F.expr(cond))
+            .select("fid").distinct().collect()
         }
         kept = [s for s in slices if s["file_id"] in fids]
         self._last_tag_candidates = len(kept)
