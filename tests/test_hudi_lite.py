@@ -862,7 +862,9 @@ def test_bloom_index_prunes_tagging_to_owning_group(spark, tmp_path):
     against exactly ONE candidate file (exact key ranges prune the
     rest before the bloom is even consulted) — the O(owning groups)
     small-delta cost the bloom index exists for."""
-    t = HudiLiteTable(spark, str(tmp_path / "b"), key_field="k")
+    t = HudiLiteTable(
+        spark, str(tmp_path / "b"), key_field="k", bloom_min_slices=2
+    )
     df = spark.createDataFrame(
         [(i, float(i)) for i in range(100)], "k bigint, p double"
     )
@@ -872,7 +874,9 @@ def test_bloom_index_prunes_tagging_to_owning_group(spark, tmp_path):
     cur = {r.k: r.p for r in t.snapshot().collect()}
     assert cur[3] == 999.0 and len(cur) == 100
     # MOR delete path prunes the same way
-    m = HudiLiteTable(spark, str(tmp_path / "bm"), key_field="k")
+    m = HudiLiteTable(
+        spark, str(tmp_path / "bm"), key_field="k", bloom_min_slices=2
+    )
     m.bulk_insert(df, groups=4, table_type="MERGE_ON_READ",
                   sort_field="k")
     m.delete(spark.createDataFrame([(7,)], "k bigint"))
@@ -886,7 +890,7 @@ def test_bloom_index_prunes_tagging_to_owning_group(spark, tmp_path):
 def test_bloom_index_fallbacks(spark, tmp_path):
     import json as _json
 
-    # single-slice table: nothing to prune, probe skipped
+    # below the slice gate (default 16): probe skipped
     t1 = HudiLiteTable(spark, str(tmp_path / "one"), key_field="k")
     t1.bulk_insert(spark.createDataFrame(
         [(i, float(i)) for i in range(10)], "k bigint, p double"
@@ -895,7 +899,9 @@ def test_bloom_index_fallbacks(spark, tmp_path):
     assert t1._last_tag_candidates is None
     assert {r.p for r in t1.snapshot().filter("k=3").collect()} == {9.0}
     # legacy table (no bloom fields in commit stats): full-scan path
-    t2 = HudiLiteTable(spark, str(tmp_path / "leg"), key_field="k")
+    t2 = HudiLiteTable(
+        spark, str(tmp_path / "leg"), key_field="k", bloom_min_slices=2
+    )
     t2.bulk_insert(spark.createDataFrame(
         [(i, float(i)) for i in range(40)], "k bigint, p double"
     ), groups=4)

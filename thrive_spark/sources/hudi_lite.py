@@ -361,11 +361,20 @@ class HudiLiteTable:
     COPY_ON_WRITE and MERGE_ON_READ, optionally partitioned by one
     identity field."""
 
-    def __init__(self, spark, root: str, key_field: str = "k"):
+    def __init__(
+        self, spark, root: str, key_field: str = "k",
+        bloom_min_slices: int = 16,
+    ):
         self.spark = spark
         self.root = root
         self.meta_dir = os.path.join(root, ".hoodie")
         self.key_field = key_field
+        #: bloom-index gate: tables with fewer live slices skip the
+        #: tagging probe job — its fixed cost only pays off when
+        #: there are enough files to prune (the same trade behind
+        #: hoodie.index.type: BLOOM is chosen for large tables, not
+        #: toy ones). Exhibits/tests that demonstrate pruning lower it.
+        self.bloom_min_slices = max(2, bloom_min_slices)
         #: bloom-index introspection: slices kept by the last tagging
         #: candidate prune (None = bloom path unavailable/skipped)
         self._last_tag_candidates: int | None = None
@@ -1182,11 +1191,14 @@ class HudiLiteTable:
         the full scan they would have run anyway. Sets
         ``_last_tag_candidates`` (None = bloom path unavailable) for
         tests/exhibits to assert on."""
-        blooms = None if len(slices) < 2 else self._blooms_for(slices)
+        blooms = (
+            None if len(slices) < self.bloom_min_slices
+            else self._blooms_for(slices)
+        )
         if blooms is None:
-            # single-slice tables have nothing to prune (and keeping
-            # the probe job UNIFORM across group counts preserves the
-            # bounded-job-count gate: the probe is 1 job regardless)
+            # below the gate there is nothing worth pruning; when the
+            # probe does run it is ONE JVM job regardless of group
+            # count (the bounded-job-count gate's invariant)
             self._last_tag_candidates = None
             return slices
         # pure-JVM probe: the bloom tables broadcast as 64-bit words
@@ -2793,7 +2805,7 @@ def scan_hudi_bloom_index(spark, sf_dir):
         F.col("o_totalprice").alias("p"),
     ).filter("k % 19 = 0")
     root = tempfile.mkdtemp(prefix="thrive_hudi_bloom_")
-    tbl = HudiLiteTable(spark, root, key_field="k")
+    tbl = HudiLiteTable(spark, root, key_field="k", bloom_min_slices=2)
     i1 = tbl.bulk_insert(orders, groups=4, sort_field="k")
     n_slices = len(tbl.plan_slices())
     upd = orders.filter("k BETWEEN 1 AND 1500").select(
