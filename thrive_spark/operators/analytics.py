@@ -59,32 +59,57 @@ def funnel_conversion(spark, sf_dir):
     only with an event AT OR AFTER their entry into the previous stage
     (min-timestamp chaining, so 'purchase before ever viewing' does
     not count). Emits the stage populations and step conversion
-    rates."""
+    rates.
+
+    Single-lineage plan (r16): the old v/c/p CTE chain re-used each
+    stage DataFrame in two branches, and DataFrame reuse is NOT plan
+    reuse — events was scanned 6× (ReuseExchange never fired across
+    the differing aggregate branches). One groupBy(user_id) now
+    collects min(view ts) plus the click/purchase ts lists, and the
+    stage chaining (t_click = min click ≥ t_view, t_purchase = min
+    purchase ≥ t_click) runs as array ops on the grouped row — one
+    events scan, one user_id exchange, one global-agg exchange
+    (measured 1.83× at sf0.1; guide §2.4). A window formulation was
+    measured SLOWER (0.77×): sorting all events by (user_id, ts)
+    costs more than the hash aggregate that min-reduces views
+    map-side. Per-user state is bounded by that user's click/purchase
+    counts — same bound the old per-stage joins carried."""
     t = Tables(spark, sf_dir)
-    ev = t.events.select("user_id", "event_type", "ts")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
+    ev = t.events.select("user_id", "event_type", "ts").filter(
+        F.col("event_type").isin("view", "click", "purchase")
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") >= F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
+    g = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("tv"),
+        # group-exists semantics: the old v CTE kept a user whose only
+        # view has a NULL ts (count(*) counts the group), so n_view
+        # counts view EVENTS present, not non-null min timestamps
+        F.count(
+            F.when(F.col("event_type") == "view", F.lit(1))
+        ).alias("nv"),
+        F.collect_list(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("cls"),
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("prs"),
     )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") >= F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
+    # JOIN USING (user_id) in the old chain silently dropped the NULL
+    # user_id group from the click/purchase stages (NULL never joins);
+    # replicate by gating the chain on a non-NULL key
+    g2 = g.withColumn(
+        "tc",
+        F.when(
+            F.col("user_id").isNotNull(),
+            F.array_min(F.filter("cls", lambda x: x >= F.col("tv"))),
+        ),
     )
-    counts = (
-        v.agg(F.count("*").alias("n_view"))
-        .crossJoin(c.agg(F.count("*").alias("n_click")))
-        .crossJoin(p.agg(F.count("*").alias("n_purchase")))
+    g3 = g2.withColumn(
+        "tp", F.array_min(F.filter("prs", lambda x: x >= F.col("tc")))
+    )
+    counts = g3.agg(
+        F.sum((F.col("nv") > 0).cast("long")).alias("n_view"),
+        F.sum(F.col("tc").isNotNull().cast("long")).alias("n_click"),
+        F.sum(F.col("tp").isNotNull().cast("long")).alias("n_purchase"),
     )
     return counts.select(
         "n_view",
@@ -438,26 +463,63 @@ def basket_brand_affinity(spark, sf_dir):
         )
         .select("l_orderkey", "p_brand")
     )
-    # everything below derives from ONE l_orderkey shuffle: collect_set
-    # dedups in the group (no separate distinct pass), marginals and
-    # the order total come from the collected arrays; the three
-    # consumers share the exchange via ReuseExchange (a localCheckpoint
-    # here measured SLOWER — materialization cost exceeds the reuse win
-    # at every tested scale)
+    # r16: the old three-consumer diamond (bc / tot / pc each built on
+    # `arr`) relied on ReuseExchange, which never fired — the plan
+    # scanned lineitem and ran the collect_set aggregate FOUR times
+    # (plans/r16/basket_brand_affinity_before.txt: 8 scans, 15
+    # exchanges). One explode now emits each basket's i<j brand pairs,
+    # one single per member brand (dst NULL, the brand marginal), and
+    # one (NULL, NULL) order marker (the order total), so a single
+    # (src, dst) groupBy yields all three tables from ONE basket
+    # aggregate — 1 lineitem scan, 2 data-sized exchanges (guide §2.4;
+    # the pair shuffle partial-aggregates to ≤|brands|² rows per task).
+    # The tiny counts table (≤|brands|²+|brands|+1 rows) is lazily
+    # localCheckpoint'ed: its four consumers (pairs, both marginal
+    # sides, total) each push different key filters below the exchange,
+    # so ReuseExchange can never fire across them — without the barrier
+    # the whole basket lineage re-ran 4× (same CTE-materialization
+    # trick as tpch_q15/q18).
     arr = _basket_arrays(ob)
-    bc = (
-        arr.select(F.explode("bs").alias("p_brand"))
-        .groupBy("p_brand")
-        .agg(F.count("*").alias("c"))
+    ex = arr.select(
+        F.explode(
+            F.concat(
+                F.expr(
+                    "flatten(transform(bs, (x, i) -> "
+                    "transform(slice(bs, i + 2, size(bs)), "
+                    "y -> struct(x AS src, y AS dst))))"
+                ),
+                F.expr(
+                    "transform(bs, x -> "
+                    "struct(x AS src, CAST(NULL AS STRING) AS dst))"
+                ),
+                F.array(
+                    F.struct(
+                        F.lit(None).cast("string").alias("src"),
+                        F.lit(None).cast("string").alias("dst"),
+                    )
+                ),
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
+    counts = (
+        ex.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
     )
-    tot = arr.agg(F.count("*").alias("t"))
-    pc = (
-        _pairs_from_arrays(arr)
-        .groupBy(
-            F.col("src").alias("brand_a"), F.col("dst").alias("brand_b")
-        )
-        .agg(F.count("*").alias("pair_cnt"))
-        .filter(F.col("pair_cnt") >= 3)
+    pc = counts.filter(
+        F.col("src").isNotNull()
+        & F.col("dst").isNotNull()
+        & (F.col("cnt") >= 3)
+    ).select(
+        F.col("src").alias("brand_a"),
+        F.col("dst").alias("brand_b"),
+        F.col("cnt").alias("pair_cnt"),
+    )
+    bc = counts.filter(
+        F.col("src").isNotNull() & F.col("dst").isNull()
+    ).select(F.col("src").alias("p_brand"), F.col("cnt").alias("c"))
+    tot = counts.filter(F.col("src").isNull()).select(
+        F.col("cnt").alias("t")
     )
     ca = F.broadcast(bc.select(F.col("p_brand").alias("brand_a"), F.col("c").alias("ca")))
     cb = F.broadcast(bc.select(F.col("p_brand").alias("brand_b"), F.col("c").alias("cb")))
