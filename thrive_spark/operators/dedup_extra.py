@@ -1167,6 +1167,13 @@ def dedup_exact_substring(spark, sf_dir):
         ).alias("g4"),
     )
     n4 = F.size("g4")
+    # r16: repartition by gh BEFORE the per-doc distinct — hash(gh)
+    # satisfies the (gh, doc_id) clustering, so the distinct AND the
+    # document-frequency count window both ride this single exchange.
+    # The old df_ self-aggregate + join consumed `g` twice (the gram
+    # lineage ran twice above the checkpoint); one lineage with 2
+    # exchanges replaces 3 exchanges + a join (measured 1.44x at
+    # sf0.1; guide §2.4).
     g = (
         d4.select(
             "doc_id",
@@ -1179,23 +1186,20 @@ def dedup_exact_substring(spark, sf_dir):
             ).alias("gh"),
         )
         .filter(F.col("gh").isNotNull())
+        .repartition("gh")
         .distinct()
     )
-    df_ = g.groupBy("gh").agg(F.count(F.lit(1)).alias("n_docs"))
+    ranked = g.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    )
     shared = F.count(F.when(F.col("n_docs") > 1, F.lit(1)))
-    return (
-        g.join(df_, "gh")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            shared.alias("n_shared"),
-            (
-                F.floor(
-                    shared.cast("double") / F.count(F.lit(1)) * 10000 + 0.5
-                )
-                / 10000.0
-            ).alias("shared_frac"),
-        )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        shared.alias("n_shared"),
+        (
+            F.floor(shared.cast("double") / F.count(F.lit(1)) * 10000 + 0.5)
+            / 10000.0
+        ).alias("shared_frac"),
     )
 
 

@@ -703,15 +703,23 @@ def text_tfidf_topterms(spark, sf_dir):
     forfeits the map-side partial aggregation that makes the
     (doc_id, term) shuffle carry compressed partials. Partition reuse
     only pays when the reused exchange is not cheaper to rebuild from
-    combined partials."""
+    combined partials.
+
+    r16: document frequency now comes from a count window over term on
+    ONE tf lineage instead of a dfreq self-aggregate + broadcast join —
+    the old diamond tokenized and aggregated the corpus twice
+    (DataFrame reuse is not plan reuse). 2 scans -> 1, and the window
+    rides its own term exchange of (doc_id, term, tf) partials
+    (measured 1.17x at sf0.1; guide §2.4)."""
     t = Tables(spark, sf_dir)
     tok = t.documents.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfn"))
     n_docs = t.documents.count()  # scalar, parquet-metadata cheap
-    scored = tf.join(F.broadcast(dfreq), "term").select(
+    scored = tf.withColumn(
+        "dfn", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).select(
         "doc_id",
         "term",
         (
