@@ -1712,6 +1712,13 @@ def _mhp_sig_bands(documents, checkpoint=True, carry_sets=False,
     # not just after the jaccard filter (ADVICE r7).
     extra = ["s"] if carry_sets else []
     sig = sh.filter(F.size("s") > 0).select("doc_id", *extra, *mh_cols)
+    # r16: every batch caller consumes `bands` twice (self-join sides
+    # or the new/corpus filter split), so without a barrier the
+    # affine-family transform over every shingle set runs twice. The
+    # materialized table is docs x 16 longs (+ the shingle sets only
+    # when carry_sets). Illegal on streaming DFs, hence the gate.
+    if checkpoint:
+        sig = sig.localCheckpoint(eager=False)
     bands = sig.select(
         "doc_id",
         *extra,

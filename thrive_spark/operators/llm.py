@@ -197,7 +197,16 @@ def dedup_fuzzy_minhash(spark, sf_dir):
     # <3-token docs have an empty shingle set: every minhash is NULL
     # and concat_ws would collapse them onto band key '' — a quadratic
     # clique the oracle never generates. Drop before the band explode.
-    sig = sh.filter(F.size("s") > 0).select("doc_id", *mh_cols)
+    # r16: lazily checkpointed — both sides of the band self-join
+    # build from sig, so without the barrier the 16-family affine
+    # transform over every shingle set ran TWICE (1.24x at 8 cores,
+    # 1.05x at 32 where the duplicate branch rode idle cores; the
+    # materialized table is docs x 16 longs).
+    sig = (
+        sh.filter(F.size("s") > 0)
+        .select("doc_id", *mh_cols)
+        .localCheckpoint(eager=False)
+    )
     bands = sig.select(
         "doc_id",
         F.explode(
