@@ -170,6 +170,49 @@ def _sample_rows(t):
     ]
 
 
+def _qrows_py(sample, n_queries=20):
+    """Driver-side query extraction: the queries (vec_id < 20) are a
+    PREFIX of the vec_id < IVF_SAMPLE training sample, so no second
+    scan+collect of embeddings is needed. The nonzero guard replicates
+    sq_norm's left fold exactly (acc = 0.0; acc += v*v — squares are
+    nonnegative, so the fold is 0 iff every component is 0)."""
+    out = []
+    for vid, x in sample:
+        if vid >= n_queries:
+            continue
+        acc = 0.0
+        for v in x:
+            acc += v * v
+        if acc > 0:
+            out.append((vid, x))
+    return sorted(out)
+
+
+def _probe_py(qrows, cents):
+    """Driver-side twin of _ivf_probe: each query's N_PROBE nearest
+    cells under the SAME packed fixed-point metric (left-folded L2
+    chain, floor(d*SCALE+0.5)*PACK+cl) — plain-float accumulation is
+    the left fold, so the packed longs match the oracle's probe CTE
+    bit-for-bit. 20 queries x N_CELLS cells: microseconds, replacing
+    a full embeddings scan job (guide §5 — bounded driver metadata)."""
+    import math
+
+    out = []
+    for qid, qx in qrows:
+        packed = []
+        for cl, c in cents:
+            acc = 0.0
+            for a, b in zip(qx, c):
+                acc += (a - b) * (a - b)
+            packed.append(
+                int(math.floor(acc * _IVF_DIST_SCALE + 0.5)) * _IVF_PACK
+                + cl
+            )
+        for p in sorted(packed)[:N_PROBE]:
+            out.append((qid, qx, p % _IVF_PACK))
+    return out
+
+
 def _packed_dist(cent_col="cent", x_col="x"):
     dist = F.aggregate(
         F.zip_with(
@@ -185,20 +228,23 @@ def _packed_dist(cent_col="cent", x_col="x"):
     )
 
 
-def _ivf_exact_index(t, sample=None):
+def _ivf_exact_index(t, sample=None, cents=None):
     """(cells, cent): each vector's owning cell and the FINAL
     centroid table — shared by sim_knn_ivf and the composed
     sim_knn_ivfpq. Centroids train DRIVER-SIDE on the deterministic
     sample via lloyd_exact_py (bit-identical to the distributed loop
     on the same rows); only the corpus-wide cell ASSIGNMENT runs as a
-    Spark job (one broadcast + one shuffle-free scan + groupBy)."""
+    Spark job (one broadcast + one shuffle-free scan + groupBy).
+    Pass ``cents`` (the lloyd_exact_py output) to skip retraining when
+    the caller also needs the centroid list driver-side (ivfpq)."""
     from .vectors import lloyd_exact_py
 
     spark = t.embeddings.sparkSession
-    cents = lloyd_exact_py(
-        sample if sample is not None else _sample_rows(t),
-        N_CELLS, IVF_ROUNDS,
-    )
+    if cents is None:
+        cents = lloyd_exact_py(
+            sample if sample is not None else _sample_rows(t),
+            N_CELLS, IVF_ROUNDS,
+        )
     cent = spark.createDataFrame(cents, "cl bigint, cent array<double>")
     emb = t.embeddings.select(
         "vec_id", to_double(F.col("embedding")).alias("x")
@@ -272,8 +318,20 @@ def sim_knn_ivf(spark, sf_dir):
     candidate volume is probe-bounded (N_PROBE/N_CELLS of the corpus)
     independent of corpus size."""
     t = Tables(spark, sf_dir)
-    cells, cent = _ivf_exact_index(t)
-    probe = _ivf_probe(t, cent)
+    from .vectors import lloyd_exact_py
+
+    # r16: ONE sample collect feeds quantizer training, the queries
+    # (a prefix of the sample), and the driver-side probe — the old
+    # _ivf_probe subtree re-scanned embeddings inside the plan for 20
+    # bounded query rows (plan: 3 scans -> 2; ~0.9 s of sequential
+    # scan jobs removed at sf0.1).
+    sample = _sample_rows(t)
+    cents = lloyd_exact_py(sample, N_CELLS, IVF_ROUNDS)
+    cells, cent = _ivf_exact_index(t, sample=sample, cents=cents)
+    probe = spark.createDataFrame(
+        _probe_py(_qrows_py(sample), cents),
+        "query_id bigint, qe array<double>, cell bigint",
+    )
     nz = t.embeddings.filter(sq_norm(to_double("embedding")) > 0)
     cand = nz.select(
         F.col("vec_id").alias("neighbor_id"),

@@ -48,11 +48,13 @@ from ._util import r4
 from .ivf import (
     _IVF_PACK,
     _IVF_DIST_SCALE,
+    IVF_ROUNDS,
+    N_CELLS,
     N_PROBE,
     TOP_K,
     _ivf_cte_prefix,
-    _ivf_exact_index,
-    _ivf_probe,
+    _probe_py,
+    _qrows_py,
     _sample_rows,
 )
 from .pq import (
@@ -142,25 +144,29 @@ def sim_knn_ivfpq(spark, sf_dir):
     import numpy as np
 
     t = Tables(spark, sf_dir)
+    from .vectors import lloyd_exact_py
+
+    # r16: ONE sample collect feeds everything driver-side — the
+    # quantizer, the PQ books, the queries (a prefix of the sample),
+    # and the probe sets. The old path ran three extra sequential
+    # jobs (cent.collect, an _ivf_probe embeddings scan, a qrows
+    # embeddings scan) for metadata already in the sample (~1.4 s of
+    # the 3.1 s warm query at sf0.1; guide §5 — bounded driver
+    # metadata, scans only where the corpus is read).
     sample = _sample_rows(t)
-    _cells, cent = _ivf_exact_index(t, sample=sample)
-    cent_rows = [(cl, np.array(c)) for cl, c in sorted(
-        (r["cl"], r["cent"]) for r in cent.collect()
-    )]
+    cents = lloyd_exact_py(sample, N_CELLS, IVF_ROUNDS)
+    cent_rows = [(cl, np.array(c)) for cl, c in sorted(cents)]
     cent_cls = np.array([cl for cl, _ in cent_rows], dtype=np.int64)
     cent_mat = np.array([c for _, c in cent_rows])
     books = _pq_books_py(sample)
 
     # probe sets + integer LUTs: bounded driver metadata
+    qrows_l = _qrows_py(sample, N_QUERIES)
     probe_of: dict[int, list[int]] = {}
-    for r in _ivf_probe(t, cent).select("query_id", "cell").collect():
-        probe_of.setdefault(int(r["cell"]), []).append(int(r["query_id"]))
+    for qid, _qx, cell in _probe_py(qrows_l, cents):
+        probe_of.setdefault(int(cell), []).append(int(qid))
     nz = t.embeddings.filter(sq_norm(to_double("embedding")) > 0)
-    qrows = sorted(
-        (int(r["vec_id"]), np.array(r["x"]))
-        for r in nz.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", to_double("embedding").alias("x")).collect()
-    )
+    qrows = [(qid, np.array(qx)) for qid, qx in qrows_l]
     qpos = {qid: i for i, (qid, _) in enumerate(qrows)}
     # luts[qi][mi] = {cl: int lut}; fold order matches the oracle dot
     luts = _int_luts(qrows, books)

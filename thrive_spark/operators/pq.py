@@ -270,7 +270,11 @@ def sim_knn_pq(spark, sf_dir):
     import numpy as np
 
     t = Tables(spark, sf_dir)
-    books = _pq_books_py(_sample_rows(t))
+    # r16: one sample collect feeds the books AND the queries (a
+    # prefix of the sample) — the old qrows collect re-scanned
+    # embeddings for 20 bounded rows (guide §5)
+    sample = _sample_rows(t)
+    books = _pq_books_py(sample)
     book_arrs = [
         (
             np.array([cl for cl, _ in book], dtype=np.int64),
@@ -280,11 +284,9 @@ def sim_knn_pq(spark, sf_dir):
     ]
 
     nz = t.embeddings.filter(sq_norm(to_double("embedding")) > 0)
-    qrows = sorted(
-        (int(r["vec_id"]), np.array(r["x"]))
-        for r in nz.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", to_double("embedding").alias("x")).collect()
-    )
+    from .ivf import _qrows_py
+
+    qrows = [(qid, np.array(qx)) for qid, qx in _qrows_py(sample, N_QUERIES)]
     luts = _int_luts(qrows, books)
     qids = [qid for qid, _ in qrows]
     # dense (Q, M, KSUB) LUT tensor: codes are original sample
