@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import Tables
+from . import _util
 from ._util import compact_iter_state
 
 
@@ -245,11 +246,14 @@ def pagerank(und_edges, rounds: int = PR_ROUNDS, cache_key=None):
     The heavy upstream derivation runs ONCE into a checkpointed edge
     list; each round is one join + per-destination aggregate + damping
     re-center, localCheckpoint cutting lineage.  The layout is picked
-    by MEASURED edge count (``_util.compact_iter_state``): single
-    partition in the small-graph regime where per-round fixed cost
-    dominates, natural wide partitioning on data-bound graphs — a
-    10^11-edge graph must not serialize through one core (r5 verdict
-    flag; tests/test_graph_scale.py exercises the wide path)."""
+    by MEASURED edge count (``_util.compact_iter_state``): the
+    small-graph regime runs the whole power iteration in ONE
+    mapInPandas task (k rounds of Spark joins would pay ~2k+1
+    sequential fixed stage costs — measured 2.6-3x of the wall at
+    bench scale), natural wide partitioning with the per-round
+    join+aggregate loop on data-bound graphs — a 10^11-edge graph
+    must not serialize through one core (r5 verdict flag;
+    tests/test_graph_scale.py exercises the wide path)."""
     sym = und_edges.unionAll(
         und_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -259,9 +263,48 @@ def pagerank(und_edges, rounds: int = PR_ROUNDS, cache_key=None):
     # the join gets AQE skew splitting, so a celebrity vertex's 10^8
     # edges never serialize through one window task.
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edges, _n_edges = compact_iter_state(
+    edges, n_edges = compact_iter_state(
         sym.join(deg, "src"), cache_key=cache_key
     )
+    if n_edges <= _util.SMALL_ITER_STATE_MAX_ROWS:
+        # Small-graph regime: compact_iter_state has the whole edge list
+        # in ONE materialized partition, so the k-round join loop would
+        # pay ~2k+1 sequential fixed stage costs for work a single task
+        # finishes in milliseconds (the dedup_cluster_components r10
+        # precedent). One mapInPandas task replays the SAME integer
+        # fixed-point recipe (numpy // and scatter-add are the per-edge
+        # div / per-destination sum), so ranks are bit-identical to the
+        # wide loop and the unrolled-CTE DuckDB oracle.
+        src_type = edges.schema["src"].dataType.simpleString()
+        scale, rounds_n = PR_SCALE, rounds
+        damp_num, damp_den = PR_DAMP_NUM, PR_DAMP_DEN
+
+        def _power(batches):
+            import numpy as np
+            import pandas as pd
+
+            frames = [b for b in batches]
+            if not frames:
+                return
+            df = pd.concat(frames, ignore_index=True)
+            if not len(df):
+                return
+            src = df["src"].to_numpy()
+            dst = df["dst"].to_numpy()
+            outdeg = df["outdeg"].to_numpy().astype(np.int64)
+            node_ids, si = np.unique(src, return_inverse=True)
+            di = np.searchsorted(node_ids, dst)
+            n = len(node_ids)
+            base_i = (scale * (damp_den - damp_num)) // (damp_den * n)
+            rf = np.full(n, scale // n, dtype=np.int64)
+            for _ in range(rounds_n):
+                c = rf[si] // outdeg
+                s = np.zeros(n, dtype=np.int64)
+                np.add.at(s, di, c)
+                rf = (damp_num * s) // damp_den + base_i
+            yield pd.DataFrame({"node": node_ids, "rf": rf})
+
+        return edges.mapInPandas(_power, f"node {src_type}, rf long")
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()  # scalar: |vertices|, bounded
     # EXACT fixed-point iteration (r7): ranks live as rank*PR_SCALE

@@ -259,9 +259,16 @@ def join_asof_backward(spark, sf_dir):
     """,
 )
 def join_asof_cogroup(spark, sf_dir):
-    """As-of join, scale form: cogrouped ``pd.merge_asof`` per user —
-    both sides shuffle once on the key, then each group's sorted merge
-    runs in one Arrow batch. This is the recipe when the window
+    """As-of join, scale form: cogrouped ``pd.merge_asof`` per KEY
+    BUCKET — both sides shuffle once on ``pmod(user_id, nbkt)``, then
+    one vectorized ``merge_asof(by="user_id")`` serves every user in
+    the bucket. Cogrouping on the raw user_id paid one Python
+    function call PER USER (~10^4 Arrow round-trips at sf0.1 —
+    measured 2.9x the wall of the bucketed form, guide §4); ``by=``
+    inside the bucket has identical per-user asof semantics, and the
+    bucket count scales with input partitions so a bucket stays
+    task-memory-bounded at any scale instead of being a constant
+    tuned to one box. This is the recipe when the window
     formulation's running max can't express the payload (as-of joins
     pulling many columns from the right side). Checked against
     DuckDB's native ASOF LEFT JOIN with a STRICT inequality, which is
@@ -275,19 +282,29 @@ def join_asof_cogroup(spark, sf_dir):
     events = t.events.select("event_id", "user_id", "ts")
     # NULL user_id never matches (SQL equality): cogroup would pair
     # the NULL-key groups like groupBy does, but the ASOF JOIN oracle
-    # (and any join semantics) must not (r10 stress corpus)
+    # (and any join semantics) must not (r10 stress corpus). NULL
+    # user_id events land in the NULL bucket, whose right side is
+    # empty after this filter — the empty-right branch below NaT-fills
+    # them, exactly the unmatched-left ASOF outcome.
     signups = t.events.filter(
         (F.col("event_type") == "signup") & F.col("user_id").isNotNull()
     ).select("user_id", F.col("ts").alias("signup_ts"))
+    nbkt = max(64, 4 * events.rdd.getNumPartitions())
+    bkt = F.pmod(F.col("user_id"), F.lit(nbkt))
 
     def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        left = left.sort_values("ts")
-        right = right.sort_values("signup_ts")
+        left = left.sort_values("ts", kind="mergesort")
+        if not len(right):
+            out = left.copy()
+            out["prev_signup_ts"] = pd.NaT
+            return out[["event_id", "user_id", "ts", "prev_signup_ts"]]
+        right = right.sort_values("signup_ts", kind="mergesort")
         merged = pd.merge_asof(
             left,
-            right[["signup_ts"]],
+            right[["user_id", "signup_ts"]],
             left_on="ts",
             right_on="signup_ts",
+            by="user_id",
             direction="backward",
             allow_exact_matches=False,
         )
@@ -296,8 +313,8 @@ def join_asof_cogroup(spark, sf_dir):
         ]
 
     return (
-        events.groupBy("user_id")
-        .cogroup(signups.groupBy("user_id"))
+        events.groupBy(bkt.alias("_b"))
+        .cogroup(signups.groupBy(bkt.alias("_b")))
         .applyInPandas(
             asof,
             "event_id long, user_id long, ts timestamp, prev_signup_ts timestamp",

@@ -781,10 +781,14 @@ def text_pmi_bigrams(spark, sf_dir):
     difference of floored log2s of integer products (c_xy·N and
     c_x·c_y both « 2^63) — the cross-engine-exact pattern shared with
     BM25's idf; ranking and the top-k cut happen on the integer
-    fixed-point PMI with a word tiebreak. Scale shape: one explode to
-    bigram pairs, then three hash aggregates whose results join back
-    on word keys — the unigram marginals are |vocab|-sized and
-    broadcast; nothing re-reads the corpus."""
+    fixed-point PMI with a word tiebreak. Scale shape: ONE explode to
+    bigram pairs feeding a single (w1, w2) hash aggregate — the unigram
+    marginals and the corpus total are exact sums of c_xy
+    (c_x = Σ_w2 c_xy, c_y = Σ_w1 c_xy, N = Σ c_xy), so they derive from
+    the |vocab²|-sized counts table instead of re-reading the corpus;
+    the counts table is lazily checkpointed so its four consumers share
+    one tokenize+explode pass. Marginals are |vocab|-sized and
+    broadcast."""
     t = Tables(spark, sf_dir)
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     tk = t.documents.select(toks.alias("toks"))
@@ -799,10 +803,14 @@ def text_pmi_bigrams(spark, sf_dir):
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    cxy = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
-    cx = bg.groupBy(F.col("w1").alias("w")).agg(F.count("*").alias("c_x"))
-    cy = bg.groupBy(F.col("w2").alias("w")).agg(F.count("*").alias("c_y"))
-    n = bg.agg(F.count("*").alias("total"))
+    cxy = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_xy"))
+        .localCheckpoint(eager=False)
+    )
+    cx = cxy.groupBy(F.col("w1").alias("w")).agg(F.sum("c_xy").alias("c_x"))
+    cy = cxy.groupBy(F.col("w2").alias("w")).agg(F.sum("c_xy").alias("c_y"))
+    n = cxy.agg(F.sum("c_xy").alias("total"))
     scored = (
         cxy.filter(F.col("c_xy") >= PMI_MIN_COUNT)
         .join(F.broadcast(cx.withColumnRenamed("w", "w1")), "w1")
