@@ -52,6 +52,12 @@ ALLOWED_ARROW_PYTHON = {
     # (measured edge count under the 2M bound picks it; wide regime
     # stays JVM large-star/small-star)
     "dedup_cluster_components",
+    # r16: small-regime pagerank runs the whole damped power iteration
+    # in ONE Arrow task (same measured compact_iter_state gate; wide
+    # regime keeps the JVM join/aggregate rounds —
+    # tests/test_graph_scale.py exercises it)
+    "graph_pagerank",
+    "text_textrank_keywords",
 }
 #: stateful/side-effecting queries that build their own inputs (temp
 #: dirs, catalogs, DB files) — their plan is built during execution
