@@ -85,3 +85,13 @@ def test_textrank_favors_connected_words(spark, sf_dir):
     assert top & {"scan", "column", "window", "order", "sort", "join",
                   "value", "key", "query", "group", "a", "part", "line",
                   "agg", "merge"}, top
+
+
+def test_kmeans_single_task_matches_wide_path(spark, sf_dir, monkeypatch):
+    """The r16 single-task fast path (seed + Lloyd + assign in one
+    Arrow task) must be bit-identical to the multi-job wide path —
+    same seeds, same centroid update order, same assignment."""
+    fast = QUERIES["cluster_topics_kmeans"](spark, sf_dir).toPandas()
+    monkeypatch.setattr(clustering, "_KMEANS_SINGLE_TASK_MAX_ROWS", 0)
+    wide = QUERIES["cluster_topics_kmeans"](spark, sf_dir).toPandas()
+    assert fast.equals(wide)

