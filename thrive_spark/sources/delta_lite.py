@@ -865,7 +865,23 @@ class DeltaLiteTable:
         rewrite (the COW shape a real Delta writer produces)."""
         st = self.state()
         paths = [os.path.join(self.root, a["path"]) for a in st["adds"]]
-        tagged = self.spark.read.parquet(*paths).withColumn(
+        from pyspark.sql.types import StructType
+
+        # the log already knows the file schema — passing it skips the
+        # footer-sampling schema-inference JOB spark.read.parquet runs
+        # per untyped read (2 of this path's 5 jobs, r16). Only safe
+        # when logical == physical names, so column-mapped tables keep
+        # the inference path (their files store physical names).
+        mapped = (
+            st["meta"].get("configuration", {})
+            .get("delta.columnMapping.mode", "none") != "none"
+        )
+        reader = self.spark.read
+        if not mapped:
+            reader = reader.schema(
+                StructType.fromJson(json.loads(st["meta"]["schemaString"]))
+            )
+        tagged = reader.parquet(*paths).withColumn(
             "_f", F.input_file_name()
         )
         from urllib.parse import urlparse
@@ -881,7 +897,7 @@ class DeltaLiteTable:
         ]
         if not victims:
             return st["version"]
-        kept = self.spark.read.parquet(*sorted(hits)).filter(
+        kept = reader.parquet(*sorted(hits)).filter(
             f"NOT coalesce(({pred_sql}), false)"
         )
         actions = [
@@ -1492,17 +1508,28 @@ def scan_delta_log_table(spark, sf_dir):
     tbl = DeltaLiteTable(spark, root)
     # range-cluster on p so the price delete victims concentrate in
     # the top-range file and the low-range files carry by reference
-    # at every SF (a random layout puts one victim in every file)
-    tbl.create(
-        orders.filter("k % 8 = 0")
-        .repartitionByRange(3, "p")
+    # at every SF (a random layout puts one victim in every file).
+    # r16: fixed value-domain thresholds replace repartitionByRange —
+    # the range exchange pays a SAMPLING job per write (2 of this
+    # exhibit's 7 sequential jobs), and the delete predicate's own
+    # boundary (p > 180000) makes a better top bucket anyway: every
+    # victim row lands in bucket 11's file, so the COW remove
+    # rewrites exactly one range. Labels 0/1/11 are chosen so
+    # pmod(murmur3, 3) routes each bucket to its OWN partition
+    # (0→0, 1→1, 11→2 — no two ranges share a file).
+    bkt = (
+        F.when(F.col("p") > 180000, F.lit(11))
+        .when(F.col("p") > 90000, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    _range3 = lambda df: (  # noqa: E731 — local layout helper
+        df.withColumn("_b", bkt)
+        .repartition(3, "_b")
+        .drop("_b")
         .sortWithinPartitions("p")
     )
-    tbl.append(
-        orders.filter("k % 8 = 3")
-        .repartitionByRange(3, "p")
-        .sortWithinPartitions("p")
-    )
+    tbl.create(_range3(orders.filter("k % 8 = 0")))
+    tbl.append(_range3(orders.filter("k % 8 = 3")))
     v = tbl.remove_where_file_contains("p > 180000")
     assert v == 2, v
     # protocol invariant, LAYOUT-INDEPENDENT (r14: the old form
