@@ -598,6 +598,12 @@ def _bm25_scored(t):
     """(doc_id, score_fp) for every document — the Spark twin of
     :func:`_bm25_scored_cte`, shared by BM25 top-k and the RRF hybrid."""
     tk = F.filter(F.split("text", " "), lambda x: x != "")
+    # r16: `c` feeds the global stats aggregate AND the scoring
+    # projection; without the lazy checkpoint the broadcast barrier
+    # serializes TWO full tokenize passes (the BroadcastExchange must
+    # finish before the probe side starts, so the diamond can't even
+    # overlap). The checkpoint stores 5 numeric columns per doc — one
+    # corpus read, one tiny materialization.
     c = t.documents.select(
         "doc_id",
         F.size(tk).alias("len"),
@@ -605,7 +611,7 @@ def _bm25_scored(t):
             F.size(F.filter(tk, _eq_term(t_))).alias(f"tf{i}")
             for i, t_ in enumerate(BM25_TERMS)
         ],
-    )
+    ).localCheckpoint(eager=False)
     stats = c.agg(
         F.count("*").alias("n"),
         F.sum("len").cast("bigint").alias("sl"),
