@@ -162,12 +162,17 @@ def split_dedup_safe(spark, sf_dir):
     with a NEAR-dup canonical mapping (dedup_cluster_components roots)
     swapped in for the exact-hash grouping."""
     t = Tables(spark, sf_dir)
+    # r16: `h` feeds the group aggregate AND the join probe; the
+    # group side broadcasts (plan-verified), so without the lazy
+    # checkpoint the broadcast barrier serializes TWO full
+    # md5-of-text passes. The checkpoint stores 4 narrow columns per
+    # doc (the 16-byte digest, never the text) — one corpus read.
     h = t.documents.select(
         "doc_id",
         "lang",
         F.coalesce(F.md5("text"), F.lit("")).alias("th"),
         F.ceil(F.length("text") / 4.0).cast("bigint").alias("est_tokens"),
-    )
+    ).localCheckpoint(eager=False)
     k = h.groupBy("th").agg(
         F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
     )
