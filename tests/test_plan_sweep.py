@@ -58,6 +58,12 @@ ALLOWED_ARROW_PYTHON = {
     # tests/test_graph_scale.py exercises it)
     "graph_pagerank",
     "text_textrank_keywords",
+    # r16: small-regime exact-Lloyd runs the whole ladder in ONE Arrow
+    # task (measured lloyd_exact_assign gate, bit-identical to the
+    # wide path — tests/test_vectors_single_task.py); wide regime
+    # keeps the broadcast-E-step / partial-M-step JVM rounds
+    "cluster_kmeans_exact",
+    "dedup_semantic_exact",
 }
 #: stateful/side-effecting queries that build their own inputs (temp
 #: dirs, catalogs, DB files) — their plan is built during execution

@@ -16,6 +16,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -248,11 +250,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
                 F.filter(F.split("text", " "), lambda x: x != "")
             )
         ).alias("toks"),
-    ).withColumn("sz", F.size("toks")).localCheckpoint()
+    ).withColumn("sz", F.size("toks")).localCheckpoint(eager=False)
     # ^ the token arrays feed the prefix explode AND the verify joins
     # with no shareable exchange between them — one materialization
     # replaces two corpus tokenization passes (measured 2.93→2.61 s at
-    # sf0.1, and the CC query's pair generation inherits the win)
+    # sf0.1, and the CC query's pair generation inherits the win);
+    # lazy since r16: the first consumer materializes it, so the
+    # pipeline head doesn't pay a separate blocking job
     # prefix length sz - ceil(t*sz) + 1; ceil(4*sz/5) = (4*sz+4) div 5
     # explode_outer: plain explode triggers the inferred size()>0 scan
     # filter that re-inlines the token pipeline (see curation.py note)
@@ -964,7 +968,18 @@ def dedup_semantic_cluster(spark, sf_dir):
         .select(F.col("vec_id").alias("cl"), F.col("x").alias("cent"))
     )
     fin = lloyd_exact_assign(
-        emb, cent, SEMC_ROUNDS, SEMC_DIST_SCALE, SEMC_PACK_MOD
+        emb,
+        cent,
+        SEMC_ROUNDS,
+        SEMC_DIST_SCALE,
+        SEMC_PACK_MOD,
+        # single-task init twin of the kdf/cent build above: the rows
+        # with vec_id < max(8, floor(sqrt(n))) over the SAME nz-
+        # filtered table the wide path counts
+        small=(
+            f"semc:{sf_dir}",
+            lambda n: max(8, int(math.floor(math.sqrt(n)))),
+        ),
     ).select("vec_id", (F.col("packed") % SEMC_PACK_MOD).alias("cell"))
 
     def fold(pairs):
