@@ -532,7 +532,11 @@ def graph_jaccard_neighbors(spark, sf_dir):
     ob = _co_order_brands(spark, sf_dir)
     from .analytics import _basket_pairs
 
-    e = _basket_pairs(ob).distinct()
+    # the distinct edge list is |brands|²-bounded and tiny, but its
+    # pair-mining lineage (lineitem scan + explode) is corpus-sized
+    # and feeds FOUR consumers (sym twice, inter, the final join) —
+    # lazy checkpoint = one mining pass (r16)
+    e = _basket_pairs(ob).distinct().localCheckpoint(eager=False)
     sym = e.unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).select(F.col("src").alias("v"), F.col("dst").alias("u"))

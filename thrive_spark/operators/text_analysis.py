@@ -886,13 +886,21 @@ def text_novelty_fraction(spark, sf_dir):
     # same fix took the MLlib minhash variant from 18 s to 4 s at sf0.1)
     from .mllib_lsh import _shingled_docs
 
+    # Single-lineage shape (r16, the tfidf/exact-substring pattern):
+    # repartition the gram stream by g — hash(g) satisfies the
+    # (doc_id, g) clustering, so the per-doc distinct AND the
+    # first-seen window (min doc_id over g) ride ONE exchange; the
+    # old firstseen self-aggregate + join re-ran the shingle lineage
+    # on both sides of its join.
     tg = (
         _shingled_docs(t)
         .select("doc_id", F.explode("tokens").alias("g"))
-        .distinct()
+        .repartition("g")
+        .dropDuplicates(["doc_id", "g"])
     )
-    firstseen = tg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    joined = tg.join(firstseen, "g")
+    joined = tg.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("g"))
+    )
     novel = F.count_if(F.col("first_doc") == F.col("doc_id"))
     return joined.groupBy("doc_id").agg(
         F.count("*").alias("n_grams"),
