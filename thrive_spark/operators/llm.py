@@ -183,7 +183,8 @@ def dedup_fuzzy_minhash(spark, sf_dir):
     sh = d.select(
         "doc_id", F.array_distinct(F.transform(tri, _ph)).alias("s")
     )
-    sh = sh.localCheckpoint()  # shingle hashing feeds minhash AND verify
+    # lazy since r16: first consumer materializes it in-line
+    sh = sh.localCheckpoint(eager=False)  # shingle hashing feeds minhash AND verify
 
     def _fam(i):
         # single-arg closure — the 2-arg lambda trap (CLAUDE.md)
