@@ -2,8 +2,9 @@
 
 Usage: python tools/dump_plans.py <suffix> <id1,id2,...> [sf_dir]
 
-Writes plans/r16/<id>_<suffix>.txt for each id (full formatted plan,
-untrimmed — the judge checks optimization claims against these files).
+Writes plans/$PLANS_ROUND/<id>_<suffix>.txt for each id (full
+formatted plan, untrimmed — the judge checks optimization claims
+against these files). PLANS_ROUND defaults to r17.
 """
 
 from __future__ import annotations
@@ -23,7 +24,11 @@ def main() -> None:
     suffix = sys.argv[1]
     ids = [s for s in sys.argv[2].split(",") if s]
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("PLANS_ROUND", "r17"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("thrive-plan-dump")
     for qid in ids:
