@@ -227,7 +227,27 @@ def main() -> None:
     # Compact recap LAST (see module docstring): contract fields only,
     # no variance/min/errors payload, so the driver's 2000-char tail
     # always ends with one complete parseable headline line.
-    print(json.dumps({**headline, "recap": True, "n_errors": len(errors)}))
+    # r17 (VERDICT r16 "what's wrong" #5): the recap's calibration
+    # drops the 31-sample list and the modeled queries_normalized map
+    # (~1.1k chars under contention) — BENCH_r15's recap was truncated
+    # by exactly this payload and nulled a whole round's PERF
+    # comparison. The FULL line above keeps both; the recap keeps the
+    # contract fields plus the calibration summary (ratio/status).
+    recap_cal = {
+        k: v
+        for k, v in calibration.items()
+        if k not in ("samples_sec", "queries_normalized")
+    }
+    print(
+        json.dumps(
+            {
+                **headline,
+                "calibration": recap_cal,
+                "recap": True,
+                "n_errors": len(errors),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
