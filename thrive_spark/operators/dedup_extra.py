@@ -30,6 +30,20 @@ SIMHASH_BITS = 32
 SIMHASH_BANDS = 4
 NGRAM_JACCARD_THRESHOLD = 0.8
 
+#: dedup_ngram_jaccard verify regime (r17): when the MEASURED corpus
+#: vocabulary fits the bit positions of one BIGINT, every token set
+#: packs into a single mask and the verify stage runs on
+#: bit_count(a & b) instead of array_intersect — 8-byte masks travel
+#: through the candidate joins instead of token arrays (guide §2.3
+#: "narrower types"/"shuffle keys instead of payloads"). 61 leaves the
+#: sign bit and one slack bit untouched. The array path stays the
+#: general-scale shape (open vocabularies).
+NGRAM_MASK_MAX_VOCAB = 61
+#: memoized vocabulary size per sf_dir (immutable grading inputs —
+#: the sanctioned _FANOUT_CACHE pattern: a plan-shape scalar, never
+#: result data)
+_NGRAM_VOCAB_CACHE: dict[str, int] = {}
+
 
 @query(
     "dedup_simhash",
@@ -286,8 +300,41 @@ def dedup_ngram_jaccard(spark, sf_dir):
         )
         .dropDuplicates()
     )
-    sets = d.select("doc_id", "toks", "sz")
-    inter = F.size(F.array_intersect("sa.toks", "sb.toks"))
+    # r17 verify regime switch (measured, memoized — never assumed):
+    # rarest-first prefix ordering (VERDICT r16 item 5) was measured
+    # first and REJECTED: this corpus is a closed 31-token vocabulary,
+    # so no rare tokens exist and the candidate count moved 281 382 →
+    # 281 067 (−0.1%) — and the true-positive floor is 116 837 pairs,
+    # capping ANY candidate-pruning win at ~2.4×. The measured cost is
+    # in verifying 281k pairs: two joins carrying ~30-element token
+    # arrays + array_intersect per pair. With vocab ≤ 61 the sets pack
+    # into one BIGINT mask: |A∩B| = bit_count(maskA & maskB), and the
+    # verify joins move 8-byte masks instead of arrays.
+    vocab = d.select(F.explode("toks").alias("tok")).distinct()
+    ck = f"ngram_jaccard_vocab:{sf_dir}"
+    if ck not in _NGRAM_VOCAB_CACHE:
+        _NGRAM_VOCAB_CACHE[ck] = vocab.count()
+    if _NGRAM_VOCAB_CACHE[ck] <= NGRAM_MASK_MAX_VOCAB:
+        vmap = vocab.select(
+            "tok",
+            (F.row_number().over(Window.orderBy("tok")) - 1).alias("bit"),
+        ).agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("tok", "bit"))
+            ).alias("m")
+        )
+        sets = d.crossJoin(F.broadcast(vmap)).select(
+            "doc_id",
+            F.expr(
+                "aggregate(toks, CAST(0 AS BIGINT),"
+                " (acc, x) -> acc | shiftleft(CAST(1 AS BIGINT), m[x]))"
+            ).alias("mk"),
+            "sz",
+        )
+        inter = F.bit_count(F.col("sa.mk").bitwiseAND(F.col("sb.mk")))
+    else:
+        sets = d.select("doc_id", "toks", "sz")
+        inter = F.size(F.array_intersect("sa.toks", "sb.toks"))
     j = inter.cast("double") / (F.col("sa.sz") + F.col("sb.sz") - inter)
     return (
         cand.join(sets.alias("sa"), cand.keep_id == F.col("sa.doc_id"))
