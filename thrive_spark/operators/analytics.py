@@ -473,12 +473,18 @@ def basket_brand_affinity(spark, sf_dir):
     # (src, dst) groupBy yields all three tables from ONE basket
     # aggregate — 1 lineitem scan, 2 data-sized exchanges (guide §2.4;
     # the pair shuffle partial-aggregates to ≤|brands|² rows per task).
-    # The tiny counts table (≤|brands|²+|brands|+1 rows) is lazily
-    # localCheckpoint'ed: its four consumers (pairs, both marginal
-    # sides, total) each push different key filters below the exchange,
-    # so ReuseExchange can never fire across them — without the barrier
-    # the whole basket lineage re-ran 4× (same CTE-materialization
-    # trick as tpch_q15/q18).
+    # r17 (VERDICT r16 item 3): r16 lazily localCheckpoint'ed the tiny
+    # counts table for its four filtered consumers; the RDD barrier +
+    # three broadcast-build jobs cost more at sf0.1 than the recompute
+    # they saved (driver bench 1.457 → 1.889 s). The marginals and the
+    # order total are now WINDOW sums over the single counts lineage
+    # instead of self-joins: partitionBy(src) sees brand a's marginal
+    # row from every (a, b) pair row, partitionBy(coalesce(dst, src))
+    # sees brand b's, and an unpartitioned window carries the order
+    # total — no checkpoint, no broadcasts, ONE job (guide §2.4 "window
+    # functions ... do not need a second shuffle"). The whole-frame
+    # window is scale-safe: counts is bounded by |brands|²+|brands|+1
+    # rows (p_brand has 25 values at every TPC-H SF), not by data size.
     arr = _basket_arrays(ob)
     ex = arr.select(
         F.explode(
@@ -501,41 +507,42 @@ def basket_brand_affinity(spark, sf_dir):
             )
         ).alias("p")
     ).select("p.src", "p.dst")
-    counts = (
-        ex.groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)
+    counts = ex.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
+    marg = F.when(
+        F.col("dst").isNull() & F.col("src").isNotNull(), F.col("cnt")
     )
-    pc = counts.filter(
-        F.col("src").isNotNull()
-        & F.col("dst").isNotNull()
-        & (F.col("cnt") >= 3)
-    ).select(
-        F.col("src").alias("brand_a"),
-        F.col("dst").alias("brand_b"),
-        F.col("cnt").alias("pair_cnt"),
+    enriched = (
+        counts.withColumn(
+            "ca", F.sum(marg).over(Window.partitionBy("src"))
+        )
+        .withColumn(
+            "cb",
+            F.sum(marg).over(
+                Window.partitionBy(F.coalesce("dst", "src"))
+            ),
+        )
+        .withColumn(
+            "t",
+            F.sum(
+                F.when(F.col("src").isNull(), F.col("cnt"))
+            ).over(Window.partitionBy()),
+        )
     )
-    bc = counts.filter(
-        F.col("src").isNotNull() & F.col("dst").isNull()
-    ).select(F.col("src").alias("p_brand"), F.col("cnt").alias("c"))
-    tot = counts.filter(F.col("src").isNull()).select(
-        F.col("cnt").alias("t")
-    )
-    ca = F.broadcast(bc.select(F.col("p_brand").alias("brand_a"), F.col("c").alias("ca")))
-    cb = F.broadcast(bc.select(F.col("p_brand").alias("brand_b"), F.col("c").alias("cb")))
     return (
-        pc.join(ca, "brand_a")
-        .join(cb, "brand_b")
-        .crossJoin(F.broadcast(tot))
+        enriched.filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("cnt") >= 3)
+        )
         .select(
-            "brand_a",
-            "brand_b",
-            "pair_cnt",
-            ffix(F.col("pair_cnt").cast("double") / F.col("t"), 6).alias(
+            F.col("src").alias("brand_a"),
+            F.col("dst").alias("brand_b"),
+            F.col("cnt").alias("pair_cnt"),
+            ffix(F.col("cnt").cast("double") / F.col("t"), 6).alias(
                 "support"
             ),
             ffix(
-                (F.col("pair_cnt") * F.col("t")).cast("double")
+                (F.col("cnt") * F.col("t")).cast("double")
                 / (F.col("ca") * F.col("cb")).cast("double")
             ).alias("lift"),
         )
