@@ -1040,7 +1040,11 @@ def _detach_and_cleanup(spark, df, root: str):
     rows, schema = df.collect(), df.schema
     shutil.rmtree(root, ignore_errors=True)
     _evict_seg_cache_under(root)
-    return spark.createDataFrame(rows, schema)
+    # coalesce(1): createDataFrame parallelizes even a 3-row result
+    # over defaultParallelism — the caller's noop sink then dispatches
+    # 32 empty tasks (~0.3 s traced, paid by EVERY exhibit that
+    # returns through here). One narrow partition, no exchange.
+    return spark.createDataFrame(rows, schema).coalesce(1)
 
 
 @query(

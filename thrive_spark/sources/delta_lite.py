@@ -559,6 +559,7 @@ class DeltaLiteTable:
         partition_columns: list[str] | None = None,
         column_mapping: bool = False,
         change_data_feed: bool = False,
+        _adds: list[dict] | None = None,
     ) -> None:
         """``column_mapping=True`` writes the spec's NAME-mapping shape
         (reader v2): schemaString fields carry
@@ -602,8 +603,15 @@ class DeltaLiteTable:
                 **configuration,
                 "delta.enableChangeDataFeed": "true",
             }
-        adds = self._write_files_partitioned(
-            write_df, partition_columns or []
+        # _adds: caller already wrote the data files (overlapped /
+        # folded write jobs — scan_delta_log_table r17); the commit
+        # shape is identical either way.
+        adds = (
+            _adds
+            if _adds is not None
+            else self._write_files_partitioned(
+                write_df, partition_columns or []
+            )
         )
         self._commit(
             0,
@@ -622,11 +630,16 @@ class DeltaLiteTable:
             ],
         )
 
-    def append(self, df) -> int:
+    def append(self, df, _adds: list[dict] | None = None) -> int:
         vs, cps = self.versions(), self.checkpoints()
         v = max(vs[-1] if vs else -1, cps[-1] if cps else -1) + 1
-        part_cols = self.state()["meta"].get("partitionColumns", [])
-        adds = self._write_files_partitioned(df, part_cols)
+        if _adds is not None:
+            adds = _adds
+        else:
+            part_cols = self.state()["meta"].get(
+                "partitionColumns", []
+            )
+            adds = self._write_files_partitioned(df, part_cols)
         self._commit(v, [{"add": a} for a in adds])
         return v
 
@@ -1498,7 +1511,6 @@ def scan_delta_log_table(spark, sf_dir):
     import tempfile
 
     from ..tables import Tables
-    from .acid import _detach_and_cleanup
 
     t = Tables(spark, sf_dir)
     orders = t.orders.select(
@@ -1522,14 +1534,29 @@ def scan_delta_log_table(spark, sf_dir):
         .when(F.col("p") > 90000, F.lit(1))
         .otherwise(F.lit(0))
     )
-    _range3 = lambda df: (  # noqa: E731 — local layout helper
-        df.withColumn("_b", bkt)
-        .repartition(3, "_b")
-        .drop("_b")
-        .sortWithinPartitions("p")
+    # r17 (VERDICT item 6): this exhibit was job-count bound (12
+    # sequential jobs, 8c/32c ratio 0.81). The create and append
+    # writes fold into ONE partitionBy("_v","_b") job — the hive walk
+    # hands each version its own adds (the r14 computed-partition
+    # recipe), and the synthetic columns never reach the data files.
+    # Bucket isolation ("no two ranges share a file") is structural
+    # here: every (_v,_b) pair is its own directory.
+    both = (
+        orders.filter("k % 8 = 0 OR k % 8 = 3")
+        .withColumn(
+            "_v", F.when(F.col("k") % 8 == 0, F.lit(0)).otherwise(F.lit(1))
+        )
+        .withColumn("_b", bkt)
+        .repartition(6, "_v", "_b")
     )
-    tbl.create(_range3(orders.filter("k % 8 = 0")))
-    tbl.append(_range3(orders.filter("k % 8 = 3")))
+    walked = tbl._write_files_partitioned(both, ["_v", "_b"])
+    by_ver = {"0": [], "1": []}
+    for a in walked:
+        by_ver[a["partitionValues"]["_v"]].append(
+            {**a, "partitionValues": {}}
+        )
+    tbl.create(orders, _adds=by_ver["0"])
+    tbl.append(orders, _adds=by_ver["1"])
     v = tbl.remove_where_file_contains("p > 180000")
     assert v == 2, v
     # protocol invariant, LAYOUT-INDEPENDENT (r14: the old form
@@ -1546,22 +1573,60 @@ def scan_delta_log_table(spark, sf_dir):
         "survivors must carry by reference"
     )
 
-    snaps = []
-    for ver in tbl.versions():
-        snaps.append(
-            tbl.snapshot(ver).agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                dsum("p").alias("sum_price"),
-            ).select(
-                F.lit(ver).cast("bigint").alias("version"),
-                "n_rows",
-                "sum_price",
+    # Every version still time-travels through the action fold
+    # (state(ver) IS the fold), but the aggregates come from ONE scan
+    # of the union of all live files with per-file partials — the
+    # per-version totals then fold from the file→version membership
+    # (bounded by file count, not data size; same fixed-point sum as
+    # dsum so the result is bit-identical). Replaces 3 snapshot scans
+    # + a union + collect (4 jobs) with 1 job. (guide §2.6)
+    from urllib.parse import urlparse
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from .acid import _evict_seg_cache_under
+    from ..operators._util import SCALE, fixed
+
+    states = {ver: tbl.state(ver) for ver in tbl.versions()}
+    all_paths = sorted(
+        {a["path"] for st in states.values() for a in st["adds"]}
+    )
+    schema = StructType.fromJson(
+        json.loads(states[0]["meta"]["schemaString"])
+    )
+    per_file = {
+        os.path.relpath(urlparse(r["f"]).path, root): r
+        for r in spark.read.schema(schema)
+        .parquet(*[os.path.join(root, p) for p in all_paths])
+        .groupBy(F.col("_metadata.file_path").alias("f"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(fixed("p")).alias("s"))
+        .collect()
+    }
+    rows = []
+    for ver, st in sorted(states.items()):
+        members = [per_file[a["path"]] for a in st["adds"]]
+        rows.append(
+            (
+                ver,
+                sum(m["n"] for m in members),
+                sum(m["s"] for m in members) / float(SCALE),
             )
         )
-    out = snaps[0]
-    for s in snaps[1:]:
-        out = out.union(s)
-    return _detach_and_cleanup(spark, out, root)
+    out_schema = StructType([
+        StructField("version", LongType(), False),
+        StructField("n_rows", LongType(), False),
+        StructField("sum_price", DoubleType(), False),
+    ])
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    _evict_seg_cache_under(root)
+    return spark.createDataFrame(rows, out_schema).coalesce(1)
 
 
 @query(
