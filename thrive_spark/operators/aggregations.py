@@ -816,19 +816,34 @@ def agg_hll_precision_sweep(spark, sf_dir):
     calibration table an engine publishes so users can pick the
     memory/accuracy point (HLL++ register count grows ~1/rsd²).
 
-    One pass computes all four aggregates (Catalyst plans them in a
-    single hash-aggregate stage); the relative-error audit
-    |est − exact| / exact ≤ 3·rsd is pytest-gated per precision in
-    tests/test_properties.py — a bound loose enough to be stable and
-    tight enough to catch a mis-wired precision knob."""
+    r17 (guide §2.3): mixing countDistinct with the approx trio in ONE
+    agg makes Catalyst's distinct-rewrite group the approx PARTIALS by
+    the distinct key — every distinct l_partkey carried 1705 flattened
+    HLL register columns (~13 KB/key) through the first exchange
+    (plans/r17/agg_hll_precision_sweep_before.txt node (2)). Split:
+    the approx trio is a plain 2-stage agg (one sketch set per
+    partition), exact distinct is its own 2-stage count, and the two
+    1-row results cross-join. HLL sketches are hash-deterministic and
+    merge order-insensitively, so the values are identical.
+
+    The relative-error audit |est − exact| / exact ≤ 3·rsd is
+    pytest-gated per precision in tests/test_properties.py — a bound
+    loose enough to be stable and tight enough to catch a mis-wired
+    precision knob."""
     t = Tables(spark, sf_dir)
     c = F.col("l_partkey")
-    return t.lineitem.agg(
-        F.countDistinct(c).cast("bigint").alias("exact"),
+    li = t.lineitem.where(c.isNotNull())
+    exact = (
+        li.select(c.alias("pk"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact"))
+    )
+    approx = li.agg(
         F.approx_count_distinct(c, 0.01).alias("est_rsd_001"),
         F.approx_count_distinct(c, 0.05).alias("est_rsd_005"),
         F.approx_count_distinct(c, 0.10).alias("est_rsd_010"),
     )
+    return exact.crossJoin(approx)
 
 
 @query(
