@@ -1040,11 +1040,15 @@ def _detach_and_cleanup(spark, df, root: str):
     rows, schema = df.collect(), df.schema
     shutil.rmtree(root, ignore_errors=True)
     _evict_seg_cache_under(root)
-    # coalesce(1): createDataFrame parallelizes even a 3-row result
-    # over defaultParallelism — the caller's noop sink then dispatches
-    # 32 empty tasks (~0.3 s traced, paid by EVERY exhibit that
-    # returns through here). One narrow partition, no exchange.
-    return spark.createDataFrame(rows, schema).coalesce(1)
+    # ONE slice: createDataFrame parallelizes even a 3-row result over
+    # defaultParallelism — the caller's noop sink then dispatches 32
+    # empty tasks (~0.4 s traced, paid by EVERY exhibit returning
+    # through here). Explicit numSlices, NOT .coalesce(1): a 1-task
+    # coalesce over 32 pickled-row slices measures a flat ~5 s
+    # (per-parent-slice Python eval), parallelize(rows, 1) 0.24 s.
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
 
 
 @query(
