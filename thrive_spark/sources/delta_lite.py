@@ -1626,7 +1626,10 @@ def scan_delta_log_table(spark, sf_dir):
 
     shutil.rmtree(root, ignore_errors=True)
     _evict_seg_cache_under(root)
-    return spark.createDataFrame(rows, out_schema).coalesce(1)
+    # numSlices=1, never coalesce(1) — see _detach_and_cleanup
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), out_schema
+    )
 
 
 @query(
