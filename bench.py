@@ -78,6 +78,13 @@ HEADLINE = [
     # show up as wall-time — suite total not comparable to BENCH_r14
     # (30 -> 31).
     "sim_knn_ivfpq",           # PQ-with-rerank ANN top-k
+    # r17 additions (additive only, per the driver contract; suite
+    # total not comparable to BENCH_r16, 31 -> 33): the two ops whose
+    # verify/aggregate shapes were restructured this round get tracked
+    # warm numbers so regressions in the bitmask regime / the split
+    # sketch aggregate show up as wall-time.
+    "dedup_ngram_jaccard",     # prefix-filter + bitmask verify dedup
+    "agg_hll_precision_sweep",  # exact-vs-HLL calibration sweep
 ]
 
 

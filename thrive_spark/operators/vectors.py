@@ -459,7 +459,11 @@ LLOYD_SINGLE_TASK_MAX_ROWS = 100_000
 
 #: measured |emb| per caller (llm._FANOUT_CACHE pattern): the row
 #: count of an immutable input is a constant — warm bench reps and
-#: driver retries shouldn't re-pay the sizing job.
+#: driver retries shouldn't re-pay the sizing job. INVARIANT (r17
+#: advice): keys embed the sf_dir and grading inputs are immutable
+#: for the process lifetime; if a caller ever rewrites the data under
+#: a cached dir in-session, key on (path, mtime) instead — the cached
+#: count gates a plan-shape choice.
 _LLOYD_N_CACHE: dict = {}
 
 
@@ -499,6 +503,15 @@ def _lloyd_assign_single_task(emb, rounds, dist_scale, pack_mod, init_k_fn):
             acc = np.zeros((len(x), len(cl_list)))
             for d in range(x.shape[1]):
                 acc += (x[:, d, None] - c[None, :, d]) ** 2
+            # r17 advice: the wide path under ANSI mode raises on long
+            # overflow; np.floor(...).astype(int64) would wrap
+            # silently. Fail loudly on the same boundary instead.
+            if acc.max() * dist_scale + 0.5 >= 2**62 / pack_mod:
+                raise OverflowError(
+                    "single-task Lloyd: dist*scale*pack_mod exceeds "
+                    f"int64 (max dist² {acc.max():.3e}, "
+                    f"scale {dist_scale}, pack {pack_mod})"
+                )
             packed = (
                 np.floor(acc * dist_scale + 0.5).astype(np.int64)
                 * pack_mod
@@ -561,6 +574,29 @@ def lloyd_exact_assign(
             n = emb.count()
             _LLOYD_N_CACHE[cache_key] = n
         if n <= LLOYD_SINGLE_TASK_MAX_ROWS:
+            import os as _os
+
+            if _os.environ.get("THRIVE_DEBUG_LLOYD_INIT"):
+                # r17 advice: the single-task path reconstructs the
+                # init from init_k_fn's "rows with vec_id < k"
+                # contract instead of reading ``cent``; this debug
+                # gate catches a future caller whose cent build
+                # drifts from that contract (costs two collects, so
+                # opt-in only — the equality tests force both paths
+                # for every current caller).
+                got = {
+                    (int(r[0]), tuple(r[1])) for r in cent.collect()
+                }
+                want = {
+                    (int(r[0]), tuple(r[1]))
+                    for r in emb.filter(
+                        F.col("vec_id") < init_k_fn(n)
+                    ).collect()
+                }
+                assert got == want, (
+                    "single-task Lloyd init drifted from cent: "
+                    f"{len(got ^ want)} differing rows"
+                )
             return _lloyd_assign_single_task(
                 emb, rounds, dist_scale, pack_mod, init_k_fn
             )
