@@ -63,8 +63,8 @@ ROWS_ONLY = sorted(set(QUERIES) - set(ORACLE))
 
 
 @pytest.mark.parametrize("qid", HASH_CHECKED)
-def test_oracle_match(qid, spark, ddb, sf_dir):
-    spark_pdf = QUERIES[qid](spark, sf_dir).toPandas()
+def test_oracle_match(qid, qdf, ddb):
+    spark_pdf = qdf(qid).toPandas()
     duck_pdf = ddb.execute(ORACLE[qid]).df()
     s_cols, s_rows = canon(spark_pdf)
     d_cols, d_rows = canon(duck_pdf)
@@ -79,14 +79,14 @@ def test_oracle_match(qid, spark, ddb, sf_dir):
 
 
 @pytest.mark.parametrize("qid", ROWS_ONLY)
-def test_rows_only_runs(qid, spark, sf_dir):
-    df = QUERIES[qid](spark, sf_dir)
+def test_rows_only_runs(qid, qdf):
+    df = qdf(qid)
     assert df.count() >= 0
     assert len(df.columns) > 0
 
 
 @pytest.mark.parametrize("qid", sorted(QUERIES))
-def test_no_complex_output_columns(qid, spark, sf_dir):
+def test_no_complex_output_columns(qid, qdf):
     """Driver-canonicalizer output-type gate. Two FAIL classes seen in
     official grades that the local simulator does NOT reproduce:
 
@@ -99,7 +99,7 @@ def test_no_complex_output_columns(qid, spark, sf_dir):
     No whitelist: every registered query's output schema must pass."""
     from pyspark.sql import types as T
 
-    df = QUERIES[qid](spark, sf_dir)
+    df = qdf(qid)
     banned = (
         T.ArrayType,
         T.MapType,

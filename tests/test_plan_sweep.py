@@ -86,8 +86,8 @@ SKIP = {
 
 
 @pytest.mark.parametrize("qid", sorted(set(QUERIES) - SKIP))
-def test_no_scale_antipatterns(qid, spark, sf_dir):
-    plan = physical_plan(QUERIES[qid](spark, sf_dir))
+def test_no_scale_antipatterns(qid, qdf):
+    plan = physical_plan(qdf(qid))
     if qid not in ALLOWED_CARTESIAN:
         assert "CartesianProduct" not in plan, f"{qid} plans a cartesian product"
     if qid not in ALLOWED_ROW_PYTHON:

@@ -52,6 +52,7 @@ def stress_ddb(stress_dir):
     con.close()
 
 
+@pytest.mark.stress
 @pytest.mark.parametrize("qid", sorted(ORACLE))
 def test_stress_oracle_match(qid, spark, stress_ddb, stress_dir):
     spark_pdf = QUERIES[qid](spark, stress_dir).toPandas()
@@ -68,6 +69,7 @@ def test_stress_oracle_match(qid, spark, stress_ddb, stress_dir):
     )
 
 
+@pytest.mark.stress
 @pytest.mark.parametrize("qid", sorted(set(QUERIES) - set(ORACLE)))
 def test_stress_rows_only_runs(qid, spark, stress_dir):
     # rows-only ops must at least survive the adversarial corpus
