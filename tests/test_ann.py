@@ -14,9 +14,9 @@ def _recall(exact, approx):
     return len(e & a) / len(e)
 
 
-def test_ivf_recall_vs_exact(spark, sf_dir):
-    exact = QUERIES["sim_knn_cosine_topk"](spark, sf_dir).toPandas()
-    approx = QUERIES["sim_knn_ivf"](spark, sf_dir).toPandas()
+def test_ivf_recall_vs_exact(spark, sf_dir, qdf):
+    exact = qdf("sim_knn_cosine_topk").toPandas()
+    approx = qdf("sim_knn_ivf").toPandas()
     recall = _recall(exact, approx)
     # r13 tuned: 4/32 cells probed (~12.5% candidate fraction),
     # measured 0.74-0.80 across sf0.001/0.01/0.1 — gate at measured
@@ -25,9 +25,9 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert approx.groupby("query_id").size().min() >= 1
 
 
-def test_lsh_recall_vs_exact(spark, sf_dir):
-    exact = QUERIES["sim_knn_cosine_topk"](spark, sf_dir).toPandas()
-    approx = QUERIES["sim_knn_lsh"](spark, sf_dir).toPandas()
+def test_lsh_recall_vs_exact(spark, sf_dir, qdf):
+    exact = qdf("sim_knn_cosine_topk").toPandas()
+    approx = qdf("sim_knn_lsh").toPandas()
     e = {
         (r.query_id, r.neighbor_id)
         for r in exact.itertuples()
@@ -47,19 +47,19 @@ def test_lsh_recall_vs_exact(spark, sf_dir):
     assert approx.groupby("query_id").size().min() >= 1
 
 
-def test_pq_recall_vs_exact(spark, sf_dir):
+def test_pq_recall_vs_exact(spark, sf_dir, qdf):
     """PQ + ADC + exact rerank, r13 tuned: 16 4-dim subspaces +
     100-candidate exact rerank measured recall@5 = 1.00/1.00/0.89 at
     sf0.001/0.01/0.1 (5% rerank fraction at sf0.1) — the index family
     that clears 0.8 under a 10% candidate budget on this corpus."""
-    exact = QUERIES["sim_knn_cosine_topk"](spark, sf_dir).toPandas()
-    approx = QUERIES["sim_knn_pq"](spark, sf_dir).toPandas()
+    exact = qdf("sim_knn_cosine_topk").toPandas()
+    approx = qdf("sim_knn_pq").toPandas()
     recall = _recall(exact, approx)
     assert recall >= 0.75, f"PQ recall@5 = {recall:.3f}"
     assert approx.groupby("query_id").size().min() >= 1
 
 
-def test_semantic_dedup_matches_bruteforce(spark, sf_dir):
+def test_semantic_dedup_matches_bruteforce(spark, sf_dir, qdf):
     """r11 component semantics: within each of the operator's own
     cells, every τ-connected component must collapse to its min-vec_id
     keeper — rebuilt here with a brute-force numpy gram matrix +
@@ -70,7 +70,7 @@ def test_semantic_dedup_matches_bruteforce(spark, sf_dir):
     from thrive_spark.registry import QUERIES
     from thrive_spark.tables import Tables
 
-    out = QUERIES["dedup_semantic_cluster"](spark, sf_dir).toPandas()
+    out = qdf("dedup_semantic_cluster").toPandas()
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select("vec_id", "embedding").toPandas()
     emb = emb.sort_values("vec_id").reset_index(drop=True)
@@ -109,13 +109,13 @@ def test_semantic_dedup_matches_bruteforce(spark, sf_dir):
         assert list(grp["dup_of"]) == want_dup, f"cell {cell} dup_of mismatch"
 
 
-def test_maxsim_matches_numpy(spark, sf_dir):
+def test_maxsim_matches_numpy(spark, sf_dir, qdf):
     import numpy as np
 
     from thrive_spark.registry import QUERIES
     from thrive_spark.tables import Tables
 
-    got = QUERIES["sim_maxsim_multivector"](spark, sf_dir).toPandas()
+    got = qdf("sim_maxsim_multivector").toPandas()
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select("vec_id", "embedding").toPandas()
     m = np.array(emb["embedding"].tolist(), dtype=np.float64).reshape(
@@ -134,7 +134,7 @@ def test_maxsim_matches_numpy(spark, sf_dir):
     ]
 
 
-def test_mllib_minhash_agrees_with_handrolled(spark, sf_dir):
+def test_mllib_minhash_agrees_with_handrolled(spark, sf_dir, qdf):
     """The MLlib MinHashLSH variant must recover most of the
     hand-rolled band-join's verified near-dup pairs (same shingle
     space, library hashes)."""
@@ -142,36 +142,36 @@ def test_mllib_minhash_agrees_with_handrolled(spark, sf_dir):
 
     hand = {
         (int(r.doc_a), int(r.doc_b))
-        for r in QUERIES["dedup_fuzzy_minhash"](spark, sf_dir).collect()
+        for r in qdf("dedup_fuzzy_minhash").collect()
     }
     lib = {
         (int(r.doc_a), int(r.doc_b))
-        for r in QUERIES["dedup_minhash_mllib"](spark, sf_dir).collect()
+        for r in qdf("dedup_minhash_mllib").collect()
     }
     assert hand, "hand-rolled twin found no pairs — vacuous test"
     recall = len(hand & lib) / len(hand)
     assert recall >= 0.7, f"MLlib minhash recall vs hand-rolled: {recall}"
 
 
-def test_mllib_brp_recall_vs_exact(spark, sf_dir):
+def test_mllib_brp_recall_vs_exact(spark, sf_dir, qdf):
     """BRP-LSH top-5 on unit vectors must recover most of the exact
     cosine top-5 (euclidean order == cosine order on unit vectors)."""
     from thrive_spark.registry import QUERIES
 
     exact = {
         (int(r.query_id), int(r.neighbor_id))
-        for r in QUERIES["sim_knn_cosine_topk"](spark, sf_dir).collect()
+        for r in qdf("sim_knn_cosine_topk").collect()
     }
     approx = {
         (int(r.query_id), int(r.neighbor_id))
-        for r in QUERIES["sim_knn_mllib_brp"](spark, sf_dir).collect()
+        for r in qdf("sim_knn_mllib_brp").collect()
     }
     assert exact
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"BRP recall vs exact: {recall}"
 
 
-def test_mmr_diversifies_over_topk(spark, sf_dir):
+def test_mmr_diversifies_over_topk(spark, sf_dir, qdf):
     """MMR's picks must be less mutually similar than the plain top-10
     (and still share the single most-relevant item)."""
     import numpy as np
@@ -182,7 +182,7 @@ def test_mmr_diversifies_over_topk(spark, sf_dir):
     from thrive_spark.tables import Tables
 
     t = Tables(spark, sf_dir)
-    mmr = QUERIES["sim_mmr_rerank"](spark, sf_dir).toPandas()
+    mmr = qdf("sim_mmr_rerank").toPandas()
     assert len(mmr) == 10 and mmr["rank"].tolist() == list(range(1, 11))
 
     emb = {
@@ -200,7 +200,7 @@ def test_mmr_diversifies_over_topk(spark, sf_dir):
         return sum(sims) / len(sims)
 
     top10 = (
-        QUERIES["sim_knn_cosine_topk"](spark, sf_dir)
+        qdf("sim_knn_cosine_topk")
         .filter(F.col("query_id") == 0)
         .orderBy("rn")
         .toPandas()["neighbor_id"][:10]
@@ -238,12 +238,12 @@ def test_ann_recall_gates_hold_at_sf01(spark):
         assert recall >= gate, f"{qid} recall@5 = {recall:.3f} at sf0.1"
 
 
-def test_ivfpq_recall_vs_exact(spark, sf_dir):
+def test_ivfpq_recall_vs_exact(spark, sf_dir, qdf):
     """Composed IVF-PQ (FAISS IVFADC shape): recall is capped by the
     IVF candidate stage (measured 0.80/0.74/0.73 at sf0.001/0.01/0.1)
     while BOTH the ADC scan and the exact rerank stay probe-bounded."""
-    exact = QUERIES["sim_knn_cosine_topk"](spark, sf_dir).toPandas()
-    approx = QUERIES["sim_knn_ivfpq"](spark, sf_dir).toPandas()
+    exact = qdf("sim_knn_cosine_topk").toPandas()
+    approx = qdf("sim_knn_ivfpq").toPandas()
     recall = _recall(exact, approx)
     assert recall >= 0.6, f"IVFPQ recall@5 = {recall:.3f}"
     assert approx.groupby("query_id").size().min() >= 1

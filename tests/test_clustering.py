@@ -19,8 +19,8 @@ def _corpus_size(sf_dir):
     return n
 
 
-def test_kmeans_partitions_corpus(spark, sf_dir):
-    out = QUERIES["cluster_topics_kmeans"](spark, sf_dir).toPandas()
+def test_kmeans_partitions_corpus(spark, sf_dir, qdf):
+    out = qdf("cluster_topics_kmeans").toPandas()
     assert out["n_members"].sum() == _corpus_size(sf_dir)
     assert out["cluster_id"].is_unique
     assert (out["n_members"] > 0).all()
@@ -55,29 +55,29 @@ def test_lloyd_iterations_do_not_increase_inertia(spark, sf_dir):
     assert total_inertia(3) <= total_inertia(0) + 1e-9
 
 
-def test_mllib_kmeans_covers_all_points(spark, sf_dir):
+def test_mllib_kmeans_covers_all_points(spark, sf_dir, qdf):
     from thrive_spark.registry import QUERIES
     from thrive_spark.tables import Tables
 
-    pdf = QUERIES["cluster_kmeans_mllib"](spark, sf_dir).toPandas()
+    pdf = qdf("cluster_kmeans_mllib").toPandas()
     total = Tables(spark, sf_dir).embeddings.count()
     assert pdf["n_points"].sum() == total
     assert len(pdf) >= 2, "degenerate single-cluster result"
 
 
-def test_pagerank_mass_and_positivity(spark, sf_dir):
+def test_pagerank_mass_and_positivity(spark, sf_dir, qdf):
     from thrive_spark.registry import QUERIES
 
-    pdf = QUERIES["graph_pagerank"](spark, sf_dir).toPandas()
+    pdf = qdf("graph_pagerank").toPandas()
     assert (pdf["pagerank"] > 0).all()
     # rank mass conserved up to damping leakage + rounding
     assert abs(pdf["pagerank"].sum() - 1.0) < 0.01
 
 
-def test_textrank_favors_connected_words(spark, sf_dir):
+def test_textrank_favors_connected_words(spark, sf_dir, qdf):
     from thrive_spark.registry import QUERIES
 
-    pdf = QUERIES["text_textrank_keywords"](spark, sf_dir).toPandas()
+    pdf = qdf("text_textrank_keywords").toPandas()
     assert len(pdf) == 25
     assert (pdf["textrank"] > 0).all()
     # the corpus' ubiquitous vocabulary must dominate the top ranks

@@ -103,8 +103,8 @@ def test_unknown_codec_is_honest():
         decode_image(b"\x89PNG\r\n\x1a\nxxxx")
 
 
-def test_decode_pipeline_surfaces_real_stats(spark, sf_dir):
-    out = QUERIES["multimodal_decode_stub"](spark, sf_dir).limit(50).toPandas()
+def test_decode_pipeline_surfaces_real_stats(spark, sf_dir, qdf):
+    out = qdf("multimodal_decode_stub").limit(50).toPandas()
     assert len(out) > 0
     assert (out["n_channels"] == 3).all()
     assert (out["width"] >= 1).all() and (out["height"] >= 1).all()
@@ -116,13 +116,13 @@ def test_decode_pipeline_surfaces_real_stats(spark, sf_dir):
         assert all(0 <= p <= 2550000 for p in parts)
 
 
-def test_ahash_robust_where_md5_is_not(spark, sf_dir):
+def test_ahash_robust_where_md5_is_not(spark, sf_dir, qdf):
     """aHash of a uniformly-brightened image stays close (small
     Hamming — the threshold and the mean move together), while the
     hash space over distinct images is actually used."""
     from thrive_spark.registry import QUERIES
 
-    pdf = QUERIES["multimodal_image_ahash"](spark, sf_dir).toPandas()
+    pdf = qdf("multimodal_image_ahash").toPandas()
     assert len(pdf) > 0
     assert (pdf["hamming_to_edit"] <= 8).all()  # brightness-invariant
     assert pdf["ahash"].nunique() > len(pdf) // 4  # non-degenerate space

@@ -105,23 +105,23 @@ def test_pipeline_from_yaml(spark, sf_dir, tmp_path):
     assert p.run() == []  # ledger carried over, idempotent
 
 
-def test_compression_matrix_ordering(spark, sf_dir):
+def test_compression_matrix_ordering(spark, sf_dir, qdf):
     from thrive_spark.registry import QUERIES
 
-    pdf = QUERIES["sink_compression_matrix"](spark, sf_dir).toPandas()
+    pdf = qdf("sink_compression_matrix").toPandas()
     by = dict(zip(pdf["codec"], pdf["n_bytes"]))
     assert by["zstd"] < by["none"] and by["snappy"] < by["none"]
     assert by["gzip"] < by["snappy"]  # text compresses well under gzip/zstd
     assert pdf["n_rows"].nunique() == 1  # every codec round-trips all rows
 
 
-def test_config_run_dsl_ops(spark, sf_dir):
+def test_config_run_dsl_ops(spark, sf_dir, qdf):
     """The extended DSL vocabulary (join / aggregate / dedup) lowers
     correctly, and a committed ledger makes the next cycle a no-op."""
     from thrive_spark.registry import QUERIES
     from thrive_spark.sources.pipeline import Pipeline
 
-    out = QUERIES["pipeline_config_run"](spark, sf_dir).toPandas()
+    out = qdf("pipeline_config_run").toPandas()
     assert len(out) > 0 and {"n_name", "hr", "n_events", "sum_value"} <= set(
         out.columns
     )

@@ -192,25 +192,25 @@ def test_log2_fixed_point_parity(spark):
     assert (sp["b"] == dk["b"]).all()
 
 
-def test_cms_one_sided_error(spark, sf_dir):
+def test_cms_one_sided_error(spark, sf_dir, qdf):
     """CMS estimates never undercount, and width<|keys| forces at
     least one real collision so the audit is non-vacuous."""
     from thrive_spark.registry import QUERIES
 
-    pdf = QUERIES["agg_cms_frequency"](spark, sf_dir).toPandas()
+    pdf = qdf("agg_cms_frequency").toPandas()
     assert len(pdf) > 0
     assert (pdf["overcount"] >= 0).all()
     assert (pdf["est"] >= pdf["exact"]).all()
 
 
-def test_sliding_median_matches_pandas(spark, sf_dir):
+def test_sliding_median_matches_pandas(spark, sf_dir, qdf):
     """win_sliding_median == pandas rolling(15).median() on the
     fixed-point values — an independent implementation check."""
     from thrive_spark.registry import QUERIES
     from thrive_spark.tables import Tables
 
     got = (
-        QUERIES["win_sliding_median"](spark, sf_dir)
+        qdf("win_sliding_median")
         .toPandas()
         .set_index("event_id")["med15"]
     )
@@ -235,14 +235,14 @@ def test_sliding_median_matches_pandas(spark, sf_dir):
     assert (joined["got"] - joined["want"]).abs().max() < 1e-9
 
 
-def test_ewma_close_to_untruncated(spark, sf_dir):
+def test_ewma_close_to_untruncated(spark, sf_dir, qdf):
     """The 8-tap truncated EWMA must sit within the truncation bound
     (0.5^8 of the value range) of pandas' untruncated ewm."""
     from thrive_spark.registry import QUERIES
     from thrive_spark.tables import Tables
 
     got = (
-        QUERIES["ts_ewma_halflife"](spark, sf_dir)
+        qdf("ts_ewma_halflife")
         .toPandas()
         .set_index("event_id")["ewma"]
     )
@@ -262,10 +262,10 @@ def test_ewma_close_to_untruncated(spark, sf_dir):
     assert (joined["got"] - joined["want"]).abs().max() <= bound
 
 
-def test_hll_precision_error_bounds(spark, sf_dir):
+def test_hll_precision_error_bounds(spark, sf_dir, qdf):
     from thrive_spark.registry import QUERIES
 
-    row = QUERIES["agg_hll_precision_sweep"](spark, sf_dir).collect()[0]
+    row = qdf("agg_hll_precision_sweep").collect()[0]
     exact = row["exact"]
     for col, rsd in (
         ("est_rsd_001", 0.01),
@@ -403,7 +403,7 @@ def test_broker_compaction_invariants_property():
     run()
 
 
-def test_percentile_sketch_rank_error_bounded(spark, sf_dir):
+def test_percentile_sketch_rank_error_bounded(spark, sf_dir, qdf):
     """agg_percentile_sketch_portable: the KMV-sample estimate's TRUE
     rank must sit within a few percent of the target quantile (the
     ~1/sqrt(k) sampling bound, k=256) — accuracy gate on top of the
@@ -413,7 +413,7 @@ def test_percentile_sketch_rank_error_bounded(spark, sf_dir):
     from thrive_spark.registry import QUERIES
     from thrive_spark.tables import Tables
 
-    est = QUERIES["agg_percentile_sketch_portable"](spark, sf_dir).collect()
+    est = qdf("agg_percentile_sketch_portable").collect()
     li = Tables(spark, sf_dir).lineitem.select(
         F.col("l_returnflag").alias("flag"),
         F.col("l_extendedprice").alias("v"),

@@ -10,10 +10,10 @@ from thrive_spark.registry import QUERIES
 from thrive_spark.tables import Tables
 
 
-def test_approx_count_distinct_close_to_exact(spark, sf_dir):
+def test_approx_count_distinct_close_to_exact(spark, sf_dir, qdf):
     approx = {
         r["event_type"]: r["approx_users"]
-        for r in QUERIES["agg_approx_count_distinct"](spark, sf_dir).collect()
+        for r in qdf("agg_approx_count_distinct").collect()
     }
     exact = {
         r["event_type"]: r["n"]
@@ -27,14 +27,14 @@ def test_approx_count_distinct_close_to_exact(spark, sf_dir):
         assert rel < 0.1, (k, approx[k], n)
 
 
-def test_percentile_approx_close_to_exact(spark, sf_dir):
+def test_percentile_approx_close_to_exact(spark, sf_dir, qdf):
     approx = {
         r["o_orderstatus"]: (r["approx_median"], r["approx_p90"])
-        for r in QUERIES["agg_percentile_approx"](spark, sf_dir).collect()
+        for r in qdf("agg_percentile_approx").collect()
     }
     exact = {
         r["o_orderstatus"]: (r["median_price"], r["p90_price"])
-        for r in QUERIES["agg_percentile_exact"](spark, sf_dir).collect()
+        for r in qdf("agg_percentile_exact").collect()
     }
     for k, (em, ep) in exact.items():
         am, ap = approx[k]
@@ -42,9 +42,9 @@ def test_percentile_approx_close_to_exact(spark, sf_dir):
         assert abs(ap - ep) / ep < 0.05, (k, ap, ep)
 
 
-def test_salted_agg_equals_plain(spark, sf_dir):
+def test_salted_agg_equals_plain(spark, sf_dir, qdf):
     """The salting rewrite must be result-identical to plain groupBy."""
-    salted = QUERIES["agg_salted_skew"](spark, sf_dir).toPandas()
+    salted = qdf("agg_salted_skew").toPandas()
     ev = Tables(spark, sf_dir).events
     from thrive_spark.operators._util import dsum
 
@@ -58,16 +58,16 @@ def test_salted_agg_equals_plain(spark, sf_dir):
     assert s.equals(p), (s, p)
 
 
-def test_hll_sketch_union_error_bounded(spark, sf_dir):
+def test_hll_sketch_union_error_bounded(spark, sf_dir, qdf):
     """Sketch-merge estimate within 5% of exact at every rollup node."""
-    rows = QUERIES["agg_hll_sketch_union"](spark, sf_dir).collect()
+    rows = qdf("agg_hll_sketch_union").collect()
     assert rows, "no regions"
     for r in rows:
         assert r["exact_customers"] > 0
         assert r["rel_err"] < 0.05, (r["r_name"], r["rel_err"])
 
 
-def test_bpe_train_matches_reference_and_roundtrips(spark, sf_dir):
+def test_bpe_train_matches_reference_and_roundtrips(spark, sf_dir, qdf):
     """Merges must equal a from-scratch reference on the same word
     freqs; applying them must preserve the underlying characters."""
     from thrive_spark.operators.tokenizer import (
@@ -113,11 +113,11 @@ def test_bpe_train_matches_reference_and_roundtrips(spark, sf_dir):
     for w, _ in wf[:50]:
         assert "".join(apply_bpe(w, merges)) == w + END
 
-    out = QUERIES["tokenizer_train_bpe"](spark, sf_dir).toPandas()
+    out = qdf("tokenizer_train_bpe").toPandas()
     assert len(out) >= 1 and list(out.columns) == [
         "rank", "left", "right", "merged",
     ]
-    applied = QUERIES["tokenizer_apply_bpe"](spark, sf_dir).toPandas()
+    applied = qdf("tokenizer_apply_bpe").toPandas()
     # BPE can only shorten: token count per doc <= symbol chars
     assert (applied["n_bpe_tokens"] <= applied["n_symbol_chars"]).all()
     assert (applied["n_bpe_tokens"] > 0).all()

@@ -13,8 +13,8 @@ from thrive_spark.registry import QUERIES
 from thrive_spark.tables import Tables
 
 
-def test_jaccard_neighbors_bounded_and_edgewise(spark, sf_dir):
-    rows = QUERIES["graph_jaccard_neighbors"](spark, sf_dir).collect()
+def test_jaccard_neighbors_bounded_and_edgewise(spark, sf_dir, qdf):
+    rows = qdf("graph_jaccard_neighbors").collect()
     assert rows
     for r in rows:
         assert r["src"] < r["dst"]  # canonical orientation
@@ -25,23 +25,23 @@ def test_jaccard_neighbors_bounded_and_edgewise(spark, sf_dir):
             assert 0.0 <= r["jaccard"] <= 1.0
 
 
-def test_degree_histogram_conserves_vertices(spark, sf_dir):
-    hist = QUERIES["graph_degree_histogram"](spark, sf_dir).collect()
+def test_degree_histogram_conserves_vertices(spark, sf_dir, qdf):
+    hist = qdf("graph_degree_histogram").collect()
     assert hist
     # Σ degree·n_vertices = 2·|E| (handshake lemma) — even total
     stubs = sum(r["degree"] * r["n_vertices"] for r in hist)
     assert stubs % 2 == 0 and stubs > 0
 
 
-def test_ohlc_bars_ordering_invariants(spark, sf_dir):
-    for r in QUERIES["ts_ohlc_bars"](spark, sf_dir).collect():
+def test_ohlc_bars_ordering_invariants(spark, sf_dir, qdf):
+    for r in qdf("ts_ohlc_bars").collect():
         assert r["low"] <= r["high"]
         assert r["low"] <= r["open"] <= r["high"]
         assert r["low"] <= r["close"] <= r["high"]
         assert r["n_ticks"] >= 1
 
 
-def test_vwap_between_min_and_max_price(spark, sf_dir):
+def test_vwap_between_min_and_max_price(spark, sf_dir, qdf):
     t = Tables(spark, sf_dir)
     bounds = (
         t.lineitem.agg(
@@ -49,21 +49,21 @@ def test_vwap_between_min_and_max_price(spark, sf_dir):
             F.max("l_extendedprice").alias("hi"),
         ).collect()[0]
     )
-    for r in QUERIES["ts_vwap_daily"](spark, sf_dir).collect():
+    for r in qdf("ts_vwap_daily").collect():
         assert bounds["lo"] - 1e-6 <= r["vwap"] <= bounds["hi"] + 1e-6
 
 
-def test_dow_hour_profile_cell_count(spark, sf_dir):
-    rows = QUERIES["ts_dow_hour_profile"](spark, sf_dir).collect()
+def test_dow_hour_profile_cell_count(spark, sf_dir, qdf):
+    rows = qdf("ts_dow_hour_profile").collect()
     assert len(rows) <= 168
     assert all(0 <= r["dow"] <= 6 and 0 <= r["hr"] <= 23 for r in rows)
     t = Tables(spark, sf_dir)
     assert sum(r["n_events"] for r in rows) == t.events.count()
 
 
-def test_pareto_share_monotone_to_one(spark, sf_dir):
+def test_pareto_share_monotone_to_one(spark, sf_dir, qdf):
     rows = sorted(
-        QUERIES["analytics_pareto_share"](spark, sf_dir).collect(),
+        qdf("analytics_pareto_share").collect(),
         key=lambda r: r["decile"],
     )
     assert [r["decile"] for r in rows] == list(range(1, len(rows) + 1))
@@ -75,8 +75,8 @@ def test_pareto_share_monotone_to_one(spark, sf_dir):
     assert revs[0] == max(revs)
 
 
-def test_new_vs_returning_partitions_actives(spark, sf_dir):
-    rows = QUERIES["analytics_new_vs_returning"](spark, sf_dir).collect()
+def test_new_vs_returning_partitions_actives(spark, sf_dir, qdf):
+    rows = qdf("analytics_new_vs_returning").collect()
     assert rows
     for r in rows:
         assert r["n_new"] + r["n_returning"] == r["n_customers"]
@@ -87,11 +87,11 @@ def test_new_vs_returning_partitions_actives(spark, sf_dir):
     )
 
 
-def test_cohort_ltv_cumulative_monotone(spark, sf_dir):
+def test_cohort_ltv_cumulative_monotone(spark, sf_dir, qdf):
     from collections import defaultdict
 
     curves = defaultdict(list)
-    for r in QUERIES["analytics_cohort_ltv"](spark, sf_dir).collect():
+    for r in qdf("analytics_cohort_ltv").collect():
         curves[r["cohort"]].append((r["age_months"], r["cum_revenue"]))
     assert curves
     for pts in curves.values():
@@ -100,8 +100,8 @@ def test_cohort_ltv_cumulative_monotone(spark, sf_dir):
         assert all(a <= b + 1e-9 for a, b in zip(vals, vals[1:]))
 
 
-def test_exact_substring_shared_frac_bounds(spark, sf_dir):
-    rows = QUERIES["dedup_exact_substring"](spark, sf_dir).collect()
+def test_exact_substring_shared_frac_bounds(spark, sf_dir, qdf):
+    rows = qdf("dedup_exact_substring").collect()
     assert rows
     n_docs_with_overlap = 0
     for r in rows:
@@ -112,9 +112,9 @@ def test_exact_substring_shared_frac_bounds(spark, sf_dir):
     assert n_docs_with_overlap != 1
 
 
-def test_vocab_coverage_monotone_in_cut(spark, sf_dir):
+def test_vocab_coverage_monotone_in_cut(spark, sf_dir, qdf):
     rows = sorted(
-        QUERIES["tokenizer_vocab_coverage"](spark, sf_dir).collect(),
+        qdf("tokenizer_vocab_coverage").collect(),
         key=lambda r: r["vocab_size"],
     )
     assert rows
@@ -127,13 +127,13 @@ def test_vocab_coverage_monotone_in_cut(spark, sf_dir):
             assert r["covered_tokens"] == r["total_tokens"]
 
 
-def test_temporal_holdout_no_date_leakage(spark, sf_dir):
+def test_temporal_holdout_no_date_leakage(spark, sf_dir, qdf):
     from thrive_spark.operators.curation import HOLDOUT_CUTOFF
 
     t = Tables(spark, sf_dir)
     rows = {
         r["split"]: r
-        for r in QUERIES["split_temporal_holdout"](spark, sf_dir).collect()
+        for r in qdf("split_temporal_holdout").collect()
     }
     assert set(rows) == {"train", "test"}
     cut = F.lit(HOLDOUT_CUTOFF).cast("timestamp")
@@ -151,16 +151,16 @@ def test_temporal_holdout_no_date_leakage(spark, sf_dir):
     )
 
 
-def test_freshness_lag_has_zero_row(spark, sf_dir):
-    rows = QUERIES["dq_freshness_lag"](spark, sf_dir).collect()
+def test_freshness_lag_has_zero_row(spark, sf_dir, qdf):
+    rows = qdf("dq_freshness_lag").collect()
     assert rows
     # the stream holding the global max has zero lag
     assert min(r["lag_minutes"] for r in rows) == 0
     assert all(r["lag_minutes"] >= 0 for r in rows)
 
 
-def test_readability_flesch_sane_range(spark, sf_dir):
-    rows = QUERIES["text_readability_flesch"](spark, sf_dir).collect()
+def test_readability_flesch_sane_range(spark, sf_dir, qdf):
+    rows = qdf("text_readability_flesch").collect()
     assert rows
     for r in rows:
         assert r["n_words"] > 0
@@ -168,8 +168,8 @@ def test_readability_flesch_sane_range(spark, sf_dir):
         assert -400.0 < r["flesch"] <= 206.835
 
 
-def test_qualify_returns_top2_per_customer(spark, sf_dir):
-    rows = QUERIES["sql_window_qualify"](spark, sf_dir).collect()
+def test_qualify_returns_top2_per_customer(spark, sf_dir, qdf):
+    rows = qdf("sql_window_qualify").collect()
     from collections import Counter
 
     per_cust = Counter(r["o_custkey"] for r in rows)
@@ -177,9 +177,9 @@ def test_qualify_returns_top2_per_customer(spark, sf_dir):
     assert all(r["rnk"] in (1, 2) for r in rows)
 
 
-def test_canonical_mapping_covers_corpus(spark, sf_dir):
+def test_canonical_mapping_covers_corpus(spark, sf_dir, qdf):
     t = Tables(spark, sf_dir)
-    rows = QUERIES["dedup_canonical_mapping"](spark, sf_dir).collect()
+    rows = qdf("dedup_canonical_mapping").collect()
     assert len(rows) == t.documents.count()  # total function: every doc
     keepers = {r["keep_id"] for r in rows}
     ids = {r["doc_id"] for r in rows}
@@ -191,16 +191,16 @@ def test_canonical_mapping_covers_corpus(spark, sf_dir):
         assert r["n_copies"] >= 1
 
 
-def test_dup_rate_consistent_with_mapping(spark, sf_dir):
-    rates = QUERIES["dedup_rate_by_source"](spark, sf_dir).collect()
+def test_dup_rate_consistent_with_mapping(spark, sf_dir, qdf):
+    rates = qdf("dedup_rate_by_source").collect()
     assert rates
     for r in rates:
         assert 1 <= r["n_unique"] <= r["n_docs"]
         assert 0.0 <= r["dup_rate"] < 1.0
 
 
-def test_interarrival_stats_ordered(spark, sf_dir):
-    for r in QUERIES["ts_interarrival_stats"](spark, sf_dir).collect():
+def test_interarrival_stats_ordered(spark, sf_dir, qdf):
+    for r in qdf("ts_interarrival_stats").collect():
         assert (
             r["min_gap_s"]
             <= r["median_gap_s"]
@@ -210,11 +210,11 @@ def test_interarrival_stats_ordered(spark, sf_dir):
         assert r["n_gaps"] > 0
 
 
-def test_centroids_inside_data_range(spark, sf_dir):
+def test_centroids_inside_data_range(spark, sf_dir, qdf):
     import numpy as np
 
     t = Tables(spark, sf_dir)
-    rows = QUERIES["embed_centroid_by_label"](spark, sf_dir).collect()
+    rows = qdf("embed_centroid_by_label").collect()
     n_labels = t.embeddings.select("label").distinct().count()
     assert len(rows) == n_labels
     dim = len(t.embeddings.select("embedding").first()["embedding"])
@@ -240,10 +240,10 @@ def test_centroids_inside_data_range(spark, sf_dir):
     assert np.allclose(exact, got, atol=2e-4)  # fixed-point grid error
 
 
-def test_asof_tolerance_never_exceeds_bound(spark, sf_dir):
+def test_asof_tolerance_never_exceeds_bound(spark, sf_dir, qdf):
     from thrive_spark.operators.joins import ASOF_TOLERANCE_S
 
-    df = QUERIES["join_asof_tolerance"](spark, sf_dir)
+    df = qdf("join_asof_tolerance")
     bad = df.filter(
         F.col("matched")
         & (
@@ -253,20 +253,20 @@ def test_asof_tolerance_never_exceeds_bound(spark, sf_dir):
     ).count()
     assert bad == 0
     # tolerance is a strict subset of the unbounded as-of matches
-    unbounded = QUERIES["join_asof_backward"](spark, sf_dir)
+    unbounded = qdf("join_asof_backward")
     n_unbounded = unbounded.filter(F.col("prev_signup_ts").isNotNull()).count()
     n_bounded = df.filter(F.col("matched")).count()
     assert n_bounded <= n_unbounded
 
 
-def test_rolling_extrema_envelope_contains_value(spark, sf_dir):
-    for r in QUERIES["win_rolling_extrema"](spark, sf_dir).collect():
+def test_rolling_extrema_envelope_contains_value(spark, sf_dir, qdf):
+    for r in qdf("win_rolling_extrema").collect():
         assert r["roll_min"] <= r["day_value"] <= r["roll_max"]
         assert abs(r["roll_range"] - (r["roll_max"] - r["roll_min"])) < 1e-9
 
 
-def test_psi_contributions_nonnegative(spark, sf_dir):
-    rows = QUERIES["dq_psi_drift"](spark, sf_dir).collect()
+def test_psi_contributions_nonnegative(spark, sf_dir, qdf):
+    rows = qdf("dq_psi_drift").collect()
     assert rows
     # each PSI term (p-q)·ln(p/q) is >= 0: sign(p-q) == sign(ln(p/q))
     assert all(r["psi_contrib"] >= 0.0 for r in rows)
@@ -274,25 +274,25 @@ def test_psi_contributions_nonnegative(spark, sf_dir):
     assert total < 0.25  # the same distribution split in time: stable
 
 
-def test_order_width_histogram_conserves_lines(spark, sf_dir):
+def test_order_width_histogram_conserves_lines(spark, sf_dir, qdf):
     t = Tables(spark, sf_dir)
-    rows = QUERIES["agg_order_width_histogram"](spark, sf_dir).collect()
+    rows = qdf("agg_order_width_histogram").collect()
     assert sum(r["n_lines"] * r["n_orders"] for r in rows) == (
         t.lineitem.count()
     )
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-2
 
 
-def test_timezone_bank_offsets_sane(spark, sf_dir):
-    for r in QUERIES["fn_timezone_bank"](spark, sf_dir).collect():
+def test_timezone_bank_offsets_sane(spark, sf_dir, qdf):
+    for r in qdf("fn_timezone_bank").collect():
         assert 0 <= r["ny_hour"] <= 23
         assert r["ny_local"] < r["ts"]  # NY is always behind UTC
         assert r["tokyo_local"] > r["ts"]  # Tokyo always ahead
 
 
-def test_nearest_centroid_confusion_conserves(spark, sf_dir):
+def test_nearest_centroid_confusion_conserves(spark, sf_dir, qdf):
     t = Tables(spark, sf_dir)
-    rows = QUERIES["cluster_nearest_centroid"](spark, sf_dir).collect()
+    rows = qdf("cluster_nearest_centroid").collect()
     assert sum(r["n"] for r in rows) == t.embeddings.count()
     for r in rows:
         # n_correct is n on the diagonal, 0 off it
@@ -322,10 +322,10 @@ def test_kmeans_exact_partition_and_rerun_stability(spark, sf_dir):
     assert rows == again
 
 
-def test_semantic_exact_pairs_within_cells_and_bounded(spark, sf_dir):
+def test_semantic_exact_pairs_within_cells_and_bounded(spark, sf_dir, qdf):
     from thrive_spark.operators.vectors import SEMX_COS_THRESHOLD
 
-    rows = QUERIES["dedup_semantic_exact"](spark, sf_dir).collect()
+    rows = qdf("dedup_semantic_exact").collect()
     assert rows
     for r in rows:
         assert r["keep_id"] < r["dup_id"]

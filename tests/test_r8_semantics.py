@@ -9,7 +9,7 @@ from thrive_spark.registry import QUERIES
 from thrive_spark.tables import Tables
 
 
-def test_semantic_exact_pair_scan_is_sigma_cell_squared(spark, sf_dir):
+def test_semantic_exact_pair_scan_is_sigma_cell_squared(spark, sf_dir, qdf):
     """dedup_semantic_exact's docstring claims the candidate scan is
     bounded by Σ|cell|·(|cell|−1)/2 (within-cell pairs only, never
     n²): recompute cell sizes from the same assignment pipeline and
@@ -29,7 +29,7 @@ def test_semantic_exact_pair_scan_is_sigma_cell_squared(spark, sf_dir):
     # the clustered scan must be a real reduction vs all-pairs
     assert max_pairs < n_total * (n_total - 1) // 2
 
-    out = QUERIES["dedup_semantic_exact"](spark, sf_dir)
+    out = qdf("dedup_semantic_exact")
     rows = out.collect()
     assert len(rows) <= max_pairs
     for r in rows:
@@ -37,7 +37,7 @@ def test_semantic_exact_pair_scan_is_sigma_cell_squared(spark, sf_dir):
         assert r["cluster"] in sizes
 
 
-def test_minhash_portable_short_docs_generate_no_bands(spark, sf_dir):
+def test_minhash_portable_short_docs_generate_no_bands(spark, sf_dir, qdf):
     """Docs with <3 tokens have empty shingle sets; after the r8 guard
     they must produce NO candidate pairs (previously they all hashed
     to band key '' and formed a quadratic clique). No output pair may
@@ -54,11 +54,11 @@ def test_minhash_portable_short_docs_generate_no_bands(spark, sf_dir):
         .filter(F.col("n") < 3)
         .collect()
     }
-    for r in QUERIES["dedup_minhash_portable"](spark, sf_dir).collect():
+    for r in qdf("dedup_minhash_portable").collect():
         assert r["keep_id"] not in short and r["dup_id"] not in short
 
 
-def test_apply_bpe_consistent_with_vocab_coverage_totals(spark, sf_dir):
+def test_apply_bpe_consistent_with_vocab_coverage_totals(spark, sf_dir, qdf):
     """Σ n_bpe_tokens over docs must be ≥ the corpus word count (every
     word yields ≥1 token) and ≤ Σ(len(word)+1) (BPE only merges); and
     n_symbol_chars must equal Σ(len(word)+4) exactly."""
@@ -74,7 +74,7 @@ def test_apply_bpe_consistent_with_vocab_coverage_totals(spark, sf_dir):
         F.sum(F.length("w") + 1).alias("max_toks"),
     ).collect()[0]
     out = (
-        QUERIES["tokenizer_apply_bpe"](spark, sf_dir)
+        qdf("tokenizer_apply_bpe")
         .agg(
             F.sum("n_bpe_tokens").alias("toks"),
             F.sum("n_symbol_chars").alias("chars"),
@@ -85,11 +85,11 @@ def test_apply_bpe_consistent_with_vocab_coverage_totals(spark, sf_dir):
     assert stats["n_words"] <= out["toks"] <= stats["max_toks"]
 
 
-def test_image_ahash_brightness_invariance_holds(spark, sf_dir):
+def test_image_ahash_brightness_invariance_holds(spark, sf_dir, qdf):
     """The perceptual-hash property the op demonstrates: hamming
     distance to the +8-brightened twin stays small (≤8 of 64 bits)
     even though the payload bytes all changed."""
-    rows = QUERIES["multimodal_image_ahash"](spark, sf_dir).collect()
+    rows = qdf("multimodal_image_ahash").collect()
     assert rows
     for r in rows:
         assert len(r["ahash"]) == 16
